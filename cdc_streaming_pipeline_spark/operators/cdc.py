@@ -1,0 +1,155 @@
+"""CDC stream/batch transforms — the reference pipeline's operator core.
+
+Covers SURVEY.md §2.2/§2.5 line by line (reference cites in each docstring):
+envelope unwrap (T1), delete rewrite (T2), metadata enrichment (T3),
+tombstone handling (T4), per-table demultiplex, wide-schema union (T7),
+latest-state materialization, event-time partition derivation (P1).
+
+All functions are stream-safe: they use only expressions valid on both
+batch and streaming DataFrames, so the batch and streaming paths share
+this exact code (one logical plan, two execution modes).
+
+Scale notes
+-----------
+* latest_state is a per-key window dedup — shuffles once on the key.
+  At 100 TB the shuffle is unavoidable (it IS the group-by state); skew is
+  bounded because keys are primary keys (≈1 row per key per batch), and AQE
+  skew-join/partition-coalescing handles stragglers.
+* No driver-side state anywhere; everything is expression-level.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from cdc_streaming_pipeline_spark.schemas import (
+    DELETED_COL,
+    ENTITY_KEYS,
+    ENTITY_SCHEMAS,
+    LSN_COL,
+    OP_COL,
+    TABLE_COL,
+)
+
+
+def unwrap_envelope(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """T1 — project the after-image out of a Debezium-style envelope.
+
+    Input rows hold a struct column ``value`` with fields
+    ``{before, after, op, table, lsn}``; output is the flat after-image row
+    plus CDC metadata columns. Deletes keep the last-known state (the
+    ``before`` image) — Debezium ``delete.handling.mode=rewrite`` semantics
+    (reference: cdc_pipeline_dag.py:142-145).
+    """
+    v = F.col(value_col)
+    image = F.when(v["op"] == "d", v["before"]).otherwise(v["after"])
+    return (
+        df.withColumn("__image", image)
+        .withColumn(OP_COL, v["op"])
+        .withColumn(TABLE_COL, v["table"])
+        .withColumn(LSN_COL, v["lsn"])
+        .select("__image.*", OP_COL, TABLE_COL, LSN_COL)
+    )
+
+
+def filter_tombstones(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """T4 — drop null-value tombstone records emitted after deletes
+    (reference: cdc_pipeline_dag.py:144,147). Must run before parsing."""
+    return df.filter(F.col(value_col).isNotNull())
+
+
+def mark_deleted(df: DataFrame) -> DataFrame:
+    """T2 — normalize the delete marker to a boolean ``_is_deleted``.
+
+    Delete-rewrite records carry ``_deleted='true'`` (string, Debezium
+    rewrite mode) or ``_op='d'``; either marks the row as a delete.
+    """
+    deleted = F.coalesce(F.col(DELETED_COL) == F.lit("true"), F.lit(False)) | (
+        F.col(OP_COL) == F.lit("d")
+    )
+    return df.withColumn("_is_deleted", deleted)
+
+
+def enrich_metadata(df: DataFrame, op: Column, table: Column, lsn: Column) -> DataFrame:
+    """T3 — attach __op/__table/__lsn equivalents as ordinary columns
+    (reference: add.fields=op,table,lsn, cdc_pipeline_dag.py:146)."""
+    return df.withColumn(OP_COL, op).withColumn(TABLE_COL, table).withColumn(LSN_COL, lsn)
+
+
+def demux(df: DataFrame, entity: str) -> DataFrame:
+    """Per-table demultiplex of the wide events stream: filter on the
+    discriminator and project the entity's declared columns
+    (reference wide table discriminated by table_name,
+    cdc_pipeline_dag.py:381). The filter is a partition-prunable predicate
+    when the sink partitioned by table."""
+    cols = [f.name for f in ENTITY_SCHEMAS[entity].fields]
+    return df.filter(F.col(TABLE_COL) == entity).select(
+        *cols, OP_COL, TABLE_COL, LSN_COL, *([DELETED_COL] if DELETED_COL in df.columns else [])
+    )
+
+
+def to_wide(dfs: list[DataFrame]) -> DataFrame:
+    """T7 — widen per-entity event frames into the union schema; absent
+    columns become NULL (reference Hive wide table,
+    cdc_pipeline_dag.py:360-383)."""
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
+
+
+def latest_state(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    order_col: str = LSN_COL,
+    drop_deleted: bool = True,
+) -> DataFrame:
+    """Latest-state materialization (upsert view) — reconstruct current
+    table contents from the append-only event log.
+
+    Per key, keep the row with the greatest ``order_col`` (the LSN is a
+    total order per stream — reference guarantees per-table order via
+    single-partition topics, cdc_pipeline_dag.py:100; at scale we rely on
+    per-key LSN order instead, which is the scalable equivalent).
+    Rows whose final op is a delete are dropped (CDC 'd' + rewrite marker).
+
+    One shuffle on the key; no driver state. This is the op the reference
+    delegates to downstream consumers — first-class here.
+    """
+    keys = key_cols or ["id", TABLE_COL]
+    keys = [k for k in keys if k in df.columns]
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    out = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    if drop_deleted:
+        marked = mark_deleted(out) if "_is_deleted" not in out.columns else out
+        out = marked.filter(~F.col("_is_deleted")).drop("_is_deleted")
+    return out
+
+
+def with_time_partitions(df: DataFrame, ts_col: str = "updated_at") -> DataFrame:
+    """P1 — derive year/month/day/hour partition columns from the *record*
+    (event-time) timestamp, so late events land in their event-time
+    partition (reference TimeBasedPartitioner on Record timestamp,
+    cdc_pipeline_dag.py:193-195). Downstream time-range queries get
+    partition pruning for free."""
+    ts = F.col(ts_col)
+    return (
+        df.withColumn("year", F.year(ts))
+        .withColumn("month", F.month(ts))
+        .withColumn("day", F.dayofmonth(ts))
+        .withColumn("hour", F.hour(ts))
+    )
+
+
+def split_corrupt(df: DataFrame, corrupt_col: str = "_corrupt_record") -> tuple[DataFrame, DataFrame]:
+    """P5 — error tolerance: split good rows from poison rows (DLQ).
+
+    Mirrors errors.tolerance=all + error logging
+    (reference: cdc_pipeline_dag.py:203-205) via PERMISSIVE parse +
+    corrupt-record column.
+    """
+    if corrupt_col not in df.columns:
+        return df, df.limit(0)
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull())
+    return good, bad

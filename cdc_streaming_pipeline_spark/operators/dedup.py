@@ -1,0 +1,256 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all shared-nothing / shuffle-minimal so they scale to 100 TB:
+
+- exact:     hash-groupBy on a normalization fingerprint (1 shuffle).
+- MinHash+LSH: shingle → k minhashes → b bands → bucket self-join →
+               exact Jaccard verify. Candidate generation never compares
+               all pairs: the join key is (band_id, band_hash), so work is
+               proportional to bucket collisions, not n².
+- SimHash:   64-bit sign-fingerprint of token hashes; near-dup = small
+             Hamming distance; banding the 64 bits gives the candidate join.
+- embedding: cosine near-dup — exact threshold self-join for small n,
+             LSH-bucketed (random hyperplanes) for scale
+             (operators/similarity.py).
+
+Everything is built from JVM-side expressions (xxhash64, transform,
+aggregate) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cdc_streaming_pipeline_spark.functions.textfn import normalize_ws, tokens
+
+
+# ---------------------------------------------------------------- exact --
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized text: keep the lowest-id representative
+    per fingerprint, count the copies. One shuffle on the fingerprint."""
+    fp = F.md5(normalize_ws(F.col(text_col)))
+    return (
+        df.withColumn("fp", fp)
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+    )
+
+
+# ------------------------------------------------------------- shingles --
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Sliding word n-grams as an array<string> (distinct)."""
+    toks = tokens(normalize_ws(text))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return F.array_distinct(grams)
+
+
+# -------------------------------------------------------------- minhash --
+def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
+    """k-permutation MinHash: per seed i, min over shingles of
+    xxhash64(i || shingle). Returns array<bigint> of length k."""
+    sigs = [
+        F.array_min(
+            F.transform(shingle_col, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"{i}|"), s)))
+        )
+        for i in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+
+    Plan shape (scale-critical):
+      1. per-row signature (no shuffle);
+      2. explode to `bands` rows/doc, bucket key = hash of the band slice;
+      3. self-join on (band, bucket) — only colliding docs meet;
+      4. distinct candidate pairs; exact Jaccard on shingle sets;
+      5. filter >= threshold.
+    At 100 TB the only shuffles are the bucket join and the pair distinct;
+    hot buckets (boilerplate docs) are the skew risk — AQE skew-join splits
+    them.
+    """
+    rows_per_band = num_hashes // bands
+    base = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+        .withColumn("shingles", word_shingles(F.col("_text"), shingle_size))
+        .filter(F.size("shingles") > 0)
+        .withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    )
+    banded = base.select(
+        "_id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = banded.alias("a")
+    right = banded.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    ).cast("double")
+    return (
+        cand.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs that share ≥1 shingle.
+
+    Inverted-index join (explode shingle → equi-join) instead of a cross
+    join: candidates are pairs sharing a shingle, which is the exact
+    support set of Jaccard > 0. Scales with shared-shingle frequency;
+    stop-shingle skew is the known hazard (cap via AQE / frequency cutoff).
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), shingle_size).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    inv = base.select("_id", "shingles", F.explode("shingles").alias("sh"))
+    cand = (
+        inv.alias("a")
+        .join(inv.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    ).cast("double")
+    return (
+        cand.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# -------------------------------------------------------------- simhash --
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document.
+
+    Explode tokens → xxhash64 → per-bit ±1 vote summed per doc → sign bits
+    reassembled. One shuffle (the per-doc groupBy); 64 integer aggregates
+    stay inside codegen.
+    """
+    toked = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(normalize_ws(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toked.groupBy("_id").agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    sim = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sim = term if sim is None else sim.bitwiseXOR(term)  # disjoint bits: XOR == OR == +
+    return votes.select("_id", sim.alias("simhash")).withColumnRenamed("_id", id_col)
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64 bits into 4×16-bit blocks —
+    any pair within Hamming ≤3 must agree on ≥1 block (pigeonhole) —
+    equi-join per block, then exact Hamming via bit_count(xor)."""
+    sh = simhash64(df, text_col, id_col)
+    blocks = sh.select(
+        F.col(id_col).alias("_id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block"),
+                        F.shiftright(F.col("simhash"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "simhash", F.col("bk.block").alias("block"), F.col("bk.key").alias("key"))
+    cand = (
+        blocks.alias("a")
+        .join(
+            blocks.alias("b"),
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

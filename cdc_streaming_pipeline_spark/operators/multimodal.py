@@ -1,0 +1,131 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed via Arrow-batched pandas iterators.
+
+The container has no image/audio codec libraries, so the decode kernels are
+STUBS: `decode_media` raises NotImplementedError unless
+``deterministic_fake=True``, in which case a seeded, content-derived fake
+"decode" runs so the Spark-side plumbing (schema, partitioning, mapInPandas
+batch shape) is real and testable end-to-end.
+
+Scale design: media bytes never leave their partition (mapInPandas is
+shuffle-free); metadata-only queries prune the binary column at the parquet
+scan (columnar → reading `media_meta` never touches `media_bytes`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("media_bytes", T.BinaryType(), True),
+        T.StructField(
+            "media_meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                    T.StructField("content_type", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+DECODE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("content_hash", T.StringType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def synthesize_media(documents: DataFrame) -> DataFrame:
+    """Deterministic fake media table from the documents table: text bytes
+    become the payload; metadata derived from doc stats. Exercises the
+    binary-column schema without codec libs."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("media_bytes"),
+        F.struct(
+            (F.col("n_chars") % 1920).cast("int").alias("width"),
+            (F.col("n_chars") % 1080).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (F.col("n_chars") % 300).cast("int").alias("n_frames"),
+            F.concat(F.lit("x-fake/"), kind).alias("content_type"),
+        ).alias("media_meta"),
+    )
+
+
+def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Content-derived deterministic pseudo-embedding (stands in for a real
+    decoder+encoder; replace with the real kernel when codecs exist)."""
+    digest = hashlib.sha256(payload).digest()
+    seed = int.from_bytes(digest[:8], "big") % (2**32)
+    return np.random.default_rng(seed).standard_normal(dim).astype(np.float32)
+
+
+def decode_media(media: DataFrame, deterministic_fake: bool = False) -> DataFrame:
+    """Decode/feature-extract media payloads via mapInPandas.
+
+    Real decoding requires codec libraries not present in this container —
+    NotImplementedError marks the integration point. The fake path keeps
+    the exact same Spark plan, schema, and Arrow batch shape.
+    """
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "media decoding requires codec libraries (PIL/librosa/av) not "
+            "available in this environment; pass deterministic_fake=True "
+            "for the plumbing-test path"
+        )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(b) if b is not None else b"" for b in pdf["media_bytes"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(p) for p in payloads],
+                    "content_hash": [hashlib.sha256(p).hexdigest() for p in payloads],
+                    "features": [_fake_features(p).tolist() for p in payloads],
+                }
+            )
+
+    return media.mapInPandas(_decode, DECODE_OUTPUT_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling plan for video rows: explode sampled frame indices
+    from metadata (real frame extraction = the decode stub's job)."""
+    frames = F.sequence(
+        F.lit(0),
+        F.greatest(F.coalesce(F.col("media_meta.n_frames"), F.lit(0)) - 1, F.lit(0)),
+        F.lit(every_n),
+    )
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", F.explode(frames).alias("frame_idx"))
+    )

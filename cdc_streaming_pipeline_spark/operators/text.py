@@ -1,0 +1,86 @@
+"""Text-analysis operators over a document table (training-data pipeline).
+
+All JVM-side column expressions (no Python in the hot path): language-ID
+(stopword-hit heuristic), quality scoring, token stats, fingerprinting.
+Designed to run over 100 TB of documents: per-row expressions only — no
+shuffle, no state, trivially partition-parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cdc_streaming_pipeline_spark.functions.textfn import normalize_ws, punct_ratio, token_count, tokens
+
+# Tiny per-language stopword regexes (word-boundary anchored). The RE subset
+# used (alternation + \b) means the same pattern string runs on Java regex
+# (Spark) and RE2 (DuckDB oracle) with identical semantics.
+STOPWORD_PATTERNS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|in|is|that|for|with|was)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\b",
+    "fr": r"\b(le|la|les|et|est|une|des|dans|pour|que)\b",
+    "es": r"\b(el|los|las|es|una|por|con|para|del|como)\b",
+}
+
+
+def lang_hits(text: Column, lang: str) -> Column:
+    return F.regexp_count(F.lower(text), F.lit(STOPWORD_PATTERNS[lang]))
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language-ID: argmax of per-language stopword hits
+    (deterministic tie-break by language code; 'und' when no hits)."""
+    text = F.col(text_col)
+    hit_cols = {lang: lang_hits(text, lang) for lang in sorted(STOPWORD_PATTERNS)}
+    best = F.greatest(*hit_cols.values())
+    pred = F.lit("und")
+    # Reverse order so earlier languages win ties via later .when precedence.
+    for lang in sorted(hit_cols, reverse=True):
+        pred = F.when((hit_cols[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    out = df
+    for lang, c in hit_cols.items():
+        out = out.withColumn(f"hits_{lang}", c)
+    return out.withColumn("pred_lang", pred)
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    text = F.col(text_col)
+    toks = tokens(text)
+    return (
+        df.withColumn("n_chars_actual", F.length(text))
+        .withColumn("n_tokens", token_count(text))
+        .withColumn("n_distinct_tokens", F.size(F.array_distinct(toks)))
+        .withColumn(
+            "avg_token_len",
+            F.round(
+                F.length(F.regexp_replace(F.trim(text), r"\s+", ""))
+                .cast("double")
+                / F.greatest(token_count(text), F.lit(1)).cast("double"),
+                4,
+            ),
+        )
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality score in [0,1]: length band + lexical diversity −
+    punctuation-noise penalty. Pure per-row arithmetic (codegen'd)."""
+    text = F.col(text_col)
+    n_tok = token_count(text).cast("double")
+    diversity = F.size(F.array_distinct(tokens(text))).cast("double") / F.greatest(
+        token_count(text), F.lit(1)
+    ).cast("double")
+    length_ok = F.when((n_tok >= 10) & (n_tok <= 5000), F.lit(1.0)).otherwise(F.lit(0.5))
+    score = length_ok * 0.4 + diversity * 0.4 + (1.0 - punct_ratio(text)) * 0.2
+    return df.withColumn("quality_score", F.round(score, 4))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: md5 of whitespace-normalized text (exact-dup
+    key) and md5 of the sorted distinct token set (bag-of-words key,
+    robust to word order)."""
+    text = F.col(text_col)
+    norm = normalize_ws(text)
+    bow = F.array_join(F.array_sort(F.array_distinct(tokens(norm))), " ")
+    return df.withColumn("fp_exact", F.md5(norm)).withColumn("fp_bow", F.md5(bow))

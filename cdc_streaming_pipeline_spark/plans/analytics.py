@@ -1,0 +1,350 @@
+"""Relational/analytical query surface over the TPC-H-ish tables.
+
+This is SURVEY.md §2.4 (the reference's query surface: anti-join Q4,
+COUNT(*) Q5, LIMIT Q6, catalog ops Q7) widened to the general OLAP surface
+a real engine needs (joins, aggregations, windows, rollup, set ops) —
+Milestone 4 of SURVEY.md §7.
+
+Determinism rules (driver hashes values with columns sorted by name):
+- every computed column is aliased identically in Spark and oracle SQL;
+- double aggregates are rounded (sum of ~1e5 doubles agrees to ~1e-9
+  relative between engines; rounding at 1e-2 makes the hash stable);
+- any LIMIT/top-k is fully ordered with a unique tiebreaker.
+
+Scale notes: filters sit directly on parquet scans (predicate pushdown +
+column pruning — verified via .explain in tests/bench); small dims
+(region/nation/supplier) broadcast; big joins (orders⋈lineitem) shuffle on
+the join key once, and AQE handles skew/coalescing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_streaming_pipeline_spark.functions.precision import davg, dsum, sql_davg, sql_dsum
+from cdc_streaming_pipeline_spark.sources.tables import load_table
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: scan + groupBy + 8 aggregates.
+
+    Flagship query: exercises pushdown filter, partial (map-side)
+    aggregation, and whole-stage codegen end-to-end.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + group-by revenue (TPC-H Q3 shape, no LIMIT so the
+    result set is order-insensitive)."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-table star join, grouped by nation (TPC-H Q5 shape).
+
+    customer and supplier must be co-national; dims broadcast.
+    """
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure scan + pushdown filters + single aggregate (TPC-H Q6 shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 25)
+        ).agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+def orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: orders with no lineitems — the reference's one real join
+    (orders with no order_items, reference:
+    test-generator/generate_test_data.py:247-251, SURVEY.md Q4)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def parts_with_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (EXISTS) surface."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return part.join(li, part.p_partkey == li.l_partkey, "left_semi").select("p_partkey", "p_name")
+
+
+def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: top-3 orders by value per market segment
+    (row_number with unique tiebreaker → deterministic)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .withColumn("rank_in_segment", F.row_number().over(w))
+        .filter(F.col("rank_in_segment") <= 3)
+        .select("c_mktsegment", "rank_in_segment", "o_orderkey", "o_totalprice")
+    )
+
+
+def customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: running revenue per customer over order date.
+
+    Prefix sums are evaluated in the same deterministic order in both
+    engines (unique (o_orderdate, o_orderkey) ordering), so doubles match
+    bit-for-bit before rounding.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP — multi-level aggregate in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE over status × priority."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("sum_price"),
+    )
+
+
+def wide_entity_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-schema union (T7 semantics): customer ∪ supplier into one frame
+    with NULLs for absent columns — the per-entity→wide-events widening of
+    the reference's Hive table (cdc_pipeline_dag.py:360-383)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_name").alias("entity_name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.lit("customer").alias("entity_kind"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_key"),
+        F.col("s_name").alias("entity_name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("entity_kind"),
+    )
+    return cust.unionByName(supp, allowMissingColumns=True)
+
+
+def nations_customers_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation: nation keys present among customers but absent among
+    suppliers (EXCEPT/anti semantics over distinct keys)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    ).distinct()
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    ).distinct()
+    return cust.exceptAll(supp)
+
+
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders joined (semi) to lineitems with a commit-window filter, counted
+    per priority (TPC-H Q4 shape)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "orders_without_lineitems": orders_without_lineitems,
+    "parts_with_lineitems": parts_with_lineitems,
+    "top_orders_per_segment": top_orders_per_segment,
+    "customer_running_total": customer_running_total,
+    "rollup_lineitem": rollup_lineitem,
+    "cube_orders": cube_orders,
+    "wide_entity_union": wide_entity_union,
+    "nations_customers_only": nations_customers_only,
+    "order_priority_counts": order_priority_counts,
+}
+
+def _fmt(sql: str) -> str:
+    return eval(f'f"""{sql}"""')  # noqa: S307 — local trusted strings
+
+
+_ORACLE_RAW = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               {sql_dsum('l_quantity')} AS sum_qty,
+               {sql_dsum('l_extendedprice')} AS sum_base_price,
+               {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+               {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+               {sql_davg('l_quantity')} AS avg_qty,
+               {sql_davg('l_extendedprice')} AS avg_price,
+               {sql_davg('l_discount')} AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": """
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    """,
+    "q5_local_supplier_volume": """
+        SELECT n_name,
+               {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+        GROUP BY n_name
+    """,
+    "q6_forecast_revenue": """
+        SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 25
+    """,
+    "orders_without_lineitems": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    """,
+    "parts_with_lineitems": """
+        SELECT p_partkey, p_name
+        FROM part p
+        WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """,
+    "top_orders_per_segment": """
+        SELECT c_mktsegment, rank_in_segment, o_orderkey, o_totalprice
+        FROM (
+            SELECT c_mktsegment, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_in_segment
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        )
+        WHERE rank_in_segment <= 3
+    """,
+    "customer_running_total": """
+        SELECT o_custkey, o_orderkey,
+               ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        FROM orders
+    """,
+    "rollup_lineitem": """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_items,
+               {sql_dsum('l_quantity')} AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    "cube_orders": """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               {sql_dsum('o_totalprice')} AS sum_price
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    "wide_entity_union": """
+        SELECT c_custkey AS entity_key, c_name AS entity_name, c_acctbal AS acctbal,
+               c_mktsegment AS mktsegment, 'customer' AS entity_kind
+        FROM customer
+        UNION ALL
+        SELECT s_suppkey AS entity_key, s_name AS entity_name, s_acctbal AS acctbal,
+               NULL AS mktsegment, 'supplier' AS entity_kind
+        FROM supplier
+    """,
+    "nations_customers_only": """
+        SELECT nationkey FROM (SELECT DISTINCT c_nationkey AS nationkey FROM customer)
+        EXCEPT ALL
+        SELECT nationkey FROM (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+    """,
+    "order_priority_counts": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        GROUP BY o_orderpriority
+    """,
+}
+
+
+ORACLE = {k: _fmt(v) for k, v in _ORACLE_RAW.items()}

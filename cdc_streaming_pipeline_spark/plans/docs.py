@@ -1,0 +1,227 @@
+"""Training-data pipeline queries: text analysis, dedup, similarity search,
+multimodal plumbing — over the `documents` and `embeddings` tables.
+
+Oracle-expressible ops carry DuckDB SQL that replicates the exact same
+computation (same regexes, same rounding, same tie-breaks). Genuinely
+non-SQL ops (MinHash/SimHash/LSH — they depend on xxhash64 and seeded
+hyperplanes) are rows-only checked by the driver and verified against their
+exact counterparts in tests/ (recall vs brute force).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_streaming_pipeline_spark.operators import dedup as dd
+from cdc_streaming_pipeline_spark.operators import multimodal as mm
+from cdc_streaming_pipeline_spark.operators import similarity as sim
+from cdc_streaming_pipeline_spark.operators import text as tx
+from cdc_streaming_pipeline_spark.sources.tables import load_table
+
+NEAR_DUP_COSINE = 0.4  # driver testdata embeddings are near-orthogonal; 0.4 ≈ p99.95
+ANN_QUERY_IDS = 10  # vec_id < 10 are the query set
+ANN_K = 5
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.with_token_stats(docs).select(
+        "doc_id", "n_chars_actual", "n_tokens", "n_distinct_tokens", "avg_token_len"
+    )
+
+
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.with_quality_score(docs).select("doc_id", "quality_score")
+
+
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.with_lang_id(docs).select(
+        "doc_id", "pred_lang", "hits_en", "hits_de", "hits_fr", "hits_es"
+    )
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.with_fingerprint(docs).select("doc_id", "fp_exact", "fp_bow")
+
+
+def dedup_documents_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs)
+
+
+def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(docs, jaccard_threshold=0.5)
+
+
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash_near_dup_pairs(docs, max_hamming=3)
+
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    from cdc_streaming_pipeline_spark.functions.vector import l2_norm
+
+    return emb.select(
+        "vec_id", "label", F.round(l2_norm(F.col("embedding")), 4).alias("norm")
+    )
+
+
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_QUERY_IDS)
+    return sim.brute_force_topk(emb, queries, k=ANN_K)
+
+
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_QUERY_IDS)
+    return sim.lsh_ann_topk(emb, queries, k=ANN_K)
+
+
+def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_near_dup_exact(emb, threshold=NEAR_DUP_COSINE)
+
+
+def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthesize binary media from documents, run the
+    Arrow-batched decode stub, return content stats (sha256-checkable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm.synthesize_media(docs)
+    return mm.decode_media(media, deterministic_fake=True).select(
+        "media_id", "kind", "n_bytes", "content_hash"
+    )
+
+
+QUERIES = {
+    "doc_token_stats": doc_token_stats,
+    "doc_quality_scores": doc_quality_scores,
+    "doc_lang_id": doc_lang_id,
+    "doc_fingerprints": doc_fingerprints,
+    "dedup_documents_exact": dedup_documents_exact,
+    "minhash_dedup_pairs": minhash_dedup_pairs,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "simhash_near_dup_pairs": simhash_near_dup_pairs,
+    "embedding_norms": embedding_norms,
+    "ann_topk_bruteforce": ann_topk_bruteforce,
+    "ann_topk_lsh": ann_topk_lsh,
+    "embedding_near_dup_exact": embedding_near_dup_exact,
+    "media_decode_features": media_decode_features,
+}
+
+# DuckDB-side replicas. Shared fragments:
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_NORM_TOKS = f"string_split_regex(trim({_NORM}), '\\s+')"
+
+ORACLE = {
+    "doc_token_stats": f"""
+        SELECT doc_id,
+               length(text) AS n_chars_actual,
+               CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS n_tokens,
+               len(list_distinct({_TOKS})) AS n_distinct_tokens,
+               ROUND(length(regexp_replace(trim(text), '\\s+', '', 'g'))::DOUBLE
+                     / GREATEST(CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END, 1)::DOUBLE,
+                     4) AS avg_token_len
+        FROM documents
+    """,
+    "doc_quality_scores": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   (CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END)::DOUBLE AS n_tok,
+                   len(list_distinct({_TOKS}))::DOUBLE AS n_dist,
+                   length(text) AS n,
+                   length(regexp_replace(text, '[.,!?;:''"()\\[\\]-]', '', 'g')) AS n_stripped
+            FROM documents
+        )
+        SELECT doc_id,
+               ROUND(
+                   (CASE WHEN n_tok >= 10 AND n_tok <= 5000 THEN 1.0 ELSE 0.5 END) * 0.4
+                   + (n_dist / GREATEST(n_tok, 1)) * 0.4
+                   + (1.0 - CASE WHEN n = 0 THEN 0.0
+                            ELSE (n - n_stripped)::DOUBLE / n::DOUBLE END) * 0.2,
+                   4) AS quality_score
+        FROM t
+    """,
+    "doc_lang_id": r"""
+        WITH h AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for|with|was)\b')) AS hits_en,
+                   len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\b')) AS hits_de,
+                   len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|des|dans|pour|que)\b')) AS hits_fr,
+                   len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|por|con|para|del|como)\b')) AS hits_es
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN GREATEST(hits_en, hits_de, hits_fr, hits_es) = 0 THEN 'und'
+                    WHEN hits_de = GREATEST(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+                    WHEN hits_en = GREATEST(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+                    WHEN hits_es = GREATEST(hits_en, hits_de, hits_fr, hits_es) THEN 'es'
+                    ELSE 'fr' END AS pred_lang,
+               hits_en, hits_de, hits_fr, hits_es
+        FROM h
+    """,
+    "doc_fingerprints": f"""
+        SELECT doc_id,
+               md5({_NORM}) AS fp_exact,
+               md5(array_to_string(list_sort(list_distinct({_NORM_TOKS})), ' ')) AS fp_bow
+        FROM documents
+    """,
+    "dedup_documents_exact": f"""
+        SELECT md5({_NORM}) AS fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+    "embedding_norms": """
+        SELECT vec_id, label,
+               ROUND(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) AS norm
+        FROM embeddings
+    """,
+    "ann_topk_bruteforce": f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < {ANN_QUERY_IDS}),
+             c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+             sims AS (
+                 SELECT q.query_id, c.neighbor_id,
+                        ROUND(list_dot_product(q.qv, c.cv)
+                              / (sqrt(list_sum(list_transform(q.qv, x -> x*x)))
+                                 * sqrt(list_sum(list_transform(c.cv, x -> x*x)))), 4) AS cosine
+                 FROM c, q WHERE c.neighbor_id <> q.query_id
+             )
+        SELECT query_id, rank, neighbor_id, cosine FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM sims
+        ) WHERE rank <= {ANN_K}
+    """,
+    "embedding_near_dup_exact": f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_dot_product(a.ev, b.ev)
+                     / (sqrt(list_sum(list_transform(a.ev, x -> x*x)))
+                        * sqrt(list_sum(list_transform(b.ev, x -> x*x)))), 4) AS cosine
+        FROM v a, v b
+        WHERE a.vec_id < b.vec_id
+          AND ROUND(list_dot_product(a.ev, b.ev)
+                    / (sqrt(list_sum(list_transform(a.ev, x -> x*x)))
+                       * sqrt(list_sum(list_transform(b.ev, x -> x*x)))), 4) >= {NEAR_DUP_COSINE}
+    """,
+    "media_decode_features": """
+        SELECT doc_id AS media_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               octet_length(encode(text)) AS n_bytes,
+               sha256(text) AS content_hash
+        FROM documents
+    """,
+}

@@ -1,0 +1,228 @@
+"""Event-stream query surface over the `events` table.
+
+These re-express the reference's CDC/event-log semantics on the driver's
+`events` table (event_id ≈ LSN: monotone per stream; ts = event time;
+user_id ≈ entity key):
+
+- COUNT(*) / ordered LIMIT — the reference's monitor queries
+  (reference: scripts/monitor-pipeline.sh:109-113; SURVEY.md Q5/Q6).
+- per-type demux — per-table demultiplex (SURVEY.md §2.5).
+- latest-state per key — the upsert/latest-row view the CDC metadata
+  exists for (reference: cdc_pipeline_dag.py:146; SURVEY.md implied-op #1).
+- event-time partition derivation — TimeBasedPartitioner
+  (reference: cdc_pipeline_dag.py:193-195).
+- tumbling windows / sessionization — the streaming aggregates the engine
+  adds as first-class (Structured Streaming shares these expressions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_streaming_pipeline_spark.operators.cdc import with_time_partitions
+from cdc_streaming_pipeline_spark.sources.tables import load_table
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def count_star_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").agg(F.count("*").alias("n_events"))
+
+
+def first_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered LIMIT (deterministic version of `SELECT * ... LIMIT 5`)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.orderBy("event_id").limit(5).select(
+        "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
+    )
+
+
+def purchase_stats_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demux (filter on the type discriminator) + per-key aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+    )
+
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-state materialization: one row per key, greatest event time
+    (tiebreak on event_id = the monotone sequence, like `_lsn`)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.round("value", 2).alias("value"))
+    )
+
+
+def time_partition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time partition derivation (year/month/day/hour) + counts —
+    the engine's write path partitions on exactly these columns."""
+    ev = load_table(spark, sf_dir, "events")
+    return with_time_partitions(ev, "ts").groupBy("year", "month", "day", "hour").agg(
+        F.count("*").alias("n_events")
+    )
+
+
+def hourly_type_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type — the batch
+    equivalent of the streaming windowed aggregate (same expressions run
+    under readStream + withWatermark in streaming/pipeline.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: split each user's event sequence on >30-min gaps,
+    count sessions and events-per-session stats. Lag + cumulative-sum —
+    one shuffle on the session key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = ev.withColumn(
+        "new_session",
+        (
+            F.coalesce(
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)),
+                F.lit(SESSION_GAP_US + 1),
+            )
+            > SESSION_GAP_US
+        ).cast("int"),
+    )
+    with_sid = with_gap.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return with_sid.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def users_view_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: users who viewed but never purchased (EXCEPT)."""
+    ev = load_table(spark, sf_dir, "events")
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return viewers.exceptAll(buyers)
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over the JSON `props` payload column — the engine's
+    JSON parse surface (T5: from_json with declared schema; the reference
+    ships schema-less JSON, cdc_pipeline_dag.py:148-151)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("k", F.get_json_object(F.col("props"), "$.k").cast("int"))
+    return parsed.groupBy("event_type").agg(
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+QUERIES = {
+    "count_star_events": count_star_events,
+    "first_events": first_events,
+    "purchase_stats_per_user": purchase_stats_per_user,
+    "event_type_stats": event_type_stats,
+    "latest_event_per_user": latest_event_per_user,
+    "time_partition_counts": time_partition_counts,
+    "hourly_type_windows": hourly_type_windows,
+    "user_sessions": user_sessions,
+    "users_view_no_purchase": users_view_no_purchase,
+    "events_json_props": events_json_props,
+}
+
+ORACLE = {
+    "count_star_events": "SELECT COUNT(*) AS n_events FROM events",
+    "first_events": """
+        SELECT event_id, user_id, event_type, ROUND(value, 2) AS value
+        FROM events ORDER BY event_id LIMIT 5
+    """,
+    "purchase_stats_per_user": """
+        SELECT user_id, COUNT(*) AS n_purchases, ROUND(SUM(value), 2) AS total_value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    """,
+    "event_type_stats": """
+        SELECT event_type, COUNT(*) AS n_events, ROUND(AVG(value), 4) AS avg_value,
+               MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
+    """,
+    "latest_event_per_user": """
+        SELECT user_id, event_id, event_type, ROUND(value, 2) AS value
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "time_partition_counts": """
+        SELECT EXTRACT(year FROM ts)::INT AS year, EXTRACT(month FROM ts)::INT AS month,
+               EXTRACT(day FROM ts)::INT AS day, EXTRACT(hour FROM ts)::INT AS hour,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2, 3, 4
+    """,
+    "hourly_type_windows": """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+               COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "user_sessions": """
+        WITH gaps AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN COALESCE(epoch_us(ts) - epoch_us(
+                            LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)),
+                            1800000001) > 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ), sids AS (
+            SELECT user_id,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM gaps
+        )
+        SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+        FROM sids GROUP BY user_id
+    """,
+    "users_view_no_purchase": """
+        SELECT user_id FROM (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+        )
+        EXCEPT ALL
+        SELECT user_id FROM (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        )
+    """,
+    "events_json_props": """
+        SELECT event_type,
+               ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        FROM events GROUP BY event_type
+    """,
+}

@@ -1,0 +1,54 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on local[N]; the config keys chosen here are the ones
+that matter identically on a 1000-executor cluster:
+
+- AQE on (runtime re-plan: partition coalescing, skew-join splitting).
+- Shuffle partitions sized to the environment (cores locally; on a real
+  cluster you'd size to ~2-3x total cores or let AQE coalesce from a high
+  initial number).
+- UTC session timezone (oracle comparability; never depend on host TZ).
+- Arrow enabled for any pandas interchange (vectorized Python boundary).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = "cdc_streaming_pipeline_spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) a SparkSession with the engine's defaults.
+
+    On a real cluster, drop the ``master`` call and submit with
+    ``spark-submit``; every other config below is cluster-appropriate.
+    """
+    cpus = str(cpus or _DEFAULT_CPUS)
+    shuffle = str(shuffle_partitions or cpus)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
