@@ -65,12 +65,16 @@ def mark_deleted(df: DataFrame) -> DataFrame:
     """T2 — normalize the delete marker to a boolean ``_is_deleted``.
 
     Delete-rewrite records carry ``_deleted='true'`` (string, Debezium
-    rewrite mode) or ``_op='d'``; either marks the row as a delete.
+    rewrite mode) or ``_op='d'``; either marks the row as a delete. The
+    ``_deleted`` column is optional — sources that only carry ``_op``
+    (e.g. unwrap_envelope output) compose without it.
     """
-    deleted = F.coalesce(F.col(DELETED_COL) == F.lit("true"), F.lit(False)) | (
-        F.col(OP_COL) == F.lit("d")
+    marker = (
+        F.coalesce(F.col(DELETED_COL) == F.lit("true"), F.lit(False))
+        if DELETED_COL in df.columns
+        else F.lit(False)
     )
-    return df.withColumn("_is_deleted", deleted)
+    return df.withColumn("_is_deleted", marker | (F.col(OP_COL) == F.lit("d")))
 
 
 def enrich_metadata(df: DataFrame, op: Column, table: Column, lsn: Column) -> DataFrame:

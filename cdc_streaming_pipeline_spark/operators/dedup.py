@@ -47,14 +47,20 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 
 # -------------------------------------------------------------- minhash --
+def _seeded_hash(seed: int):
+    """1-arg element hasher closing over the seed. A 2-arg lambda would make
+    F.transform pass the array INDEX as the second argument, silently
+    replacing the seed — the hash family must be seed-keyed, not
+    position-keyed."""
+    prefix = f"{seed}|"
+    return lambda s: F.xxhash64(F.concat(F.lit(prefix), s))
+
+
 def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
     """k-permutation MinHash: per seed i, min over shingles of
     xxhash64(i || shingle). Returns array<bigint> of length k."""
     sigs = [
-        F.array_min(
-            F.transform(shingle_col, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"{i}|"), s)))
-        )
-        for i in range(num_hashes)
+        F.array_min(F.transform(shingle_col, _seeded_hash(i))) for i in range(num_hashes)
     ]
     return F.array(*sigs)
 

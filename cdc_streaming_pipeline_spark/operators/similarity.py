@@ -102,7 +102,7 @@ def lsh_ann_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int | None = None,
     n_bits: int = 8,
     n_tables: int = 4,
     seed: int = 42,
@@ -115,7 +115,17 @@ def lsh_ann_topk(
     (table, key) — candidate count ≈ collisions, not |corpus|×|queries|.
     This is the 100 TB path: the corpus-side work is a linear scan +
     equi-join on a 64-bit key.
+
+    ``dim`` defaults to the corpus's actual vector length (one-row probe).
+    A wrong dim would make zip_with pad with nulls → NULL hyperplane dots →
+    every bucket key collapsing to 0 (LSH degenerating to a cross join), so
+    a mismatch fails loudly instead.
     """
+    if dim is None:
+        first = corpus.select(vec_col).first()
+        if first is None:
+            return brute_force_topk(corpus, queries, k, id_col, vec_col, exclude_self)
+        dim = len(first[0])
     planes = _hyperplanes(dim, n_bits, n_tables, seed)
 
     def bucketize(df: DataFrame, ident: str, vec_alias: str) -> DataFrame:

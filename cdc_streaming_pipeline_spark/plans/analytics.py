@@ -234,12 +234,8 @@ QUERIES = {
     "order_priority_counts": order_priority_counts,
 }
 
-def _fmt(sql: str) -> str:
-    return eval(f'f"""{sql}"""')  # noqa: S307 — local trusted strings
-
-
-_ORACLE_RAW = {
-    "q1_pricing_summary": """
+ORACLE = {
+    "q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
                {sql_dsum('l_quantity')} AS sum_qty,
                {sql_dsum('l_extendedprice')} AS sum_base_price,
@@ -253,7 +249,7 @@ _ORACLE_RAW = {
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
     """,
-    "q3_shipping_priority": """
+    "q3_shipping_priority": f"""
         SELECT o_orderkey, o_orderdate, o_orderpriority,
                {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
         FROM customer, orders, lineitem
@@ -263,7 +259,7 @@ _ORACLE_RAW = {
           AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
         GROUP BY o_orderkey, o_orderdate, o_orderpriority
     """,
-    "q5_local_supplier_volume": """
+    "q5_local_supplier_volume": f"""
         SELECT n_name,
                {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
         FROM customer, orders, lineitem, supplier, nation, region
@@ -273,7 +269,7 @@ _ORACLE_RAW = {
           AND r_name = 'ASIA'
         GROUP BY n_name
     """,
-    "q6_forecast_revenue": """
+    "q6_forecast_revenue": f"""
         SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -308,14 +304,14 @@ _ORACLE_RAW = {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
         FROM orders
     """,
-    "rollup_lineitem": """
+    "rollup_lineitem": f"""
         SELECT l_returnflag, l_linestatus,
                COUNT(*) AS n_items,
                {sql_dsum('l_quantity')} AS sum_qty
         FROM lineitem
         GROUP BY ROLLUP(l_returnflag, l_linestatus)
     """,
-    "cube_orders": """
+    "cube_orders": f"""
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS n_orders,
                {sql_dsum('o_totalprice')} AS sum_price
@@ -345,6 +341,3 @@ _ORACLE_RAW = {
         GROUP BY o_orderpriority
     """,
 }
-
-
-ORACLE = {k: _fmt(v) for k, v in _ORACLE_RAW.items()}

@@ -207,7 +207,7 @@ ORACLE = {
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
             FROM gaps
         )
-        SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+        SELECT user_id, MAX(session_id)::BIGINT AS n_sessions, COUNT(*) AS n_events
         FROM sids GROUP BY user_id
     """,
     "users_view_no_purchase": """
