@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness — times every registered query at the given scale factor.
+
+Runs each ``__spark_entry__.queries()`` entry on local[$SPARK_GRAFT_CPUS]
+against $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints
+exactly ONE JSON line to stdout:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Execution is forced with a noop-format write (full pipeline runs JVM-side,
+nothing is collected to the driver). A short warmup scan amortizes JVM/
+codegen startup out of the first measured query. Everything except the
+final JSON line goes to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from cdc_streaming_pipeline_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    queries = entrymod.queries()
+
+    # Warmup: touch the biggest table so JVM/codegen/reader init isn't
+    # attributed to the first query.
+    t0 = time.perf_counter()
+    try:
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    except Exception as exc:  # noqa: BLE001 — still emit the JSON contract line
+        log(f"warmup failed: {exc}")
+    log(f"warmup {time.perf_counter() - t0:.2f}s; {len(queries)} queries at {sf_dir}")
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            log(f"{name}: {timings[name]}s")
+        except Exception as exc:  # noqa: BLE001 — one bad query must not kill the bench
+            failures[name] = f"{type(exc).__name__}: {exc}"
+            log(f"{name}: FAILED {failures[name]}")
+
+    result = {
+        "metric": "all_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if failures:
+        result["failures"] = failures
+    print(json.dumps(result), flush=True)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
