@@ -9,9 +9,9 @@ Queries without an ORACLE entry get a rows-only check (non-SQL-expressible).
 
 from __future__ import annotations
 
-from cdc_streaming_pipeline_spark.plans import analytics, docs, events
+from cdc_streaming_pipeline_spark.plans import analytics, cdc, docs, events
 
-QUERIES = {**analytics.QUERIES, **events.QUERIES, **docs.QUERIES}
-ORACLE = {**analytics.ORACLE, **events.ORACLE, **docs.ORACLE}
+QUERIES = {**analytics.QUERIES, **events.QUERIES, **docs.QUERIES, **cdc.QUERIES}
+ORACLE = {**analytics.ORACLE, **events.ORACLE, **docs.ORACLE, **cdc.ORACLE}
 
 __all__ = ["QUERIES", "ORACLE"]

@@ -1,0 +1,283 @@
+"""CDC operator-core query surface — oracle-checked.
+
+The reference's defining capability is the CDC transform chain
+(envelope unwrap → tombstone filter → delete-rewrite marking → per-table
+demux → wide union → latest-state materialization → DLQ split; reference:
+airflow/dags/cdc_pipeline_dag.py:142-151,203-205,360-383). These queries
+exercise exactly that chain in ``operators/cdc.py`` over a deterministic
+CDC event log derived from the driver's parquet tables, so the DuckDB
+oracle can state the expected result in closed form.
+
+Fixture (derived from ``orders``; k = o_orderkey):
+- snapshot  (all k):     _op='r', _lsn=k*10+1, status='pending', total=o_totalprice
+- update    (k%3==0):    _op='u', _lsn=k*10+2, status=o_orderstatus, total+100.0
+- delete    (k%5==0):    _op='d', _lsn=k*10+3, _deleted='true', last-known image
+                         (Debezium delete.handling.mode=rewrite)
+- tombstone (k%5==0):    null-value record following the delete
+                         (drop.tombstones=false — the §7 double-count hazard)
+- re-insert (k%15==0):   _op='c', _lsn=k*10+4, status='reinstated'
+
+LSNs are zero-padded numeric strings (the documented contract): padded
+string order == numeric order. Totals flow through unchanged doubles
+(+100.0 is exact), so Spark and DuckDB agree bit-for-bit with no rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_streaming_pipeline_spark.operators.cdc import (
+    demux,
+    filter_tombstones,
+    latest_state,
+    split_corrupt,
+    to_wide,
+    unwrap_envelope,
+)
+from cdc_streaming_pipeline_spark.schemas import (
+    DELETED_COL,
+    LSN_COL,
+    OP_COL,
+    TABLE_COL,
+)
+from cdc_streaming_pipeline_spark.sources.tables import load_table
+
+_LSN_PAD = 12
+_SQL_LSN = "LPAD(CAST(o_orderkey * 10 + {off} AS VARCHAR), 12, '0')"
+
+
+def _lsn(k: Column, off: int) -> Column:
+    return F.lpad((k * 10 + off).cast("string"), _LSN_PAD, "0")
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+
+
+def _flat_event(k: Column, status: Column, total: Column, op: str, off: int, deleted: bool) -> Column:
+    """One flattened CDC record (post-ExtractNewRecordState shape) as a struct."""
+    return F.struct(
+        k.alias("id"),
+        status.alias("status"),
+        total.alias("total_amount"),
+        F.lit(op).alias(OP_COL),
+        F.lit("orders").alias(TABLE_COL),
+        _lsn(k, off).alias(LSN_COL),
+        (F.lit("true") if deleted else F.lit(None).cast("string")).alias(DELETED_COL),
+    )
+
+
+def _order_event_log(o: DataFrame) -> DataFrame:
+    """The event log as DataFrame[value: struct|null] — null value = tombstone."""
+    k = F.col("o_orderkey")
+    status0, total0 = F.lit("pending"), F.col("o_totalprice")
+    status1, total1 = F.col("o_orderstatus"), F.col("o_totalprice") + 100.0
+    last_status = F.when(k % 3 == 0, status1).otherwise(status0)
+    last_total = F.when(k % 3 == 0, total1).otherwise(total0)
+
+    snap = o.select(_flat_event(k, status0, total0, "r", 1, False).alias("value"))
+    upd = o.filter(k % 3 == 0).select(_flat_event(k, status1, total1, "u", 2, False).alias("value"))
+    dele = o.filter(k % 5 == 0).select(
+        _flat_event(k, last_status, last_total, "d", 3, True).alias("value")
+    )
+    tomb = o.filter(k % 5 == 0).select(
+        F.lit(None).cast(snap.schema["value"].dataType).alias("value")
+    )
+    reins = o.filter(k % 15 == 0).select(
+        _flat_event(k, F.lit("reinstated"), total0, "c", 4, False).alias("value")
+    )
+    return snap.union(upd).union(dele).union(tomb).union(reins)
+
+
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4+T2+I1: tombstone filter → delete-rewrite marking → latest-state.
+
+    The full reconstruct-current-table-state pipeline, including the
+    tombstone/rewrite double-count hazard (each delete appears twice in the
+    log) and delete-then-reinsert (latest-row-wins must resurrect the key).
+    """
+    log = _order_event_log(_orders(spark, sf_dir))
+    flat = filter_tombstones(log).select("value.*")
+    return latest_state(flat, key_cols=["id"], order_col=LSN_COL).select(
+        "id", "status", "total_amount", OP_COL
+    )
+
+
+def _image(k: Column, status: Column, total: Column) -> Column:
+    return F.struct(k.alias("id"), status.alias("status"), total.alias("total_amount"))
+
+
+def cdc_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: Debezium envelope {before, after, op, table, lsn} → flat
+    after-image rows (before-image for deletes — rewrite semantics)."""
+    o = _orders(spark, sf_dir)
+    k = F.col("o_orderkey")
+    init = _image(k, F.lit("pending"), F.col("o_totalprice"))
+    upd = _image(k, F.col("o_orderstatus"), F.col("o_totalprice") + 100.0)
+    last = F.when(k % 3 == 0, upd).otherwise(init)
+    null_img = F.lit(None).cast("struct<id:bigint,status:string,total_amount:double>")
+
+    def env(before: Column, after: Column, op: str, off: int) -> Column:
+        return F.struct(
+            before.alias("before"),
+            after.alias("after"),
+            F.lit(op).alias("op"),
+            F.lit("orders").alias("table"),
+            _lsn(k, off).alias("lsn"),
+        )
+
+    snap = o.select(env(null_img, init, "r", 1).alias("value"))
+    updates = o.filter(k % 3 == 0).select(env(init, upd, "u", 2).alias("value"))
+    deletes = o.filter(k % 5 == 0).select(env(last, null_img, "d", 3).alias("value"))
+    return unwrap_envelope(snap.union(updates).union(deletes))
+
+
+def _order_entity_events(o: DataFrame) -> DataFrame:
+    """Order events projected to the declared `order` entity schema + meta."""
+    k = F.col("o_orderkey")
+    base = o.select(
+        k.alias("id"),
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderdate").alias("order_date"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total_amount"),
+    )
+    ins = base.select("*", F.lit("c").alias(OP_COL), F.lit("order").alias(TABLE_COL), _lsn(F.col("id"), 1).alias(LSN_COL))
+    upd = base.filter(F.col("id") % 3 == 0).select(
+        "*", F.lit("u").alias(OP_COL), F.lit("order").alias(TABLE_COL), _lsn(F.col("id"), 2).alias(LSN_COL)
+    )
+    return ins.union(upd)
+
+
+def _customer_entity_events(c: DataFrame) -> DataFrame:
+    """Customer insert events with the declared `customer` entity columns."""
+    k = F.col("c_custkey")
+    return c.select(
+        k.alias("id"),
+        F.col("c_name").alias("name"),
+        F.concat(F.col("c_name"), F.lit("@example.com")).alias("email"),
+        F.lit(None).cast("string").alias("address"),
+        F.lit(None).cast("timestamp").alias("created_at"),
+        F.lit(None).cast("timestamp").alias("updated_at"),
+        F.lit("c").alias(OP_COL),
+        F.lit("customer").alias(TABLE_COL),
+        _lsn(k, 1).alias(LSN_COL),
+    )
+
+
+def _wide_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: per-entity event frames widened into the union schema."""
+    orders_ev = _order_entity_events(_orders(spark, sf_dir))
+    cust_ev = _customer_entity_events(load_table(spark, sf_dir, "customer"))
+    return to_wide([orders_ev, cust_ev])
+
+
+def cdc_wide_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: event counts per (table, op) over the wide union — absent entity
+    columns are NULL per row, discriminated by the table column."""
+    return _wide_events(spark, sf_dir).groupBy(TABLE_COL, OP_COL).agg(
+        F.count("*").alias("n_events"),
+        F.count("total_amount").alias("n_with_total"),
+    )
+
+
+def cdc_demux_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table demultiplex: project the `customer` entity back out of the
+    wide events frame (discriminator filter + declared-schema projection)."""
+    wide = _wide_events(spark, sf_dir)
+    return demux(wide, "customer").select("id", "name", "email", OP_COL, LSN_COL)
+
+
+def cdc_split_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: PERMISSIVE JSON parse → corrupt-record split (DLQ). Every 97th
+    record is malformed JSON; the pipeline must keep going and route poison
+    rows aside (errors.tolerance=all, cdc_pipeline_dag.py:203-205)."""
+    o = _orders(spark, sf_dir)
+    k = F.col("o_orderkey")
+    raw = o.select(
+        F.when(
+            k % 97 == 0,
+            F.concat(F.lit('{"id":'), k.cast("string"), F.lit(" BROKEN")),
+        )
+        .otherwise(
+            F.to_json(F.struct(k.alias("id"), F.col("o_orderstatus").alias("status")))
+        )
+        .alias("raw")
+    )
+    parsed = raw.select(
+        F.from_json(
+            "raw",
+            "id bigint, status string, _corrupt_record string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("p")
+    ).select("p.*")
+    good, bad = split_corrupt(parsed)
+    return good.agg(
+        F.count("*").alias("n_good"), F.sum("id").alias("sum_good_ids")
+    ).crossJoin(bad.agg(F.count("*").alias("n_bad")))
+
+
+QUERIES = {
+    "cdc_latest_state": cdc_latest_state,
+    "cdc_unwrap": cdc_unwrap,
+    "cdc_wide_union_counts": cdc_wide_union_counts,
+    "cdc_demux_customer": cdc_demux_customer,
+    "cdc_split_corrupt": cdc_split_corrupt,
+}
+
+ORACLE = {
+    # Final state: re-inserted keys live with the re-insert image; deleted
+    # (and not re-inserted) keys are gone; updated keys carry the update
+    # image; everything else keeps the snapshot image.
+    "cdc_latest_state": """
+        SELECT o_orderkey AS id,
+               CASE WHEN o_orderkey % 15 = 0 THEN 'reinstated'
+                    WHEN o_orderkey % 3 = 0 THEN o_orderstatus
+                    ELSE 'pending' END AS status,
+               CASE WHEN o_orderkey % 15 = 0 THEN o_totalprice
+                    WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+                    ELSE o_totalprice END AS total_amount,
+               CASE WHEN o_orderkey % 15 = 0 THEN 'c'
+                    WHEN o_orderkey % 3 = 0 THEN 'u'
+                    ELSE 'r' END AS _op
+        FROM orders
+        WHERE o_orderkey % 5 <> 0 OR o_orderkey % 15 = 0
+    """,
+    "cdc_unwrap": f"""
+        SELECT o_orderkey AS id, 'pending' AS status, o_totalprice AS total_amount,
+               'r' AS _op, 'orders' AS _table, {_SQL_LSN.format(off=1)} AS _lsn
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice + 100.0,
+               'u', 'orders', {_SQL_LSN.format(off=2)}
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus ELSE 'pending' END,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0 ELSE o_totalprice END,
+               'd', 'orders', {_SQL_LSN.format(off=3)}
+        FROM orders WHERE o_orderkey % 5 = 0
+    """,
+    "cdc_wide_union_counts": """
+        SELECT 'order' AS _table, 'c' AS _op, COUNT(*) AS n_events, COUNT(*) AS n_with_total
+        FROM orders
+        UNION ALL
+        SELECT 'order', 'u', COUNT(*), COUNT(*) FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT 'customer', 'c', COUNT(*), 0 FROM customer
+    """,
+    "cdc_demux_customer": """
+        SELECT c_custkey AS id, c_name AS name, c_name || '@example.com' AS email,
+               'c' AS _op, LPAD(CAST(c_custkey * 10 + 1 AS VARCHAR), 12, '0') AS _lsn
+        FROM customer
+    """,
+    "cdc_split_corrupt": """
+        SELECT COUNT(*) FILTER (WHERE o_orderkey % 97 <> 0) AS n_good,
+               SUM(o_orderkey) FILTER (WHERE o_orderkey % 97 <> 0) AS sum_good_ids,
+               COUNT(*) FILTER (WHERE o_orderkey % 97 = 0) AS n_bad
+        FROM orders
+    """,
+}
