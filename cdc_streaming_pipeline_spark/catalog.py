@@ -1,0 +1,93 @@
+"""Catalog + health surface (Q7/Q8).
+
+The reference declares its analytical surface as Hive DDL and probes
+pipeline health with SQL/REST checks (CREATE DATABASE/EXTERNAL TABLE,
+SHOW DATABASES/TABLES — reference: airflow/dags/cdc_pipeline_dag.py:355-391,
+scripts/monitor-pipeline.sh:101-113; health probes:
+cdc_pipeline_dag.py:59-83). Spark's built-in catalog replaces the Hive
+metastore; external tables become ``CREATE TABLE ... USING <fmt> LOCATION``
+(schema-on-read over landed files, zero-copy).
+
+Health: the reference's replication-slot / connector-state / topic probes
+map to engine-level facts — active streaming queries with their progress,
+catalog reachability, session liveness — exposed as an ordinary DataFrame
+so it is queryable with the same SQL surface (Q8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def create_database(spark: SparkSession, name: str) -> None:
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")
+
+
+def create_external_table(
+    spark: SparkSession,
+    table: str,
+    location: str,
+    fmt: str = "parquet",
+    database: str | None = None,
+) -> None:
+    """External (unmanaged) table over landed files — the engine's
+    equivalent of the reference's Hive external table: dropping it never
+    deletes data, and new files under the location are visible to SQL
+    immediately (schema-on-read)."""
+    qualified = f"{database}.{table}" if database else table
+    spark.sql(f"CREATE TABLE IF NOT EXISTS {qualified} USING {fmt} LOCATION '{location}'")
+
+
+def show_databases(spark: SparkSession) -> DataFrame:
+    return spark.sql("SHOW DATABASES")
+
+
+def show_tables(spark: SparkSession, database: str | None = None) -> DataFrame:
+    return spark.sql(f"SHOW TABLES IN {database}" if database else "SHOW TABLES")
+
+
+def refresh_table(spark: SparkSession, qualified: str) -> None:
+    """Invalidate cached file listings after out-of-band appends."""
+    spark.sql(f"REFRESH TABLE {qualified}")
+
+
+_STATUS_SCHEMA = T.StructType(
+    [
+        T.StructField("check", T.StringType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("detail", T.StringType(), True),
+    ]
+)
+
+
+def engine_status(spark: SparkSession) -> DataFrame:
+    """Health-check view (Q8): one row per probe, queryable via SQL.
+
+    Mirrors the reference's orchestrated assertions — source reachable
+    (session alive), capture configured (catalog reachable), connector
+    RUNNING (streaming queries + their last-progress rates).
+    """
+    rows: list[tuple[str, str, str | None]] = []
+    try:
+        version = spark.version
+        rows.append(("session", "ok", f"spark {version}"))
+    except Exception as exc:  # noqa: BLE001
+        rows.append(("session", "error", str(exc)))
+    try:
+        dbs = [d.name for d in spark.catalog.listDatabases()]
+        rows.append(("catalog", "ok", f"databases: {', '.join(dbs)}"))
+    except Exception as exc:  # noqa: BLE001
+        rows.append(("catalog", "error", str(exc)))
+    streams = spark.streams.active
+    rows.append(("streams", "ok" if streams else "idle", f"{len(streams)} active"))
+    for q in streams:
+        progress = q.lastProgress or {}
+        rows.append(
+            (
+                f"stream:{q.name or q.id}",
+                "running" if q.isActive else "stopped",
+                f"batch={progress.get('batchId')} rows/s={progress.get('processedRowsPerSecond')}",
+            )
+        )
+    return spark.createDataFrame(rows, _STATUS_SCHEMA)

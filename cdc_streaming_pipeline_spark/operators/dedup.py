@@ -19,10 +19,22 @@ aggregate) — no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from cdc_streaming_pipeline_spark.functions.textfn import normalize_ws, tokens
+
+
+def _parallelize(df: DataFrame) -> DataFrame:
+    """Spread rows across all cores before CPU-heavy per-row expressions.
+
+    Small inputs arrive as ONE scan partition (a single small parquet file
+    under maxPartitionBytes), which would serialize the shingle/signature
+    work onto one core — partition count must follow COMPUTE cost here, not
+    input bytes. One cheap narrow-row shuffle; at 100 TB inputs are already
+    many-partitioned and AQE coalescing keeps this a no-op-ish rebalance.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 # ---------------------------------------------------------------- exact --
@@ -47,22 +59,33 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 
 # -------------------------------------------------------------- minhash --
-def _seeded_hash(seed: int):
-    """1-arg element hasher closing over the seed. A 2-arg lambda would make
+def _seeded_rehash(seed: int):
+    """1-arg rehasher closing over the seed. A 2-arg lambda would make
     F.transform pass the array INDEX as the second argument, silently
     replacing the seed — the hash family must be seed-keyed, not
     position-keyed."""
-    prefix = f"{seed}|"
-    return lambda s: F.xxhash64(F.concat(F.lit(prefix), s))
+    return lambda h: F.xxhash64(F.lit(seed), h)
+
+
+def shingle_hashes(shingle_col: Column) -> Column:
+    """xxhash64 of each shingle — the fixed-width working set for candidate
+    joins, MinHash signatures, and Jaccard verification. Set semantics are
+    preserved modulo 64-bit collisions (~n²/2⁶⁵ — negligible), and every
+    downstream shuffle carries 8-byte longs instead of shingle strings."""
+    return F.transform(shingle_col, lambda s: F.xxhash64(s))
+
+
+def minhash_signature_from_hashes(hash_col: Column, num_hashes: int = 16) -> Column:
+    """k-permutation MinHash over pre-hashed shingles: seed i's permutation
+    is xxhash64(i, base_hash) — cheap long-rehash, one string pass total."""
+    sigs = [F.array_min(F.transform(hash_col, _seeded_rehash(i))) for i in range(num_hashes)]
+    return F.array(*sigs)
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
-    """k-permutation MinHash: per seed i, min over shingles of
-    xxhash64(i || shingle). Returns array<bigint> of length k."""
-    sigs = [
-        F.array_min(F.transform(shingle_col, _seeded_hash(i))) for i in range(num_hashes)
-    ]
-    return F.array(*sigs)
+    """k-permutation MinHash of a string-shingle array (array<bigint> of
+    length k)."""
+    return minhash_signature_from_hashes(shingle_hashes(shingle_col), num_hashes)
 
 
 def minhash_lsh_pairs(
@@ -78,24 +101,26 @@ def minhash_lsh_pairs(
 
     Plan shape (scale-critical):
       1. per-row signature (no shuffle);
-      2. explode to `bands` rows/doc, bucket key = hash of the band slice;
+      2. explode to `bands` rows/doc, bucket key = hash of the band slice —
+         ids + keys ONLY (the shingle arrays stay out of the hot join, so
+         the shuffle payload is 3 longs/row, not the document set);
       3. self-join on (band, bucket) — only colliding docs meet;
-      4. distinct candidate pairs; exact Jaccard on shingle sets;
-      5. filter >= threshold.
-    At 100 TB the only shuffles are the bucket join and the pair distinct;
-    hot buckets (boilerplate docs) are the skew risk — AQE skew-join splits
-    them.
+      4. distinct candidate pairs, then re-attach both shingle sets;
+      5. exact Jaccard verify >= threshold.
+    At 100 TB the shuffles are the bucket join, the pair distinct, and the
+    two narrow re-attach joins; hot buckets (boilerplate docs) are the skew
+    risk — AQE skew-join splits them.
     """
     rows_per_band = num_hashes // bands
     base = (
-        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
-        .withColumn("shingles", word_shingles(F.col("_text"), shingle_size))
-        .filter(F.size("shingles") > 0)
-        .withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+        _parallelize(df)
+        .select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+        .withColumn("sh_h", shingle_hashes(word_shingles(F.col("_text"), shingle_size)))
+        .filter(F.size("sh_h") > 0)
+        .withColumn("sig", minhash_signature_from_hashes(F.col("sh_h"), num_hashes))
     )
     banded = base.select(
         "_id",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -115,31 +140,35 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("_id", "shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    left = banded.alias("a")
-    right = banded.alias("b")
-    cand = (
-        left.join(
-            right,
+    cand_ids = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    return _verify_jaccard(cand_ids, base.select("_id", "sh_h"), jaccard_threshold)
+
+
+def _verify_jaccard(cand_ids: DataFrame, shingle_df: DataFrame, threshold: float) -> DataFrame:
+    """Re-attach (hashed) shingle sets to deduped candidate id pairs and
+    exact-verify: |A∩B|/|A∪B| over the full sets — identical to the
+    string-set Jaccard modulo 64-bit collisions."""
+    sh_a = shingle_df.select(F.col("_id").alias("id_a"), F.col("sh_h").alias("sh_a"))
+    sh_b = shingle_df.select(F.col("_id").alias("id_b"), F.col("sh_h").alias("sh_b"))
+    cand = cand_ids.join(sh_a, "id_a").join(sh_b, "id_b")
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     ).cast("double")
     return (
         cand.withColumn("jaccard", F.round(jac, 4))
-        .filter(F.col("jaccard") >= jaccard_threshold)
+        .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
 
@@ -150,38 +179,35 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_size: int = 3,
     jaccard_threshold: float = 0.5,
+    max_doc_freq: int = 10,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs that share ≥1 shingle.
+    """Exact n-gram Jaccard over candidate pairs that share ≥1 rare shingle.
 
     Inverted-index join (explode shingle → equi-join) instead of a cross
-    join: candidates are pairs sharing a shingle, which is the exact
-    support set of Jaccard > 0. Scales with shared-shingle frequency;
-    stop-shingle skew is the known hazard (cap via AQE / frequency cutoff).
+    join. Stop-shingle guard: a shingle appearing in more than
+    ``max_doc_freq`` documents is excluded from candidate GENERATION (a
+    boilerplate shingle shared by m docs would otherwise emit m² candidate
+    rows — the quadratic skew hazard at scale). Verification still uses the
+    FULL shingle sets, so reported Jaccard values are exact; a pair is
+    missed only if every shared shingle is boilerplate, in which case its
+    Jaccard is dominated by stop-shingles anyway. The doc-frequency filter
+    is one window over the inverted index — same shuffle the join needs.
     """
-    base = df.select(
+    base = _parallelize(df).select(
         F.col(id_col).alias("_id"),
-        word_shingles(F.col(text_col), shingle_size).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
-    inv = base.select("_id", "shingles", F.explode("shingles").alias("sh"))
-    cand = (
-        inv.alias("a")
-        .join(inv.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a._id") < F.col("b._id")))
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        shingle_hashes(word_shingles(F.col(text_col), shingle_size)).alias("sh_h"),
+    ).filter(F.size("sh_h") > 0)
+    inv = base.select("_id", F.explode("sh_h").alias("sh"))
+    rare = inv.withColumn(
+        "df", F.count("*").over(Window.partitionBy("sh"))
+    ).filter(F.col("df") <= max_doc_freq)
+    cand_ids = (
+        rare.alias("a")
+        .join(rare.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
-        F.array_union("sh_a", "sh_b")
-    ).cast("double")
-    return (
-        cand.withColumn("jaccard", F.round(jac, 4))
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verify_jaccard(cand_ids, base.select("_id", "sh_h"), jaccard_threshold)
 
 
 # -------------------------------------------------------------- simhash --
@@ -192,7 +218,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     reassembled. One shuffle (the per-doc groupBy); 64 integer aggregates
     stay inside codegen.
     """
-    toked = df.select(
+    toked = _parallelize(df).select(
         F.col(id_col).alias("_id"),
         F.explode(tokens(normalize_ws(F.col(text_col)))).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))

@@ -4,8 +4,9 @@ multimodal plumbing — over the `documents` and `embeddings` tables.
 Oracle-expressible ops carry DuckDB SQL that replicates the exact same
 computation (same regexes, same rounding, same tie-breaks). Genuinely
 non-SQL ops (MinHash/SimHash/LSH — they depend on xxhash64 and seeded
-hyperplanes) are rows-only checked by the driver and verified against their
-exact counterparts in tests/ (recall vs brute force).
+hyperplanes) are rows-only checked by the driver and verified against
+their exact counterparts in tests/test_similarity_recall.py (recall vs
+the brute-force/exact baselines, containment of high-Jaccard truth).
 """
 
 from __future__ import annotations
@@ -90,8 +91,18 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correctness baseline (broadcast-bounded all-pairs GEMM); the
+    registered scale path is embedding_near_dup_lsh below."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.cosine_near_dup_exact(emb, threshold=NEAR_DUP_COSINE)
+
+
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary near-dup-by-embedding operator: hyperplane-bucketed
+    candidates + exact cosine verify — no all-pairs stage (100 TB path).
+    Recall vs the exact baseline asserted in tests/test_similarity_recall.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_near_dup_lsh(emb, threshold=NEAR_DUP_COSINE)
 
 
 def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,6 +128,7 @@ QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_lsh": ann_topk_lsh,
     "embedding_near_dup_exact": embedding_near_dup_exact,
+    "embedding_near_dup_lsh": embedding_near_dup_lsh,
     "media_decode_features": media_decode_features,
 }
 
@@ -181,6 +193,42 @@ ORACLE = {
     "dedup_documents_exact": f"""
         SELECT md5({_NORM}) AS fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         FROM documents GROUP BY 1
+    """,
+    # Same shingling (3-gram over normalized whitespace tokens), same
+    # doc-frequency cutoff (10) for candidate generation, same exact
+    # Jaccard over the FULL shingle sets. (Spark hashes shingles to longs
+    # for the join/verify stages — identical values modulo 64-bit
+    # collisions; cutoff 10 is lossless on this corpus: 256 pairs at
+    # J>=0.5 with cutoff 10 and with cutoff 100 alike at sf0.1.)
+    "ngram_jaccard_pairs": r"""
+        WITH sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+                     generate_series(1, greatest(len(t) - 2, 1)),
+                     i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingles
+            FROM (SELECT doc_id,
+                         string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                                            '\s+') AS t
+                  FROM documents)
+            WHERE len(t) > 0
+        ), inv AS (
+            SELECT doc_id, unnest(shingles) AS g FROM sh
+        ), rare AS (
+            SELECT doc_id, g
+            FROM (SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df FROM inv)
+            WHERE df <= 10
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT c.id_a, c.id_b,
+                   ROUND(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                         / len(list_distinct(list_concat(sa.shingles, sb.shingles)))::DOUBLE,
+                         4) AS jaccard
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.id_a
+            JOIN sh sb ON sb.doc_id = c.id_b
+        ) WHERE jaccard >= 0.5
     """,
     "embedding_norms": """
         SELECT vec_id, label,

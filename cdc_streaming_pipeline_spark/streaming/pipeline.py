@@ -1,0 +1,177 @@
+"""The CDC streaming pipeline: event-log stream → transforms → sinks.
+
+Replaces the reference's Debezium + Kafka Connect HDFS-sink composition
+(reference: airflow/dags/cdc_pipeline_dag.py:114-221) with ONE Structured
+Streaming query:
+
+    readStream (declared schema, PERMISSIVE)            # S1/S4/S5 adapter
+      → split_corrupt                                   # P5 DLQ
+      → with_time_partitions (record/event timestamp)   # P1 (late-safe)
+      → partitioned append sink (parquet or gzip JSON)  # P2-P4
+      + latest-state upsert per micro-batch             # implied-op I1
+
+- trigger(processingTime=60s) mirrors rotate.interval.ms=60000; tests use
+  availableNow for determinism.
+- checkpointLocation gives exactly-once sink semantics per micro-batch —
+  the Spark equivalent of Connect's committed offsets.
+- The file source here reads JSON event-log files; a Kafka source is the
+  same query with ``readStream.format("kafka")`` + from_json — the
+  transforms are source-agnostic DataFrame expressions (operators/cdc.py).
+
+Latest-state storage: per-batch versioned parquet snapshots plus a
+_CURRENT pointer file (poor-man's snapshot isolation, idempotent on batch
+replay because the version dir is keyed by batch id). On a production
+cluster this upsert is a Delta/Iceberg MERGE; the micro-batch logic —
+union prior state with the batch, keep max-LSN row per key, RETAIN delete
+markers so late lower-LSN events cannot resurrect deleted keys — is
+identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from cdc_streaming_pipeline_spark.operators.cdc import (
+    latest_state,
+    mark_deleted,
+    split_corrupt,
+    with_time_partitions,
+)
+from cdc_streaming_pipeline_spark.schemas import CORRUPT_COL, LSN_COL
+from cdc_streaming_pipeline_spark.sources.event_log import read_event_log, write_event_log
+
+_POINTER = "_CURRENT"
+
+
+class CdcStreamingPipeline:
+    """File-source CDC stream → partitioned sink + DLQ + latest-state."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_path: str,
+        sink_path: str,
+        checkpoint_path: str,
+        dlq_path: str | None = None,
+        state_path: str | None = None,
+        entity: str | None = None,
+        key_cols: list[str] | None = None,
+        ts_col: str = "updated_at",
+        sink_format: str = "parquet",
+        trigger_seconds: int = 60,
+        name: str = "cdc_pipeline",
+    ) -> None:
+        self.spark = spark
+        self.source_path = source_path
+        self.sink_path = sink_path
+        self.checkpoint_path = checkpoint_path
+        self.dlq_path = dlq_path
+        self.state_path = state_path
+        self.entity = entity
+        self.key_cols = key_cols or ["id", "_table"]
+        self.ts_col = ts_col
+        self.sink_format = sink_format
+        self.trigger_seconds = trigger_seconds
+        self.name = name
+
+    # ------------------------------------------------------------- sink --
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        good, bad = split_corrupt(batch_df, CORRUPT_COL)
+        write_event_log(good, self.sink_path, fmt=self.sink_format, ts_col=self.ts_col)
+        if self.dlq_path is not None:
+            (
+                bad.select(CORRUPT_COL)
+                .write.mode("append")
+                .format("json")
+                .save(self.dlq_path)
+            )
+        if self.state_path is not None:
+            self._upsert_state(good, batch_id)
+
+    def _upsert_state(self, batch_df: DataFrame, batch_id: int) -> None:
+        prev = read_latest_state(self.spark, self.state_path, raw=True)
+        merged = (
+            prev.unionByName(batch_df, allowMissingColumns=True)
+            if prev is not None
+            else batch_df
+        )
+        new_state = latest_state(
+            merged, key_cols=self.key_cols, order_col=LSN_COL, drop_deleted=False
+        )
+        version_dir = os.path.join(self.state_path, f"v{batch_id}")
+        new_state.write.mode("overwrite").parquet(version_dir)
+        tmp = os.path.join(self.state_path, f".{_POINTER}.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(version_dir)
+        os.replace(tmp, os.path.join(self.state_path, _POINTER))
+
+    # ------------------------------------------------------------ start --
+    def start(self, available_now: bool = False) -> StreamingQuery:
+        stream = read_event_log(
+            self.spark, self.source_path, entity=self.entity, streaming=True
+        )
+        writer = (
+            stream.writeStream.foreachBatch(self._process_batch)
+            .queryName(self.name)
+            .option("checkpointLocation", self.checkpoint_path)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=f"{self.trigger_seconds} seconds")
+        if self.state_path is not None:
+            os.makedirs(self.state_path, exist_ok=True)
+        return writer.start()
+
+    def run_once(self, timeout_seconds: int = 120) -> None:
+        """Process everything currently in the source, then stop
+        (deterministic test/backfill mode)."""
+        query = self.start(available_now=True)
+        query.awaitTermination(timeout_seconds)
+        if query.isActive:
+            query.stop()
+            raise TimeoutError(f"{self.name}: availableNow batch exceeded {timeout_seconds}s")
+        if query.exception() is not None:
+            raise query.exception()
+
+
+def read_latest_state(
+    spark: SparkSession, state_path: str, raw: bool = False
+) -> DataFrame | None:
+    """Read the current latest-state snapshot.
+
+    raw=True keeps delete-marker rows (the upsert needs them so late,
+    lower-LSN events cannot resurrect a deleted key); the default filters
+    them out — the queryable current-table-contents view.
+    """
+    pointer = os.path.join(state_path, _POINTER)
+    if not os.path.exists(pointer):
+        return None
+    with open(pointer, encoding="utf-8") as fh:
+        version_dir = fh.read().strip()
+    df = spark.read.parquet(version_dir)
+    if raw:
+        return df
+    return mark_deleted(df).filter(~F.col("_is_deleted")).drop("_is_deleted")
+
+
+def windowed_counts(
+    stream_df: DataFrame,
+    ts_col: str = "updated_at",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming event-time windowed aggregate with late-data bound —
+    the watermark caps state; events later than it are dropped from the
+    aggregate (the partitioned sink still lands them in their event-time
+    partition, which is the reference's late-data story)."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("_table"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "_table", "n_events")
+    )

@@ -1,0 +1,24 @@
+"""Shared Spark session for the test suite (small local config for speed)."""
+
+from __future__ import annotations
+
+import pytest
+
+from cdc_streaming_pipeline_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark(tmp_path_factory):
+    warehouse = tmp_path_factory.mktemp("warehouse")
+    session = get_spark(
+        "tests",
+        cpus=4,
+        shuffle_partitions=4,
+        extra_conf={
+            "spark.sql.warehouse.dir": str(warehouse),
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+    yield session

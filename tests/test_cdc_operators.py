@@ -1,0 +1,140 @@
+"""Unit tests for the CDC operator core (operators/cdc.py) — one test per
+transform, on tiny in-memory frames (SURVEY §5 unit-test plan)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_streaming_pipeline_spark.operators.cdc import (
+    demux,
+    enrich_metadata,
+    filter_tombstones,
+    latest_state,
+    mark_deleted,
+    split_corrupt,
+    to_wide,
+    unwrap_envelope,
+    with_time_partitions,
+)
+
+_ENV_SCHEMA = (
+    "value struct<before:struct<id:int,name:string>,"
+    "after:struct<id:int,name:string>,op:string,table:string,lsn:string>"
+)
+
+
+def _envelopes(spark):
+    rows = [
+        ((None, (1, "a"), "c", "customer", "0001"),),
+        (((1, "a"), (1, "b"), "u", "customer", "0002"),),
+        (((1, "b"), None, "d", "customer", "0003"),),
+    ]
+    return spark.createDataFrame(rows, _ENV_SCHEMA)
+
+
+def test_unwrap_envelope_projects_after_image_and_before_for_deletes(spark):
+    out = unwrap_envelope(_envelopes(spark)).orderBy("_lsn").collect()
+    assert [(r.id, r.name, r._op) for r in out] == [
+        (1, "a", "c"),
+        (1, "b", "u"),
+        (1, "b", "d"),  # delete keeps last-known state: rewrite semantics
+    ]
+    assert out[0]._table == "customer" and out[0]._lsn == "0001"
+
+
+def test_filter_tombstones_drops_null_value_rows_pre_parse(spark):
+    df = _envelopes(spark)
+    with_tomb = df.union(spark.createDataFrame([(None,)], df.schema))
+    assert with_tomb.count() == 4
+    assert filter_tombstones(with_tomb).count() == 3  # dropped BEFORE parse/dedup
+
+
+def test_mark_deleted_with_and_without_marker_column(spark):
+    with_marker = spark.createDataFrame(
+        [(1, "c", None), (2, "d", "true"), (3, "u", None)],
+        "id int, _op string, _deleted string",
+    )
+    flags = {r.id: r._is_deleted for r in mark_deleted(with_marker).collect()}
+    assert flags == {1: False, 2: True, 3: False}
+
+    no_marker = spark.createDataFrame([(1, "c"), (2, "d")], "id int, _op string")
+    flags = {r.id: r._is_deleted for r in mark_deleted(no_marker).collect()}
+    assert flags == {1: False, 2: True}
+
+
+def test_enrich_metadata_adds_op_table_lsn(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    out = enrich_metadata(df, F.lit("c"), F.lit("customer"), F.lit("0001")).first()
+    assert (out._op, out._table, out._lsn) == ("c", "customer", "0001")
+
+
+def _entity_events(spark):
+    cust = spark.createDataFrame(
+        [(1, "alice", "a@x.com", None, None, None, "c", "customer", "0001")],
+        "id int, name string, email string, address string, created_at timestamp,"
+        " updated_at timestamp, _op string, _table string, _lsn string",
+    )
+    orders = spark.createDataFrame(
+        [(7, 1, None, "pending", None, None, None, None, "c", "order", "0002")],
+        "id int, customer_id int, order_date timestamp, status string,"
+        " total_amount decimal(12,2), shipping_address string, created_at timestamp,"
+        " updated_at timestamp, _op string, _table string, _lsn string",
+    )
+    return cust, orders
+
+
+def test_to_wide_and_demux_roundtrip(spark):
+    cust, orders = _entity_events(spark)
+    wide = to_wide([cust, orders])
+    assert wide.count() == 2
+    assert "total_amount" in wide.columns and "email" in wide.columns
+    # absent columns are NULL on the other entity's rows
+    assert wide.filter(F.col("_table") == "customer").first().total_amount is None
+
+    back = demux(wide, "customer")
+    assert back.count() == 1
+    row = back.first()
+    assert row.id == 1 and row.name == "alice"
+    assert "total_amount" not in back.columns  # projected to declared schema
+
+
+def test_latest_state_max_lsn_wins_delete_drops_reinsert_resurrects(spark):
+    events = spark.createDataFrame(
+        [
+            (1, "v1", "c", "t", "001", None),
+            (1, "v2", "u", "t", "002", None),
+            (2, "x1", "c", "t", "003", None),
+            (2, "x1", "d", "t", "004", "true"),
+            (3, "y1", "c", "t", "005", None),
+            (3, "y1", "d", "t", "006", "true"),
+            (3, "y2", "c", "t", "007", None),  # re-insert after delete
+        ],
+        "id int, payload string, _op string, _table string, _lsn string, _deleted string",
+    )
+    out = {r.id: r.payload for r in latest_state(events, key_cols=["id"]).collect()}
+    assert out == {1: "v2", 3: "y2"}  # 2 deleted; 3 resurrected
+
+    raw = latest_state(events, key_cols=["id"], drop_deleted=False)
+    assert {r.id for r in raw.collect()} == {1, 2, 3}  # markers retained
+
+
+def test_with_time_partitions_derives_event_time_parts(spark):
+    df = spark.createDataFrame([("2024-03-07 15:42:11",)], "ts string").select(
+        F.to_timestamp("ts").alias("updated_at")
+    )
+    row = with_time_partitions(df).first()
+    assert (row.year, row.month, row.day, row.hour) == (2024, 3, 7, 15)
+
+
+def test_split_corrupt_routes_poison_rows(spark):
+    df = spark.createDataFrame(
+        [(1, None), (None, '{"broken'), (2, None)], "id int, _corrupt_record string"
+    )
+    good, bad = split_corrupt(df)
+    assert [r.id for r in good.orderBy("id").collect()] == [1, 2]
+    assert "_corrupt_record" not in good.columns
+    assert bad.count() == 1
+
+    clean = spark.createDataFrame([(1,)], "id int")
+    good, bad = split_corrupt(clean)
+    assert good.count() == 1 and bad.count() == 0

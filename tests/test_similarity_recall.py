@@ -1,0 +1,94 @@
+"""Approximate-operator quality gates: LSH ANN recall vs the exact
+baseline, MinHash-vs-exact-Jaccard containment, SimHash sanity, and
+determinism of the seeded hash families (makes plans/docs.py's verification
+claims true)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_streaming_pipeline_spark.operators import dedup as dd
+from cdc_streaming_pipeline_spark.operators import similarity as sim
+from cdc_streaming_pipeline_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+# measured 0.94 (sf0.001) / 1.00 (sf0.01) with n_bits=4, n_tables=24 on the
+# near-orthogonal driver embeddings (top-5 neighbors at cosine 0.26-0.49)
+ANN_RECALL_FLOOR = 0.85
+
+
+def _docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+def _emb(spark):
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.lsh_ann_topk(emb, queries, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= ANN_RECALL_FLOOR, f"recall@5 {recall:.2f} < {ANN_RECALL_FLOOR}"
+
+
+def test_minhash_pairs_contain_high_jaccard_truth(spark):
+    docs = _docs(spark)
+    # ground truth: exact n-gram Jaccard >= 0.7 (well above the 0.5 LSH target,
+    # so banding (4 bands x 4 rows) catches them with overwhelming probability)
+    truth = {
+        (r.id_a, r.id_b)
+        for r in dd.ngram_jaccard_pairs(docs, jaccard_threshold=0.7).collect()
+    }
+    found = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    }
+    assert truth, "fixture should contain high-similarity pairs"
+    missed = truth - found
+    assert not missed, f"MinHash+LSH missed high-Jaccard pairs: {missed}"
+
+
+def test_minhash_signature_is_deterministic_and_seed_keyed(spark):
+    docs = _docs(spark).limit(50)
+    sig = dd.minhash_signature(dd.word_shingles(F.col("text")), num_hashes=8)
+    a = [r.s for r in docs.select(sig.alias("s")).collect()]
+    b = [r.s for r in docs.select(sig.alias("s")).collect()]
+    assert a == b
+    # different seeds must give different component hashes (seed-keyed family)
+    assert all(len(set(s)) > 1 for s in a if len(s) > 1)
+
+
+def test_simhash_identical_docs_have_zero_hamming(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "an entirely different document about spark streaming")],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming for r in dd.simhash_near_dup_pairs(df).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_embedding_near_dup_lsh_matches_exact(spark):
+    emb = _emb(spark)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in sim.cosine_near_dup_exact(emb, threshold=0.4).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in sim.cosine_near_dup_lsh(emb, threshold=0.4).collect()
+    }
+    assert approx <= exact  # no false positives (exact verify step)
+    recall = len(exact & approx) / max(len(exact), 1)
+    assert recall >= 0.8, f"near-dup LSH recall {recall:.2f}"

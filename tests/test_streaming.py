@@ -1,0 +1,102 @@
+"""Streaming e2e (SURVEY milestone 2): file-source readStream → CDC
+transforms → time-partitioned sink + DLQ + latest-state upsert; incremental
+micro-batches; late events land in event-time partitions; streaming answer
+equals the batch answer."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from cdc_streaming_pipeline_spark.operators.cdc import latest_state
+from cdc_streaming_pipeline_spark.sources.event_log import read_event_log
+from cdc_streaming_pipeline_spark.streaming.pipeline import (
+    CdcStreamingPipeline,
+    read_latest_state,
+)
+from cdc_streaming_pipeline_spark.workload import CdcWorkloadGenerator
+
+
+def _pipeline(spark, tmp_path, **kw):
+    return CdcStreamingPipeline(
+        spark,
+        source_path=str(tmp_path / "src"),
+        sink_path=str(tmp_path / "sink"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        dlq_path=str(tmp_path / "dlq"),
+        state_path=str(tmp_path / "state"),
+        **kw,
+    )
+
+
+def test_streaming_e2e_matches_batch_and_handles_increments(spark, tmp_path):
+    gen = CdcWorkloadGenerator(seed=11)
+    gen.initial_load(rows_per_table=8)
+    gen.run(40)
+    src = str(tmp_path / "src")
+    gen.write_json_files(src, n_files=3)
+    pipe = _pipeline(spark, tmp_path)
+
+    # ---- micro-batch 1: initial backlog
+    pipe.run_once()
+    sink = spark.read.parquet(str(tmp_path / "sink"))
+    n_batch1 = len(gen.events)
+    assert sink.count() == n_batch1
+    assert glob.glob(os.path.join(str(tmp_path / "sink"), "year=*/month=*/day=*/hour=*"))
+
+    # ---- micro-batch 2: more events arrive (incl. deletes/updates);
+    # checkpoint makes the second run process ONLY the new files
+    n_before = len(gen.events)
+    gen.run(40)
+    new_events = len(gen.events) - n_before
+    gen.events = gen.events[n_before:]
+    gen.write_json_files(src, n_files=2, offset=10)
+    pipe.run_once()
+    sink = spark.read.parquet(str(tmp_path / "sink"))
+    assert sink.count() == n_batch1 + new_events
+
+    # ---- latest-state equals the batch answer over the full log
+    batch_log = read_event_log(spark, src)
+    expected = latest_state(batch_log, key_cols=["id", "_table"])
+    got = read_latest_state(spark, str(tmp_path / "state"))
+    exp_keys = {(r.id, r._table) for r in expected.select("id", "_table").collect()}
+    got_keys = {(r.id, r._table) for r in got.select("id", "_table").collect()}
+    assert got_keys == exp_keys
+    # ...and equals the generator's applied state per table
+    for table in ("customer", "product", "order", "order_item"):
+        applied = set(gen.state[table])
+        stream_ids = {
+            r.id for r in got.filter(F.col("_table") == table).select("id").collect()
+        }
+        assert stream_ids == applied, table
+
+
+def test_late_event_lands_in_event_time_partition(spark, tmp_path):
+    gen = CdcWorkloadGenerator(seed=5, late_event_rate=0.0)
+    gen.initial_load(rows_per_table=5)
+    # hand-craft one late event: id re-update with an event time 2 hours back
+    gen.update_random("customer")
+    gen.events[-1]["updated_at"] = "2024-01-01T01:30:00"  # arrival is 'now', event time old
+    src = str(tmp_path / "src")
+    gen.write_json_files(src, n_files=1)
+    pipe = _pipeline(spark, tmp_path)
+    pipe.run_once()
+    late_part = os.path.join(str(tmp_path / "sink"), "year=2024/month=1/day=1/hour=1")
+    assert glob.glob(late_part), "late event must land in its event-time partition"
+
+
+def test_corrupt_lines_reach_dlq_pipeline_continues(spark, tmp_path):
+    gen = CdcWorkloadGenerator(seed=3)
+    gen.initial_load(rows_per_table=3)
+    src = str(tmp_path / "src")
+    gen.write_json_files(src, n_files=1)
+    with open(os.path.join(src, "poison.json"), "w", encoding="utf-8") as fh:
+        fh.write("BROKEN {\n")
+    pipe = _pipeline(spark, tmp_path)
+    pipe.run_once()
+    dlq = spark.read.json(str(tmp_path / "dlq"))
+    assert dlq.count() == 1
+    sink = spark.read.parquet(str(tmp_path / "sink"))
+    assert sink.count() == len(gen.events)
