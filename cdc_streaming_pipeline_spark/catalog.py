@@ -91,3 +91,36 @@ def engine_status(spark: SparkSession) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, _STATUS_SCHEMA)
+
+
+_METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("query_name", T.StringType(), False),
+        T.StructField("is_active", T.BooleanType(), False),
+        T.StructField("batch_id", T.LongType(), True),
+        T.StructField("num_input_rows", T.LongType(), True),
+        T.StructField("input_rows_per_second", T.DoubleType(), True),
+        T.StructField("processed_rows_per_second", T.DoubleType(), True),
+    ]
+)
+
+
+def stream_metrics(spark: SparkSession) -> DataFrame:
+    """Q10 — per-streaming-query progress metrics as a queryable frame
+    (the engine's equivalent of per-topic offset sums,
+    scripts/monitor-pipeline.sh:53-59): rows consumed, throughput, batch id
+    from each query's lastProgress."""
+    rows = []
+    for q in spark.streams.active:
+        progress = q.lastProgress or {}
+        rows.append(
+            (
+                q.name or str(q.id),
+                q.isActive,
+                progress.get("batchId"),
+                progress.get("numInputRows"),
+                progress.get("inputRowsPerSecond"),
+                progress.get("processedRowsPerSecond"),
+            )
+        )
+    return spark.createDataFrame(rows, _METRICS_SCHEMA)

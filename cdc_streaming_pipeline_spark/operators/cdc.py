@@ -145,6 +145,30 @@ def with_time_partitions(df: DataFrame, ts_col: str = "updated_at") -> DataFrame
     )
 
 
+def with_generated_keys(
+    df: DataFrame,
+    key_col: str = "id",
+    order_col: str | None = None,
+    start: int = 1,
+) -> DataFrame:
+    """Q1 — key generation for inserted rows (the engine-side equivalent of
+    ``INSERT ... RETURNING id``, reference:
+    test-generator/generate_test_data.py:114-164).
+
+    Two modes:
+    - ``order_col`` given: dense sequential keys by that total order
+      (deterministic/reproducible; the global row_number sort is the right
+      choice for bounded batches — e.g. one micro-batch's inserts).
+    - no ``order_col``: ``monotonically_increasing_id`` — sparse but
+      unique, shuffle-free, the 100 TB path (keys encode partition id, so
+      no coordination between executors).
+    """
+    if order_col is None:
+        return df.withColumn(key_col, F.monotonically_increasing_id() + F.lit(start))
+    w = Window.orderBy(F.col(order_col).asc())
+    return df.withColumn(key_col, (F.row_number().over(w) + start - 1).cast("long"))
+
+
 def split_corrupt(df: DataFrame, corrupt_col: str = "_corrupt_record") -> tuple[DataFrame, DataFrame]:
     """P5 — error tolerance: split good rows from poison rows (DLQ).
 

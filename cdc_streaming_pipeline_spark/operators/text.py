@@ -63,6 +63,32 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenization granularity: alpha runs, digit runs, and single
+# punctuation marks each count as one unit (no vocab needed; the same
+# pattern runs on Java regex and RE2).
+SUBWORD_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def with_subword_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting at subword granularity — the BPE-ish complement to
+    whitespace token counts (a rough proxy for LLM token cost)."""
+    lowered = F.lower(F.col(text_col))
+    n_sub = F.regexp_count(lowered, F.lit(SUBWORD_PATTERN))
+    return (
+        df.withColumn("n_subwords", n_sub)
+        .withColumn("n_alpha_runs", F.regexp_count(lowered, F.lit(r"[a-z]+")))
+        .withColumn("n_digit_runs", F.regexp_count(lowered, F.lit(r"[0-9]+")))
+        .withColumn(
+            "subwords_per_token",
+            F.round(
+                n_sub.cast("double")
+                / F.greatest(token_count(F.col(text_col)), F.lit(1)).cast("double"),
+                4,
+            ),
+        )
+    )
+
+
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Composite quality score in [0,1]: length band + lexical diversity −
     punctuation-noise penalty. Pure per-row arithmetic (codegen'd)."""

@@ -49,6 +49,14 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.with_fingerprint(docs).select("doc_id", "fp_exact", "fp_bow")
 
 
+def doc_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword counting (token-cost proxy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.with_subword_stats(docs).select(
+        "doc_id", "n_subwords", "n_alpha_runs", "n_digit_runs", "subwords_per_token"
+    )
+
+
 def dedup_documents_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dd.exact_dedup(docs)
@@ -115,11 +123,19 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing for video rows: every-10th frame index from
+    typed metadata (real frame extraction = the decode stub's job)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.frame_sample(mm.synthesize_media(docs), every_n=10)
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_quality_scores": doc_quality_scores,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprints": doc_fingerprints,
+    "doc_subword_stats": doc_subword_stats,
     "dedup_documents_exact": dedup_documents_exact,
     "minhash_dedup_pairs": minhash_dedup_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -130,6 +146,7 @@ QUERIES = {
     "embedding_near_dup_exact": embedding_near_dup_exact,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
     "media_decode_features": media_decode_features,
+    "media_frame_sample": media_frame_sample,
 }
 
 # DuckDB-side replicas. Shared fragments:
@@ -270,6 +287,22 @@ ORACLE = {
                CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
                octet_length(encode(text)) AS n_bytes,
                sha256(text) AS content_hash
+        FROM documents
+    """,
+    "media_frame_sample": """
+        SELECT doc_id AS media_id,
+               unnest(generate_series(0, greatest((n_chars % 300) - 1, 0), 10)) AS frame_idx
+        FROM documents WHERE doc_id % 3 = 2
+    """,
+    "doc_subword_stats": r"""
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_subwords,
+               len(regexp_extract_all(lower(text), '[a-z]+')) AS n_alpha_runs,
+               len(regexp_extract_all(lower(text), '[0-9]+')) AS n_digit_runs,
+               ROUND(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::DOUBLE
+                     / GREATEST(CASE WHEN trim(text) = '' THEN 0
+                                ELSE len(string_split_regex(trim(text), '\s+')) END, 1)::DOUBLE,
+                     4) AS subwords_per_token
         FROM documents
     """,
 }

@@ -125,6 +125,18 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def insert_key_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1: key generation for inserted rows (INSERT ... RETURNING id) —
+    deterministic dense keys by the event_id total order (the bounded-batch
+    mode of operators.cdc.with_generated_keys; the 100 TB mode is
+    monotonically_increasing_id, unit-tested instead since its sparse keys
+    are partition-dependent)."""
+    from cdc_streaming_pipeline_spark.operators.cdc import with_generated_keys
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    return with_generated_keys(ev, key_col="new_id", order_col="event_id", start=1000)
+
+
 def users_view_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set op: users who viewed but never purchased (EXCEPT)."""
     ev = load_table(spark, sf_dir, "events")
@@ -154,6 +166,7 @@ QUERIES = {
     "time_partition_counts": time_partition_counts,
     "hourly_type_windows": hourly_type_windows,
     "user_sessions": user_sessions,
+    "insert_key_generation": insert_key_generation,
     "users_view_no_purchase": users_view_no_purchase,
     "events_json_props": events_json_props,
 }
@@ -209,6 +222,11 @@ ORACLE = {
         )
         SELECT user_id, MAX(session_id)::BIGINT AS n_sessions, COUNT(*) AS n_events
         FROM sids GROUP BY user_id
+    """,
+    "insert_key_generation": """
+        SELECT event_id,
+               (ROW_NUMBER() OVER (ORDER BY event_id) + 999)::BIGINT AS new_id
+        FROM events
     """,
     "users_view_no_purchase": """
         SELECT user_id FROM (

@@ -159,6 +159,17 @@ def read_latest_state(
     return mark_deleted(df).filter(~F.col("_is_deleted")).drop("_is_deleted")
 
 
+def stream_static_enrich(
+    stream_df: DataFrame, static_df: DataFrame, on, how: str = "left"
+) -> DataFrame:
+    """I5 — stream-static join: enrich streaming CDC events with a static
+    dimension (the generator's FK pattern — orders reference live customer
+    rows). Spark re-plans the static side per micro-batch (picking up new
+    files under its path) and broadcasts it when small; no state, no
+    watermark needed — only stream-stream joins carry state."""
+    return stream_df.join(static_df, on, how)
+
+
 def windowed_counts(
     stream_df: DataFrame,
     ts_col: str = "updated_at",

@@ -1,0 +1,118 @@
+"""Kafka-shaped source adapter (S4/T6), stream-static enrichment (I5),
+stream metrics (Q10), and key generation (Q1)."""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import functions as F
+
+from cdc_streaming_pipeline_spark import catalog
+from cdc_streaming_pipeline_spark.operators.cdc import split_corrupt, with_generated_keys
+from cdc_streaming_pipeline_spark.sources.event_log import read_event_log
+from cdc_streaming_pipeline_spark.sources.kafka import parse_kafka_records, topic_filter
+from cdc_streaming_pipeline_spark.streaming.pipeline import stream_static_enrich
+from cdc_streaming_pipeline_spark.workload import CdcWorkloadGenerator
+
+
+def _kafka_frame(spark):
+    """Kafka record shape: (topic, value) with matching + non-matching
+    topics, a tombstone, and a poison value."""
+
+    def rec(table, body):
+        return (f"cdc.testdb.test_schema.{table}", json.dumps(body))
+
+    rows = [
+        rec("customer", {"id": 1, "name": "alice", "_op": "c", "_table": "customer", "_lsn": "001"}),
+        rec("customer", {"id": 1, "name": "alice2", "_op": "u", "_table": "customer", "_lsn": "002"}),
+        rec("order", {"id": 7, "status": "pending", "_op": "c", "_table": "order", "_lsn": "003"}),
+        ("cdc.testdb.test_schema.order", None),  # tombstone after a delete
+        ("other.unrelated.topic", json.dumps({"id": 99})),  # regex-filtered
+        ("cdc.testdb.test_schema.order", "BROKEN {"),  # poison -> corrupt col
+    ]
+    return spark.createDataFrame(rows, "topic string, value string")
+
+
+def test_topic_regex_filter(spark):
+    df = _kafka_frame(spark)
+    kept = topic_filter(df)
+    assert kept.count() == 5
+    assert kept.filter(F.col("topic").startswith("other")).count() == 0
+
+
+def test_parse_kafka_records_end_to_end(spark):
+    flat = parse_kafka_records(_kafka_frame(spark))
+    # tombstone dropped pre-parse, unrelated topic filtered; poison kept
+    assert flat.count() == 4
+    good, bad = split_corrupt(flat)
+    assert good.count() == 3 and bad.count() == 1
+    tables = {r._table for r in good.select("_table").collect()}
+    assert tables == {"customer", "order"}
+    # table name falls back to the topic segment on corrupt rows
+    assert bad.first()._table == "order"
+
+
+def test_stream_static_enrich_joins_dimension(spark, tmp_path):
+    gen = CdcWorkloadGenerator(seed=21)
+    gen.initial_load(rows_per_table=5)
+    src = str(tmp_path / "src")
+    gen.write_json_files(src, n_files=1)
+    static_dim = spark.createDataFrame(
+        [(i, f"segment_{i % 3}") for i in range(1, 50)], "customer_id int, segment string"
+    )
+    stream = read_event_log(spark, src, streaming=True)
+    enriched = stream_static_enrich(
+        stream.filter(F.col("_table") == "order"), F.broadcast(static_dim), "customer_id"
+    )
+    out = str(tmp_path / "out")
+    q = (
+        enriched.select("id", "customer_id", "segment", "_lsn")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    result = spark.read.parquet(out)
+    n_orders = sum(1 for e in gen.events if e["_table"] == "order")
+    assert result.count() == n_orders
+    assert result.filter(F.col("segment").isNull()).count() == 0
+
+
+def test_stream_metrics_reports_progress(spark, tmp_path):
+    gen = CdcWorkloadGenerator(seed=22)
+    gen.initial_load(rows_per_table=3)
+    src = str(tmp_path / "src")
+    gen.write_json_files(src, n_files=1)
+    stream = read_event_log(spark, src, streaming=True)
+    q = (
+        stream.writeStream.format("parquet")
+        .queryName("metrics_probe")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not q.recentProgress:
+            time.sleep(0.5)
+        metrics = {r.query_name: r for r in catalog.stream_metrics(spark).collect()}
+        assert "metrics_probe" in metrics
+        assert metrics["metrics_probe"].is_active
+        assert metrics["metrics_probe"].batch_id is not None
+    finally:
+        q.stop()
+
+
+def test_with_generated_keys_both_modes(spark):
+    df = spark.createDataFrame([(c,) for c in "dcab"], "payload string")
+    dense = with_generated_keys(df, key_col="id", order_col="payload", start=10)
+    assert [(r.id, r.payload) for r in dense.orderBy("id").collect()] == [
+        (10, "a"), (11, "b"), (12, "c"), (13, "d")
+    ]
+    sparse = with_generated_keys(df, key_col="id")
+    ids = [r.id for r in sparse.collect()]
+    assert len(set(ids)) == 4  # unique, shuffle-free; sparse by design
