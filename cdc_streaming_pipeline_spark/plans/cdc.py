@@ -191,6 +191,35 @@ def cdc_demux_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return demux(wide, "customer").select("id", "name", "email", OP_COL, LSN_COL)
 
 
+def cdc_state_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF time travel over the event log (SURVEY §4's parameterized-view
+    candidate): latest_state over events with _lsn <= X reconstructs the
+    table as of any point in the change history — no snapshot storage, one
+    filter + the same window dedup. The cutoff here lands between half the
+    keys' update and delete events, so keys whose delete is 'in the future'
+    must still be visible.
+
+    Zero-padded string LSNs order lexicographically == numerically, so the
+    cutoff predicate is sargable on the sorted event log.
+    """
+    o = _orders(spark, sf_dir)
+    max_key = o.agg(F.max("o_orderkey")).first()[0] or 0
+    cutoff_key = max_key // 2
+    # as-of LSN = cutoff_key*10 + 2: keys > cutoff_key are entirely in the
+    # future (absent); keys < cutoff_key have ALL their events applied
+    # (incl. delete/re-insert); the cutoff key itself has snapshot+update
+    # applied but its delete (+3) / re-insert (+4) still in the future —
+    # the interesting as-of case: a key visible although it is deleted
+    # "later".
+    asof = f"{cutoff_key * 10 + 2:012d}"
+    log = _order_event_log(o)
+    flat = filter_tombstones(log).select("value.*")
+    asof_log = flat.filter(F.col(LSN_COL) <= F.lit(asof))
+    return latest_state(asof_log, key_cols=["id"], order_col=LSN_COL).select(
+        "id", "status", "total_amount", OP_COL
+    )
+
+
 def cdc_split_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5: PERMISSIVE JSON parse → corrupt-record split (DLQ). Every 97th
     record is malformed JSON; the pipeline must keep going and route poison
@@ -226,6 +255,7 @@ QUERIES = {
     "cdc_wide_union_counts": cdc_wide_union_counts,
     "cdc_demux_customer": cdc_demux_customer,
     "cdc_split_corrupt": cdc_split_corrupt,
+    "cdc_state_as_of": cdc_state_as_of,
 }
 
 ORACLE = {
@@ -279,5 +309,24 @@ ORACLE = {
                SUM(o_orderkey) FILTER (WHERE o_orderkey % 97 <> 0) AS sum_good_ids,
                COUNT(*) FILTER (WHERE o_orderkey % 97 = 0) AS n_bad
         FROM orders
+    """,
+    # As of lsn = ck*10+2 (ck = max_key/2): keys > ck absent; keys < ck have
+    # all events applied (delete/re-insert included); key ck has only
+    # snapshot+update applied — visible even when deleted later.
+    "cdc_state_as_of": """
+        WITH cut AS (SELECT (MAX(o_orderkey) // 2) AS ck FROM orders)
+        SELECT o_orderkey AS id,
+               CASE WHEN o_orderkey < ck AND o_orderkey % 15 = 0 THEN 'reinstated'
+                    WHEN o_orderkey % 3 = 0 THEN o_orderstatus
+                    ELSE 'pending' END AS status,
+               CASE WHEN o_orderkey < ck AND o_orderkey % 15 = 0 THEN o_totalprice
+                    WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+                    ELSE o_totalprice END AS total_amount,
+               CASE WHEN o_orderkey < ck AND o_orderkey % 15 = 0 THEN 'c'
+                    WHEN o_orderkey % 3 = 0 THEN 'u'
+                    ELSE 'r' END AS _op
+        FROM orders, cut
+        WHERE o_orderkey <= ck
+          AND (o_orderkey = ck OR o_orderkey % 5 <> 0 OR o_orderkey % 15 = 0)
     """,
 }
