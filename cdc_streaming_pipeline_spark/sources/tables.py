@@ -37,6 +37,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # NOTE: these files are single-row-group parquet (unsplittable), so
+    # scans are single-partition. A blanket repartition here measured as a
+    # net LOSS — tiny tables feeding Arrow/GEMM paths fragment into
+    # overhead-dominated micro-batches. Operators whose per-row compute is
+    # genuinely heavy fan out themselves (operators/dedup._parallelize).
     return df
 
 
