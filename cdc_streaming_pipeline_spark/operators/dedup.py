@@ -112,12 +112,18 @@ def minhash_lsh_pairs(
     risk — AQE skew-join splits them.
     """
     rows_per_band = num_hashes // bands
+    # The shingle/signature frame feeds the banded self-join AND both sides
+    # of the Jaccard verify — persist so the string-heavy shingling runs
+    # once, not once per consumer. (Self-joins get ReuseExchange for free;
+    # the differently-keyed verify joins do not.)
     base = (
         _parallelize(df)
         .select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
         .withColumn("sh_h", shingle_hashes(word_shingles(F.col("_text"), shingle_size)))
         .filter(F.size("sh_h") > 0)
         .withColumn("sig", minhash_signature_from_hashes(F.col("sh_h"), num_hashes))
+        .select("_id", "sh_h", "sig")
+        .persist()
     )
     banded = base.select(
         "_id",
@@ -193,10 +199,15 @@ def ngram_jaccard_pairs(
     Jaccard is dominated by stop-shingles anyway. The doc-frequency filter
     is one window over the inverted index — same shuffle the join needs.
     """
-    base = _parallelize(df).select(
-        F.col(id_col).alias("_id"),
-        shingle_hashes(word_shingles(F.col(text_col), shingle_size)).alias("sh_h"),
-    ).filter(F.size("sh_h") > 0)
+    base = (
+        _parallelize(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            shingle_hashes(word_shingles(F.col(text_col), shingle_size)).alias("sh_h"),
+        )
+        .filter(F.size("sh_h") > 0)
+        .persist()  # feeds the inverted index and both verify joins
+    )
     inv = base.select("_id", F.explode("sh_h").alias("sh"))
     rare = inv.withColumn(
         "df", F.count("*").over(Window.partitionBy("sh"))

@@ -27,6 +27,7 @@ Hyperplanes come from a fixed numpy seed → fully deterministic.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -137,9 +138,109 @@ def cosine_near_dup_exact(
     )
 
 
+def cosine_near_dup_blocked(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """EXACT all-pairs cosine near-dup, fully distributed (no driver
+    broadcast of the matrix) — the registered primary when the threshold is
+    unselective (a large fraction of pairs are candidates, so LSH bucketing
+    cannot prune; e.g. the driver embeddings where 0.4 ≈ p99.95).
+
+    Block matrix product: rows hash into B blocks; block i is shipped to
+    every pair-group (i,j) i≤j as the LEFT side and (j,i) j≤i as the RIGHT
+    side, so each of the B(B+1)/2 groups GEMMs one block pair and each
+    unordered row pair is examined in EXACTLY ONE group (diagonal groups
+    mask id_a < id_b; off-diagonal pairs meet only in their one (i,j)
+    group) — no dropDuplicates pass afterwards. Shuffle volume is (B+1)×
+    input; flops are the irreducible n²d/2. Choose B ≈ sqrt(2 × desired
+    tasks): compute per group shrinks as 1/B² while replication grows
+    linearly, so at 100 TB-scale corpora B in the low hundreds keeps group
+    GEMMs cache-sized at ~10⁴× parallelism for ~10²× shuffle.
+    """
+    spark = df.sparkSession
+    if n_blocks is None:
+        n_blocks = max(4, spark.sparkContext.defaultParallelism // 2)
+    B = n_blocks
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    ).withColumn("blk", F.pmod(F.xxhash64(F.col("_id")), F.lit(B)).cast("int"))
+    left = base.select(
+        F.col("blk").alias("pi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(B - 1))).alias("pj"),
+        "_id",
+        "_vec",
+        F.lit(0).alias("side"),
+    )
+    right = base.select(
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("pi"),
+        F.col("blk").alias("pj"),
+        "_id",
+        "_vec",
+        F.lit(1).alias("side"),
+    )
+
+    def gemm(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pi, pj = key
+        lp = pdf[pdf["side"] == 0]
+        rp = pdf[pdf["side"] == 1]
+        if lp.empty or rp.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "cosine": np.float64}
+            )
+        ids_l = lp["_id"].to_numpy(dtype=np.int64)
+        ids_r = rp["_id"].to_numpy(dtype=np.int64)
+        mat_l = np.array(lp["_vec"].tolist(), dtype=np.float64)
+        mat_r = np.array(rp["_vec"].tolist(), dtype=np.float64)
+        for m in (mat_l, mat_r):
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0.0] = 1.0
+            m /= norms[:, None]
+        sims = np.round(mat_l @ mat_r.T, 4)
+        mask = sims >= threshold
+        if pi == pj:
+            mask &= ids_l[:, None] < ids_r[None, :]
+        li, ri = np.nonzero(mask)
+        ia, ib = ids_l[li], ids_r[ri]
+        return pd.DataFrame(
+            {"id_a": np.minimum(ia, ib), "id_b": np.maximum(ia, ib), "cosine": sims[li, ri]}
+        )
+
+    return (
+        left.unionByName(right)
+        .groupBy("pi", "pj")
+        .applyInPandas(gemm, "id_a long, id_b long, cosine double")
+    )
+
+
 def _hyperplanes(dim: int, n_bits: int, n_tables: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_tables, n_bits, dim))
+
+
+def _auto_lsh_params(threshold: float, target_recall: float = 0.98, max_tables: int = 24) -> tuple[int, int]:
+    """(n_bits, n_tables) from the hyperplane collision formula.
+
+    A pair at angle θ collides in one b-bit table with p₁ = (1-θ/π)^b;
+    recall after L tables is 1-(1-p₁)^L. Pick the LARGEST b whose required
+    L = ⌈ln(1-target)/ln(1-p₁)⌉ fits max_tables: more bits → exponentially
+    sparser buckets (random-pair collision 2⁻ᵇ per table) for only linear
+    extra tables, so selective thresholds get 16-20 bits while unselective
+    ones (θ→π/2) fall back to 4. Guarantees recall ≥ target AT the
+    threshold; pairs above it collide strictly more often.
+    """
+    p_bit = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    for b in (20, 16, 12, 10, 8, 6, 4):
+        p1 = p_bit**b
+        if not 0.0 < p1 < 1.0:
+            continue
+        n_tables = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p1))
+        if n_tables <= max_tables:
+            return b, max(1, n_tables)
+    return 4, max_tables
 
 
 def _probe_dim(df: DataFrame, vec_col: str) -> int | None:
@@ -257,43 +358,90 @@ def cosine_near_dup_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
-    n_bits: int = 4,
-    n_tables: int = 16,
+    n_bits: int | None = None,
+    n_tables: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
-    """Near-duplicate pairs by embedding cosine — the registered scale path.
+    """Near-duplicate pairs by embedding cosine via hyperplane LSH — the
+    scale path for SELECTIVE thresholds (true pairs rare; buckets prune).
 
-    Plan shape: hash every vector into L bucket tables (linear scan),
-    self-equi-join on (table, bucket key) to generate candidates, distinct
-    the pair ids, then verify with the exact cosine — so there are NO false
-    positives; recall (vs ``cosine_near_dup_exact``) follows the module
-    docstring's formula and is asserted in tests. Shuffles: the bucket join
-    and the pair distinct — no all-pairs stage anywhere.
+    Plan shape: each vector is hashed into L sign-bit bucket tables (the
+    vectors travel WITH their bucket key — an L× replication of the input,
+    not an all-pairs shuffle); each (table, bucket) group GEMMs its members
+    locally and emits only pairs whose EXACT cosine clears the threshold;
+    one final distinct removes pairs caught by several tables. So there are
+    NO false positives, the per-pair verification never leaves the bucket
+    task, and nothing shuffles at candidate-pair granularity — the old
+    design's distinct-then-reattach-vectors joins (≈candidate_count × dim
+    doubles of shuffle) are gone. Recall follows ``_auto_lsh_params``'s
+    formula (≥0.98 at the threshold by construction) and is asserted vs the
+    exact baseline in tests/test_similarity_recall.py.
 
-    Default (n_bits=4, n_tables=16) holds recall ≈0.94 down to cosine 0.4;
-    for strictly-high thresholds (≥0.9) prefer n_bits=8+ for sparser,
-    cheaper buckets.
+    Skew: a bucket holding k rows costs k²d flops in one task. Buckets are
+    ~2⁻ᵇ of rows for near-orthogonal data; if a corpus has a giant
+    near-duplicate cluster, raise ``n_bits`` (sharper buckets) — the
+    adaptive default already picks 16-20 bits for thresholds ≥0.9.
     """
     if dim is None:
         dim = _probe_dim(df, vec_col)
         if dim is None:
             return cosine_near_dup_exact(df, threshold, id_col, vec_col)
+    if n_bits is None or n_tables is None:
+        auto_b, auto_l = _auto_lsh_params(threshold)
+        n_bits = n_bits if n_bits is not None else auto_b
+        n_tables = n_tables if n_tables is not None else auto_l
     planes = _hyperplanes(dim, n_bits, n_tables, seed)
-    b = _bucketize(df, id_col, vec_col, "_id", planes)
-    cand = (
-        b.alias("a")
-        .join(
-            b.alias("b"),
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(planes)
+    n_t, n_b, _ = planes.shape
+
+    # One Arrow pass computes ALL L×b hyperplane dots per batch as a single
+    # GEMM and emits the exploded (id, table, key, vec) rows directly.
+    # (Emitting an array<long> keys column and exploding JVM-side measures
+    # WORSE here: a Generate stage over ArrowEvalPython output costs seconds
+    # of fixed per-stage overhead, while the extra Arrow payload of carrying
+    # the vector through this map is linear and small.)
+    def keys_with_vec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        plane_mat = bc.value.reshape(n_t * n_b, -1)
+        weights = 1 << np.arange(n_b, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["_id"].to_numpy(dtype=np.int64)
+            mat = np.array(pdf["_vec"].tolist(), dtype=np.float64)
+            bits = (mat @ plane_mat.T) > 0
+            per_table = bits.reshape(len(ids), n_t, n_b) @ weights
+            yield pd.DataFrame(
+                {
+                    "_id": np.repeat(ids, n_t),
+                    "tbl": np.tile(np.arange(n_t, dtype=np.int32), len(ids)),
+                    "key": per_table.reshape(-1),
+                    "_vec": np.repeat(pdf["_vec"].to_numpy(), n_t),
+                }
+            )
+
+    bucketed = (
+        df.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_vec"))
+        .mapInPandas(keys_with_vec, "_id long, tbl int, key long, _vec array<double>")
     )
-    cand = _attach_vectors(cand, df, id_col, vec_col, {"id_a": "va", "id_b": "vb"})
+
+    def bucket_gemm(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "cosine": np.float64}
+            )
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        mat = np.array(pdf["_vec"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        mat /= norms[:, None]
+        sims = np.round(mat @ mat.T, 4)
+        li, ri = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame({"id_a": ids[li], "id_b": ids[ri], "cosine": sims[li, ri]})
+
     return (
-        cand.withColumn("cosine", cosine_pd(F.col("va"), F.col("vb")))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        bucketed.groupBy("tbl", "key")
+        .applyInPandas(bucket_gemm, "id_a long, id_b long, cosine double")
+        .dropDuplicates(["id_a", "id_b"])
     )

@@ -105,9 +105,18 @@ def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_near_dup_exact(emb, threshold=NEAR_DUP_COSINE)
 
 
+def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary near-dup-by-embedding operator for UNSELECTIVE thresholds
+    (like this corpus: 0.4 ≈ p99.95, so bucketing cannot prune): exact
+    distributed block-GEMM all-pairs — no driver broadcast, each pair
+    examined exactly once. Oracle-checked (it is exact)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_near_dup_blocked(emb, threshold=NEAR_DUP_COSINE)
+
+
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Primary near-dup-by-embedding operator: hyperplane-bucketed
-    candidates + exact cosine verify — no all-pairs stage (100 TB path).
+    """Near-dup-by-embedding via hyperplane LSH with per-bucket GEMM verify
+    — the 100 TB path when the threshold is selective (true pairs rare).
     Recall vs the exact baseline asserted in tests/test_similarity_recall.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.cosine_near_dup_lsh(emb, threshold=NEAR_DUP_COSINE)
@@ -144,6 +153,7 @@ QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_lsh": ann_topk_lsh,
     "embedding_near_dup_exact": embedding_near_dup_exact,
+    "embedding_near_dup_blocked": embedding_near_dup_blocked,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
     "media_decode_features": media_decode_features,
     "media_frame_sample": media_frame_sample,
@@ -294,6 +304,9 @@ ORACLE = {
                unnest(generate_series(0, greatest((n_chars % 300) - 1, 0), 10)) AS frame_idx
         FROM documents WHERE doc_id % 3 = 2
     """,
+    # identical semantics to the exact baseline (the blocked operator IS
+    # exact — only the distribution strategy differs), so the oracle SQL
+    # is shared verbatim; see the bottom of this module.
     "doc_subword_stats": r"""
         SELECT doc_id,
                len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_subwords,
@@ -306,3 +319,5 @@ ORACLE = {
         FROM documents
     """,
 }
+
+ORACLE["embedding_near_dup_blocked"] = ORACLE["embedding_near_dup_exact"]
