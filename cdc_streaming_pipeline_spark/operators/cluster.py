@@ -1,0 +1,239 @@
+"""Graph/vector clustering operators: near-dup connected components,
+distributed k-means (Lloyd over DataFrames), and IVF approximate
+nearest-neighbor search.
+
+Connected components turns pairwise near-duplicate edges (from
+operators/dedup.py or operators/similarity.py) into dedup CLUSTERS —
+the form a training-data pipeline actually consumes ("keep one doc per
+cluster"). Implemented as iterative min-label propagation: each round
+every node adopts the smallest label among itself and its neighbors;
+converges in O(max cluster diameter) rounds, which for near-dup graphs
+is small (dup clusters are dense). Each round is one join + one groupBy
+on the edge list; frames are persisted across rounds and the loop exits
+on a zero-changed count. For graphs with giant components, swap the
+round body for the large-star/small-star rewrite (Kiveris et al.,
+"Connected Components in MapReduce and Beyond") — same driver loop.
+
+IVF: k-means centroids (distributed Lloyd: assignment is an Arrow-batched
+GEMM against broadcast centroids, the update is a tiny per-cluster
+partial-sum reduce) then search only the clusters nearest each query.
+Unlike LSH, the index adapts to the data's cluster structure.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "vec_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(id, cluster_id) for every node; cluster_id = min node id reachable
+    via ``edges`` (columns id_a/id_b). Singletons keep their own id.
+    """
+    sym = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .persist()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).cast("long").alias("label")
+    ).persist()
+    for _ in range(max_iters):
+        prop = sym.join(labels, sym["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), "label"
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def _collect_matrix(df: DataFrame, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    return mat / norms[:, None]
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical k-means centroids via distributed Lloyd iterations.
+
+    Init: k-means++-style seeding on a deterministic md5-ordered sample
+    (driver-side — the sample is ~32k vectors regardless of corpus size).
+    Each Lloyd round: broadcast centroids; every Arrow batch GEMMs its
+    rows against them, assigns argmax-cosine, and emits ONE partial
+    (cluster, sum-vector, count) row per cluster per batch — the collect
+    is k × n_batches rows, never the data. Centroid update happens on the
+    driver (k × dim floats). Rounds are O(iters) scans; nothing shuffles.
+    """
+    from cdc_streaming_pipeline_spark.operators.sampling import md5_bucket
+
+    spark = df.sparkSession
+    sample = df.withColumn("_b", md5_bucket(F.col(id_col), 1 << 16)).orderBy(
+        "_b", id_col
+    ).limit(32768)
+    _, smat = _collect_matrix(sample, id_col, vec_col)
+    smat = _normalize(smat)
+
+    # k-means++ seeding (deterministic RNG) on the sample.
+    rng = np.random.default_rng(seed)
+    centroids = [smat[rng.integers(len(smat))]]
+    for _ in range(1, k):
+        d2 = 1.0 - np.max(smat @ np.array(centroids).T, axis=1)  # cosine distance
+        d2 = np.maximum(d2, 0.0)
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(len(smat), 1.0 / len(smat))
+        centroids.append(smat[rng.choice(len(smat), p=probs)])
+    cent = np.array(centroids)
+
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(cent)
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            c = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+                assign = np.argmax(mat @ c.T, axis=1)
+                out_c, out_s, out_n = [], [], []
+                for ci in np.unique(assign):
+                    members = mat[assign == ci]
+                    out_c.append(int(ci))
+                    out_s.append(members.sum(axis=0))
+                    out_n.append(len(members))
+                yield pd.DataFrame({"cluster": out_c, "vsum": out_s, "n": out_n})
+
+        agg = df.select(vec_col).mapInPandas(
+            partials, "cluster int, vsum array<double>, n long"
+        ).collect()
+        sums = np.zeros_like(cent)
+        counts = np.zeros(k)
+        for r in agg:
+            sums[r["cluster"]] += np.array(r["vsum"])
+            counts[r["cluster"]] += r["n"]
+        nonempty = counts > 0
+        cent[nonempty] = _normalize(sums[nonempty] / counts[nonempty, None])
+    return cent
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    exclude_self: bool = True,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: assign the corpus to k-means cells once, then
+    each query scans only its ``n_probe`` nearest cells.
+
+    The query set (small by contract) is collected; for each cell we know
+    which queries probe it, so one ``applyInPandas`` per cell GEMMs the
+    cell's members against exactly the queries probing it and emits
+    per-cell top-k candidates; a final tiny window finishes the ranking.
+    Corpus-side: one assignment scan + one groupBy-cell shuffle — no
+    all-pairs anywhere. Fraction of corpus scanned ≈ n_probe / n_clusters
+    on balanced cells (the recall/cost dial).
+    """
+    spark = corpus.sparkSession
+    if centroids is None:
+        centroids = kmeans_fit(corpus, k=n_clusters, id_col=id_col, vec_col=vec_col, seed=seed)
+    q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
+    q_mat = _normalize(q_mat)
+    probe_sims = q_mat @ centroids.T
+    n_probe = min(n_probe, len(centroids))
+    probed = np.argsort(-probe_sims, axis=1)[:, :n_probe]  # (nq, n_probe)
+    cell_to_queries: dict[int, list[int]] = {}
+    for qi, cells in enumerate(probed):
+        for c in cells:
+            cell_to_queries.setdefault(int(c), []).append(qi)
+    bc = spark.sparkContext.broadcast((centroids, q_ids, q_mat, cell_to_queries))
+    take = k + (1 if exclude_self else 0)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent, _, _, _ = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            cells = np.argmax(mat @ cent.T, axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {"_id": pdf[id_col].to_numpy(np.int64), "cell": cells, "_vec": pdf[vec_col]}
+            )
+
+    assigned = corpus.select(id_col, vec_col).mapInPandas(
+        assign, f"_id long, cell int, _vec array<double>"
+    )
+
+    def cell_gemm(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        _, ids_q, mat_q, c2q = bc.value
+        probes = c2q.get(int(key[0]), [])
+        empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []}).astype(
+            {"query_id": np.int64, "neighbor_id": np.int64, "cosine": np.float64}
+        )
+        if not probes or pdf.empty:
+            return empty
+        ids_c = pdf["_id"].to_numpy(np.int64)
+        mat_c = _normalize(np.array(pdf["_vec"].tolist(), dtype=np.float64))
+        sims = np.round(mat_c @ mat_q[probes].T, 4)  # (members, probing queries)
+        out_q, out_n, out_s = [], [], []
+        for j, qi in enumerate(probes):
+            col = sims[:, j]
+            order = np.lexsort((ids_c, -col))[:take]
+            out_q.extend([ids_q[qi]] * len(order))
+            out_n.extend(ids_c[order])
+            out_s.extend(col[order])
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_s})
+
+    cand = assigned.groupBy("cell").applyInPandas(
+        cell_gemm, "query_id long, neighbor_id long, cosine double"
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

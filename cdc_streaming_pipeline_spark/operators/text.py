@@ -102,6 +102,77 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("quality_score", F.round(score, 4))
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (keyword extraction).
+
+    tf = in-doc term count, idf = ln(N / df_term), deterministic tie-break
+    (score desc, term asc). Plan shape at scale: one explode + groupBy
+    (map-side combined) for tf, a groupBy on term for document frequency,
+    one shuffle join tf⋈df on term (AQE broadcasts if the vocabulary is
+    small), and a per-doc window for the top-k. The corpus size N joins in
+    as a broadcast single-row aggregate — no driver-side count action, the
+    whole thing stays one lazy plan.
+    """
+    toked = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(normalize_ws(F.col(text_col)))).alias("term"),
+    )
+    tf = toked.groupBy("_id", "term").agg(F.count("*").alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
+    total = df.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df_docs").cast("double")),
+                4,
+            ),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_id").alias(id_col), "rank", "term", "tf", "df_docs", "tfidf"
+        )
+    )
+
+
+def corpus_top_bigrams(df: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
+    """Corpus-wide top-k word bigrams (language-model-ish corpus stats).
+
+    Explode sliding bigrams → count (map-side partial aggregation does the
+    heavy lifting; the shuffle carries one row per distinct bigram per
+    partition) → global top-k with deterministic ties (count desc, bigram
+    asc). The final LIMIT is a single-partition reduction of per-partition
+    top-k — no full sort of the vocabulary.
+    """
+    toks = tokens(normalize_ws(F.col(text_col)))
+    idx = F.sequence(F.lit(1), F.size(toks) - 1)
+    bigrams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1))
+    )
+    return (
+        df.filter(F.size(toks) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(k)
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints: md5 of whitespace-normalized text (exact-dup
     key) and md5 of the sorted distinct token set (bag-of-words key,

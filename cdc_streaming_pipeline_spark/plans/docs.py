@@ -14,8 +14,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdc_streaming_pipeline_spark.operators import cluster as cl
 from cdc_streaming_pipeline_spark.operators import dedup as dd
 from cdc_streaming_pipeline_spark.operators import multimodal as mm
+from cdc_streaming_pipeline_spark.operators import sampling as sp
 from cdc_streaming_pipeline_spark.operators import similarity as sim
 from cdc_streaming_pipeline_spark.operators import text as tx
 from cdc_streaming_pipeline_spark.sources.tables import load_table
@@ -122,6 +124,74 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_near_dup_lsh(emb, threshold=NEAR_DUP_COSINE)
 
 
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: top-3 TF-IDF terms per document."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    return tx.tfidf_top_terms(docs, k=3)
+
+
+def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 word bigrams (count desc, bigram asc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.corpus_top_bigrams(docs, k=50)
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution in 50-char bins."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length(F.col("text"))
+    return docs.groupBy(F.floor(n / 50).alias("bin")).agg(
+        F.count("*").alias("n_docs"),
+        F.min(n).alias("min_len"),
+        F.max(n).alias("max_len"),
+        F.round(F.avg(n), 4).alias("avg_len"),
+    )
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% sample via engine-portable md5 buckets."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sp.hash_bucket_sample(docs, rate_pct=20).select(
+        "doc_id", "lang", "source", "bucket"
+    )
+
+
+def sample_topn_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size (5) per-(lang, source) sample in md5-hash order."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sp.topn_per_stratum(docs, ["lang", "source"], n=5).select(
+        "doc_id", "lang", "source", "sample_rank"
+    )
+
+
+def doc_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated length percentiles per language."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length(F.col("text"))
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.percentile(n, F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile(n, F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile(n, F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: exact cosine pairs (blocked GEMM) → iterative
+    min-label connected components. cluster_id = min reachable vec_id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = sim.cosine_near_dup_blocked(emb, threshold=NEAR_DUP_COSINE)
+    return cl.connected_components(edges, emb, id_col="vec_id")
+
+
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means cells (distributed Lloyd) + probe the 8 nearest of
+    16 cells per query. Recall floor vs brute force asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_QUERY_IDS)
+    return cl.ivf_topk(emb, queries, k=ANN_K, n_clusters=16, n_probe=8)
+
+
 def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthesize binary media from documents, run the
     Arrow-batched decode stub, return content stats (sha256-checkable)."""
@@ -155,6 +225,14 @@ QUERIES = {
     "embedding_near_dup_exact": embedding_near_dup_exact,
     "embedding_near_dup_blocked": embedding_near_dup_blocked,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
+    "doc_tfidf_top_terms": doc_tfidf_top_terms,
+    "corpus_top_bigrams": corpus_top_bigrams,
+    "doc_length_histogram": doc_length_histogram,
+    "stratified_sample_docs": stratified_sample_docs,
+    "sample_topn_per_stratum": sample_topn_per_stratum,
+    "doc_quantiles_by_lang": doc_quantiles_by_lang,
+    "near_dup_clusters": near_dup_clusters,
+    "ann_topk_ivf": ann_topk_ivf,
     "media_decode_features": media_decode_features,
     "media_frame_sample": media_frame_sample,
 }
@@ -321,3 +399,89 @@ ORACLE = {
 }
 
 ORACLE["embedding_near_dup_blocked"] = ORACLE["embedding_near_dup_exact"]
+
+ORACLE["doc_tfidf_top_terms"] = f"""
+    WITH toked AS (
+        SELECT doc_id, unnest({_NORM_TOKS}) AS term
+        FROM documents WHERE trim(text) <> ''
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toked GROUP BY 1, 2
+    ), docfreq AS (
+        SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY 1
+    ), tot AS (
+        SELECT COUNT(*) AS n_docs FROM documents WHERE trim(text) <> ''
+    )
+    SELECT doc_id, rank, term, tf, df_docs, tfidf FROM (
+        SELECT tf.doc_id, tf.term, tf.tf, docfreq.df_docs,
+               ROUND(tf.tf::DOUBLE * ln(tot.n_docs::DOUBLE / docfreq.df_docs::DOUBLE), 4) AS tfidf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY ROUND(tf.tf::DOUBLE * ln(tot.n_docs::DOUBLE / docfreq.df_docs::DOUBLE), 4) DESC,
+                            tf.term ASC) AS rank
+        FROM tf JOIN docfreq USING (term) CROSS JOIN tot
+    ) WHERE rank <= 3
+"""
+
+ORACLE["corpus_top_bigrams"] = f"""
+    WITH t AS (SELECT {_NORM_TOKS} AS toks FROM documents),
+    b AS (
+        SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        FROM t WHERE len(toks) >= 2
+    )
+    SELECT bigram, COUNT(*) AS n FROM b
+    GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 50
+"""
+
+ORACLE["doc_length_histogram"] = """
+    SELECT CAST(floor(length(text) / 50) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs,
+           MIN(length(text)) AS min_len,
+           MAX(length(text)) AS max_len,
+           ROUND(AVG(length(text)), 4) AS avg_len
+    FROM documents GROUP BY 1
+"""
+
+_MD5_BUCKET = "CAST(CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS UBIGINT) % 100 AS BIGINT)"
+
+ORACLE["stratified_sample_docs"] = f"""
+    SELECT doc_id, lang, source, {_MD5_BUCKET} AS bucket
+    FROM documents WHERE {_MD5_BUCKET} < 20
+"""
+
+ORACLE["sample_topn_per_stratum"] = """
+    SELECT doc_id, lang, source, sample_rank FROM (
+        SELECT doc_id, lang, source,
+               ROW_NUMBER() OVER (PARTITION BY lang, source
+                                  ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS sample_rank
+        FROM documents
+    ) WHERE sample_rank <= 5
+"""
+
+ORACLE["doc_quantiles_by_lang"] = """
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(quantile_cont(length(text), 0.5), 4) AS p50,
+           ROUND(quantile_cont(length(text), 0.9), 4) AS p90,
+           ROUND(quantile_cont(length(text), 0.99), 4) AS p99
+    FROM documents GROUP BY lang
+"""
+
+# Transitive closure over the exact near-dup edge set (tiny: edges only
+# exist between near-duplicates), then min reachable id per node.
+ORACLE["near_dup_clusters"] = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT id_a, id_b FROM ({ORACLE["embedding_near_dup_exact"]})
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach(src, dst) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT v.vec_id,
+           LEAST(v.vec_id, COALESCE(MIN(r.dst), v.vec_id)) AS cluster_id
+    FROM embeddings v LEFT JOIN reach r ON r.src = v.vec_id
+    GROUP BY v.vec_id
+"""

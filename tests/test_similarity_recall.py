@@ -79,6 +79,56 @@ def test_simhash_identical_docs_have_zero_hamming(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_ivf_recall_vs_bruteforce(spark):
+    from cdc_streaming_pipeline_spark.operators import cluster as cl
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in cl.ivf_topk(emb, queries, k=5, n_clusters=16, n_probe=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # measured 0.84 on the near-orthogonal driver embeddings with 8/16
+    # cells probed (~half the corpus scanned); floor leaves noise margin
+    assert recall >= 0.7, f"IVF recall@5 {recall:.2f}"
+
+
+def test_connected_components_match_union_find(spark):
+    """Spark min-label propagation == driver-side union-find ground truth."""
+    from cdc_streaming_pipeline_spark.operators import cluster as cl
+
+    emb = _emb(spark)
+    pairs = sim.cosine_near_dup_exact(emb, threshold=0.4)
+    edge_list = [(r.id_a, r.id_b) for r in pairs.collect()]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {
+        r.vec_id: find(r.vec_id) if r.vec_id in parent else r.vec_id
+        for r in emb.select("vec_id").collect()
+    }
+    got = {
+        r.vec_id: r.cluster_id
+        for r in cl.connected_components(pairs, emb, id_col="vec_id").collect()
+    }
+    assert got == truth
+
+
 def test_embedding_near_dup_lsh_matches_exact(spark):
     emb = _emb(spark)
     exact = {
