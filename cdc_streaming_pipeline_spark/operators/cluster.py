@@ -39,24 +39,41 @@ def connected_components(
 ) -> DataFrame:
     """(id, cluster_id) for every node; cluster_id = min node id reachable
     via ``edges`` (columns id_a/id_b). Singletons keep their own id.
+
+    Two essentials for ITERATIVE DataFrame algorithms at any scale:
+
+    - ``localCheckpoint(eager=True)`` each round. Persist alone caches the
+      DATA but the logical plan still grows per round, and Catalyst
+      re-analysis goes exponential (measured: round 3 ≈ 1 s, round 6 ≈
+      145 s on 2k nodes without truncation). Checkpointing resets the plan
+      to a leaf. On a cluster prefer ``checkpoint()`` with a reliable dir
+      if executor loss matters mid-algorithm.
+    - pointer jumping: after the min-neighbor step, each node adopts its
+      label's label. Plain propagation needs O(diameter) rounds; with the
+      jump, label chains halve every round → O(log diameter).
     """
-    sym = (
-        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .persist()
+    # checkpoint the edge list before mirroring it: the union's two
+    # branches would otherwise each recompute the (possibly expensive)
+    # upstream pair-generation plan
+    edges = edges.select("id_a", "id_b").localCheckpoint(eager=True)
+    sym = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).cast("long").alias("label")
-    ).persist()
+    ).localCheckpoint(eager=True)
     for _ in range(max_iters):
         prop = sym.join(labels, sym["src"] == labels["node"]).select(
             F.col("dst").alias("node"), "label"
         )
+        stepped = labels.unionByName(prop).groupBy("node").agg(F.min("label").alias("label"))
+        # pointer jump: label := label(label) (labels are always node ids,
+        # so the self-join hit is guaranteed; left join guards regardless)
+        l2 = stepped.select(F.col("node").alias("pj_node"), F.col("label").alias("pj_label"))
         new_labels = (
-            labels.unionByName(prop)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .persist()
+            stepped.join(l2, stepped["label"] == l2["pj_node"], "left")
+            .select("node", F.coalesce("pj_label", "label").alias("label"))
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -64,11 +81,9 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    sym.unpersist()
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
 
 

@@ -218,6 +218,156 @@ def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape generalized: cross-nation trade volume per
+    (supplier nation, customer nation, ship year) for ALL distinct nation
+    pairs. Two broadcast nation joins ride on the one big
+    lineitem⋈orders shuffle."""
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("sn_key"))
+        .join(n2, F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer in a quarter
+    (no LIMIT — the full group set is order-insensitive)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+def q14_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (conditional-aggregate ratio): ECONOMY parts' share
+    of one year's revenue. Both sums round in exact decimal before the
+    division, so the ratio is bit-identical across engines."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    agg = joined.agg(
+        dsum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0.0))).alias("economy_rev"),
+        dsum(rev).alias("total_rev"),
+    )
+    return agg.select(
+        "economy_rev",
+        "total_rev",
+        F.round(F.lit(100.0) * F.col("economy_rev") / F.col("total_rev"), 4).alias("economy_share_pct"),
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated agg → join): yearly revenue forfeited if
+    small orders (< 20% of the part's average quantity) for one brand were
+    dropped. The per-part average is its own aggregate joined back —
+    Catalyst broadcasts it (it is ≤ |part| rows)."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    li = load_table(spark, sf_dir, "lineitem")
+    branded = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    avg_qty = branded.groupBy(F.col("p_partkey").alias("ap_key")).agg(
+        davg(F.col("l_quantity")).alias("avg_qty")
+    )
+    return (
+        branded.join(F.broadcast(avg_qty), F.col("p_partkey") == F.col("ap_key"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(28,6)")) / 7.0, 2)
+             .cast("double").alias("avg_yearly"))
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (group-by-HAVING on a big aggregate, then enrich):
+    orders whose total quantity exceeds 120, with customer context."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 120)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
+def q19_or_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    ranges — exercises OR pushdown through a broadcast join."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15)) & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 25)) & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 35)) & (F.col("l_quantity").between(20, 30)))
+    )
+    return j.filter(cond).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: positive-balance customers above the global average
+    balance with no RECENT orders (none since 2000) — scalar-subquery
+    aggregate (broadcast single row) + anti-join, grouped by segment."""
+    cust = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        davg(F.col("c_acctbal")).alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_custs"), dsum(F.col("c_acctbal")).alias("total_bal"))
+    )
+
+
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG window surface: average days between consecutive orders per
+    customer (customers with ≥2 orders)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    gaps = orders.withColumn(
+        "gap_days", F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+    ).filter(F.col("gap_days").isNotNull())
+    return gaps.groupBy("o_custkey").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.avg("gap_days"), 4).alias("avg_gap_days"),
+        F.max("gap_days").alias("max_gap_days"),
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -232,6 +382,14 @@ QUERIES = {
     "wide_entity_union": wide_entity_union,
     "nations_customers_only": nations_customers_only,
     "order_priority_counts": order_priority_counts,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q10_returned_items": q10_returned_items,
+    "q14_type_share": q14_type_share,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q18_large_orders": q18_large_orders,
+    "q19_or_predicate_revenue": q19_or_predicate_revenue,
+    "q22_idle_customers": q22_idle_customers,
+    "customer_order_gaps": customer_order_gaps,
 }
 
 ORACLE = {
@@ -339,5 +497,100 @@ ORACLE = {
           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
           AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
         GROUP BY o_orderpriority
+    """,
+    "q7_volume_shipping": f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name <> n2.n_name
+        GROUP BY 1, 2, 3
+    """,
+    "q10_returned_items": f"""
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+               {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        GROUP BY 1, 2, 3, 4
+    """,
+    "q14_type_share": f"""
+        SELECT economy_rev, total_rev,
+               ROUND(100.0 * economy_rev / total_rev, 4) AS economy_share_pct
+        FROM (
+            SELECT {sql_dsum("CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} AS economy_rev,
+                   {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_rev
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        )
+    """,
+    "q17_small_quantity_revenue": """
+        WITH branded AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#1'
+        ), avg_qty AS (
+            SELECT l_partkey AS ap_key,
+                   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_quantity), 4) AS avg_qty
+            FROM branded GROUP BY 1
+        )
+        SELECT CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0, 2) AS DOUBLE) AS avg_yearly
+        FROM branded JOIN avg_qty ON l_partkey = ap_key
+        WHERE l_quantity < 0.2 * avg_qty
+    """,
+    "q18_large_orders": f"""
+        WITH big AS (
+            SELECT l_orderkey, {sql_dsum('l_quantity')} AS total_qty
+            FROM lineitem GROUP BY 1
+            HAVING {sql_dsum('l_quantity')} > 120
+        )
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """,
+    "q19_or_predicate_revenue": f"""
+        SELECT {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "q22_idle_customers": f"""
+        SELECT c_mktsegment, COUNT(*) AS n_custs,
+               {sql_dsum('c_acctbal')} AS total_bal
+        FROM customer c
+        WHERE c_acctbal > (
+                SELECT ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(c_acctbal), 4)
+                FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        GROUP BY c_mktsegment
+    """,
+    "customer_order_gaps": """
+        WITH gaps AS (
+            SELECT o_custkey,
+                   date_diff('day',
+                             CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate ASC, o_orderkey ASC) AS DATE),
+                             CAST(o_orderdate AS DATE)) AS gap_days
+            FROM orders
+        )
+        SELECT o_custkey, COUNT(*) AS n_gaps,
+               ROUND(AVG(gap_days), 4) AS avg_gap_days,
+               MAX(gap_days) AS max_gap_days
+        FROM gaps WHERE gap_days IS NOT NULL
+        GROUP BY o_custkey
     """,
 }
