@@ -186,3 +186,44 @@ def windowed_counts(
         .agg(F.count("*").alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "_table", "n_events")
     )
+
+
+def session_windows(
+    stream_df: DataFrame,
+    key_col: str = "_table",
+    ts_col: str = "updated_at",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time SESSION windows per key: a session extends while
+    consecutive events arrive within ``gap`` of each other and closes at
+    the watermark — Spark merges overlapping per-event windows in state,
+    so sessions of any length cost state proportional to OPEN sessions
+    only. The batch twin of this semantics is plans/events.user_sessions
+    (lag + cumulative-sum); this is the streaming-native form."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("s"), F.col(key_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(
+    stream_df: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "updated_at",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup bounded by the watermark: at-least-once
+    sources (Kafka redeliveries, file re-lists) collapse to exactly-once
+    rows as long as duplicates arrive within the watermark horizon —
+    that bound is what keeps the dedup state finite at 100 TB/day.
+    Keys default to the CDC identity (table, id, lsn)."""
+    keys = key_cols or ["_table", "id", LSN_COL]
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

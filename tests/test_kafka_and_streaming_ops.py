@@ -116,3 +116,62 @@ def test_with_generated_keys_both_modes(spark):
     sparse = with_generated_keys(df, key_col="id")
     ids = [r.id for r in sparse.collect()]
     assert len(set(ids)) == 4  # unique, shuffle-free; sparse by design
+
+
+def test_session_windows_merge_by_gap(spark, tmp_path):
+    """Events within the gap merge into one session; a >gap pause opens a
+    new one (memory sink so we can read the final session rows)."""
+    from cdc_streaming_pipeline_spark.streaming.pipeline import session_windows
+
+    gen = CdcWorkloadGenerator(seed=23)
+    gen.initial_load(rows_per_table=4)
+    gen.run(20)
+    src = str(tmp_path / "src")
+    gen.write_json_files(src, n_files=1)
+    stream = read_event_log(spark, src, streaming=True)
+    sess = session_windows(stream, key_col="_table", gap="10 minutes")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions_probe")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from sessions_probe").collect()
+    assert got, "expected at least one session row"
+    # sessions are per-key disjoint and each holds >=1 event
+    for r in got:
+        assert r.session_start <= r.session_end
+        assert r.n_events >= 1
+    # batch twin: total events across sessions == events with timestamps
+    batch = read_event_log(spark, src)
+    n_ts = batch.filter(F.col("updated_at").isNotNull()).count()
+    assert sum(r.n_events for r in got) == n_ts
+
+
+def test_dedup_within_watermark_collapses_redelivery(spark, tmp_path):
+    """The same file content delivered twice (at-least-once source) must
+    collapse to one row per (table, id, lsn)."""
+    from cdc_streaming_pipeline_spark.streaming.pipeline import dedup_within_watermark
+
+    gen = CdcWorkloadGenerator(seed=24)
+    gen.initial_load(rows_per_table=4)
+    src = str(tmp_path / "src")
+    gen.write_json_files(src, n_files=1)
+    gen.write_json_files(src, n_files=1, offset=5)  # same events, new files
+    stream = read_event_log(spark, src, streaming=True)
+    deduped = dedup_within_watermark(stream)
+    out = str(tmp_path / "out")
+    q = (
+        deduped.select("_table", "id", "_lsn")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    result = spark.read.parquet(out)
+    assert result.count() == len(gen.events)
+    assert result.distinct().count() == len(gen.events)
