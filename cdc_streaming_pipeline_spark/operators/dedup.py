@@ -88,6 +88,30 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
     return minhash_signature_from_hashes(shingle_hashes(shingle_col), num_hashes)
 
 
+def _shingle_hash_frame(
+    df: DataFrame, text_col: str, id_col: str, shingle_size: int
+) -> DataFrame:
+    """(_id, sh_h) with the tokenize→shingle→hash chain STAGED across
+    projection boundaries. Expressions captured inside higher-order-function
+    lambdas re-evaluate per array element (slice(toks, i, n) re-runs the
+    whole regex tokenization for every i in one fused projection — measured
+    ~8x on this corpus); binding each stage to a column first makes the
+    per-element work an attribute lookup. CollapseProject keeps the
+    boundaries because the bound columns are non-cheap and multiply
+    referenced."""
+    toks = tokens(normalize_ws(F.col(text_col)))
+    staged = _parallelize(df).select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+    idx = F.sequence(F.lit(0), F.greatest(F.size("_toks") - shingle_size, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(F.col("_toks"), i + 1, shingle_size), " ")
+    )
+    return (
+        staged.select("_id", F.array_distinct(grams).alias("_grams"))
+        .select("_id", shingle_hashes(F.col("_grams")).alias("sh_h"))
+        .filter(F.size("sh_h") > 0)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -117,12 +141,8 @@ def minhash_lsh_pairs(
     # once, not once per consumer. (Self-joins get ReuseExchange for free;
     # the differently-keyed verify joins do not.)
     base = (
-        _parallelize(df)
-        .select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
-        .withColumn("sh_h", shingle_hashes(word_shingles(F.col("_text"), shingle_size)))
-        .filter(F.size("sh_h") > 0)
+        _shingle_hash_frame(df, text_col, id_col, shingle_size)
         .withColumn("sig", minhash_signature_from_hashes(F.col("sh_h"), num_hashes))
-        .select("_id", "sh_h", "sig")
         .persist()
     )
     banded = base.select(
@@ -199,15 +219,8 @@ def ngram_jaccard_pairs(
     Jaccard is dominated by stop-shingles anyway. The doc-frequency filter
     is one window over the inverted index — same shuffle the join needs.
     """
-    base = (
-        _parallelize(df)
-        .select(
-            F.col(id_col).alias("_id"),
-            shingle_hashes(word_shingles(F.col(text_col), shingle_size)).alias("sh_h"),
-        )
-        .filter(F.size("sh_h") > 0)
-        .persist()  # feeds the inverted index and both verify joins
-    )
+    base = _shingle_hash_frame(df, text_col, id_col, shingle_size).persist()
+    # (persisted: feeds the inverted index and both verify joins)
     inv = base.select("_id", F.explode("sh_h").alias("sh"))
     rare = inv.withColumn(
         "df", F.count("*").over(Window.partitionBy("sh"))

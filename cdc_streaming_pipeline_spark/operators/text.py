@@ -118,7 +118,10 @@ def tfidf_top_terms(
     as a broadcast single-row aggregate — no driver-side count action, the
     whole thing stays one lazy plan.
     """
-    toked = df.select(
+    # partition count must follow COMPUTE cost here, not input bytes: a
+    # single small parquet file would serialize the tokenize+explode onto
+    # one core (measured ~10x on local[32])
+    toked = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
         F.col(id_col).alias("_id"),
         F.explode(tokens(normalize_ws(F.col(text_col)))).alias("term"),
     )
@@ -158,14 +161,20 @@ def corpus_top_bigrams(df: DataFrame, k: int = 50, text_col: str = "text") -> Da
     asc). The final LIMIT is a single-partition reduction of per-partition
     top-k — no full sort of the vocabulary.
     """
-    toks = tokens(normalize_ws(F.col(text_col)))
-    idx = F.sequence(F.lit(1), F.size(toks) - 1)
-    bigrams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1))
+    base = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(tokens(normalize_ws(F.col(text_col))).alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    # adjacent-pair zip (tokens[:-1] zip tokens[1:]) — one pass over the
+    # materialized token array instead of per-index element_at lookups
+    bigrams = F.zip_with(
+        F.slice("t", 1, F.size("t") - 1),
+        F.slice("t", 2, F.size("t") - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
     return (
-        df.filter(F.size(toks) >= 2)
-        .select(F.explode(bigrams).alias("bigram"))
+        base.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
