@@ -102,6 +102,37 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("quality_score", F.round(score, 4))
 
 
+# PII detection/redaction. Pattern subset chosen to behave identically on
+# Java regex (Spark) and RE2 (DuckDB oracle): no backrefs, no lookaround;
+# \b, (?i), bounded repetition only.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"(?i)\b[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}\b",
+    "phone": r"\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\b",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "long_id": r"\b[0-9]{9,}\b",
+}
+
+
+def with_pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-class PII hit counts — the filter stage of a scrubbing pipeline
+    (route documents with hits to redaction/quarantine). Pure per-row
+    regexp_count expressions: shuffle-free, scan-parallel."""
+    out = df
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(f"pii_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
+    return out
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", replacement: str = "[PII]") -> DataFrame:
+    """Redacted copy of the text: every PII class replaced by a fixed
+    marker. Deterministic and idempotent (the marker matches no pattern),
+    so re-running the scrub is safe."""
+    red = F.col(text_col)
+    for pat in PII_PATTERNS.values():
+        red = F.regexp_replace(red, pat, replacement)
+    return df.withColumn("redacted", red)
+
+
 def tfidf_top_terms(
     df: DataFrame,
     k: int = 3,

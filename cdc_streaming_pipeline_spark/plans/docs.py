@@ -184,6 +184,22 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cl.connected_components(edges, emb, id_col="vec_id")
 
 
+def doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub surface: per-class hit counts + fingerprint of the
+    redacted text (equal to the raw fingerprint iff nothing was redacted,
+    so the oracle verifies the rewrite byte-for-byte)."""
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = tx.redact_pii(tx.with_pii_counts(docs))
+    return flagged.select(
+        "doc_id",
+        "pii_email",
+        "pii_phone",
+        "pii_ipv4",
+        "pii_long_id",
+        F.md5(F.col("redacted")).alias("redacted_fp"),
+    )
+
+
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: k-means cells (distributed Lloyd) + probe the 8 nearest of
     16 cells per query. Recall floor vs brute force asserted in tests."""
@@ -232,6 +248,7 @@ QUERIES = {
     "sample_topn_per_stratum": sample_topn_per_stratum,
     "doc_quantiles_by_lang": doc_quantiles_by_lang,
     "near_dup_clusters": near_dup_clusters,
+    "doc_pii_scan": doc_pii_scan,
     "ann_topk_ivf": ann_topk_ivf,
     "media_decode_features": media_decode_features,
     "media_frame_sample": media_frame_sample,
@@ -484,4 +501,25 @@ ORACLE["near_dup_clusters"] = f"""
            LEAST(v.vec_id, COALESCE(MIN(r.dst), v.vec_id)) AS cluster_id
     FROM embeddings v LEFT JOIN reach r ON r.src = v.vec_id
     GROUP BY v.vec_id
+"""
+
+_PII = {
+    "email": r"(?i)\b[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}\b",
+    "phone": r"\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\b",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "long_id": r"\b[0-9]{9,}\b",
+}
+
+ORACLE["doc_pii_scan"] = f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_PII["email"]}')) AS pii_email,
+           len(regexp_extract_all(text, '{_PII["phone"]}')) AS pii_phone,
+           len(regexp_extract_all(text, '{_PII["ipv4"]}')) AS pii_ipv4,
+           len(regexp_extract_all(text, '{_PII["long_id"]}')) AS pii_long_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+               '{_PII["email"]}', '[PII]', 'g'),
+               '{_PII["phone"]}', '[PII]', 'g'),
+               '{_PII["ipv4"]}', '[PII]', 'g'),
+               '{_PII["long_id"]}', '[PII]', 'g')) AS redacted_fp
+    FROM documents
 """

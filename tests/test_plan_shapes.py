@@ -1,0 +1,95 @@
+"""Physical-plan regression tests: the scale properties the engine claims
+(predicate pushdown to the scan, column pruning, broadcast of small dims,
+no accidental cartesian joins, whole-stage codegen on the hot path) are
+asserted against .explain output so a refactor cannot silently regress
+them. These are the local[32] proxies for 100 TB behavior — a filter that
+misses the scan or a dim that stops broadcasting costs little at sf0.001
+and everything at scale.
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    explain_mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(explain_mode)
+
+
+def test_q1_filter_pushdown_and_column_pruning(spark):
+    from cdc_streaming_pipeline_spark.plans.analytics import q1_pricing_summary
+
+    plan = _plan(q1_pricing_summary(spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # pruning: untouched wide columns must not be read
+    assert "l_partkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+    # whole-stage codegen on the hot path (visible with AQE re-plan off)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        simple = _plan(q1_pricing_summary(spark, SF_DIR), "simple")
+        assert "*(1)" in simple
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q6_all_filters_reach_the_scan(spark):
+    from cdc_streaming_pipeline_spark.plans.analytics import q6_forecast_revenue
+
+    plan = _plan(q6_forecast_revenue(spark, SF_DIR))
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed to scan: {pushed}"
+
+
+def test_q5_small_dims_broadcast_no_cartesian(spark):
+    from cdc_streaming_pipeline_spark.plans.analytics import q5_local_supplier_volume
+
+    plan = _plan(q5_local_supplier_volume(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_anti_and_semi_joins_stay_hash_joins(spark):
+    from cdc_streaming_pipeline_spark.plans.analytics import (
+        orders_without_lineitems,
+        parts_with_lineitems,
+    )
+
+    for q in (orders_without_lineitems, parts_with_lineitems):
+        plan = _plan(q(spark, SF_DIR))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_events_scan_prunes_props_column(spark):
+    """count/group queries over events must not read the wide props JSON."""
+    from cdc_streaming_pipeline_spark.plans.events import event_type_stats
+
+    plan = _plan(event_type_stats(spark, SF_DIR))
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "props" not in read_schema
+
+
+def test_exact_dedup_single_shuffle(spark):
+    from cdc_streaming_pipeline_spark.plans.docs import dedup_documents_exact
+
+    plan = _plan(dedup_documents_exact(spark, SF_DIR))
+    # one exchange for the fingerprint groupBy; partial_ aggregates prove
+    # map-side combine happens before it
+    assert plan.count("hashpartitioning(") == 1
+    assert "partial_" in plan
+
+
+def test_minhash_join_carries_ids_not_payloads(spark):
+    """The banded candidate self-join must not shuffle shingle arrays or
+    signatures — ids and bucket keys only (shuffle width is the #1 cost
+    of the dedup path at scale)."""
+    from cdc_streaming_pipeline_spark.operators import dedup as dd
+    from cdc_streaming_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = dd.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    plan = _plan(out, "extended")
+    assert "CartesianProduct" not in plan
