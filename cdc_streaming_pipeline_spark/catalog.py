@@ -39,6 +39,28 @@ def create_external_table(
     spark.sql(f"CREATE TABLE IF NOT EXISTS {qualified} USING {fmt} LOCATION '{location}'")
 
 
+def create_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Managed bucketed table: rows are hash-bucketed (and optionally
+    sorted) by the join/aggregation key AT WRITE TIME, so every later join
+    or groupBy on that key between co-bucketed tables runs with NO shuffle
+    and (when sorted) no sort — the write pays the shuffle once, every
+    query after rides it. This is the Spark answer to the 'same join key
+    every night' fact-table pattern at 100 TB; pick n_buckets ≈ target
+    parallelism at full scale. (File-path tables cannot carry bucket
+    metadata — bucketing requires the catalog, hence saveAsTable.)"""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def show_databases(spark: SparkSession) -> DataFrame:
     return spark.sql("SHOW DATABASES")
 

@@ -102,3 +102,41 @@ def write_event_log(
         .mode(mode)
         .save(path)
     )
+
+
+def compact_event_log(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    fmt: str = "parquet",
+    compression: str | None = None,
+    files_per_partition: int = 1,
+) -> None:
+    """Small-file compaction: rewrite the partitioned event log with
+    ``files_per_partition`` files per hour partition.
+
+    The 60-second rotation (reference semantics) plus one-file-per-task
+    appends leave each hour with dozens of tiny files; scan cost at 100 TB
+    is dominated by file-open overhead long before bytes. Repartitioning
+    by the partition columns routes every row of an hour to one task
+    (salted across ``files_per_partition`` when >1), so each output
+    partition collapses to exactly that many full-size files. Written to a
+    fresh directory and swapped by the caller — never overwrite a path
+    while reading it (lazy scans would race the delete). On a real
+    cluster, run per-partition-range with dynamic partition overwrite to
+    compact only closed hours while the stream appends to the open one.
+    """
+    if compression is None:
+        compression = "gzip" if fmt == "json" else "zstd"
+    df = spark.read.format(fmt).load(src_path)
+    parts = [F.col(c) for c in TIME_PARTITION_COLS]
+    if files_per_partition > 1:
+        parts.append(F.pmod(F.xxhash64(*df.columns), F.lit(files_per_partition)))
+    (
+        df.repartition(*parts)
+        .write.partitionBy(*TIME_PARTITION_COLS)
+        .option("compression", compression)
+        .format(fmt)
+        .mode("overwrite")
+        .save(dst_path)
+    )

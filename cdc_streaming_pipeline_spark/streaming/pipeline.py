@@ -214,6 +214,34 @@ def session_windows(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    left_ts: str = "updated_at",
+    right_ts: str = "updated_at",
+    watermark: str = "2 hours",
+    interval: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with event-time bounds — e.g. the order
+    stream joined to its order_item stream (two demuxed CDC topics).
+
+    Both sides are watermarked and the join carries a time-interval
+    condition (|right_ts - left_ts| ≤ interval), which is what lets Spark
+    EVICT state: a buffered row can only match rows inside its interval,
+    so once the other side's watermark passes it, it is dropped. Without
+    the interval the state grows without bound — the difference between a
+    demo and something that survives a month of 100 TB/day.
+    """
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    bound = (
+        F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {interval}")
+    ) & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {interval}"))
+    return lw.join(rw, on & bound, how)
+
+
 def dedup_within_watermark(
     stream_df: DataFrame,
     key_cols: list[str] | None = None,

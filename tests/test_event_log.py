@@ -75,3 +75,37 @@ def test_permissive_read_routes_corrupt_lines_to_dlq(spark, tmp_path):
     good, bad = split_corrupt(df)
     assert bad.count() == 2
     assert good.filter(F.col("id").isNull()).count() == 0
+
+
+def test_compact_event_log_collapses_small_files(spark, tmp_path):
+    """Many small appended files per hour partition → one file per
+    partition after compaction, with identical row content."""
+    from cdc_streaming_pipeline_spark.sources.event_log import (
+        compact_event_log,
+        read_event_log,
+        write_event_log,
+    )
+    from cdc_streaming_pipeline_spark.workload import CdcWorkloadGenerator
+    import glob
+    import os
+
+    gen = CdcWorkloadGenerator(seed=31)
+    gen.initial_load(rows_per_table=5)
+    gen.run(30)
+    src_json = str(tmp_path / "src")
+    gen.write_json_files(src_json, n_files=1)
+    log = read_event_log(spark, src_json).drop("_corrupt_record")
+    sink = str(tmp_path / "sink")
+    for _ in range(4):  # four appends -> >=4 files per touched partition
+        write_event_log(log, sink)
+    some_part = glob.glob(os.path.join(sink, "year=*/month=*/day=*/hour=*"))[0]
+    assert len(glob.glob(os.path.join(some_part, "*.parquet"))) >= 4
+
+    compacted = str(tmp_path / "compacted")
+    compact_event_log(spark, sink, compacted)
+    for part in glob.glob(os.path.join(compacted, "year=*/month=*/day=*/hour=*")):
+        assert len(glob.glob(os.path.join(part, "*.parquet"))) == 1
+    before = spark.read.parquet(sink)
+    after = spark.read.parquet(compacted)
+    assert before.count() == after.count()
+    assert before.exceptAll(after).count() == 0

@@ -175,3 +175,58 @@ def test_dedup_within_watermark_collapses_redelivery(spark, tmp_path):
     result = spark.read.parquet(out)
     assert result.count() == len(gen.events)
     assert result.distinct().count() == len(gen.events)
+
+
+def test_stream_stream_join_orders_items(spark, tmp_path):
+    """Orders stream joined to the order_item stream (both demuxed from the
+    same CDC log) within a time interval — state-bounded stream-stream join."""
+    from cdc_streaming_pipeline_spark.streaming.pipeline import stream_stream_join
+
+    gen = CdcWorkloadGenerator(seed=25)
+    gen.initial_load(rows_per_table=6)
+    gen.run(30)
+    src = str(tmp_path / "src")
+    gen.write_json_files(src, n_files=1)
+    stream = read_event_log(spark, src, streaming=True)
+    orders = stream.filter(F.col("_table") == "order").select(
+        F.col("id").alias("order_id"), F.col("status"), F.col("updated_at")
+    )
+    items = stream.filter(F.col("_table") == "order_item").select(
+        F.col("id").alias("item_id"),
+        F.col("order_id").alias("item_order_id"),
+        F.col("quantity"),
+        F.col("updated_at").alias("item_updated_at"),
+    )
+    joined = stream_stream_join(
+        orders,
+        items,
+        on=F.col("l.order_id") == F.col("r.item_order_id"),
+        right_ts="item_updated_at",
+    )
+    out = str(tmp_path / "out")
+    q = (
+        joined.select("order_id", "item_id", "quantity", "status")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    result = spark.read.parquet(out)
+    # batch twin over the same log
+    batch = read_event_log(spark, src)
+    bo = batch.filter(F.col("_table") == "order").select(
+        F.col("id").alias("order_id"), "updated_at"
+    )
+    bi = batch.filter(F.col("_table") == "order_item").select(
+        F.col("order_id").alias("item_order_id"), F.col("updated_at").alias("iu")
+    )
+    expected = bo.join(
+        bi,
+        (F.col("order_id") == F.col("item_order_id"))
+        & (F.col("iu") >= F.col("updated_at") - F.expr("INTERVAL 1 hour"))
+        & (F.col("iu") <= F.col("updated_at") + F.expr("INTERVAL 1 hour")),
+    ).count()
+    assert result.count() == expected
+    assert expected > 0, "fixture should produce joinable order/item pairs"

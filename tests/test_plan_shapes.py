@@ -93,3 +93,34 @@ def test_minhash_join_carries_ids_not_payloads(spark):
     out = dd.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
     plan = _plan(out, "extended")
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_needs_no_exchange(spark, tmp_path):
+    """Co-bucketed orders⋈lineitem on the order key: the bucketed layout
+    must satisfy the join's distribution so the plan has NO shuffle on
+    either side — the pay-once-at-write pattern for repeated big joins."""
+    from cdc_streaming_pipeline_spark.catalog import create_bucketed_table
+    from cdc_streaming_pipeline_spark.sources.tables import load_table
+
+    # (managed tables land in the session warehouse dir; DROP removes them)
+    orders = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    create_bucketed_table(orders, "b_orders", ["o_orderkey"], 8, ["o_orderkey"])
+    create_bucketed_table(li, "b_lineitem", ["l_orderkey"], 8, ["l_orderkey"])
+    # broadcast would hide the bucketing at toy scale; at real scale both
+    # sides are far past any broadcast threshold
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bo = spark.table("b_orders")
+        bl = spark.table("b_lineitem")
+        joined = bo.join(bl, bo["o_orderkey"] == bl["l_orderkey"]).select(
+            "o_orderkey", "l_quantity"
+        )
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
