@@ -47,6 +47,35 @@ def hash_bucket_sample(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    capacity: int = 512,
+    id_col: str = "doc_id",
+    size_col: str = "n_tokens",
+) -> DataFrame:
+    """Assign documents to fixed-capacity training sequences ("packing").
+
+    Chunked-cumsum packing: documents are taken in id order and a sequence
+    boundary falls wherever the running token total crosses a capacity
+    multiple — the standard distributed approximation of greedy bin
+    packing (exact greedy is inherently sequential; this is one window
+    cumsum, deterministic, and within one oversize-doc of greedy's bin
+    count). Documents longer than the capacity get a bin of their own;
+    the id ordering makes packs stable across engines and reruns.
+
+    At scale the single global window is the bottleneck dial: partition
+    the cumsum by a coarse shard key (e.g. md5 bucket) to pack within
+    shards concurrently — bin quality is unchanged, only bin ids shard.
+    """
+    w = Window.orderBy(F.col(id_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum(F.least(F.col(size_col), F.lit(capacity))).over(w)
+    return df.withColumn(
+        "pack_id", F.floor((cum - F.least(F.col(size_col), F.lit(capacity))) / capacity)
+    ).withColumn("cum_tokens", cum)
+
+
 def topn_per_stratum(
     df: DataFrame,
     strata: list[str],

@@ -184,6 +184,16 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cl.connected_components(edges, emb, id_col="vec_id")
 
 
+def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pretraining sequence packing: assign docs (in id order) to
+    512-token training sequences via chunked cumulative sums."""
+    from cdc_streaming_pipeline_spark.functions.textfn import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    return sp.pack_sequences(sized, capacity=512)
+
+
 def doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub surface: per-class hit counts + fingerprint of the
     redacted text (equal to the raw fingerprint iff nothing was redacted,
@@ -249,6 +259,7 @@ QUERIES = {
     "doc_quantiles_by_lang": doc_quantiles_by_lang,
     "near_dup_clusters": near_dup_clusters,
     "doc_pii_scan": doc_pii_scan,
+    "pack_documents": pack_documents,
     "ann_topk_ivf": ann_topk_ivf,
     "media_decode_features": media_decode_features,
     "media_frame_sample": media_frame_sample,
@@ -522,4 +533,22 @@ ORACLE["doc_pii_scan"] = f"""
                '{_PII["ipv4"]}', '[PII]', 'g'),
                '{_PII["long_id"]}', '[PII]', 'g')) AS redacted_fp
     FROM documents
+"""
+
+ORACLE["pack_documents"] = """
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n_tokens,
+               SUM(LEAST(n_tokens, 512)) OVER (ORDER BY doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor((cum - LEAST(n_tokens, 512)) / 512) AS BIGINT) AS pack_id,
+           CAST(cum AS BIGINT) AS cum_tokens
+    FROM c
 """

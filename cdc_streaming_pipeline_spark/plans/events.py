@@ -157,6 +157,32 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user sketch per event type — the cardinality
+    path that replaces COUNT(DISTINCT) at 100 TB (mergeable partial
+    sketches, no exact-distinct shuffle of user ids). Sketch values are
+    engine-specific → rows-only in the driver; relative error vs the exact
+    answer is asserted in tests/test_sketches.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+def approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-mergeable quantile sketch (Greenwald-Khanna) of purchase
+    values per event type; accuracy vs exact percentiles tested."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000).alias("q")
+    ).select(
+        "event_type",
+        F.round(F.col("q")[0], 4).alias("p50"),
+        F.round(F.col("q")[1], 4).alias("p90"),
+        F.round(F.col("q")[2], 4).alias("p99"),
+    )
+
+
 QUERIES = {
     "count_star_events": count_star_events,
     "first_events": first_events,
@@ -169,6 +195,8 @@ QUERIES = {
     "insert_key_generation": insert_key_generation,
     "users_view_no_purchase": users_view_no_purchase,
     "events_json_props": events_json_props,
+    "approx_users_per_type": approx_users_per_type,
+    "approx_value_quantiles": approx_value_quantiles,
 }
 
 ORACLE = {

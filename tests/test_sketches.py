@@ -1,0 +1,51 @@
+"""Accuracy gates for the sketch aggregates (the driver can only rows-only
+check them — sketch internals are engine-specific — so the error bound vs
+the exact answer is asserted here)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_streaming_pipeline_spark.plans.events import (
+    approx_users_per_type,
+    approx_value_quantiles,
+)
+from cdc_streaming_pipeline_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_hll_distinct_within_rsd(spark):
+    approx = {
+        r.event_type: r.approx_users for r in approx_users_per_type(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for t, n in exact.items():
+        rel = abs(approx[t] - n) / max(n, 1)
+        assert rel <= 0.10, f"{t}: approx {approx[t]} vs exact {n} (rel {rel:.3f})"
+
+
+def test_approx_quantiles_rank_accuracy(spark):
+    """The GK guarantee is on RANK, not value distance: the reported
+    quantile must sit at an empirical CDF position within ε of the target
+    (ε = 1/accuracy, plus discreteness slack of one sample)."""
+    approx = {
+        r.event_type: (r.p50, r.p90, r.p99)
+        for r in approx_value_quantiles(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "value").cache()
+    counts = {r.event_type: r.n for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    for t, qs in approx.items():
+        n = counts[t]
+        for phi, a in zip((0.5, 0.9, 0.99), qs):
+            cdf = ev.filter((F.col("event_type") == t) & (F.col("value") <= a)).count() / n
+            slack = 1.0 / 10000 + 2.0 / n
+            assert phi - slack <= cdf <= phi + slack + 1e-9, (
+                f"{t} φ={phi}: value {a} sits at cdf {cdf:.4f} (n={n})"
+            )
