@@ -117,6 +117,101 @@ def decode_media(media: DataFrame, deterministic_fake: bool = False) -> DataFram
     return media.mapInPandas(_decode, DECODE_OUTPUT_SCHEMA)
 
 
+RESIZE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("src_width", T.IntegerType(), True),
+        T.StructField("src_height", T.IntegerType(), True),
+        T.StructField("dst_width", T.IntegerType(), False),
+        T.StructField("dst_height", T.IntegerType(), False),
+        T.StructField("resized_hash", T.StringType(), False),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, max_side: int = 256, deterministic_fake: bool = False
+) -> DataFrame:
+    """Resize plumbing for image rows: aspect-preserving target dims from
+    typed metadata (JVM-side arithmetic), then the pixel kernel per Arrow
+    batch. The real kernel needs codec libs — NotImplementedError marks
+    the integration point; the fake path hashes (payload, target dims) so
+    the output is content-addressed and the full plan/schema/batch shape
+    is testable. Bytes stay partition-local; nothing shuffles."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "image resizing requires codec libraries (PIL/cv2) not available "
+            "in this environment; pass deterministic_fake=True for the "
+            "plumbing-test path"
+        )
+    w = F.coalesce(F.col("media_meta.width"), F.lit(0))
+    h = F.coalesce(F.col("media_meta.height"), F.lit(0))
+    scale = F.lit(max_side) / F.greatest(w, h, F.lit(1))
+    capped = F.least(scale, F.lit(1.0))  # never upscale
+    prepared = media.filter(F.col("kind") == "image").select(
+        "media_id",
+        "media_bytes",
+        w.alias("src_width"),
+        h.alias("src_height"),
+        F.greatest((w * capped).cast("int"), F.lit(1)).alias("dst_width"),
+        F.greatest((h * capped).cast("int"), F.lit(1)).alias("dst_height"),
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for payload, dw, dh in zip(pdf["media_bytes"], pdf["dst_width"], pdf["dst_height"]):
+                p = bytes(payload) if payload is not None else b""
+                hashes.append(hashlib.sha256(p + f"|{dw}x{dh}".encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "src_width": pdf["src_width"],
+                    "src_height": pdf["src_height"],
+                    "dst_width": pdf["dst_width"],
+                    "dst_height": pdf["dst_height"],
+                    "resized_hash": hashes,
+                }
+            )
+
+    return prepared.mapInPandas(_resize, RESIZE_OUTPUT_SCHEMA)
+
+
+def chunk_audio(
+    media: DataFrame, chunk_seconds: int = 5, samples_per_chunk: int | None = None
+) -> DataFrame:
+    """Chunking plan for audio rows: fixed-duration windows derived from
+    metadata (sample_rate × payload size → duration), each chunk a
+    (media_id, chunk_idx, start_sample, n_samples) row. The byte-slicing
+    kernel belongs to the decode stub; this computes the partition-local
+    chunk layout JVM-side (assumes 16-bit mono for the synthetic table)."""
+    sr = F.coalesce(F.col("media_meta.sample_rate"), F.lit(16000))
+    n_samples = (F.length(F.col("media_bytes")) / 2).cast("long")
+    if samples_per_chunk is not None:
+        chunk_len = F.lit(samples_per_chunk).cast("long")
+    else:
+        chunk_len = (sr * chunk_seconds).cast("long")
+    n_chunks = F.ceil(n_samples / chunk_len).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select(
+            "media_id",
+            n_samples.alias("_total"),
+            chunk_len.alias("_chunk"),
+            F.explode(idx).alias("chunk_idx"),
+        )
+        .select(
+            "media_id",
+            "chunk_idx",
+            (F.col("chunk_idx") * F.col("_chunk")).alias("start_sample"),
+            F.least(
+                F.col("_chunk"), F.col("_total") - F.col("chunk_idx") * F.col("_chunk")
+            ).alias("n_samples"),
+        )
+    )
+
+
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plan for video rows: explode sampled frame indices
     from metadata (real frame extraction = the decode stub's job)."""

@@ -228,6 +228,21 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing: aspect-preserving target dims (JVM) + the
+    content-addressed fake kernel (Arrow batches) — real pixel work is the
+    documented codec integration point."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.resize_media(mm.synthesize_media(docs), max_side=256, deterministic_fake=True)
+
+
+def media_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-chunking plumbing: fixed-size sample windows from typed
+    metadata; layout is computed JVM-side, slicing belongs to the decoder."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.chunk_audio(mm.synthesize_media(docs), samples_per_chunk=64)
+
+
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing for video rows: every-10th frame index from
     typed metadata (real frame extraction = the decode stub's job)."""
@@ -262,6 +277,8 @@ QUERIES = {
     "pack_documents": pack_documents,
     "ann_topk_ivf": ann_topk_ivf,
     "media_decode_features": media_decode_features,
+    "media_resize_dims": media_resize_dims,
+    "media_audio_chunks": media_audio_chunks,
     "media_frame_sample": media_frame_sample,
 }
 
@@ -551,4 +568,43 @@ ORACLE["pack_documents"] = """
            CAST(floor((cum - LEAST(n_tokens, 512)) / 512) AS BIGINT) AS pack_id,
            CAST(cum AS BIGINT) AS cum_tokens
     FROM c
+"""
+
+# image rows: doc_id % 3 == 0 (synthesize_media kind mapping); dims from
+# n_chars; truncating casts mirrored with floor() on the oracle side.
+ORACLE["media_resize_dims"] = """
+    WITH img AS (
+        SELECT doc_id AS media_id, text,
+               CAST(n_chars % 1920 AS INT) AS src_width,
+               CAST(n_chars % 1080 AS INT) AS src_height
+        FROM documents WHERE doc_id % 3 = 0
+    ), dims AS (
+        SELECT media_id, text, src_width, src_height,
+               LEAST(256.0 / GREATEST(src_width, src_height, 1), 1.0) AS scale
+        FROM img
+    )
+    SELECT media_id, src_width, src_height,
+           GREATEST(CAST(floor(src_width * scale) AS INT), 1) AS dst_width,
+           GREATEST(CAST(floor(src_height * scale) AS INT), 1) AS dst_height,
+           sha256(text || '|' ||
+               GREATEST(CAST(floor(src_width * scale) AS INT), 1) || 'x' ||
+               GREATEST(CAST(floor(src_height * scale) AS INT), 1)) AS resized_hash
+    FROM dims
+"""
+
+ORACLE["media_audio_chunks"] = """
+    WITH audio AS (
+        SELECT doc_id AS media_id,
+               CAST(floor(octet_length(encode(text)) / 2.0) AS BIGINT) AS total
+        FROM documents WHERE doc_id % 3 = 1
+    ), chunks AS (
+        SELECT media_id, total,
+               unnest(generate_series(0,
+                   GREATEST(CAST(ceil(total / 64.0) AS INT) - 1, 0))) AS chunk_idx
+        FROM audio
+    )
+    SELECT media_id, chunk_idx,
+           CAST(chunk_idx * 64 AS BIGINT) AS start_sample,
+           LEAST(64, total - chunk_idx * 64) AS n_samples
+    FROM chunks
 """
