@@ -70,10 +70,12 @@ def connected_components(
         # pointer jump: label := label(label) (labels are always node ids,
         # so the self-join hit is guaranteed; left join guards regardless)
         l2 = stepped.select(F.col("node").alias("pj_node"), F.col("label").alias("pj_label"))
+        # lazy checkpoint: the changed-count below materializes it, so each
+        # round costs ONE Spark action, not a checkpoint action plus a count
         new_labels = (
             stepped.join(l2, stepped["label"] == l2["pj_node"], "left")
             .select("node", F.coalesce("pj_label", "label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
