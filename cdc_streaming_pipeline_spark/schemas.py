@@ -137,3 +137,27 @@ def wide_event_schema(with_corrupt: bool = False) -> T.StructType:
     if with_corrupt:
         fields.append(T.StructField(CORRUPT_COL, T.StringType(), True))
     return T.StructType(fields)
+
+
+def merge_schemas(*schemas: T.StructType) -> T.StructType:
+    """Widening union of declared schemas — CDC schema EVOLUTION.
+
+    When the upstream DDL adds a column, wal2json starts shipping it and
+    older landed files simply lack the key; declaring the merged schema
+    over the whole log reads old rows with NULL and new rows populated
+    (additive evolution is free with schema-on-read). Field order is
+    first-seen so existing consumers keep their column positions. A TYPE
+    change on an existing column is NOT evolution — it is a breaking
+    migration, surfaced as an error instead of a silent coercion.
+    """
+    out: dict[str, T.StructField] = {}
+    for s in schemas:
+        for f in s.fields:
+            prev = out.get(f.name)
+            if prev is None:
+                out[f.name] = T.StructField(f.name, f.dataType, True)
+            elif prev.dataType != f.dataType:
+                raise TypeError(
+                    f"schema conflict on '{f.name}': {prev.dataType} vs {f.dataType}"
+                )
+    return T.StructType(list(out.values()))

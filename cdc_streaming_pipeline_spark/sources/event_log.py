@@ -48,14 +48,21 @@ def read_event_log(
     entity: str | None = None,
     fmt: str = "json",
     streaming: bool = False,
+    schema: T.StructType | None = None,
 ) -> DataFrame:
     """Schema-on-read scan of a landed event log (S5).
 
     PERMISSIVE parse: malformed lines survive as rows with only the
     corrupt-record column set — split them off with ``split_corrupt``
     instead of failing the pipeline (errors.tolerance=all).
+
+    Pass an explicit ``schema`` (e.g. ``schemas.merge_schemas(old, new)``)
+    to read a log that spans an upstream schema change: files written
+    before the added column parse with NULL there, newer files populate
+    it — additive evolution without rewriting history.
     """
-    schema = event_schema(entity)
+    if schema is None:
+        schema = event_schema(entity)
     reader = spark.readStream if streaming else spark.read
     if fmt != "json":
         return reader.schema(schema).format(fmt).load(path)
@@ -102,6 +109,42 @@ def write_event_log(
         .mode(mode)
         .save(path)
     )
+
+
+def replay_dlq(
+    spark: SparkSession,
+    dlq_path: str,
+    schema: T.StructType,
+) -> tuple[DataFrame, DataFrame]:
+    """Re-parse quarantined raw lines with a corrected/evolved schema.
+
+    The DLQ keeps the ORIGINAL bytes (the corrupt-record column), so
+    nothing is lost at quarantine time; once the schema is fixed (a
+    misdeclared type, or ``merge_schemas`` after an upstream change) the
+    backlog replays through the same parse path. Returns (recovered,
+    still_bad) — re-run until still_bad is only true poison.
+    """
+    if CORRUPT_COL not in [f.name for f in schema.fields]:
+        schema = T.StructType(list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)])
+    # text scan + JSON-path extraction (selecting only a column named like
+    # the corrupt-record column from a raw JSON scan is disallowed —
+    # QUERY_ONLY_CORRUPT_RECORD_COLUMN — same reason as read_event_log)
+    raw = spark.read.format("text").load(dlq_path).select(
+        F.get_json_object("value", f"$.{CORRUPT_COL}").alias("_raw")
+    )
+    parsed = raw.select(
+        F.from_json(
+            F.col("_raw"),
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("_p"),
+        "_raw",
+    ).select("_p.*", "_raw")
+    recovered = parsed.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL, "_raw")
+    still_bad = parsed.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col("_raw").alias(CORRUPT_COL)
+    )
+    return recovered, still_bad
 
 
 def compact_event_log(

@@ -109,3 +109,78 @@ def test_compact_event_log_collapses_small_files(spark, tmp_path):
     after = spark.read.parquet(compacted)
     assert before.count() == after.count()
     assert before.exceptAll(after).count() == 0
+
+
+def test_schema_evolution_additive_column(spark, tmp_path):
+    """A column added upstream mid-stream: reading the whole log with the
+    merged schema gives NULL for pre-change rows and values after."""
+    import json as jsonlib
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from cdc_streaming_pipeline_spark.schemas import cdc_event_schema, merge_schemas
+    from cdc_streaming_pipeline_spark.sources.event_log import read_event_log
+
+    src = tmp_path / "src"
+    src.mkdir()
+    v1 = {"id": 1, "name": "alice", "email": "a@x.com", "_op": "c",
+          "_table": "customer", "_lsn": "001"}
+    v2 = {"id": 2, "name": "bob", "email": "b@x.com", "loyalty_tier": "gold",
+          "_op": "c", "_table": "customer", "_lsn": "002"}
+    (src / "old.json").write_text(jsonlib.dumps(v1) + "\n")
+    (src / "new.json").write_text(jsonlib.dumps(v2) + "\n")
+
+    old_schema = cdc_event_schema("customer", with_corrupt=True)
+    added = T.StructType([T.StructField("loyalty_tier", T.StringType(), True)])
+    merged = merge_schemas(old_schema, added)
+    log = read_event_log(spark, str(src), schema=merged)
+    rows = {r.id: r.loyalty_tier for r in log.select("id", "loyalty_tier").collect()}
+    assert rows == {1: None, 2: "gold"}
+    # nothing lands in the DLQ — the unknown key was evolution, not corruption
+    assert log.filter(F.col("_corrupt_record").isNotNull()).count() == 0
+
+    # a type CHANGE is a breaking migration, not evolution
+    conflicting = T.StructType([T.StructField("email", T.IntegerType(), True)])
+    try:
+        merge_schemas(old_schema, conflicting)
+        raise AssertionError("expected TypeError on type conflict")
+    except TypeError:
+        pass
+
+
+def test_replay_dlq_recovers_after_schema_fix(spark, tmp_path):
+    """Rows quarantined under a misdeclared schema replay cleanly once the
+    schema is corrected; true poison stays in the DLQ."""
+    import json as jsonlib
+
+    from pyspark.sql import types as T
+
+    from cdc_streaming_pipeline_spark.schemas import CORRUPT_COL
+    from cdc_streaming_pipeline_spark.sources.event_log import replay_dlq
+
+    dlq = tmp_path / "dlq"
+    dlq.mkdir()
+    # as the pipeline writes it: one JSON object per line, raw original text
+    # in the corrupt-record column
+    good_line = jsonlib.dumps({"id": 7, "code": "A-1", "_op": "c",
+                               "_table": "customer", "_lsn": "001"})
+    poison_line = "BROKEN {"
+    (dlq / "part-0.json").write_text(
+        jsonlib.dumps({CORRUPT_COL: good_line}) + "\n"
+        + jsonlib.dumps({CORRUPT_COL: poison_line}) + "\n"
+    )
+    # the original pipeline schema declared `code` as INT (the quarantine
+    # reason); the corrected schema declares STRING
+    fixed = T.StructType([
+        T.StructField("id", T.IntegerType(), True),
+        T.StructField("code", T.StringType(), True),
+        T.StructField("_op", T.StringType(), True),
+        T.StructField("_table", T.StringType(), True),
+        T.StructField("_lsn", T.StringType(), True),
+    ])
+    recovered, still_bad = replay_dlq(spark, str(dlq), fixed)
+    rows = recovered.collect()
+    assert len(rows) == 1 and rows[0].code == "A-1" and rows[0].id == 7
+    bad = still_bad.collect()
+    assert len(bad) == 1 and bad[0][CORRUPT_COL] == poison_line

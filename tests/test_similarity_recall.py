@@ -142,3 +142,24 @@ def test_embedding_near_dup_lsh_matches_exact(spark):
     assert approx <= exact  # no false positives (exact verify step)
     recall = len(exact & approx) / max(len(exact), 1)
     assert recall >= 0.8, f"near-dup LSH recall {recall:.2f}"
+
+
+def test_connected_components_no_edges_all_singletons(spark):
+    from cdc_streaming_pipeline_spark.operators import cluster as cl
+
+    emb = _emb(spark).limit(20)
+    empty_edges = spark.createDataFrame([], "id_a long, id_b long")
+    got = {r.vec_id: r.cluster_id for r in cl.connected_components(empty_edges, emb).collect()}
+    assert got == {r.vec_id: r.vec_id for r in emb.select("vec_id").collect()}
+
+
+def test_pack_sequences_respects_capacity_and_oversize(spark):
+    from cdc_streaming_pipeline_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 700), (3, 300), (4, 250), (5, 10)], "doc_id long, n_tokens long"
+    )
+    rows = {r.doc_id: r.pack_id for r in pack_sequences(df, capacity=512).collect()}
+    # doc2 is oversize (clamped to 512): starts at offset 100 -> bin 0 full;
+    # doc3 starts at 612 -> bin 1; doc4 at 912 -> bin 1; doc5 at 1162 -> bin 2
+    assert rows == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2}
