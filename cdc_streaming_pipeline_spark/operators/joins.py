@@ -1,0 +1,142 @@
+"""Custom join operators Spark lacks as built-ins: AS-OF (point-in-time)
+join, range (interval) join, and salted join for extreme key skew.
+
+Each is a composition of existing DataFrame ops chosen for its shuffle
+shape at 100 TB — the naive formulations (inequality theta-joins, hot-key
+shuffles) degrade to nested loops or straggler tasks; these do not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    how: str = "left",
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Point-in-time join: for each left row, the most recent right row
+    with ``right_ts <= left_ts`` on the same key (inclusive at equality).
+
+    Union-window design: tag both sides, union, ONE window over
+    (key, ts, side) carrying the last-seen right payload forward, keep the
+    left rows. Cost is a single shuffle on the key — no per-left-row
+    candidate set, no inequality join, no explosion when a key has
+    thousands of right versions (the classic join-then-rank formulation
+    is quadratic there). Right rows must be unique per (key, ts) for a
+    deterministic answer — pre-aggregate if they are not.
+    """
+    l_struct = F.struct(*[F.col(c) for c in left.columns])
+    r_struct = F.struct(*[F.col(c) for c in right.columns])
+    r_type = T.StructType(right.schema.fields)
+    l_type = T.StructType(left.schema.fields)
+    l = left.select(
+        F.col(left_key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        l_struct.alias("_l"),
+        F.lit(None).cast(r_type).alias("_r"),
+    )
+    r = right.select(
+        F.col(right_key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l_type).alias("_l"),
+        r_struct.alias("_r"),
+    )
+    w = Window.partitionBy("_k").orderBy(
+        F.col("_ts").asc(), F.col("_side").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled = l.unionByName(r).withColumn("_rv", F.last("_r", ignorenulls=True).over(w))
+    out = filled.filter(F.col("_side") == 1)
+    if how == "inner":
+        out = out.filter(F.col("_rv").isNotNull())
+    elif how != "left":
+        raise ValueError(f"asof_join supports how='left'|'inner', got {how!r}")
+    cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
+    cols += [F.col(f"_rv.{c}").alias(f"{prefix}{c}") for c in right.columns]
+    return out.select(*cols)
+
+
+def range_join_buckets(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    start_col: str,
+    end_col: str,
+    on: Column | None = None,
+    granule: str = "1 day",
+) -> DataFrame:
+    """Interval join (left.ts ∈ [right.start, right.end]) as an EQUI-join.
+
+    A raw inequality join has no hashable key — Spark falls back to
+    broadcast-nested-loop, O(|L|·|R|) at scale. Bucketing time into
+    granules fixes it: each interval explodes to the granules it covers,
+    each left row maps to its one granule, the join key is (granule [+ any
+    extra equi-keys in ``on``]), and the exact containment predicate
+    filters the candidates. Cost scales with true overlap density ×
+    interval-length/granule (the replication factor — pick the granule
+    near the median interval length).
+    """
+    g = F.unix_timestamp
+    amount_s, unit = granule.split()
+    unit_seconds = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+    gsec = F.lit(int(amount_s) * unit_seconds[unit.rstrip("s")])
+    lg = left.withColumn("_g", F.floor(g(F.col(left_ts)) / gsec))
+    rg = right.withColumn(
+        "_g",
+        F.explode(
+            F.sequence(
+                F.floor(g(F.col(start_col)) / gsec),
+                F.floor(g(F.col(end_col)) / gsec),
+            )
+        ),
+    )
+    cond = lg["_g"] == rg["_g"]
+    if on is not None:
+        cond = cond & on
+    return (
+        lg.join(rg, cond)
+        .filter(
+            (F.col(left_ts) >= F.col(start_col)) & (F.col(left_ts) <= F.col(end_col))
+        )
+        .drop("_g")
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to EXTREME key skew (beyond what AQE's
+    skew-join splitting handles): the big/skewed left side gets a
+    deterministic salt from its row content, the right side replicates
+    each row across all salts, and the join key becomes (key, salt) — a
+    hot key's rows spread over ``n_salts`` tasks instead of one
+    straggler. Right-side cost is n_salts× replication: use for
+    big⋈medium joins where one left key dominates.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    lsalted = left.withColumn("_salt", salt)
+    rsalted = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = lsalted.join(
+        rsalted,
+        (lsalted[left_key] == rsalted[right_key]) & (lsalted["_salt"] == rsalted["_salt"]),
+        how,
+    )
+    return out.drop("_salt")

@@ -157,6 +157,59 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_asof_order_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic AS-OF join surface: each event enriched with the customer's
+    most recent order (by order date) as of the event time. Right side is
+    pre-aggregated to one row per (customer, date) so the point-in-time
+    answer is unique; the operator is the union-window composition in
+    operators/joins.py (one shuffle, no candidate explosion)."""
+    from cdc_streaming_pipeline_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders")
+    latest_per_day = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("o_orderkey"),
+        F.round(F.max("o_totalprice"), 2).alias("o_totalprice"),
+    )
+    out = asof_join(
+        ev, latest_per_day,
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_o_orderkey").alias("asof_orderkey"),
+        F.col("asof_o_totalprice").alias("asof_total"),
+    )
+
+
+def events_in_purchase_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-join surface: view events falling within 1 hour after the
+    same user's purchase — interval containment turned into an equi-join
+    on (user, time-granule) with exact post-filter (operators/joins.py)."""
+    from cdc_streaming_pipeline_spark.operators.joins import range_join_buckets
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 hour")).alias("win_end"),
+    )
+    joined = range_join_buckets(
+        views, purchases,
+        left_ts="ts", start_col="win_start", end_col="win_end",
+        on=F.col("user_id") == F.col("p_user"),
+        granule="1 hour",
+    )
+    return joined.groupBy("user_id").agg(
+        F.count("*").alias("n_view_purchase_pairs"),
+        F.countDistinct("purchase_id").alias("n_purchases_with_views"),
+    )
+
+
 def approx_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-user sketch per event type — the cardinality
     path that replaces COUNT(DISTINCT) at 100 TB (mergeable partial
@@ -197,6 +250,8 @@ QUERIES = {
     "events_json_props": events_json_props,
     "approx_users_per_type": approx_users_per_type,
     "approx_value_quantiles": approx_value_quantiles,
+    "events_asof_order_state": events_asof_order_state,
+    "events_in_purchase_windows": events_in_purchase_windows,
 }
 
 ORACLE = {
@@ -272,3 +327,33 @@ ORACLE = {
         FROM events GROUP BY event_type
     """,
 }
+
+# DuckDB has a native ASOF JOIN — the oracle uses it directly, which also
+# cross-validates our union-window composition against an independent
+# point-in-time implementation.
+ORACLE["events_asof_order_state"] = """
+    WITH latest_per_day AS (
+        SELECT o_custkey, o_orderdate,
+               MAX(o_orderkey) AS o_orderkey,
+               ROUND(MAX(o_totalprice), 2) AS o_totalprice
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id,
+           o.o_orderkey AS asof_orderkey,
+           o.o_totalprice AS asof_total
+    FROM events e
+    ASOF LEFT JOIN latest_per_day o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+ORACLE["events_in_purchase_windows"] = """
+    SELECT v.user_id,
+           COUNT(*) AS n_view_purchase_pairs,
+           COUNT(DISTINCT p.event_id) AS n_purchases_with_views
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+    JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND v.ts >= p.ts
+     AND v.ts <= p.ts + INTERVAL 1 HOUR
+    GROUP BY v.user_id
+"""

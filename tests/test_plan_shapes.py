@@ -124,3 +124,17 @@ def test_bucketed_join_needs_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must not change join semantics — only the key distribution."""
+    from cdc_streaming_pipeline_spark.operators.joins import salted_join
+    from cdc_streaming_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    plain = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    salted = salted_join(li, orders, "l_orderkey", "o_orderkey", n_salts=4)
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
