@@ -236,6 +236,26 @@ def approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-type HLL sketches UNIONED into the
+    overall distinct-user estimate WITHOUT rescanning the data — the
+    100 TB cardinality pattern (store sketches per partition/day, merge
+    for any slice). Sketch bytes are engine-specific → rows-only in the
+    driver; accuracy asserted in tests/test_sketches.py."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    est = per_type.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    overall = per_type.agg(
+        F.lit("__all__").alias("event_type"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+    )
+    return est.unionByName(overall)
+
+
 QUERIES = {
     "count_star_events": count_star_events,
     "first_events": first_events,
@@ -252,6 +272,7 @@ QUERIES = {
     "approx_value_quantiles": approx_value_quantiles,
     "events_asof_order_state": events_asof_order_state,
     "events_in_purchase_windows": events_in_purchase_windows,
+    "hll_users_rollup": hll_users_rollup,
 }
 
 ORACLE = {

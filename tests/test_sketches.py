@@ -49,3 +49,16 @@ def test_approx_quantiles_rank_accuracy(spark):
             assert phi - slack <= cdf <= phi + slack + 1e-9, (
                 f"{t} φ={phi}: value {a} sits at cdf {cdf:.4f} (n={n})"
             )
+
+
+def test_hll_rollup_merge_matches_exact_overall(spark):
+    """The unioned per-type sketches must estimate the OVERALL distinct
+    count within HLL error — merging sketches is what makes them useful."""
+    from cdc_streaming_pipeline_spark.plans.events import hll_users_rollup
+
+    rows = {r.event_type: r.approx_users for r in hll_users_rollup(spark, SF_DIR).collect()}
+    ev = load_table(spark, SF_DIR, "events")
+    exact_overall = ev.select("user_id").distinct().count()
+    assert "__all__" in rows
+    rel = abs(rows["__all__"] - exact_overall) / max(exact_overall, 1)
+    assert rel <= 0.05, f"merged estimate {rows['__all__']} vs exact {exact_overall}"
