@@ -213,6 +213,81 @@ def corpus_top_bigrams(df: DataFrame, k: int = 50, text_col: str = "text") -> Da
     )
 
 
+def contamination_scores(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: fraction of each document's word
+    n-grams that appear ANYWHERE in the benchmark set (eval-set leakage
+    detection for pretraining corpora).
+
+    Plan shape: the benchmark's distinct shingles are a (hashed) set —
+    tiny next to the corpus, broadcast by AQE — left-joined against the
+    corpus's exploded shingles; containment = matched/total per doc. The
+    corpus side is one explode + one groupBy; no pairwise comparison with
+    individual benchmark docs ever happens.
+    """
+    from cdc_streaming_pipeline_spark.operators.dedup import _shingle_hash_frame
+
+    docs = _shingle_hash_frame(df, text_col, id_col, shingle_size)
+    bench = (
+        _shingle_hash_frame(benchmark, text_col, id_col, shingle_size)
+        .select(F.explode("sh_h").alias("sh"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    inv = docs.select("_id", F.explode("sh_h").alias("sh"))
+    return (
+        inv.join(bench, "sh", "left")
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_shingles",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated").cast("double") / F.col("n_shingles").cast("double"), 4
+            ).alias("contamination"),
+        )
+    )
+
+
+def perplexity_proxy_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram perplexity proxy: mean −ln p(token) per document, with
+    p estimated from the corpus itself — the cheap LM-based quality
+    filter (high score = improbable token soup, low = repetitive).
+
+    One explode feeds both the frequency table (map-side-combined groupBy)
+    and the per-doc join; the corpus token total rides along as a
+    broadcast single-row aggregate. All arithmetic is JVM-side."""
+    toked = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(normalize_ws(F.col(text_col)))).alias("term"),
+    )
+    freq = toked.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = toked.agg(F.count("*").alias("n_total"))
+    return (
+        toked.join(freq, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("cnt").cast("double") / F.col("n_total").cast("double"))), 4
+            ).alias("nll_per_token"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints: md5 of whitespace-normalized text (exact-dup
     key) and md5 of the sorted distinct token set (bag-of-words key,

@@ -184,6 +184,21 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cl.connected_components(edges, emb, id_col="vec_id")
 
 
+def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set leakage check: per-doc fraction of 3-gram shingles present
+    in the benchmark set (stand-in: every 97th document)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return tx.contamination_scores(docs, bench)
+
+
+def doc_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality filter: mean −ln p(token) per document with
+    corpus-estimated probabilities."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.perplexity_proxy_scores(docs)
+
+
 def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-pretraining sequence packing: assign docs (in id order) to
     512-token training sequences via chunked cumulative sums."""
@@ -274,6 +289,8 @@ QUERIES = {
     "doc_quantiles_by_lang": doc_quantiles_by_lang,
     "near_dup_clusters": near_dup_clusters,
     "doc_pii_scan": doc_pii_scan,
+    "doc_contamination": doc_contamination,
+    "doc_perplexity_proxy": doc_perplexity_proxy,
     "pack_documents": pack_documents,
     "ann_topk_ivf": ann_topk_ivf,
     "media_decode_features": media_decode_features,
@@ -607,4 +624,43 @@ ORACLE["media_audio_chunks"] = """
            CAST(chunk_idx * 64 AS BIGINT) AS start_sample,
            LEAST(64, total - chunk_idx * 64) AS n_samples
     FROM chunks
+"""
+
+# Spark matches on 64-bit shingle hashes, the oracle on the strings —
+# identical counts modulo hash collisions (same argument as
+# ngram_jaccard_pairs' oracle).
+ORACLE["doc_contamination"] = r"""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+        FROM (SELECT doc_id,
+                     string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                                        '\s+') AS t
+              FROM documents)
+        WHERE len(t) > 0
+    ), bench AS (
+        SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0
+    )
+    SELECT s.doc_id,
+           COUNT(*) AS n_shingles,
+           COUNT(b.g) AS n_contaminated,
+           ROUND(COUNT(b.g)::DOUBLE / COUNT(*)::DOUBLE, 4) AS contamination
+    FROM sh s LEFT JOIN bench b ON s.g = b.g
+    GROUP BY s.doc_id
+"""
+
+ORACLE["doc_perplexity_proxy"] = f"""
+    WITH toked AS (
+        SELECT doc_id, unnest({_NORM_TOKS}) AS term FROM documents
+    ), freq AS (
+        SELECT term, COUNT(*) AS cnt FROM toked GROUP BY 1
+    ), tot AS (
+        SELECT COUNT(*) AS n_total FROM toked
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(AVG(-ln(cnt::DOUBLE / n_total::DOUBLE)), 4) AS nll_per_token
+    FROM toked JOIN freq USING (term) CROSS JOIN tot
+    GROUP BY doc_id
 """
