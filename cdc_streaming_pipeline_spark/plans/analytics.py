@@ -368,6 +368,56 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): per-returnflag and
+    per-linestatus totals in one pass, never the cross product."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_items,
+               {sql_dsum('l_quantity')} AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT surface: order counts by priority × status as columns
+    (explicit value list keeps the schema static)."""
+    orders = load_table(spark, sf_dir, "orders")
+    statuses = ["F", "O", "P"]
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s}") for s in statuses],
+        )
+    )
+
+
+def sql_text_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-SQL entry path: the engine's surface is equally available
+    as SQL text over registered views — same Catalyst plan as the
+    DataFrame twin (q5), different front door."""
+    from cdc_streaming_pipeline_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT n_name, COUNT(*) AS n_lineitems,
+               {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -390,6 +440,9 @@ QUERIES = {
     "q19_or_predicate_revenue": q19_or_predicate_revenue,
     "q22_idle_customers": q22_idle_customers,
     "customer_order_gaps": customer_order_gaps,
+    "grouping_sets_revenue": grouping_sets_revenue,
+    "order_status_pivot": order_status_pivot,
+    "sql_text_revenue_by_nation": sql_text_revenue_by_nation,
 }
 
 ORACLE = {
@@ -592,5 +645,27 @@ ORACLE = {
                MAX(gap_days) AS max_gap_days
         FROM gaps WHERE gap_days IS NOT NULL
         GROUP BY o_custkey
+    """,
+    "grouping_sets_revenue": """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_items,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    "order_status_pivot": """
+        SELECT o_orderpriority,
+               COUNT(*) FILTER (o_orderstatus = 'F') AS n_F,
+               COUNT(*) FILTER (o_orderstatus = 'O') AS n_O,
+               COUNT(*) FILTER (o_orderstatus = 'P') AS n_P
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "sql_text_revenue_by_nation": """
+        SELECT n_name, COUNT(*) AS n_lineitems,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
     """,
 }
