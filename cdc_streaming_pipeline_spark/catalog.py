@@ -74,6 +74,16 @@ def refresh_table(spark: SparkSession, qualified: str) -> None:
     spark.sql(f"REFRESH TABLE {qualified}")
 
 
+def recover_partitions(spark: SparkSession, qualified: str) -> None:
+    """Register the Hive-style partition directories of an external table
+    with the catalog (MSCK REPAIR). A partitioned external table declared
+    over landed files sees ZERO rows until its partitions are recovered —
+    the same step the reference's Hive DDL needs after the connector lands
+    new partition dirs (cdc_pipeline_dag.py:358-387). Run again after
+    out-of-band appends create new partitions."""
+    spark.sql(f"MSCK REPAIR TABLE {qualified}")
+
+
 _STATUS_SCHEMA = T.StructType(
     [
         T.StructField("check", T.StringType(), False),

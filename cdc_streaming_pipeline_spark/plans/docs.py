@@ -233,36 +233,52 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cl.ivf_topk(emb, queries, k=ANN_K, n_clusters=16, n_probe=8)
 
 
-def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: synthesize binary media from documents, run the
-    Arrow-batched decode stub, return content stats (sha256-checkable)."""
+def media_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal IMAGE path end-to-end in one plan: synthesize binary
+    media, Arrow-batched decode stub (payload size + sha256 content hash),
+    aspect-preserving resize dims (JVM) + the content-addressed fake resize
+    kernel. Covers both image-side mapInPandas kernels (decode_media,
+    resize_media) in one driver-gate slot."""
     docs = load_table(spark, sf_dir, "documents")
-    media = mm.synthesize_media(docs)
-    return mm.decode_media(media, deterministic_fake=True).select(
-        "media_id", "kind", "n_bytes", "content_hash"
+    images = mm.synthesize_media(docs).filter(F.col("kind") == "image")
+    decoded = mm.decode_media(images, deterministic_fake=True).select(
+        "media_id", "n_bytes", "content_hash"
+    )
+    resized = mm.resize_media(images, max_side=256, deterministic_fake=True)
+    return decoded.join(resized, "media_id").select(
+        "media_id",
+        "n_bytes",
+        "content_hash",
+        "src_width",
+        "src_height",
+        "dst_width",
+        "dst_height",
+        "resized_hash",
     )
 
 
-def media_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-resize plumbing: aspect-preserving target dims (JVM) + the
-    content-addressed fake kernel (Arrow batches) — real pixel work is the
-    documented codec integration point."""
+def media_av_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunk layout + video frame sampling unioned into one typed
+    (media_id, kind, seq_idx, start_off, n_units) frame — covers
+    chunk_audio and frame_sample (both JVM-side layout plans) in one
+    driver-gate slot."""
     docs = load_table(spark, sf_dir, "documents")
-    return mm.resize_media(mm.synthesize_media(docs), max_side=256, deterministic_fake=True)
-
-
-def media_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio-chunking plumbing: fixed-size sample windows from typed
-    metadata; layout is computed JVM-side, slicing belongs to the decoder."""
-    docs = load_table(spark, sf_dir, "documents")
-    return mm.chunk_audio(mm.synthesize_media(docs), samples_per_chunk=64)
-
-
-def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plumbing for video rows: every-10th frame index from
-    typed metadata (real frame extraction = the decode stub's job)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return mm.frame_sample(mm.synthesize_media(docs), every_n=10)
+    media = mm.synthesize_media(docs)
+    audio = mm.chunk_audio(media, samples_per_chunk=64).select(
+        "media_id",
+        F.lit("audio").alias("kind"),
+        F.col("chunk_idx").cast("long").alias("seq_idx"),
+        F.col("start_sample").cast("long").alias("start_off"),
+        F.col("n_samples").cast("long").alias("n_units"),
+    )
+    video = mm.frame_sample(media, every_n=10).select(
+        "media_id",
+        F.lit("video").alias("kind"),
+        F.floor(F.col("frame_idx") / 10).cast("long").alias("seq_idx"),
+        F.col("frame_idx").cast("long").alias("start_off"),
+        F.lit(1).cast("long").alias("n_units"),
+    )
+    return audio.unionByName(video)
 
 
 QUERIES = {
@@ -278,7 +294,10 @@ QUERIES = {
     "embedding_norms": embedding_norms,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_lsh": ann_topk_lsh,
-    "embedding_near_dup_exact": embedding_near_dup_exact,
+    # embedding_near_dup_exact is deliberately NOT registered: it is the
+    # broadcast-bounded test baseline (tests/test_similarity_recall.py);
+    # the registered exact primary is the distributed blocked GEMM below,
+    # which shares its oracle SQL verbatim.
     "embedding_near_dup_blocked": embedding_near_dup_blocked,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
@@ -293,16 +312,31 @@ QUERIES = {
     "doc_perplexity_proxy": doc_perplexity_proxy,
     "pack_documents": pack_documents,
     "ann_topk_ivf": ann_topk_ivf,
-    "media_decode_features": media_decode_features,
-    "media_resize_dims": media_resize_dims,
-    "media_audio_chunks": media_audio_chunks,
-    "media_frame_sample": media_frame_sample,
+    "media_image_pipeline": media_image_pipeline,
+    "media_av_chunks": media_av_chunks,
 }
 
 # DuckDB-side replicas. Shared fragments:
 _TOKS = "string_split_regex(trim(text), '\\s+')"
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _NORM_TOKS = f"string_split_regex(trim({_NORM}), '\\s+')"
+
+# Exact cosine near-dup SQL — shared by the blocked-GEMM oracle (the
+# blocked operator IS exact; only the distribution strategy differs) and by
+# the connected-components oracle's edge set. The broadcast baseline
+# (cosine_near_dup_exact) is test-only, so this is not registered per se.
+_NEAR_DUP_EXACT_SQL = f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.ev, b.ev)
+                 / (sqrt(list_sum(list_transform(a.ev, x -> x*x)))
+                    * sqrt(list_sum(list_transform(b.ev, x -> x*x)))), 4) AS cosine
+    FROM v a, v b
+    WHERE a.vec_id < b.vec_id
+      AND ROUND(list_dot_product(a.ev, b.ev)
+                / (sqrt(list_sum(list_transform(a.ev, x -> x*x)))
+                   * sqrt(list_sum(list_transform(b.ev, x -> x*x)))), 4) >= {NEAR_DUP_COSINE}
+"""
 
 ORACLE = {
     "doc_token_stats": f"""
@@ -420,29 +454,53 @@ ORACLE = {
             FROM sims
         ) WHERE rank <= {ANN_K}
     """,
-    "embedding_near_dup_exact": f"""
-        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               ROUND(list_dot_product(a.ev, b.ev)
-                     / (sqrt(list_sum(list_transform(a.ev, x -> x*x)))
-                        * sqrt(list_sum(list_transform(b.ev, x -> x*x)))), 4) AS cosine
-        FROM v a, v b
-        WHERE a.vec_id < b.vec_id
-          AND ROUND(list_dot_product(a.ev, b.ev)
-                    / (sqrt(list_sum(list_transform(a.ev, x -> x*x)))
-                       * sqrt(list_sum(list_transform(b.ev, x -> x*x)))), 4) >= {NEAR_DUP_COSINE}
+    "media_image_pipeline": """
+        WITH img AS (
+            SELECT doc_id AS media_id, text,
+                   octet_length(encode(text)) AS n_bytes,
+                   sha256(text) AS content_hash,
+                   CAST(n_chars % 1920 AS INT) AS src_width,
+                   CAST(n_chars % 1080 AS INT) AS src_height
+            FROM documents WHERE doc_id % 3 = 0
+        ), dims AS (
+            SELECT media_id, text, n_bytes, content_hash, src_width, src_height,
+                   LEAST(256.0 / GREATEST(src_width, src_height, 1), 1.0) AS scale
+            FROM img
+        )
+        SELECT media_id, n_bytes, content_hash, src_width, src_height,
+               GREATEST(CAST(floor(src_width * scale) AS INT), 1) AS dst_width,
+               GREATEST(CAST(floor(src_height * scale) AS INT), 1) AS dst_height,
+               sha256(text || '|' ||
+                   GREATEST(CAST(floor(src_width * scale) AS INT), 1) || 'x' ||
+                   GREATEST(CAST(floor(src_height * scale) AS INT), 1)) AS resized_hash
+        FROM dims
     """,
-    "media_decode_features": """
-        SELECT doc_id AS media_id,
-               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-               octet_length(encode(text)) AS n_bytes,
-               sha256(text) AS content_hash
-        FROM documents
-    """,
-    "media_frame_sample": """
-        SELECT doc_id AS media_id,
-               unnest(generate_series(0, greatest((n_chars % 300) - 1, 0), 10)) AS frame_idx
-        FROM documents WHERE doc_id % 3 = 2
+    "media_av_chunks": """
+        WITH audio AS (
+            SELECT doc_id AS media_id,
+                   CAST(floor(octet_length(encode(text)) / 2.0) AS BIGINT) AS total
+            FROM documents WHERE doc_id % 3 = 1
+        ), chunks AS (
+            SELECT media_id, total,
+                   unnest(generate_series(0,
+                       GREATEST(CAST(ceil(total / 64.0) AS INT) - 1, 0))) AS chunk_idx
+            FROM audio
+        ), frames AS (
+            SELECT doc_id AS media_id,
+                   unnest(generate_series(0, greatest((n_chars % 300) - 1, 0), 10)) AS frame_idx
+            FROM documents WHERE doc_id % 3 = 2
+        )
+        SELECT media_id, 'audio' AS kind,
+               CAST(chunk_idx AS BIGINT) AS seq_idx,
+               CAST(chunk_idx * 64 AS BIGINT) AS start_off,
+               LEAST(64, total - chunk_idx * 64) AS n_units
+        FROM chunks
+        UNION ALL
+        SELECT media_id, 'video' AS kind,
+               CAST(floor(frame_idx / 10.0) AS BIGINT) AS seq_idx,
+               CAST(frame_idx AS BIGINT) AS start_off,
+               CAST(1 AS BIGINT) AS n_units
+        FROM frames
     """,
     # identical semantics to the exact baseline (the blocked operator IS
     # exact — only the distribution strategy differs), so the oracle SQL
@@ -460,7 +518,7 @@ ORACLE = {
     """,
 }
 
-ORACLE["embedding_near_dup_blocked"] = ORACLE["embedding_near_dup_exact"]
+ORACLE["embedding_near_dup_blocked"] = _NEAR_DUP_EXACT_SQL
 
 ORACLE["doc_tfidf_top_terms"] = f"""
     WITH toked AS (
@@ -532,7 +590,7 @@ ORACLE["doc_quantiles_by_lang"] = """
 # exist between near-duplicates), then min reachable id per node.
 ORACLE["near_dup_clusters"] = f"""
     WITH RECURSIVE pairs AS (
-        SELECT id_a, id_b FROM ({ORACLE["embedding_near_dup_exact"]})
+        SELECT id_a, id_b FROM ({_NEAR_DUP_EXACT_SQL})
     ), edges AS (
         SELECT id_a AS a, id_b AS b FROM pairs
         UNION
@@ -585,45 +643,6 @@ ORACLE["pack_documents"] = """
            CAST(floor((cum - LEAST(n_tokens, 512)) / 512) AS BIGINT) AS pack_id,
            CAST(cum AS BIGINT) AS cum_tokens
     FROM c
-"""
-
-# image rows: doc_id % 3 == 0 (synthesize_media kind mapping); dims from
-# n_chars; truncating casts mirrored with floor() on the oracle side.
-ORACLE["media_resize_dims"] = """
-    WITH img AS (
-        SELECT doc_id AS media_id, text,
-               CAST(n_chars % 1920 AS INT) AS src_width,
-               CAST(n_chars % 1080 AS INT) AS src_height
-        FROM documents WHERE doc_id % 3 = 0
-    ), dims AS (
-        SELECT media_id, text, src_width, src_height,
-               LEAST(256.0 / GREATEST(src_width, src_height, 1), 1.0) AS scale
-        FROM img
-    )
-    SELECT media_id, src_width, src_height,
-           GREATEST(CAST(floor(src_width * scale) AS INT), 1) AS dst_width,
-           GREATEST(CAST(floor(src_height * scale) AS INT), 1) AS dst_height,
-           sha256(text || '|' ||
-               GREATEST(CAST(floor(src_width * scale) AS INT), 1) || 'x' ||
-               GREATEST(CAST(floor(src_height * scale) AS INT), 1)) AS resized_hash
-    FROM dims
-"""
-
-ORACLE["media_audio_chunks"] = """
-    WITH audio AS (
-        SELECT doc_id AS media_id,
-               CAST(floor(octet_length(encode(text)) / 2.0) AS BIGINT) AS total
-        FROM documents WHERE doc_id % 3 = 1
-    ), chunks AS (
-        SELECT media_id, total,
-               unnest(generate_series(0,
-                   GREATEST(CAST(ceil(total / 64.0) AS INT) - 1, 0))) AS chunk_idx
-        FROM audio
-    )
-    SELECT media_id, chunk_idx,
-           CAST(chunk_idx * 64 AS BIGINT) AS start_sample,
-           LEAST(64, total - chunk_idx * 64) AS n_samples
-    FROM chunks
 """
 
 # Spark matches on 64-bit shingle hashes, the oracle on the strings —

@@ -17,6 +17,10 @@ user_id ≈ entity key):
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -80,6 +84,58 @@ def time_partition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return with_time_partitions(ev, "ts").groupBy("year", "month", "day", "hour").agg(
         F.count("*").alias("n_events")
+    )
+
+
+def _landed_events_table(spark: SparkSession, sf_dir: str) -> str:
+    """Land the events table through the P1 write path (parquet partitioned
+    by year/month/day/hour from event time) and declare a catalog external
+    table over the directory — the engine twin of the reference's Hive
+    external table over the connector's landed files
+    (cdc_pipeline_dag.py:358-387). Idempotent per (session, sf_dir): the
+    write + DDL run once; every later call reads the catalog table."""
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    table = f"events_landed_{digest}"
+    if spark.catalog.tableExists(table):
+        return table
+    from cdc_streaming_pipeline_spark.catalog import (
+        create_external_table,
+        recover_partitions,
+        refresh_table,
+    )
+    from cdc_streaming_pipeline_spark.sources.event_log import write_event_log
+
+    path = os.path.join(tempfile.gettempdir(), f"cdc_spark_landed_{digest}")
+    ev = load_table(spark, sf_dir, "events")
+    write_event_log(ev, path, fmt="parquet", ts_col="ts", mode="overwrite")
+    create_external_table(spark, table, path, fmt="parquet")
+    recover_partitions(spark, table)  # partition dirs -> catalog, else 0 rows
+    refresh_table(spark, table)
+    return table
+
+
+def events_landed_partition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7+P1 end-to-end: query the LANDED, time-partitioned event log
+    through the catalog (external table over partition directories) with a
+    partition predicate — the morning-hours filter prunes half the hour
+    partitions AT PLANNING TIME (PartitionFilters, no file read for pruned
+    dirs; asserted in tests/test_plan_shapes.py)."""
+    t = spark.table(_landed_events_table(spark, sf_dir))
+    return (
+        t.filter(F.col("hour") < 12)
+        .groupBy("year", "month", "day", "hour")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("year").cast("int").alias("year"),
+            F.col("month").cast("int").alias("month"),
+            F.col("day").cast("int").alias("day"),
+            F.col("hour").cast("int").alias("hour"),
+            "n_events",
+            "sum_value",
+        )
     )
 
 
@@ -263,6 +319,7 @@ QUERIES = {
     "event_type_stats": event_type_stats,
     "latest_event_per_user": latest_event_per_user,
     "time_partition_counts": time_partition_counts,
+    "events_landed_partition_counts": events_landed_partition_counts,
     "hourly_type_windows": hourly_type_windows,
     "user_sessions": user_sessions,
     "insert_key_generation": insert_key_generation,
@@ -304,6 +361,14 @@ ORACLE = {
                EXTRACT(day FROM ts)::INT AS day, EXTRACT(hour FROM ts)::INT AS hour,
                COUNT(*) AS n_events
         FROM events GROUP BY 1, 2, 3, 4
+    """,
+    "events_landed_partition_counts": """
+        SELECT EXTRACT(year FROM ts)::INT AS year, EXTRACT(month FROM ts)::INT AS month,
+               EXTRACT(day FROM ts)::INT AS day, EXTRACT(hour FROM ts)::INT AS hour,
+               COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        FROM events
+        WHERE EXTRACT(hour FROM ts)::INT < 12
+        GROUP BY 1, 2, 3, 4
     """,
     "hourly_type_windows": """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,

@@ -138,3 +138,19 @@ def test_salted_join_equals_plain_join(spark):
     assert salted.count() == plain.count()
     assert salted.exceptAll(plain).count() == 0
     assert plain.exceptAll(salted).count() == 0
+
+
+def test_landed_catalog_scan_prunes_partitions(spark):
+    """Q7+P1 end-to-end: the catalog external table over the partitioned
+    sink must prune hour partitions at PLANNING time (PartitionFilters on
+    the scan), not filter rows after reading every directory."""
+    from cdc_streaming_pipeline_spark.plans.events import (
+        events_landed_partition_counts,
+    )
+
+    plan = _plan(events_landed_partition_counts(spark, SF_DIR))
+    part = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "hour" in part, f"hour predicate not a partition filter: {part}"
+    # the predicate is partition-level only: nothing pushed as a data filter
+    if "PushedFilters: [" in plan:
+        assert "hour" not in plan.split("PushedFilters: [")[1].split("]")[0]
