@@ -61,6 +61,27 @@ def filter_tombstones(df: DataFrame, value_col: str = "value") -> DataFrame:
     return df.filter(F.col(value_col).isNotNull())
 
 
+def emit_tombstones(df: DataFrame, value_col: str = "value", op_field: str = OP_COL) -> DataFrame:
+    """T4 EMIT side — for every delete record, also emit a null-value
+    tombstone record (Debezium ``tombstones.on.delete=true``,
+    cdc_pipeline_dag.py:147), so log-compacting consumers forget the key.
+    Inverse of ``filter_tombstones``:
+    ``filter_tombstones(emit_tombstones(x)) == x`` (round-trip tested in
+    tests/test_cdc_operators.py). Shuffle-free — a filter + union over the
+    same scan. Record ORDER (tombstone directly after its delete) is the
+    sink's concern: Kafka guarantees it per key partition at produce time;
+    unordered file logs rely on the LSN, which the tombstone (by design)
+    does not carry."""
+    v = F.col(value_col)
+    tomb = df.filter(v.getField(op_field) == F.lit("d")).select(
+        *[
+            F.lit(None).cast(df.schema[c].dataType).alias(c) if c == value_col else F.col(c)
+            for c in df.columns
+        ]
+    )
+    return df.unionByName(tomb)
+
+
 def mark_deleted(df: DataFrame) -> DataFrame:
     """T2 — normalize the delete marker to a boolean ``_is_deleted``.
 

@@ -55,6 +55,15 @@ def connected_components(
     # checkpoint the edge list before mirroring it: the union's two
     # branches would otherwise each recompute the (possibly expensive)
     # upstream pair-generation plan
+    id_type = nodes.schema[id_col].dataType.simpleString()
+    if id_type not in {"tinyint", "smallint", "int", "bigint"}:
+        # a lossy cast would silently NULL every label; refuse instead —
+        # callers with string ids should hash them (e.g. xxhash64) first
+        raise TypeError(
+            f"connected_components: id column {id_col!r} is {id_type}; "
+            "labels are min-reduced as longs, so ids must be integral "
+            "(hash non-numeric ids to long first)"
+        )
     edges = edges.select("id_a", "id_b").localCheckpoint(eager=True)
     sym = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
         edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
@@ -62,6 +71,7 @@ def connected_components(
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).cast("long").alias("label")
     ).localCheckpoint(eager=True)
+    changed = 0
     for _ in range(max_iters):
         prop = sym.join(labels, sym["src"] == labels["node"]).select(
             F.col("dst").alias("node"), "label"
@@ -86,6 +96,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed > 0:
+        # pointer jumping converges in O(log diameter) rounds; exhausting
+        # max_iters means the labels returned are NOT a fixed point
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"({changed} labels still changing); raise max_iters"
+        )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
 
 

@@ -19,6 +19,8 @@ aggregate) — no Python UDFs.
 
 from __future__ import annotations
 
+from collections import deque
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -88,6 +90,25 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
     return minhash_signature_from_hashes(shingle_hashes(shingle_col), num_hashes)
 
 
+_SHINGLE_CACHE: deque[DataFrame] = deque()
+_SHINGLE_CACHE_MAX = 4
+
+
+def _persist_bounded(df: DataFrame) -> DataFrame:
+    """``persist()`` with a bounded registry. The shingle frame feeds
+    several joins of ONE returned plan, so it must stay cached while that
+    plan executes — but a long-lived session calling the pair generators
+    repeatedly would otherwise accumulate cached blocks forever (each call
+    persists a fresh frame and no one unpersists). Keep the newest
+    ``_SHINGLE_CACHE_MAX``; evict the oldest (non-blocking — a consumer
+    still running against an evicted frame just recomputes it)."""
+    df = df.persist()
+    _SHINGLE_CACHE.append(df)
+    while len(_SHINGLE_CACHE) > _SHINGLE_CACHE_MAX:
+        _SHINGLE_CACHE.popleft().unpersist(blocking=False)
+    return df
+
+
 def _shingle_hash_frame(
     df: DataFrame, text_col: str, id_col: str, shingle_size: int
 ) -> DataFrame:
@@ -140,10 +161,10 @@ def minhash_lsh_pairs(
     # of the Jaccard verify — persist so the string-heavy shingling runs
     # once, not once per consumer. (Self-joins get ReuseExchange for free;
     # the differently-keyed verify joins do not.)
-    base = (
-        _shingle_hash_frame(df, text_col, id_col, shingle_size)
-        .withColumn("sig", minhash_signature_from_hashes(F.col("sh_h"), num_hashes))
-        .persist()
+    base = _persist_bounded(
+        _shingle_hash_frame(df, text_col, id_col, shingle_size).withColumn(
+            "sig", minhash_signature_from_hashes(F.col("sh_h"), num_hashes)
+        )
     )
     banded = base.select(
         "_id",
@@ -219,7 +240,7 @@ def ngram_jaccard_pairs(
     Jaccard is dominated by stop-shingles anyway. The doc-frequency filter
     is one window over the inverted index — same shuffle the join needs.
     """
-    base = _shingle_hash_frame(df, text_col, id_col, shingle_size).persist()
+    base = _persist_bounded(_shingle_hash_frame(df, text_col, id_col, shingle_size))
     # (persisted: feeds the inverted index and both verify joins)
     inv = base.select("_id", F.explode("sh_h").alias("sh"))
     rare = inv.withColumn(

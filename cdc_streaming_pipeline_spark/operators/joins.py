@@ -128,7 +128,19 @@ def salted_join(
     hot key's rows spread over ``n_salts`` tasks instead of one
     straggler. Right-side cost is n_salts× replication: use for
     big⋈medium joins where one left key dominates.
+
+    Only left-preserving modes are accepted: because the RIGHT side is
+    replicated across every salt, 'right'/'full' outer would emit each
+    unmatched right row n_salts times — silently wrong, so it raises.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join(how={how!r}): right-preserving joins would "
+            f"duplicate unmatched right rows {n_salts}x (the right side is "
+            f"salt-replicated); salt the other side instead. Allowed: {sorted(allowed)}"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
     lsalted = left.withColumn("_salt", salt)
     rsalted = right.withColumn(

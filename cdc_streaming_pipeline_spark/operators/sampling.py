@@ -47,11 +47,15 @@ def hash_bucket_sample(
     )
 
 
+PACK_SHARD_STRIDE = 1 << 40  # shard id lives above bit 40 of pack_id
+
+
 def pack_sequences(
     df: DataFrame,
     capacity: int = 512,
     id_col: str = "doc_id",
     size_col: str = "n_tokens",
+    n_shards: int = 1,
 ) -> DataFrame:
     """Assign documents to fixed-capacity training sequences ("packing").
 
@@ -60,19 +64,37 @@ def pack_sequences(
     multiple — the standard distributed approximation of greedy bin
     packing (exact greedy is inherently sequential; this is one window
     cumsum, deterministic, and within one oversize-doc of greedy's bin
-    count). Documents longer than the capacity get a bin of their own;
-    the id ordering makes packs stable across engines and reruns.
+    count). A document contributes at most ``capacity`` to the running
+    total and is assigned to the bin of its START offset — so an oversize
+    document fills (and may share) that bin rather than getting a private
+    one; consumers clip/split it at load time. The id ordering makes packs
+    stable across engines and reruns.
 
-    At scale the single global window is the bottleneck dial: partition
-    the cumsum by a coarse shard key (e.g. md5 bucket) to pack within
-    shards concurrently — bin quality is unchanged, only bin ids shard.
+    ``n_shards > 1`` is the scale path: rows are sharded by the
+    engine-portable md5 bucket of their id and the cumsum window is
+    PARTITIONED by shard, so shards pack concurrently (no global sort, no
+    single-task window — the plan shows no Exchange SinglePartition).
+    pack_id = shard * 2^40 + shard-local bin, keeping ids disjoint without
+    any cross-shard coordination; cum_tokens is shard-local. Bin-fill
+    invariants are per-shard identical to the global form (asserted in
+    tests/test_sampling_pack.py); per-shard bin counts add at most one
+    underfull tail bin each, so choose n_shards ≈ cluster parallelism,
+    orders of magnitude below the bin count at 100 TB.
     """
-    w = Window.orderBy(F.col(id_col).asc()).rowsBetween(
+    eff = F.least(F.col(size_col), F.lit(capacity))
+    shard = (
+        md5_bucket(F.col(id_col), n_shards).cast("long")
+        if n_shards > 1
+        else F.lit(0).cast("long")
+    )
+    out = df.withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy(F.col(id_col).asc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = F.sum(F.least(F.col(size_col), F.lit(capacity))).over(w)
-    return df.withColumn(
-        "pack_id", F.floor((cum - F.least(F.col(size_col), F.lit(capacity))) / capacity)
+    cum = F.sum(eff).over(w)
+    return out.withColumn(
+        "pack_id",
+        F.col("shard") * PACK_SHARD_STRIDE + F.floor((cum - eff) / capacity),
     ).withColumn("cum_tokens", cum)
 
 

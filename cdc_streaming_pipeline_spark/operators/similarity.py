@@ -28,6 +28,7 @@ Hyperplanes come from a fixed numpy seed → fully deterministic.
 from __future__ import annotations
 
 import math
+import warnings
 from collections.abc import Iterator
 
 import numpy as np
@@ -230,7 +231,12 @@ def _auto_lsh_params(threshold: float, target_recall: float = 0.98, max_tables: 
     sparser buckets (random-pair collision 2⁻ᵇ per table) for only linear
     extra tables, so selective thresholds get 16-20 bits while unselective
     ones (θ→π/2) fall back to 4. Guarantees recall ≥ target AT the
-    threshold; pairs above it collide strictly more often.
+    threshold WHEN a configuration fits max_tables; pairs above the
+    threshold collide strictly more often. For thresholds so unselective
+    that even 4 bits can't reach the target within max_tables (θ near π/2,
+    e.g. threshold ≈ 0), it falls back to (4, max_tables) and WARNS —
+    best-effort recall, and a regime where bucketing can't prune anyway,
+    so prefer the exact blocked-GEMM operator there.
     """
     p_bit = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
     for b in (20, 16, 12, 10, 8, 6, 4):
@@ -240,6 +246,14 @@ def _auto_lsh_params(threshold: float, target_recall: float = 0.98, max_tables: 
         n_tables = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p1))
         if n_tables <= max_tables:
             return b, max(1, n_tables)
+    warnings.warn(
+        f"_auto_lsh_params: no (n_bits, n_tables<={max_tables}) reaches "
+        f"recall {target_recall} at threshold {threshold}; falling back to "
+        f"(4, {max_tables}) with LOWER-than-target recall. This regime "
+        "(unselective threshold) cannot be pruned by LSH — consider "
+        "cosine_near_dup_blocked (exact, distributed) instead.",
+        stacklevel=2,
+    )
     return 4, max_tables
 
 

@@ -191,30 +191,44 @@ def cdc_demux_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return demux(wide, "customer").select("id", "name", "email", OP_COL, LSN_COL)
 
 
-def cdc_state_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+_CUTOFF_CACHE: dict[str, int] = {}
+
+
+def _cutoff_key(spark: SparkSession, sf_dir: str) -> int:
+    """Half the max order key — the demo cutoff for the zero-arg driver
+    contract. Computed ONCE per sf_dir (one bounded max aggregate) and
+    memoized, so repeated query builds add no driver-side action."""
+    if sf_dir not in _CUTOFF_CACHE:
+        o = _orders(spark, sf_dir)
+        _CUTOFF_CACHE[sf_dir] = (o.agg(F.max("o_orderkey")).first()[0] or 0) // 2
+    return _CUTOFF_CACHE[sf_dir]
+
+
+def cdc_state_as_of(
+    spark: SparkSession, sf_dir: str, asof_lsn: str | None = None
+) -> DataFrame:
     """AS-OF time travel over the event log (SURVEY §4's parameterized-view
-    candidate): latest_state over events with _lsn <= X reconstructs the
-    table as of any point in the change history — no snapshot storage, one
-    filter + the same window dedup. The cutoff here lands between half the
-    keys' update and delete events, so keys whose delete is 'in the future'
-    must still be visible.
+    candidate): latest_state over events with _lsn <= asof_lsn reconstructs
+    the table as of any point in the change history — no snapshot storage,
+    one filter + the same window dedup. The as-of LSN is a PARAMETER of the
+    view; the plan contains no data-dependent driver action. The zero-arg
+    driver registration defaults it to the memoized demo cutoff: between
+    half the keys' update and delete events, so keys whose delete is 'in
+    the future' must still be visible.
 
     Zero-padded string LSNs order lexicographically == numerically, so the
     cutoff predicate is sargable on the sorted event log.
     """
-    o = _orders(spark, sf_dir)
-    max_key = o.agg(F.max("o_orderkey")).first()[0] or 0
-    cutoff_key = max_key // 2
-    # as-of LSN = cutoff_key*10 + 2: keys > cutoff_key are entirely in the
-    # future (absent); keys < cutoff_key have ALL their events applied
-    # (incl. delete/re-insert); the cutoff key itself has snapshot+update
-    # applied but its delete (+3) / re-insert (+4) still in the future —
-    # the interesting as-of case: a key visible although it is deleted
-    # "later".
-    asof = f"{cutoff_key * 10 + 2:012d}"
-    log = _order_event_log(o)
+    if asof_lsn is None:
+        # cutoff_key*10 + 2: keys > cutoff_key entirely in the future
+        # (absent); keys < cutoff_key fully applied (incl. delete/
+        # re-insert); the cutoff key has snapshot+update applied but its
+        # delete (+3) / re-insert (+4) still pending — a key visible
+        # although it is deleted "later".
+        asof_lsn = f"{_cutoff_key(spark, sf_dir) * 10 + 2:012d}"
+    log = _order_event_log(_orders(spark, sf_dir))
     flat = filter_tombstones(log).select("value.*")
-    asof_log = flat.filter(F.col(LSN_COL) <= F.lit(asof))
+    asof_log = flat.filter(F.col(LSN_COL) <= F.lit(asof_lsn))
     return latest_state(asof_log, key_cols=["id"], order_col=LSN_COL).select(
         "id", "status", "total_amount", OP_COL
     )

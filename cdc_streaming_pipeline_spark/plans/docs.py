@@ -200,13 +200,15 @@ def doc_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LLM-pretraining sequence packing: assign docs (in id order) to
-    512-token training sequences via chunked cumulative sums."""
+    """LLM-pretraining sequence packing: assign docs (in id order within
+    md5 shards) to 512-token training sequences via SHARD-PARTITIONED
+    chunked cumulative sums — 16 shards pack concurrently, no global sort
+    (the 100 TB form; plan asserted in tests/test_sampling_pack.py)."""
     from cdc_streaming_pipeline_spark.functions.textfn import token_count
 
     docs = load_table(spark, sf_dir, "documents")
     sized = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
-    return sp.pack_sequences(sized, capacity=512)
+    return sp.pack_sequences(sized, capacity=512, n_shards=16)
 
 
 def doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -627,20 +629,25 @@ ORACLE["doc_pii_scan"] = f"""
     FROM documents
 """
 
+# shard = portable md5 bucket (16); pack_id = shard * 2^40 + local bin;
+# cumsum windows are PARTITIONED by shard (shard-local cum_tokens).
 ORACLE["pack_documents"] = """
     WITH t AS (
         SELECT doc_id,
                CASE WHEN trim(text) = '' THEN 0
-                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+               CAST(CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS UBIGINT) % 16
+                    AS BIGINT) AS shard
         FROM documents
     ), c AS (
-        SELECT doc_id, n_tokens,
-               SUM(LEAST(n_tokens, 512)) OVER (ORDER BY doc_id ASC
+        SELECT doc_id, n_tokens, shard,
+               SUM(LEAST(n_tokens, 512)) OVER (PARTITION BY shard ORDER BY doc_id ASC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         FROM t
     )
-    SELECT doc_id, n_tokens,
-           CAST(floor((cum - LEAST(n_tokens, 512)) / 512) AS BIGINT) AS pack_id,
+    SELECT doc_id, n_tokens, shard,
+           CAST(shard * 1099511627776
+                + floor((cum - LEAST(n_tokens, 512)) / 512) AS BIGINT) AS pack_id,
            CAST(cum AS BIGINT) AS cum_tokens
     FROM c
 """

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_streaming_pipeline_spark.operators.cdc import filter_tombstones
-from cdc_streaming_pipeline_spark.schemas import CORRUPT_COL, TABLE_COL
+from cdc_streaming_pipeline_spark.schemas import CORRUPT_COL, OP_COL, TABLE_COL
 from cdc_streaming_pipeline_spark.sources.event_log import event_schema
 
 # topics.regex the reference's sink consumes (cdc_pipeline_dag.py:186)
@@ -66,6 +66,41 @@ def table_from_topic(df: DataFrame, topic_col: str = "topic") -> DataFrame:
     return df.withColumn(
         TABLE_COL, F.element_at(F.split(F.col(topic_col), r"\."), -1)
     )
+
+
+def to_kafka_records(
+    df: DataFrame,
+    topic_prefix: str = "cdc.postgres.test_schema.",
+    key_cols: list[str] | None = None,
+    tombstones_on_delete: bool = True,
+) -> DataFrame:
+    """EMIT-side adapter: flat CDC rows → Kafka-record-shaped frame
+    (topic, key, value JSON strings) — the engine twin of the reference's
+    producer config. With ``tombstones_on_delete`` (the default, mirroring
+    ``tombstones.on.delete=true``, cdc_pipeline_dag.py:147) every delete
+    row also yields a null-value record carrying the SAME key, so a
+    log-compacted topic eventually forgets the key entirely.
+
+    The frame feeds ``df.write.format("kafka")`` verbatim on a cluster
+    with the Kafka package; without a broker the contract is tested by
+    round-tripping through ``parse_kafka_records`` (tombstones filtered by
+    T4, payload rows identical). Shuffle-free — projection + filtered
+    union of one scan; Kafka's per-(topic, key) partition ordering is what
+    places the tombstone after its delete at produce time.
+    """
+    keys = key_cols or ["id"]
+    base = df.select(
+        F.concat(F.lit(topic_prefix), F.col(TABLE_COL)).alias("topic"),
+        F.to_json(F.struct(*[F.col(k) for k in keys])).alias("key"),
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value"),
+        (F.col(OP_COL) == F.lit("d")).alias("_is_delete"),
+    )
+    if not tombstones_on_delete:
+        return base.drop("_is_delete")
+    tombs = base.filter(F.col("_is_delete")).withColumn(
+        "value", F.lit(None).cast("string")
+    )
+    return base.unionByName(tombs).drop("_is_delete")
 
 
 def parse_kafka_records(

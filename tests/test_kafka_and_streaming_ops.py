@@ -230,3 +230,112 @@ def test_stream_stream_join_orders_items(spark, tmp_path):
     ).count()
     assert result.count() == expected
     assert expected > 0, "fixture should produce joinable order/item pairs"
+
+
+def test_to_kafka_records_tombstone_round_trip(spark):
+    """T4 emit side: tombstones.on.delete — every delete row yields an
+    extra null-value record with the same key/topic, and the T4 filter in
+    parse_kafka_records restores exactly the payload rows."""
+    from cdc_streaming_pipeline_spark.sources.kafka import to_kafka_records
+
+    flat = spark.createDataFrame(
+        [
+            (1, "alice", "c", "customer", "001"),
+            (1, "alice2", "u", "customer", "002"),
+            (2, "bob", "d", "customer", "003"),
+            (7, "ack", "d", "customer", "004"),
+        ],
+        "id int, name string, _op string, _table string, _lsn string",
+    )
+    records = to_kafka_records(flat, topic_prefix="cdc.testdb.test_schema.")
+    rows = records.collect()
+    assert len(rows) == 6  # 4 payloads + 2 tombstones
+    tombs = [r for r in rows if r.value is None]
+    assert sorted(r.key for r in tombs) == ['{"id":2}', '{"id":7}']
+    assert all(r.topic == "cdc.testdb.test_schema.customer" for r in rows)
+    # round trip: regex filter + tombstone filter + declared-schema parse
+    parsed = parse_kafka_records(records, entity="customer")
+    back = {(r.id, r.name, r._op, r._lsn) for r in parsed.collect()}
+    want = {(r.id, r.name, r._op, r._lsn) for r in flat.collect()}
+    assert back == want
+    # emit can be disabled (tombstones.on.delete=false)
+    assert to_kafka_records(flat, tombstones_on_delete=False).count() == 4
+
+
+def test_emit_tombstones_inverse_of_filter(spark):
+    """filter_tombstones(emit_tombstones(x)) == x on a struct-value log."""
+    from cdc_streaming_pipeline_spark.operators.cdc import (
+        emit_tombstones,
+        filter_tombstones,
+    )
+
+    log = spark.createDataFrame(
+        [((1, "c"),), ((2, "d"),), ((3, "u"),), ((4, "d"),)],
+        "value struct<id:int,_op:string>",
+    )
+    out = emit_tombstones(log)
+    assert out.count() == 6
+    assert out.filter(F.col("value").isNull()).count() == 2
+    back = filter_tombstones(out)
+    assert {r.value.id for r in back.collect()} == {1, 2, 3, 4}
+    assert back.count() == log.count()
+
+
+def _kafka_datasource_available(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def test_kafka_live_source_round_trip(spark, tmp_path):
+    """LIVE-broker integration (S4): skipped in this container — the
+    spark-sql-kafka package is not bundled and there is no network/broker
+    (verified: no jar on the classpath, Maven unreachable). On a real
+    cluster, run with
+
+        spark-submit --packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>
+        KAFKA_BOOTSTRAP_SERVERS=broker:9092 pytest tests/ -k kafka_live
+
+    and this test produces via to_kafka_records + format('kafka') write,
+    consumes via read_kafka_stream, and asserts the parsed rows round-trip.
+    """
+    import os as _os
+
+    import pytest as _pytest
+
+    bootstrap = _os.environ.get("KAFKA_BOOTSTRAP_SERVERS")
+    if not _kafka_datasource_available(spark):
+        _pytest.skip("spark-sql-kafka package not on the classpath (no network in CI)")
+    if not bootstrap:
+        _pytest.skip("KAFKA_BOOTSTRAP_SERVERS not set")
+
+    from cdc_streaming_pipeline_spark.sources.kafka import (
+        read_kafka_stream,
+        to_kafka_records,
+    )
+
+    flat = spark.createDataFrame(
+        [(1, "alice", "c", "customer", "001"), (2, "bob", "d", "customer", "002")],
+        "id int, name string, _op string, _table string, _lsn string",
+    )
+    (
+        to_kafka_records(flat)
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .save()
+    )
+    stream = read_kafka_stream(spark, bootstrap)
+    q = (
+        parse_kafka_records(stream, entity="customer")
+        .writeStream.format("memory")
+        .queryName("kafka_live_rt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = spark.table("kafka_live_rt")
+    assert got.count() >= 2  # payload rows; tombstone filtered by T4

@@ -1,0 +1,52 @@
+"""Misuse guards: operators whose silent failure mode is wrong DATA (not
+an error) must refuse up front."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_salted_join_rejects_right_preserving_modes(spark):
+    from cdc_streaming_pipeline_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame([(1, "a")], "k long, v string")
+    right = spark.createDataFrame([(2, "b")], "k long, w string")
+    for how in ("right", "right_outer", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(left, right, "k", "k", n_salts=4, how=how)
+    # left-preserving modes pass validation and keep unmatched rows intact
+    got = salted_join(left, right, "k", "k", n_salts=4, how="left").collect()
+    assert len(got) == 1
+
+
+def test_connected_components_rejects_non_integral_ids(spark):
+    from cdc_streaming_pipeline_spark.operators.cluster import connected_components
+
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    nodes = spark.createDataFrame([("x",), ("y",)], "name string")
+    with pytest.raises(TypeError, match="integral"):
+        connected_components(edges, nodes, id_col="name")
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    from cdc_streaming_pipeline_spark.operators.cluster import connected_components
+
+    # a path graph long enough that 1 round cannot converge
+    edges = spark.createDataFrame([(i, i + 1) for i in range(6)], "id_a long, id_b long")
+    nodes = spark.range(7).withColumnRenamed("id", "vec_id")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, nodes, max_iters=1)
+
+
+def test_auto_lsh_params_warns_on_unreachable_recall():
+    from cdc_streaming_pipeline_spark.operators.similarity import _auto_lsh_params
+
+    with pytest.warns(UserWarning, match="cannot be pruned"):
+        bits, tables = _auto_lsh_params(0.0, target_recall=0.999, max_tables=2)
+    assert (bits, tables) == (4, 2)
+    # and the selective regime stays warning-free
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert _auto_lsh_params(0.95)[0] >= 10

@@ -1,0 +1,90 @@
+"""Sharded sequence-packing invariants + plan shape.
+
+The chunked-cumsum packer guarantees, PER SHARD (shard 0 == the global
+form):
+- bin ids are consecutive integers starting at 0 (clamped contributions
+  advance the running total by at most `capacity`, so floor(start/capacity)
+  steps by at most 1);
+- every bin's clamped-token fill is < 2 * capacity (a bin spans one
+  capacity window plus at most one straddling document);
+- the cumulative fill through every non-final bin m is >= (m+1) * capacity
+  (a new bin only opens once the running total crosses the next capacity
+  multiple) — i.e. average fill per closed bin >= capacity.
+
+Sharding must change WHERE those invariants apply (per md5 shard), not
+whether they hold, and must remove the single-task global window from the
+plan.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+CAP = 512
+
+
+def _invariants(rows, capacity=CAP):
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r.shard].append(r)
+    for shard, members in by_shard.items():
+        members.sort(key=lambda r: r.doc_id)
+        fills = defaultdict(int)
+        for r in members:
+            local_bin = r.pack_id - shard * (1 << 40)
+            fills[local_bin] += min(r.n_tokens, capacity)
+        bins = sorted(fills)
+        assert bins == list(range(len(bins))), f"shard {shard}: bins not consecutive {bins}"
+        cum = 0
+        for m in bins:
+            assert fills[m] < 2 * capacity, f"shard {shard} bin {m} overfull: {fills[m]}"
+            cum += fills[m]
+            if m < bins[-1]:
+                assert cum >= (m + 1) * capacity, (
+                    f"shard {shard} bin {m} closed underfull: cum={cum}"
+                )
+
+
+def test_sharded_pack_invariants_and_id_disjointness(spark):
+    from cdc_streaming_pipeline_spark.operators.sampling import pack_sequences
+
+    df = (
+        spark.range(1, 400)
+        .select(F.col("id").alias("doc_id"))
+        .withColumn("n_tokens", (F.col("doc_id") * 37 % 700).cast("long"))
+    )
+    rows = pack_sequences(df, capacity=CAP, n_shards=8).collect()
+    assert len(rows) == 399
+    _invariants(rows)
+    # shard encoding keeps pack ids disjoint across shards
+    assert all(r.pack_id >> 40 == r.shard for r in rows)
+
+
+def test_single_shard_matches_legacy_global_packing(spark):
+    from cdc_streaming_pipeline_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 700), (3, 300), (4, 250), (5, 10)], "doc_id long, n_tokens long"
+    )
+    rows = {r.doc_id: (r.shard, r.pack_id, r.cum_tokens) for r in
+            pack_sequences(df, capacity=CAP).collect()}
+    assert rows == {1: (0, 0, 100), 2: (0, 0, 612), 3: (0, 1, 912),
+                    4: (0, 1, 1162), 5: (0, 2, 1172)}
+    _invariants(pack_sequences(df, capacity=CAP).collect())
+
+
+def test_sharded_pack_plan_has_no_global_window(spark):
+    """n_shards > 1 must not funnel the whole input through one task: no
+    Exchange SinglePartition feeding the window (the n_shards=1 form has
+    exactly that — it is the small-input convenience, not the scale path)."""
+    from cdc_streaming_pipeline_spark.plans.docs import pack_documents
+
+    plan = pack_documents(spark, SF_DIR)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "SinglePartition" not in plan, "sharded pack still has a global exchange"
+    assert "Window" in plan

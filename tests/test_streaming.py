@@ -100,3 +100,39 @@ def test_corrupt_lines_reach_dlq_pipeline_continues(spark, tmp_path):
     assert dlq.count() == 1
     sink = spark.read.parquet(str(tmp_path / "sink"))
     assert sink.count() == len(gen.events)
+
+
+def test_upsert_state_idempotent_on_batch_replay(spark, tmp_path):
+    """Checkpoint-replay semantics: re-processing the SAME micro-batch
+    (same batch id, same rows — what foreachBatch sees after a crash
+    between sink commit and checkpoint commit) must leave the state
+    byte-identical: same version dir, same pointer, same rows."""
+    gen = CdcWorkloadGenerator(seed=13)
+    gen.initial_load(rows_per_table=6)
+    gen.run(30)
+    src = str(tmp_path / "src")
+    gen.write_json_files(src, n_files=1)
+    pipe = _pipeline(spark, tmp_path)
+    pipe.run_once()
+
+    state_dir = str(tmp_path / "state")
+    pointer = os.path.join(state_dir, "_CURRENT")
+    with open(pointer, encoding="utf-8") as fh:
+        version_before = fh.read()
+    rows_before = sorted(
+        map(repr, read_latest_state(spark, state_dir, raw=True).collect())
+    )
+
+    # replay batch 0 exactly as foreachBatch would deliver it
+    batch_df = read_event_log(spark, src)
+    from cdc_streaming_pipeline_spark.operators.cdc import split_corrupt
+
+    good, _ = split_corrupt(batch_df)
+    pipe._upsert_state(good, batch_id=0)
+
+    with open(pointer, encoding="utf-8") as fh:
+        assert fh.read() == version_before
+    rows_after = sorted(
+        map(repr, read_latest_state(spark, state_dir, raw=True).collect())
+    )
+    assert rows_after == rows_before
