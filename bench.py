@@ -76,6 +76,13 @@ def main() -> int:
     }
     if failures:
         result["failures"] = failures
+    # The driver records stdout but truncates long tails — persist the full
+    # per-query JSON beside the repo so round-over-round regression diffs
+    # (README "Bench continuity") always have complete data.
+    local = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    with open(local, "w", encoding="utf-8") as fh:
+        json.dump(result, fh, indent=1, sort_keys=True)
+        fh.write("\n")
     print(json.dumps(result), flush=True)
     return 1 if failures else 0
 

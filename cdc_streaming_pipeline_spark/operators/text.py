@@ -102,6 +102,55 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("quality_score", F.round(score, 4))
 
 
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style WITHIN-document repetition signals (Rae et al. 2021,
+    §A1.1 "repetition" filters): the duplicate-token fraction and the share
+    of bigram slots occupied by the single most frequent bigram. High
+    values flag boilerplate / keyword-stuffed / looping documents for
+    removal before LLM pretraining — the within-doc complement to the
+    cross-doc dedup operators.
+
+    Per-row JVM expressions only — no shuffle, linear in corpus size. The
+    token→bigram→mode chain is STAGED across projection boundaries:
+    higher-order-function lambdas re-evaluate captured expressions per
+    element, so each stage is bound to a column (an attribute lookup inside
+    the next lambda) before the O(m²)-per-row mode computation uses it.
+    """
+    text = F.col(text_col)
+    staged = df.withColumn("_toks", tokens(normalize_ws(text))).withColumn(
+        "_n", F.when(F.trim(text) == "", F.lit(0)).otherwise(F.size("_toks"))
+    )
+    bigrams = F.when(
+        F.col("_n") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.col("_n") - 2),
+            lambda i: F.concat(F.get("_toks", i), F.lit(" "), F.get("_toks", i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = staged.withColumn("_bigrams", bigrams)
+    top_bigram_count = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct("_bigrams"),
+                lambda b: F.size(F.filter("_bigrams", lambda x: x == b)),
+            )
+        ),
+        F.lit(0),
+    )
+    dup_frac = F.when(F.col("_n") == 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct("_toks")).cast("double") / F.col("_n").cast("double")
+    )
+    top_frac = F.when(F.col("_n") < 2, F.lit(0.0)).otherwise(
+        top_bigram_count.cast("double") / (F.col("_n") - 1).cast("double")
+    )
+    return (
+        staged.withColumn("n_tokens", F.col("_n"))
+        .withColumn("dup_token_frac", F.round(dup_frac, 4))
+        .withColumn("top_bigram_frac", F.round(top_frac, 4))
+        .drop("_toks", "_n", "_bigrams")
+    )
+
+
 # PII detection/redaction. Pattern subset chosen to behave identically on
 # Java regex (Spark) and RE2 (DuckDB oracle): no backrefs, no lookaround;
 # \b, (?i), bounded repetition only.

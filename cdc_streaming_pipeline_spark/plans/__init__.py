@@ -31,8 +31,38 @@ _PRIORITY: list[str] = [
     "cdc_state_as_of",
     # catalog (Q7) over the P1 partitioned sink, end-to-end
     "events_landed_partition_counts",
-    # training-data pipeline surface (docs/dedup/similarity/media)
-    *docs.QUERIES,
+    # training-data pipeline surface (docs/dedup/similarity/media).
+    # FROZEN list, not *docs.QUERIES: additions must land in the tail, and
+    # swaps in here must evict something already driver-certified.
+    # (doc_subword_stats sits in the tail: driver-certified green in r2.)
+    "doc_token_stats",
+    "doc_quality_scores",
+    "doc_lang_id",
+    "doc_fingerprints",
+    "doc_repetition_stats",
+    "dedup_documents_exact",
+    "minhash_dedup_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_near_dup_pairs",
+    "embedding_norms",
+    "ann_topk_bruteforce",
+    "ann_topk_lsh",
+    "embedding_near_dup_blocked",
+    "embedding_near_dup_lsh",
+    "doc_tfidf_top_terms",
+    "corpus_top_bigrams",
+    "doc_length_histogram",
+    "stratified_sample_docs",
+    "sample_topn_per_stratum",
+    "doc_quantiles_by_lang",
+    "near_dup_clusters",
+    "doc_pii_scan",
+    "doc_contamination",
+    "doc_perplexity_proxy",
+    "pack_documents",
+    "ann_topk_ivf",
+    "media_image_pipeline",
+    "media_av_chunks",
     # SURVEY §2 rubric analytics (TPC-H shapes, anti-join, windows, sets)
     "q1_pricing_summary",
     "q3_shipping_priority",

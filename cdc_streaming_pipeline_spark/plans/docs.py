@@ -184,6 +184,15 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cl.connected_components(edges, emb, id_col="vec_id")
 
 
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition quality filter (Gopher §A1.1):
+    duplicate-token fraction + most-frequent-bigram share per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.with_repetition_stats(docs).select(
+        "doc_id", "n_tokens", "dup_token_frac", "top_bigram_frac"
+    )
+
+
 def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set leakage check: per-doc fraction of 3-gram shingles present
     in the benchmark set (stand-in: every 97th document)."""
@@ -310,6 +319,7 @@ QUERIES = {
     "doc_quantiles_by_lang": doc_quantiles_by_lang,
     "near_dup_clusters": near_dup_clusters,
     "doc_pii_scan": doc_pii_scan,
+    "doc_repetition_stats": doc_repetition_stats,
     "doc_contamination": doc_contamination,
     "doc_perplexity_proxy": doc_perplexity_proxy,
     "pack_documents": pack_documents,
@@ -675,6 +685,28 @@ ORACLE["doc_contamination"] = r"""
            ROUND(COUNT(b.g)::DOUBLE / COUNT(*)::DOUBLE, 4) AS contamination
     FROM sh s LEFT JOIN bench b ON s.g = b.g
     GROUP BY s.doc_id
+"""
+
+ORACLE["doc_repetition_stats"] = f"""
+    WITH s AS (
+        SELECT doc_id, {_NORM_TOKS} AS toks,
+               CASE WHEN trim(text) = '' THEN 0 ELSE len({_NORM_TOKS}) END AS n
+        FROM documents
+    ), b AS (
+        SELECT doc_id, toks, n,
+               CASE WHEN n >= 2 THEN list_transform(generate_series(1, n - 1),
+                    i -> toks[i] || ' ' || toks[i + 1]) ELSE [] END AS bg
+        FROM s
+    )
+    SELECT doc_id, CAST(n AS INT) AS n_tokens,
+           ROUND(CASE WHEN n = 0 THEN 0.0
+                 ELSE 1.0 - len(list_distinct(toks))::DOUBLE / n::DOUBLE END, 4)
+               AS dup_token_frac,
+           ROUND(CASE WHEN n < 2 THEN 0.0
+                 ELSE list_max(list_transform(list_distinct(bg),
+                          x -> len(list_filter(bg, y -> y = x))))::DOUBLE
+                      / (n - 1)::DOUBLE END, 4) AS top_bigram_frac
+    FROM b
 """
 
 ORACLE["doc_perplexity_proxy"] = f"""
