@@ -199,16 +199,20 @@ def ivf_topk(
     exclude_self: bool = True,
     centroids: np.ndarray | None = None,
 ) -> DataFrame:
-    """IVF approximate top-k: assign the corpus to k-means cells once, then
-    each query scans only its ``n_probe`` nearest cells.
+    """IVF approximate top-k: assign the corpus to k-means cells, then each
+    query scores only rows in its ``n_probe`` nearest cells.
 
-    The query set (small by contract) is collected; for each cell we know
-    which queries probe it, so one ``applyInPandas`` per cell GEMMs the
-    cell's members against exactly the queries probing it and emits
-    per-cell top-k candidates; a final tiny window finishes the ranking.
-    Corpus-side: one assignment scan + one groupBy-cell shuffle — no
-    all-pairs anywhere. Fraction of corpus scanned ≈ n_probe / n_clusters
-    on balanced cells (the recall/cost dial).
+    ONE corpus scan, no shuffle: the query set (small by contract) is
+    collected, its probed-cell sets precomputed and broadcast with the
+    centroids; each Arrow batch assigns its rows to cells (one GEMM
+    against the centroids), builds the (row, query) candidate mask
+    (row's cell ∈ query's probe set), scores only candidates (pairwise
+    einsum when sparse, masked GEMM when dense — same crossover as
+    ``similarity.lsh_ann_topk``), and emits its local top-k per query; a
+    tiny global window finishes the ranking. Fraction of pairs scored ≈
+    n_probe / n_clusters on balanced cells (the recall/cost dial) — at
+    100 TB that, not the scan, is the win, and a persisted cell-partitioned
+    corpus (bucketBy cell) would skip even the non-probed bytes.
     """
     spark = corpus.sparkSession
     if centroids is None:
@@ -218,50 +222,43 @@ def ivf_topk(
     probe_sims = q_mat @ centroids.T
     n_probe = min(n_probe, len(centroids))
     probed = np.argsort(-probe_sims, axis=1)[:, :n_probe]  # (nq, n_probe)
-    cell_to_queries: dict[int, list[int]] = {}
-    for qi, cells in enumerate(probed):
-        for c in cells:
-            cell_to_queries.setdefault(int(c), []).append(qi)
-    bc = spark.sparkContext.broadcast((centroids, q_ids, q_mat, cell_to_queries))
+    bc = spark.sparkContext.broadcast((centroids, q_ids, q_mat, probed))
     take = k + (1 if exclude_self else 0)
 
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cent, _, _, _ = bc.value
+    def probe_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent, ids_q, mat_q, probed_ = bc.value
         for pdf in batches:
             if pdf.empty:
                 continue
-            mat = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
-            cells = np.argmax(mat @ cent.T, axis=1).astype(np.int32)
-            yield pd.DataFrame(
-                {"_id": pdf[id_col].to_numpy(np.int64), "cell": cells, "_vec": pdf[vec_col]}
-            )
+            ids_c = pdf[id_col].to_numpy(np.int64)
+            mat_c = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            cells = np.argmax(mat_c @ cent.T, axis=1)  # (n,)
+            # candidate mask: row i scores for query j iff cell_i ∈ probe_j
+            cand = (cells[:, None, None] == probed_[None, :, :]).any(-1)  # (n, nq)
+            if not cand.any():
+                continue
+            sims = np.full(cand.shape, -np.inf)
+            if cand.mean() > 0.25:
+                full = mat_c @ mat_q.T
+                sims[cand] = full[cand]
+            else:
+                ci, qi = np.nonzero(cand)
+                sims[ci, qi] = np.einsum("ij,ij->i", mat_c[ci], mat_q[qi])
+            sims = np.round(sims, 4)
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(ids_q):
+                valid = np.nonzero(cand[:, j])[0]
+                if valid.size == 0:
+                    continue
+                col = sims[:, j]
+                order = valid[np.lexsort((ids_c[valid], -col[valid]))[:take]]
+                out_q.extend([qid] * len(order))
+                out_n.extend(ids_c[order])
+                out_s.extend(col[order])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_s})
 
-    assigned = corpus.select(id_col, vec_col).mapInPandas(
-        assign, f"_id long, cell int, _vec array<double>"
-    )
-
-    def cell_gemm(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        _, ids_q, mat_q, c2q = bc.value
-        probes = c2q.get(int(key[0]), [])
-        empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []}).astype(
-            {"query_id": np.int64, "neighbor_id": np.int64, "cosine": np.float64}
-        )
-        if not probes or pdf.empty:
-            return empty
-        ids_c = pdf["_id"].to_numpy(np.int64)
-        mat_c = _normalize(np.array(pdf["_vec"].tolist(), dtype=np.float64))
-        sims = np.round(mat_c @ mat_q[probes].T, 4)  # (members, probing queries)
-        out_q, out_n, out_s = [], [], []
-        for j, qi in enumerate(probes):
-            col = sims[:, j]
-            order = np.lexsort((ids_c, -col))[:take]
-            out_q.extend([ids_q[qi]] * len(order))
-            out_n.extend(ids_c[order])
-            out_s.extend(col[order])
-        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_s})
-
-    cand = assigned.groupBy("cell").applyInPandas(
-        cell_gemm, "query_id long, neighbor_id long, cosine double"
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        probe_batch, "query_id long, neighbor_id long, cosine double"
     )
     if exclude_self:
         cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
