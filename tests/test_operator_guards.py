@@ -31,11 +31,33 @@ def test_connected_components_rejects_non_integral_ids(spark):
 def test_connected_components_raises_on_non_convergence(spark):
     from cdc_streaming_pipeline_spark.operators.cluster import connected_components
 
-    # a path graph long enough that 1 round cannot converge
+    # a path graph long enough that 1 round cannot converge; force the
+    # distributed loop (the driver union-find path has no round limit)
     edges = spark.createDataFrame([(i, i + 1) for i in range(6)], "id_a long, id_b long")
     nodes = spark.range(7).withColumnRenamed("id", "vec_id")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, nodes, max_iters=1)
+        connected_components(edges, nodes, max_iters=1, driver_threshold_edges=-1)
+
+
+def test_connected_components_paths_agree(spark):
+    """Driver union-find fast path == distributed label-propagation path
+    on a mixed graph (chain + triangle + singletons)."""
+    from cdc_streaming_pipeline_spark.operators.cluster import connected_components
+
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (20, 21)]
+    edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 99]], "vec_id long"
+    )
+    fast = {r.vec_id: r.cluster_id for r in connected_components(edges, nodes).collect()}
+    dist = {
+        r.vec_id: r.cluster_id
+        for r in connected_components(
+            edges, nodes, driver_threshold_edges=-1
+        ).collect()
+    }
+    assert fast == dist
+    assert fast[4] == 1 and fast[12] == 10 and fast[21] == 20 and fast[99] == 99
 
 
 def test_auto_lsh_params_warns_on_unreachable_recall():
