@@ -72,3 +72,24 @@ def test_auto_lsh_params_warns_on_unreachable_recall():
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         assert _auto_lsh_params(0.95)[0] >= 10
+
+
+def test_repetition_stats_edges(spark):
+    from cdc_streaming_pipeline_spark.operators.text import with_repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, ""),                       # empty -> all zeros
+            (2, "spam spam spam spam"),    # one token repeated
+            (3, "a b a b a b"),            # one bigram family
+            (4, "all words are unique"),   # no repetition
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in with_repetition_stats(df).collect()}
+    assert (got[1].n_tokens, got[1].dup_token_frac, got[1].top_bigram_frac) == (0, 0.0, 0.0)
+    assert got[2].dup_token_frac == 0.75          # 1 distinct of 4
+    assert got[2].top_bigram_frac == 1.0          # "spam spam" fills all 3 slots
+    assert got[3].dup_token_frac == round(1 - 2 / 6, 4)
+    assert got[3].top_bigram_frac == 0.6          # "a b" occupies 3 of 5 slots
+    assert got[4].dup_token_frac == 0.0 and got[4].top_bigram_frac == round(1 / 3, 4)
