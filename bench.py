@@ -38,11 +38,31 @@ def main() -> int:
     spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
     queries = entrymod.queries()
 
-    # Warmup: touch the biggest table so JVM/codegen/reader init isn't
-    # attributed to the first query.
+    # Warmup: touch the biggest table (reader init) and run one tiny
+    # synthetic pipeline exercising the expression classes the suite leans
+    # on (JSON serde, window dedup, union, groupBy) so JVM/JIT/codegen
+    # startup isn't attributed to whichever query happens to run first —
+    # the registry leads with the CDC family, and without this they
+    # measured ~2x slower purely from position.
     t0 = time.perf_counter()
     try:
         spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+        from pyspark.sql import Window, functions as F
+
+        w = spark.range(10_000).select(
+            F.col("id"),
+            F.to_json(F.struct("id")).alias("j"),
+        )
+        parsed = w.select("id", F.from_json("j", "id bigint").alias("p"))
+        win = Window.partitionBy(F.pmod("id", F.lit(7))).orderBy(F.col("id").desc())
+        (
+            parsed.unionByName(parsed)
+            .withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .groupBy(F.pmod("id", F.lit(3)))
+            .count()
+            .write.format("noop").mode("overwrite").save()
+        )
     except Exception as exc:  # noqa: BLE001 — still emit the JSON contract line
         log(f"warmup failed: {exc}")
     log(f"warmup {time.perf_counter() - t0:.2f}s; {len(queries)} queries at {sf_dir}")
