@@ -246,9 +246,15 @@ def ngram_jaccard_pairs(
     base = _persist_bounded(_shingle_hash_frame(df, text_col, id_col, shingle_size))
     # (persisted: feeds the inverted index and both verify joins)
     inv = base.select("_id", F.explode("sh_h").alias("sh"))
+    # df >= 2: a shingle seen in ONE document can never produce a pair, so
+    # it never enters the self-join build side. Provably output-neutral;
+    # the benefit is corpus-dependent (a high-uniqueness corpus is mostly
+    # df=1 rows — on the driver testdata it is only ~0.2% because the
+    # word-soup shingles mostly repeat 2-10x). The df window is the same
+    # shuffle the join needs anyway.
     rare = inv.withColumn(
         "df", F.count("*").over(Window.partitionBy("sh"))
-    ).filter(F.col("df") <= max_doc_freq)
+    ).filter((F.col("df") <= max_doc_freq) & (F.col("df") >= 2))
     cand_ids = (
         rare.alias("a")
         .join(rare.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a._id") < F.col("b._id")))
