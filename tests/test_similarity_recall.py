@@ -163,3 +163,18 @@ def test_pack_sequences_respects_capacity_and_oversize(spark):
     # doc2 is oversize (clamped to 512): starts at offset 100 -> bin 0 full;
     # doc3 starts at 612 -> bin 1; doc4 at 912 -> bin 1; doc5 at 1162 -> bin 2
     assert rows == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2}
+
+
+def test_blocked_near_dup_equals_exact_baseline_via_plan_wrappers(spark):
+    """The registered exact primary (blocked GEMM) must equal the
+    unregistered broadcast baseline row-for-row — the contract that let
+    embedding_near_dup_exact give up its driver-gate slot."""
+    from cdc_streaming_pipeline_spark.plans.docs import (
+        embedding_near_dup_blocked,
+        embedding_near_dup_exact,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {(r.id_a, r.id_b, r.cosine) for r in embedding_near_dup_exact(spark, sf).collect()}
+    blocked = {(r.id_a, r.id_b, r.cosine) for r in embedding_near_dup_blocked(spark, sf).collect()}
+    assert exact == blocked
