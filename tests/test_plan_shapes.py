@@ -154,3 +154,18 @@ def test_landed_catalog_scan_prunes_partitions(spark):
     # the predicate is partition-level only: nothing pushed as a data filter
     if "PushedFilters: [" in plan:
         assert "hour" not in plan.split("PushedFilters: [")[1].split("]")[0]
+
+
+def test_ann_single_scan_plans_have_no_joins(spark):
+    """The round-3 ANN rewrites: LSH and IVF top-k are ONE corpus scan
+    (broadcast query state, per-batch masked scoring) — the only Exchange
+    allowed is the final tiny per-query ranking window; no join operators,
+    no candidate dropDuplicates may reappear."""
+    from cdc_streaming_pipeline_spark.plans.docs import ann_topk_ivf, ann_topk_lsh
+
+    for fn in (ann_topk_lsh, ann_topk_ivf):
+        plan = _plan(fn(spark, SF_DIR))
+        assert "Join" not in plan, f"{fn.__name__}: join reappeared"
+        assert "Deduplicate" not in plan and "HashAggregate" not in plan
+        n_exchange = plan.count("Exchange")
+        assert n_exchange <= 2, f"{fn.__name__}: {n_exchange} exchanges"
