@@ -107,6 +107,16 @@ def _landed_events_table(spark: SparkSession, sf_dir: str) -> str:
 
     path = os.path.join(tempfile.gettempdir(), f"cdc_spark_landed_{digest}")
     ev = load_table(spark, sf_dir, "events")
+    # Land one fixed week (the driver events span 2024-01-01..30 at every
+    # SF): the demo exercises the full P1 write + DDL + MSCK + pruned-read
+    # mechanics; 168 hour dirs instead of 720 keeps the ONE-TIME landing
+    # cost bounded (parquet-file creation overhead dominates this write).
+    ev = ev.filter((F.col("ts") >= "2024-01-01") & (F.col("ts") < "2024-01-08"))
+    ev = with_time_partitions(ev, "ts")
+    # route each hour to ONE task before the partitioned write — otherwise
+    # every task opens a file in every hour dir (32x the files, and the
+    # write is all file-open/commit overhead)
+    ev = ev.repartition("year", "month", "day", "hour")
     write_event_log(ev, path, fmt="parquet", ts_col="ts", mode="overwrite")
     create_external_table(spark, table, path, fmt="parquet")
     recover_partitions(spark, table)  # partition dirs -> catalog, else 0 rows
@@ -367,7 +377,8 @@ ORACLE = {
                EXTRACT(day FROM ts)::INT AS day, EXTRACT(hour FROM ts)::INT AS hour,
                COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
         FROM events
-        WHERE EXTRACT(hour FROM ts)::INT < 12
+        WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+          AND EXTRACT(hour FROM ts)::INT < 12
         GROUP BY 1, 2, 3, 4
     """,
     "hourly_type_windows": """
