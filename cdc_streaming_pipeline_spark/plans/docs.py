@@ -193,6 +193,55 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment via the engine-
+    portable md5 bucket (same sample across engines/reruns/backfills —
+    the property a training-data split MUST have), rolled up per
+    (split, lang). Zero shuffle for the assignment itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = sp.md5_bucket(F.col("doc_id"), 100)
+    split = (
+        F.when(b < 80, F.lit("train")).when(b < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector (absmax / 127 scaling) —
+    the standard 4x storage shrink for embedding stores. All JVM array
+    expressions; the scale is BOUND to a column before the per-element
+    lambda references it (a captured expression would re-evaluate the
+    array_max per element — the HOF re-eval trap). Rounding is
+    floor(x/scale + 0.5), identical in Spark and DuckDB (no engine
+    round-half mode dependence). Output checksums the quantized codes so
+    the oracle verifies them value-for-value."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    staged = emb.select(
+        "vec_id",
+        "embedding",
+        (F.greatest(absmax, F.lit(1e-12)) / 127.0).alias("scale"),
+    )
+    codes = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") / F.col("scale") + 0.5).cast("int"),
+    )
+    # quantize and round in SEPARATE projections: putting the rounded
+    # `scale` alias in the same select makes the lambda's F.col("scale")
+    # resolve to the LATERAL alias (the rounded value), silently flipping
+    # boundary codes — caught by the oracle on 1 of 500 vectors
+    quant = staged.select(
+        "vec_id", "scale", F.md5(F.concat_ws(",", codes)).alias("codes_fp")
+    )
+    return quant.select(
+        "vec_id", F.round(F.col("scale"), 8).alias("scale"), "codes_fp"
+    )
+
+
 def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set leakage check: per-doc fraction of 3-gram shingles present
     in the benchmark set (stand-in: every 97th document)."""
@@ -339,6 +388,10 @@ QUERIES = {
     "ann_topk_ivf": ann_topk_ivf,
     "media_image_pipeline": media_image_pipeline,
     "media_av_chunks": media_av_chunks,
+    # tail additions (post-round-3 priority freeze): local-oracle + bench
+    # covered; they enter the driver gate only by evicting a certified name
+    "doc_train_val_split": doc_train_val_split,
+    "embedding_quantize_int8": embedding_quantize_int8,
 }
 
 # DuckDB-side replicas. Shared fragments:
@@ -698,6 +751,27 @@ ORACLE["doc_contamination"] = r"""
            ROUND(COUNT(b.g)::DOUBLE / COUNT(*)::DOUBLE, 4) AS contamination
     FROM sh s LEFT JOIN bench b ON s.g = b.g
     GROUP BY s.doc_id
+"""
+
+ORACLE["doc_train_val_split"] = f"""
+    SELECT CASE WHEN {_MD5_BUCKET} < 80 THEN 'train'
+                WHEN {_MD5_BUCKET} < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           lang, COUNT(*) AS n_docs
+    FROM documents GROUP BY 1, 2
+"""
+
+ORACLE["embedding_quantize_int8"] = """
+    WITH s AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ev,
+               GREATEST(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))),
+                        1e-12) / 127.0 AS scale
+        FROM embeddings
+    )
+    SELECT vec_id, ROUND(scale, 8) AS scale,
+           md5(array_to_string(list_transform(ev,
+               x -> CAST(floor(x / scale + 0.5) AS INT)), ',')) AS codes_fp
+    FROM s
 """
 
 ORACLE["doc_repetition_stats"] = f"""
