@@ -151,6 +151,40 @@ def latest_state(
     return out
 
 
+def scd2_history(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    order_col: str = LSN_COL,
+) -> DataFrame:
+    """SCD Type-2 version history from the flat CDC event stream.
+
+    Every non-delete event opens a version row; the NEXT event on the same
+    key — including a delete — closes it: ``valid_from`` = the event's LSN,
+    ``valid_to`` = the following event's LSN (NULL while open),
+    ``is_current`` = the version is still open. Delete events close the
+    preceding version but emit no version of their own, so a deleted (and
+    not re-inserted) key has no current row — exactly ``latest_state``'s
+    drop semantics, with the full change history retained. This is the
+    warehouse-history view the reference leaves to its downstream Hive
+    consumers (airflow/dags/cdc_pipeline_dag.py:360-383) — first-class here.
+
+    Same cost envelope as ``latest_state``: one shuffle (window on the
+    key), no iteration, no driver state. The lead() must run BEFORE the
+    delete filter — deletes participate as closers only.
+    """
+    keys = key_cols or ["id", TABLE_COL]
+    keys = [k for k in keys if k in df.columns]
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    marked = mark_deleted(df) if "_is_deleted" not in df.columns else df
+    return (
+        marked.withColumn("valid_from", F.col(order_col))
+        .withColumn("valid_to", F.lead(order_col).over(w))
+        .filter(~F.col("_is_deleted"))
+        .drop("_is_deleted")
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
 def with_time_partitions(df: DataFrame, ts_col: str = "updated_at") -> DataFrame:
     """P1 — derive year/month/day/hour partition columns from the *record*
     (event-time) timestamp, so late events land in their event-time

@@ -113,3 +113,113 @@ def topn_per_stratum(
     return df.withColumn("sample_rank", F.row_number().over(w)).filter(
         F.col("sample_rank") <= n
     )
+
+
+def take_token_budget(
+    df: DataFrame,
+    budget_frac: float = 0.5,
+    quality_col: str = "quality_score",
+    size_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy best-quality-first corpus selection under a token budget:
+    keep documents in (quality DESC, md5(id), id) order while the running
+    token sum stays within ``budget_frac`` of the corpus total.
+
+    Scalable shape: the global greedy cumsum is decomposed so NO global
+    window ever runs over the documents. A tiny per-quality-value histogram
+    (sum of tokens per distinct rounded score — bounded by the score's
+    resolution, ≤10⁴ buckets at 4 decimals) carries the cross-bucket prefix
+    sums through one driver-free broadcast join; each document then only
+    needs its WITHIN-bucket prefix (window partitioned by quality value —
+    parallel across buckets). keep ⇔ cum_prev(bucket) + within ≤ budget,
+    which equals the global-order rule exactly because the bucket key IS
+    the first sort key.
+
+    budget_frac=0.5 by default — exactly representable in binary, so the
+    budget scalar is bit-identical on every engine.
+    """
+    budget = df.agg(
+        F.floor(F.lit(budget_frac) * F.sum(size_col)).cast("long").alias("__budget")
+    )
+    hist = df.groupBy(quality_col).agg(F.sum(size_col).cast("long").alias("__qb_tokens"))
+    wq = Window.orderBy(F.col(quality_col).desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum_prev = hist.withColumn(
+        "__cum_prev", F.coalesce(F.sum("__qb_tokens").over(wq), F.lit(0))
+    ).select(quality_col, "__cum_prev")
+    wd = (
+        Window.partitionBy(quality_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.join(F.broadcast(cum_prev), on=quality_col)
+        .crossJoin(F.broadcast(budget))
+        .withColumn("__within", F.sum(F.col(size_col).cast("long")).over(wd))
+        .filter(F.col("__cum_prev") + F.col("__within") <= F.col("__budget"))
+        .drop("__cum_prev", "__within", "__budget")
+    )
+
+
+def sample_to_mixture(
+    df: DataFrame,
+    strata: list[str],
+    weights: dict | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Downsample to a target stratum mixture (domain/language re-balancing
+    for a training corpus): pick the LARGEST corpus that satisfies the
+    target proportions exactly, deterministically.
+
+    ``weights`` maps stratum value (tuple for multi-column strata) to an
+    INTEGER weight; None = uniform across observed strata. All quota
+    arithmetic is integer (weight w_s, total W = sum w):
+
+        T       = min_s  (count_s * W) div w_s   -- max feasible total
+        quota_s = (w_s * T) div W                -- per-stratum take
+
+    so Spark and any SQL oracle agree bit-for-bit — fractional weights
+    would hit engine-specific float division (1/5 is inexact; count/0.2
+    can floor to 499 on one engine and 500 on another).
+
+    Membership is the first quota_s rows per stratum in (md5(id), id)
+    order — the same portable total order the other samplers use, so the
+    mixture sample is reproducible across engines, reruns, and backfills.
+    Cost: one tiny counts aggregate (broadcast back), one window shuffle
+    on the strata. Strata absent from ``weights`` are dropped (weight 0).
+    For approximate quotas at extreme scale, pre-thin each stratum with
+    ``hash_bucket_sample`` first and rank the survivors.
+    """
+    # NB: "__w" / "__wtot", not "__w" / "__W" — Spark's default resolver is
+    # case-insensitive, so a column named "__W" silently REPLACES "__w".
+    counts = df.groupBy(*strata).agg(F.count("*").alias("__cnt"))
+    if weights is None:
+        n_strata = counts.agg(F.count("*").alias("__wtot"))
+        wtd = counts.crossJoin(F.broadcast(n_strata)).withColumn("__w", F.lit(1))
+    else:
+        rows = [
+            ((*k,) if isinstance(k, tuple) else (k,)) + (int(w),)
+            for k, w in weights.items()
+        ]
+        wf = df.sparkSession.createDataFrame(rows, [*strata, "__w"])
+        wtd = counts.join(F.broadcast(wf), on=strata).withColumn(
+            "__wtot", F.lit(int(sum(weights.values())))
+        )
+    feasible = wtd.withColumn("__feasible", F.expr("(__cnt * __wtot) div __w"))
+    total = feasible.agg(F.min("__feasible").alias("__T"))
+    quotas = (
+        feasible.crossJoin(F.broadcast(total))
+        .withColumn("__quota", F.expr("(__w * __T) div __wtot"))
+        .select(*strata, "__quota")
+    )
+    w = Window.partitionBy(*strata).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.join(F.broadcast(quotas), on=strata)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= F.col("__quota"))
+        .drop("__quota")
+    )

@@ -31,6 +31,7 @@ from cdc_streaming_pipeline_spark.operators.cdc import (
     demux,
     filter_tombstones,
     latest_state,
+    scd2_history,
     split_corrupt,
     to_wide,
     unwrap_envelope,
@@ -234,6 +235,20 @@ def cdc_state_as_of(
     )
 
 
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history over the CDC event log: every surviving
+    event becomes a version row with [valid_from, valid_to) LSN bounds and
+    an is_current flag; deletes close versions without emitting one. The
+    fixture exercises every closure path: update-closes-snapshot,
+    delete-closes-last-image (no current row left), re-insert-opens-new-
+    current after a delete."""
+    log = _order_event_log(_orders(spark, sf_dir))
+    flat = filter_tombstones(log).select("value.*")
+    return scd2_history(flat, key_cols=["id"], order_col=LSN_COL).select(
+        "id", "status", "total_amount", OP_COL, "valid_from", "valid_to", "is_current"
+    )
+
+
 def cdc_split_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5: PERMISSIVE JSON parse → corrupt-record split (DLQ). Every 97th
     record is malformed JSON; the pipeline must keep going and route poison
@@ -270,6 +285,7 @@ QUERIES = {
     "cdc_demux_customer": cdc_demux_customer,
     "cdc_split_corrupt": cdc_split_corrupt,
     "cdc_state_as_of": cdc_state_as_of,
+    "cdc_scd2_history": cdc_scd2_history,
 }
 
 ORACLE = {
@@ -342,5 +358,37 @@ ORACLE = {
         FROM orders, cut
         WHERE o_orderkey <= ck
           AND (o_orderkey = ck OR o_orderkey % 5 <> 0 OR o_orderkey % 15 = 0)
+    """,
+    # Same event set as the engine fixture (r / u%3 / d%5 / c%15), versioned
+    # with LEAD over the per-key LSN order; delete events participate as
+    # closers, then drop out.
+    "cdc_scd2_history": f"""
+        WITH ev AS (
+            SELECT o_orderkey AS id, 'pending' AS status,
+                   o_totalprice AS total_amount, 'r' AS _op,
+                   {_SQL_LSN.format(off=1)} AS _lsn
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_totalprice + 100.0, 'u',
+                   {_SQL_LSN.format(off=2)}
+            FROM orders WHERE o_orderkey % 3 = 0
+            UNION ALL
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus ELSE 'pending' END,
+                   CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0 ELSE o_totalprice END,
+                   'd', {_SQL_LSN.format(off=3)}
+            FROM orders WHERE o_orderkey % 5 = 0
+            UNION ALL
+            SELECT o_orderkey, 'reinstated', o_totalprice, 'c',
+                   {_SQL_LSN.format(off=4)}
+            FROM orders WHERE o_orderkey % 15 = 0
+        ), v AS (
+            SELECT *, _lsn AS valid_from,
+                   LEAD(_lsn) OVER (PARTITION BY id ORDER BY _lsn) AS valid_to
+            FROM ev
+        )
+        SELECT id, status, total_amount, _op, valid_from, valid_to,
+               (valid_to IS NULL) AS is_current
+        FROM v WHERE _op <> 'd'
     """,
 }

@@ -164,6 +164,29 @@ def sample_topn_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def balanced_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture resampling: the largest sub-corpus with a UNIFORM language
+    mix (every lang downsampled to the same quota), membership chosen by
+    the portable (md5(id), id) order — the domain-rebalancing step of a
+    training-data pipeline, exact and reproducible across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sp.sample_to_mixture(docs, ["lang"]).select("doc_id", "lang", "sample_rank")
+
+
+def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-first corpus selection under a 50%-of-corpus token budget
+    (the "fill the training budget with the best data" step), rolled up
+    per language. Greedy order = (quality DESC, md5(id), id); the engine
+    decomposes the global cumsum into a per-quality-bucket histogram +
+    within-bucket windows — no global window over documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = tx.with_quality_score(tx.with_token_stats(docs))
+    sel = sp.take_token_budget(d, budget_frac=0.5)
+    return sel.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("sum_tokens")
+    )
+
+
 def doc_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated length percentiles per language."""
     docs = load_table(spark, sf_dir, "documents")
@@ -182,6 +205,35 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     edges = sim.cosine_near_dup_blocked(emb, threshold=NEAR_DUP_COSINE)
     return cl.connected_components(edges, emb, id_col="vec_id")
+
+
+def near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization — the step AFTER near-dup detection that actually
+    shrinks the corpus: per multi-member near-dup cluster, keep the member
+    with the highest quality (here: l2 norm rounded to 6, vec_id as the
+    tie-break) and report what gets dropped. Cluster assignment is the
+    exact blocked-GEMM edge set + connected components; the per-cluster
+    pick is one window partitioned BY cluster (bounded by cluster size,
+    parallel across clusters) + one groupBy."""
+    from pyspark.sql.window import Window
+
+    from cdc_streaming_pipeline_spark.functions.vector import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = sim.cosine_near_dup_blocked(emb, threshold=NEAR_DUP_COSINE)
+    clusters = cl.connected_components(edges, emb, id_col="vec_id")
+    scored = emb.select("vec_id", F.round(l2_norm(F.col("embedding")), 6).alias("__q"))
+    w = Window.partitionBy("cluster_id").orderBy(F.col("__q").desc(), F.col("vec_id").asc())
+    ranked = clusters.join(scored, "vec_id").withColumn("__rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min(F.when(F.col("__rn") == 1, F.col("vec_id"))).alias("keep_vec_id"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .withColumn("n_dropped", F.col("n_members") - 1)
+    )
 
 
 def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -380,6 +432,9 @@ QUERIES = {
     "sample_topn_per_stratum": sample_topn_per_stratum,
     "doc_quantiles_by_lang": doc_quantiles_by_lang,
     "near_dup_clusters": near_dup_clusters,
+    "near_dup_keep_best": near_dup_keep_best,
+    "balanced_sample_by_lang": balanced_sample_by_lang,
+    "select_token_budget": select_token_budget,
     "doc_pii_scan": doc_pii_scan,
     "doc_repetition_stats": doc_repetition_stats,
     "doc_contamination": doc_contamination,
@@ -656,6 +711,55 @@ ORACLE["sample_topn_per_stratum"] = """
     ) WHERE sample_rank <= 5
 """
 
+# Same quality formula as doc_quality_scores (hash-proven), then the global
+# greedy rule directly: cumulative tokens over (quality DESC, md5, id) ≤
+# floor(0.5 * total). The engine's histogram+within-bucket decomposition
+# must reproduce this order exactly.
+ORACLE["select_token_budget"] = f"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               (CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END)::DOUBLE AS n_tok,
+               len(list_distinct({_TOKS}))::DOUBLE AS n_dist,
+               length(text) AS n,
+               length(regexp_replace(text, '[.,!?;:''"()\\[\\]-]', '', 'g')) AS n_stripped
+        FROM documents
+    ), t AS (
+        SELECT doc_id, lang, n_tok::BIGINT AS n_tokens,
+               ROUND(
+                   (CASE WHEN n_tok >= 10 AND n_tok <= 5000 THEN 1.0 ELSE 0.5 END) * 0.4
+                   + (n_dist / GREATEST(n_tok, 1)) * 0.4
+                   + (1.0 - CASE WHEN n = 0 THEN 0.0
+                            ELSE (n - n_stripped)::DOUBLE / n::DOUBLE END) * 0.2,
+                   4) AS quality_score
+        FROM s
+    ), b AS (
+        SELECT CAST(floor(0.5 * SUM(n_tokens)) AS BIGINT) AS budget FROM t
+    ), r AS (
+        SELECT lang, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                    ORDER BY quality_score DESC, md5(doc_id::VARCHAR) ASC, doc_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM t
+    )
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM r, b WHERE cum <= budget GROUP BY lang
+"""
+
+# Uniform integer weights (w_s=1, W=#langs): T = MIN(cnt*W), quota = T//W —
+# all-integer quota arithmetic, same as the engine (see sample_to_mixture).
+ORACLE["balanced_sample_by_lang"] = """
+    WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+         w AS (SELECT COUNT(*) AS tw FROM c),
+         t AS (SELECT MIN(cnt * tw) AS feas FROM c, w),
+         q AS (SELECT feas // tw AS quota FROM t, w),
+         r AS (SELECT doc_id, lang,
+                      ROW_NUMBER() OVER (PARTITION BY lang
+                                         ORDER BY md5(doc_id::VARCHAR) ASC,
+                                                  doc_id ASC) AS rn
+               FROM documents)
+    SELECT doc_id, lang, rn AS sample_rank FROM r, q WHERE rn <= quota
+"""
+
 ORACLE["doc_quantiles_by_lang"] = """
     SELECT lang, COUNT(*) AS n_docs,
            ROUND(quantile_cont(length(text), 0.5), 4) AS p50,
@@ -682,6 +786,40 @@ ORACLE["near_dup_clusters"] = f"""
            LEAST(v.vec_id, COALESCE(MIN(r.dst), v.vec_id)) AS cluster_id
     FROM embeddings v LEFT JOIN reach r ON r.src = v.vec_id
     GROUP BY v.vec_id
+"""
+
+# Clusters (same transitive closure as near_dup_clusters), scored by the
+# rounded l2 norm, best-per-cluster via the same (q DESC, vec_id ASC) rank.
+ORACLE["near_dup_keep_best"] = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT id_a, id_b FROM ({_NEAR_DUP_EXACT_SQL})
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach(src, dst) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ), clusters AS (
+        SELECT v.vec_id,
+               LEAST(v.vec_id, COALESCE(MIN(r.dst), v.vec_id)) AS cluster_id
+        FROM embeddings v LEFT JOIN reach r ON r.src = v.vec_id
+        GROUP BY v.vec_id
+    ), scored AS (
+        SELECT vec_id,
+               ROUND(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))), 6) AS q
+        FROM embeddings
+    ), ranked AS (
+        SELECT c.cluster_id, c.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY s.q DESC, c.vec_id ASC) AS rn
+        FROM clusters c JOIN scored s USING (vec_id)
+    )
+    SELECT cluster_id, COUNT(*) AS n_members,
+           MIN(CASE WHEN rn = 1 THEN vec_id END) AS keep_vec_id,
+           COUNT(*) - 1 AS n_dropped
+    FROM ranked GROUP BY cluster_id HAVING COUNT(*) >= 2
 """
 
 _PII = {

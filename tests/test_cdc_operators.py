@@ -11,6 +11,7 @@ from cdc_streaming_pipeline_spark.operators.cdc import (
     filter_tombstones,
     latest_state,
     mark_deleted,
+    scd2_history,
     split_corrupt,
     to_wide,
     unwrap_envelope,
@@ -116,6 +117,33 @@ def test_latest_state_max_lsn_wins_delete_drops_reinsert_resurrects(spark):
 
     raw = latest_state(events, key_cols=["id"], drop_deleted=False)
     assert {r.id for r in raw.collect()} == {1, 2, 3}  # markers retained
+
+
+def test_scd2_history_versions_close_on_next_event_deletes_close_only(spark):
+    events = spark.createDataFrame(
+        [
+            (1, "v1", "c", "t", "001", None),
+            (1, "v2", "u", "t", "002", None),
+            (2, "x1", "c", "t", "003", None),
+            (2, "x1", "d", "t", "004", "true"),
+            (3, "y1", "c", "t", "005", None),
+            (3, "y1", "d", "t", "006", "true"),
+            (3, "y2", "c", "t", "007", None),  # re-insert after delete
+        ],
+        "id int, payload string, _op string, _table string, _lsn string, _deleted string",
+    )
+    out = scd2_history(events, key_cols=["id"]).orderBy("id", "valid_from").collect()
+    got = [(r.id, r.payload, r.valid_from, r.valid_to, r.is_current) for r in out]
+    assert got == [
+        (1, "v1", "001", "002", False),  # closed by the update
+        (1, "v2", "002", None, True),
+        (2, "x1", "003", "004", False),  # closed by the delete; no current row
+        (3, "y1", "005", "006", False),  # delete closes...
+        (3, "y2", "007", None, True),  # ...re-insert opens a new current
+    ]
+    # current versions == latest_state survivors
+    current = {r.id for r in out if r.is_current}
+    assert current == {r.id for r in latest_state(events, key_cols=["id"]).collect()}
 
 
 def test_with_time_partitions_derives_event_time_parts(spark):

@@ -1,0 +1,83 @@
+"""Unit tests for the corpus-assembly samplers (operators/sampling.py):
+mixture resampling and token-budget selection, on tiny in-memory frames.
+
+Both operators promise (a) deterministic engine-portable membership via
+the (md5(id), id) order, and (b) exact integer quota/budget arithmetic —
+these tests pin the semantics the DuckDB oracles re-state in SQL.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+from cdc_streaming_pipeline_spark.operators.sampling import (
+    sample_to_mixture,
+    take_token_budget,
+)
+
+
+def _md5_order(ids):
+    return sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, lang string")
+
+
+def test_mixture_uniform_downsamples_every_stratum_to_min_count(spark):
+    rows = [(i, "en") for i in range(5)] + [(i, "de") for i in range(10, 13)] + [
+        (i, "fr") for i in range(20, 29)
+    ]
+    out = sample_to_mixture(_docs(spark, rows), ["lang"]).collect()
+    by_lang = Counter(r.lang for r in out)
+    assert by_lang == {"en": 3, "de": 3, "fr": 3}  # min stratum count
+    assert all(1 <= r.sample_rank <= 3 for r in out)
+    # membership = first quota ids in (md5, id) order, per stratum
+    want_en = set(_md5_order(range(5))[:3])
+    assert {r.doc_id for r in out if r.lang == "en"} == want_en
+    # deterministic across re-builds
+    again = sample_to_mixture(_docs(spark, rows), ["lang"]).collect()
+    assert {(r.doc_id, r.sample_rank) for r in again} == {
+        (r.doc_id, r.sample_rank) for r in out
+    }
+
+
+def test_mixture_integer_weights_hit_exact_proportions(spark):
+    rows = [(i, "en") for i in range(5)] + [(i, "de") for i in range(10, 13)] + [
+        (i, "fr") for i in range(20, 29)
+    ]
+    # W=3; T = min(5*3 div 2, 3*3 div 1) = 7; quotas: en 2*7 div 3 = 4, de 7 div 3 = 2
+    out = sample_to_mixture(_docs(spark, rows), ["lang"], weights={"en": 2, "de": 1})
+    by_lang = Counter(r.lang for r in out.collect())
+    assert by_lang == {"en": 4, "de": 2}  # fr unweighted -> dropped
+
+
+def test_token_budget_keeps_best_quality_first_exact_boundary(spark):
+    rows = [
+        (1, "en", 0.9, 10),
+        (2, "en", 0.9, 10),
+        (3, "de", 0.5, 4),
+        (4, "de", 0.5, 4),
+        (5, "fr", 0.1, 22),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, quality_score double, n_tokens int"
+    )
+    # budget = floor(0.5 * 50) = 25: both 0.9 docs (cum 20), then the
+    # md5-first 0.5 doc fits (cum 24) but the second does not (cum 28) --
+    # the keep rule is cum <= budget, same as the oracle SQL
+    kept = take_token_budget(df, budget_frac=0.5).collect()
+    assert len(kept) == 3
+    assert {r.doc_id for r in kept if r.quality_score == 0.9} == {1, 2}
+    boundary = [r.doc_id for r in kept if r.quality_score == 0.5]
+    assert boundary == [_md5_order([3, 4])[0]]  # md5-first of the tied bucket
+    assert not [r for r in kept if r.quality_score == 0.1]
+
+
+def test_token_budget_full_fraction_keeps_everything(spark):
+    df = spark.createDataFrame(
+        [(1, 0.9, 7), (2, 0.1, 5)], "doc_id bigint, quality_score double, n_tokens int"
+    )
+    assert take_token_budget(df, budget_frac=1.0).count() == 2
+    assert take_token_budget(df, budget_frac=0.0).count() == 0
