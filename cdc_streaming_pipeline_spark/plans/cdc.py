@@ -336,7 +336,7 @@ ORACLE = {
     """,
     "cdc_split_corrupt": """
         SELECT COUNT(*) FILTER (WHERE o_orderkey % 97 <> 0) AS n_good,
-               SUM(o_orderkey) FILTER (WHERE o_orderkey % 97 <> 0) AS sum_good_ids,
+               CAST(SUM(o_orderkey) FILTER (WHERE o_orderkey % 97 <> 0) AS BIGINT) AS sum_good_ids,
                COUNT(*) FILTER (WHERE o_orderkey % 97 = 0) AS n_bad
         FROM orders
     """,
