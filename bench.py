@@ -114,6 +114,11 @@ def main() -> int:
     MAX_LINE = 1800
     emit = dict(result)
     emit["queries"] = dict(timings)
+    if failures:
+        # Full exception text is already persisted in BENCH_LOCAL.json;
+        # an unbounded traceback here can blow past MAX_LINE even after
+        # every query entry is dropped, cutting the line mid-JSON.
+        emit["failures"] = {k: v[:120] for k, v in failures.items()}
     line = json.dumps(emit, separators=(",", ":"))
     while len(line) > MAX_LINE and emit["queries"]:
         emit["queries"].pop(next(reversed(emit["queries"])))

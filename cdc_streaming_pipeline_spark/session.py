@@ -46,6 +46,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Spark 4 reads parquet timestamp[us] columns (no timezone metadata)
+        # as TIMESTAMP_NTZ by default, which unix_micros/unix_timestamp/
+        # watermark expressions reject. The session TZ is pinned to UTC above,
+        # so LTZ reads preserve the exact instants the oracle (DuckDB) sees.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,61 @@
+"""Every registered query must RUN against real driver parquet.
+
+Round-4 lesson: pytest fixtures build timestamps via ``createDataFrame``
+(TIMESTAMP_LTZ), so the Spark-4 parquet TIMESTAMP_NTZ inference break in
+``user_sessions`` was invisible to the whole suite — only the driver bench
+caught it. This test closes that gap: it executes every ``queries()``
+entry against ``/root/testdata/sf0.001`` parquet (the same read path the
+driver gate and bench use) and asserts the plan both analyzes and
+executes. Row-level correctness stays with the DuckDB oracle
+(``tools/oracle_check.py`` / the driver gate); this is the
+environment-compatibility smoke layer.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_QUERIES = entrymod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_query_runs_on_parquet(spark, name):
+    fn = _QUERIES[name]
+    df = fn(spark, SF_DIR)
+    # noop write executes the full plan JVM-side without driver collection —
+    # identical to how bench.py forces execution.
+    df.write.format("noop").mode("overwrite").save()
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+
+
+def test_oracle_sql_strings_run_on_duckdb():
+    """Every oracle_sql() entry must be valid DuckDB SQL over the tables."""
+    import duckdb
+
+    from cdc_streaming_pipeline_spark.sources.tables import TABLE_NAMES
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    bad = []
+    for name, sql in entrymod.oracle_sql().items():
+        try:
+            con.execute(sql).fetchone()
+        except Exception as e:  # noqa: BLE001
+            bad.append(f"{name}: {e}")
+    assert not bad, "\n".join(bad)
