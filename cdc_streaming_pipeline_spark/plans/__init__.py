@@ -29,12 +29,16 @@ _PRIORITY: list[str] = [
     "cdc_demux_customer",
     "cdc_split_corrupt",
     "cdc_state_as_of",
+    "cdc_scd2_history",
     # catalog (Q7) over the P1 partitioned sink, end-to-end
     "events_landed_partition_counts",
     # training-data pipeline surface (docs/dedup/similarity/media).
     # FROZEN list, not *docs.QUERIES: additions must land in the tail, and
     # swaps in here must evict something already driver-certified.
-    # (doc_subword_stats sits in the tail: driver-certified green in r2.)
+    # (doc_subword_stats sits in the tail: driver-certified green in r2.
+    # Round 5 evicted media_av_chunks / ann_topk_lsh /
+    # embedding_near_dup_lsh to the tail — see note before the final
+    # promotion block below.)
     "doc_token_stats",
     "doc_quality_scores",
     "doc_lang_id",
@@ -46,9 +50,7 @@ _PRIORITY: list[str] = [
     "simhash_near_dup_pairs",
     "embedding_norms",
     "ann_topk_bruteforce",
-    "ann_topk_lsh",
     "embedding_near_dup_blocked",
-    "embedding_near_dup_lsh",
     "doc_tfidf_top_terms",
     "corpus_top_bigrams",
     "doc_length_histogram",
@@ -62,7 +64,6 @@ _PRIORITY: list[str] = [
     "pack_documents",
     "ann_topk_ivf",
     "media_image_pipeline",
-    "media_av_chunks",
     # SURVEY §2 rubric analytics (TPC-H shapes, anti-join, windows, sets)
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -80,6 +81,16 @@ _PRIORITY: list[str] = [
     "count_star_events",
     "first_events",
     "time_partition_counts",
+    # CDC-warehouse joins + sessionization (round-5 promotion: these are
+    # closer to the reference's capability than the evicted rows —
+    # media_av_chunks near-duplicates media_image_pipeline's certified
+    # plumbing, and ann_topk_lsh / embedding_near_dup_lsh are rows-only in
+    # the gate anyway while their exact siblings stay hash-certified;
+    # both keep recall/parity pytest coverage and full-surface
+    # ORACLE_LOCAL artifacts. user_sessions earns its slot after the r4
+    # TIMESTAMP_NTZ break showed the tail can rot outside the gate.)
+    "events_asof_order_state",
+    "user_sessions",
 ]
 
 _ALL_QUERIES = {**cdc.QUERIES, **docs.QUERIES, **analytics.QUERIES, **events.QUERIES}

@@ -5,11 +5,17 @@ DuckDB at the given scale factor, then compares row count, column-name
 sets, and order-insensitive values (columns sorted by name, rows sorted).
 Exact equality required — floats must already be rounded inside the query.
 
-Usage: python tools/oracle_check.py [sf_dir] [query ...]
+Usage: python tools/oracle_check.py [--json OUT.json] [sf_dir] [query ...]
+
+With ``--json`` a per-query artifact in the driver's CORRECTNESS_r{N}
+shape is written, covering EVERY registered query (the driver gate caps
+at 50 rows; this file is the round's full-surface record, the round-4
+lesson being that tail queries can rot invisibly without one).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -69,8 +75,13 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
 
@@ -85,6 +96,7 @@ def main() -> int:
         )
 
     failed, passed, rows_only = [], [], []
+    records: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -93,20 +105,42 @@ def main() -> int:
             spark_pdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             failed.append(name)
+            records[name] = {
+                "rows_match": False, "schema_match": None, "hash_match": None,
+                "spark_rows": None, "oracle_rows": None,
+                "err": f"spark: {type(e).__name__}: {str(e)[:200]}",
+            }
             print(f"FAIL {name}: spark error: {e}")
             continue
         t_spark = time.time() - t0
         if name not in oracles:
             rows_only.append(name)
+            records[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(spark_pdf), "oracle_rows": None,
+                "err": "no_oracle", "sec": round(t_spark, 2),
+            }
             print(f"ROWS-ONLY {name}: {len(spark_pdf)} rows ({t_spark:.1f}s)")
             continue
         try:
             oracle_pdf = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             failed.append(name)
+            records[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(spark_pdf), "oracle_rows": None,
+                "err": f"duckdb: {type(e).__name__}: {str(e)[:200]}",
+            }
             print(f"FAIL {name}: duckdb error: {e}")
             continue
         problems = compare(name, spark_pdf, oracle_pdf)
+        records[name] = {
+            "rows_match": len(spark_pdf) == len(oracle_pdf),
+            "schema_match": sorted(spark_pdf.columns) == sorted(oracle_pdf.columns),
+            "hash_match": not problems,
+            "spark_rows": len(spark_pdf), "oracle_rows": len(oracle_pdf),
+            "err": "; ".join(problems)[:300] or None, "sec": round(t_spark, 2),
+        }
         if problems:
             failed.append(name)
             print(f"FAIL {name} ({len(spark_pdf)} rows, {t_spark:.1f}s)")
@@ -116,6 +150,10 @@ def main() -> int:
             passed.append(name)
             print(f"OK   {name} ({len(spark_pdf)} rows, {t_spark:.1f}s)")
 
+    if json_out:
+        with open(json_out, "w", encoding="utf-8") as fh:
+            json.dump(records, fh, indent=1)
+            fh.write("\n")
     print(
         f"\n{len(passed)} passed, {len(failed)} failed, {len(rows_only)} rows-only "
         f"of {len(qs)} queries at {sf_dir}"
