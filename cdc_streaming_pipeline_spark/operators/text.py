@@ -345,3 +345,40 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     norm = normalize_ws(text)
     bow = F.array_join(F.array_sort(F.array_distinct(tokens(norm))), " ")
     return df.withColumn("fp_exact", F.md5(norm)).withColumn("fp_bow", F.md5(bow))
+
+
+def novelty_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_size: int = 3
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's distinct
+    token shingles that appear in NO other document (corpus doc-frequency
+    1). High novelty = unique content; low = boilerplate shared across the
+    corpus. The complement of near-dup detection: pairwise ops find WHO
+    shares; this scores HOW MUCH of each doc is shared, in one pass.
+
+    Plan: explode distinct shingles, window-count doc frequency partitioned
+    by shingle (one shuffle on the shingle key), re-aggregate per doc (one
+    shuffle on the id). No join, no candidate pairs, no driver state. This
+    engine-portable variant ships shingle STRINGS so the DuckDB oracle can
+    replicate it byte-for-byte; at 100 TB swap the string key for
+    xxhash64(shingle) (the dedup module's trick) to shuffle 8-byte longs —
+    same frequencies modulo 64-bit collisions.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(normalize_ws(F.col(text_col)))
+    n = shingle_size - 1
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - n, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, shingle_size), " "),
+        )
+    )
+    inv = df.select(F.col(id_col), F.explode(shingles).alias("_g"))
+    with_df = inv.withColumn("_df", F.count("*").over(Window.partitionBy("_g")))
+    is_novel = (F.col("_df") == 1).cast("int")
+    return with_df.groupBy(id_col).agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(is_novel).alias("n_novel"),
+        F.round(F.avg(is_novel.cast("double")), 4).alias("novelty"),
+    )

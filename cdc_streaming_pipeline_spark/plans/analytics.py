@@ -418,6 +418,220 @@ def sql_text_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated scalar-min subquery): for each STANDARD
+    part, the supplier(s) whose average sale price equals the per-part
+    minimum across suppliers. No partsupp table in this schema, so the
+    supplier-part price list is derived from lineitem; the plan shape —
+    aggregate, per-group min, equality join back — is the same. The min is
+    computed with a window over the aggregated (part, supplier) frame, so
+    the corpus is scanned once and the correlation never re-executes.
+
+    The offer metric is the min unit price in 1e-4 units as a BIGINT:
+    integer rounding of a double is cross-engine-exact (X.5 is dyadic, so
+    both engines see the same boundary), whereas rounding at 4 decimals
+    is not — an avg-based float metric here hash-mismatched the oracle on
+    a .xxxx5 case."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 25)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    unit_e4 = F.round((F.col("l_extendedprice") * 10000.0) / F.col("l_quantity")).cast("long")
+    offer = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(unit_e4).alias("unit_price_e4")
+    )
+    best = offer.withColumn(
+        "min_price_e4", F.min("unit_price_e4").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("unit_price_e4") == F.col("min_price_e4"))
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("p_partkey", "p_brand", "s_name", "n_name", "unit_price_e4")
+    )
+
+
+def q4_late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS → left-semi join with a non-equi residual):
+    1996 orders having at least one lineitem shipped more than 90 days
+    after the order date, counted by priority. Catalyst turns the EXISTS
+    into one semi-join shuffled on the order key; the date residual is
+    evaluated inside the join, never materializing the match list."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (two-level conditional aggregate over a 5-way join):
+    NATION_3 suppliers' share of EUROPE-customer revenue per order year.
+    Dimensions all broadcast; lineitem⋈orders is the only big shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    euro_custs = (
+        cust.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+                    nation.n_regionkey == region.r_regionkey,
+                )
+            ),
+            cust.c_nationkey == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    supp_nation = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey).select(
+        F.col("s_suppkey").alias("sn_suppkey"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(euro_custs, orders.o_custkey == euro_custs.c_custkey, "left_semi")
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("sn_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0.0)).cast("decimal(28,6)"))
+                / F.sum(rev.cast("decimal(28,6)")),
+                6,
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+    )
+
+
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (profit rollup by supplier nation × year): no
+    partsupp/ps_supplycost in this schema, so cost is modeled as
+    0.8 × p_retailprice × quantity — the join tree (part filter pushed to
+    the scan, supplier→nation broadcast, lineitem⋈orders shuffle) and the
+    derived-expression aggregate are Q9's."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("g"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.8 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(profit).alias("sum_profit"))
+    )
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (outer-join count distribution, zeros included):
+    how many customers placed exactly N non-urgent orders, for every N
+    including 0 — the left outer join keeps orderless customers, and
+    count(o_orderkey) (not count(*)) makes them bucket 0."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (aggregate view + scalar-max equality join): supplier
+    revenue over one quarter, returning the top supplier(s) by equality
+    with the global max — the max is a 1-row broadcast, not a sort."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), revenue.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (NOT IN exclusion + COUNT DISTINCT per group):
+    distinct suppliers per (brand, size) for non-PROMO mid-size parts,
+    excluding negative-balance suppliers (the 'complaints' analog) via an
+    anti-join before the distinct aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "PROMO") & (F.col("p_size").isin(5, 10, 15, 20, 25, 30))
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        li.join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS over sibling lineitems):
+    suppliers who were the ONLY late shipper (>60 days after order date)
+    on a finished multi-supplier order. Both correlated subqueries
+    collapse into one window pass over lineitem keyed by order — per-order
+    distinct-supplier and distinct-late-supplier counts — so the corpus is
+    shuffled once on l_orderkey instead of twice more for the EXISTS pair."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = load_table(spark, sf_dir, "supplier")
+    flagged = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .withColumn(
+            "is_late",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).cast("int"),
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    per_order = (
+        flagged.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supp",
+            F.size(
+                F.collect_set(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).over(w)
+            ),
+        )
+    )
+    culprit = per_order.filter(
+        (F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+    ).select("l_orderkey", "l_suppkey").dropDuplicates()
+    return (
+        culprit.join(F.broadcast(supp), culprit.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -443,6 +657,14 @@ QUERIES = {
     "grouping_sets_revenue": grouping_sets_revenue,
     "order_status_pivot": order_status_pivot,
     "sql_text_revenue_by_nation": sql_text_revenue_by_nation,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q4_late_shipment_orders": q4_late_shipment_orders,
+    "q8_market_share": q8_market_share,
+    "q9_profit_by_nation_year": q9_profit_by_nation_year,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_count_by_part": q16_supplier_count_by_part,
+    "q21_sole_late_supplier": q21_sole_late_supplier,
 }
 
 ORACLE = {
@@ -667,5 +889,116 @@ ORACLE = {
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name
+    """,
+    "q2_min_cost_supplier": """
+        WITH offer AS (
+            SELECT l_partkey, l_suppkey,
+                   MIN(CAST(ROUND((l_extendedprice * 10000.0) / l_quantity) AS BIGINT)) AS unit_price_e4
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ), best AS (
+            SELECT *, MIN(unit_price_e4) OVER (PARTITION BY l_partkey) AS min_price_e4
+            FROM offer
+        )
+        SELECT p_partkey, p_brand, s_name, n_name, unit_price_e4
+        FROM best
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE unit_price_e4 = min_price_e4 AND p_type = 'STANDARD' AND p_size <= 25
+    """,
+    "q4_late_shipment_orders": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+          )
+        GROUP BY o_orderpriority
+    """,
+    "q8_market_share": """
+        SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+               CAST(ROUND(
+                 SUM(CASE WHEN n2.n_name = 'NATION_3'
+                          THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))
+                          ELSE CAST(0 AS DECIMAL(28,6)) END)
+                 / SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 6)
+               AS DOUBLE) AS mkt_share
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        )
+        GROUP BY 1
+    """,
+    "q9_profit_by_nation_year": f"""
+        SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+               {sql_dsum('l_extendedprice * (1 - l_discount) - 0.8 * p_retailprice * l_quantity')} AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%g%'
+        GROUP BY 1, 2
+    """,
+    "q13_order_count_distribution": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer
+            LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+    """,
+    "q15_top_supplier": f"""
+        WITH revenue AS (
+            SELECT l_suppkey,
+                   {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    "q16_supplier_count_by_part": """
+        SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_type <> 'PROMO' AND p_size IN (5, 10, 15, 20, 25, 30)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_size
+    """,
+    "q21_sole_late_supplier": """
+        WITH flagged AS (
+            SELECT l_orderkey, l_suppkey,
+                   CAST(l_shipdate > o_orderdate + INTERVAL 60 DAY AS INT) AS is_late
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+        ), per_order AS (
+            SELECT l_orderkey,
+                   COUNT(DISTINCT l_suppkey) AS n_supp,
+                   COUNT(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END) AS n_late_supp
+            FROM flagged GROUP BY l_orderkey
+        ), culprit AS (
+            SELECT DISTINCT f.l_orderkey, f.l_suppkey
+            FROM flagged f JOIN per_order p ON f.l_orderkey = p.l_orderkey
+            WHERE f.is_late = 1 AND p.n_supp > 1 AND p.n_late_supp = 1
+        )
+        SELECT s_name, COUNT(*) AS numwait
+        FROM culprit JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_name
     """,
 }

@@ -406,6 +406,56 @@ def media_av_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio.unionByName(video)
 
 
+def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty scoring: the share of each document's distinct
+    3-token shingles with corpus doc-frequency 1. See
+    operators/text.py:novelty_scores for the plan/scale story."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.novelty_scores(docs)
+
+
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical training-data cleaning funnel, as ONE query: every
+    per-doc flag (length floor, language known, quality floor, exact-dup
+    canonical, PII-free) is computed in a single projection over one scan
+    (plus one window shuffle for the dup canonical), then a 1-row aggregate
+    counts survivors of each cumulative stage and unpivots to a
+    stage-per-row funnel. This is the report a pipeline operator reads
+    before committing a corpus snapshot: where documents are lost, stage
+    by stage. The canonical-per-fingerprint choice (min doc_id over ALL
+    docs, not just prior-stage survivors) keeps every stage independently
+    auditable and the whole funnel one scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = tx.with_pii_counts(tx.with_quality_score(tx.with_lang_id(docs)))
+    d = d.withColumn("_fp", F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))))
+    from pyspark.sql import Window
+
+    d = d.withColumn(
+        "_rn", F.row_number().over(Window.partitionBy("_fp").orderBy(F.col("doc_id").asc()))
+    )
+    hits_any = sum(F.col(c) for c in ["hits_en", "hits_de", "hits_fr", "hits_es"])
+    pii_any = F.col("pii_email") + F.col("pii_phone") + F.col("pii_ipv4")
+    s1 = F.length("text") >= 100
+    s2 = s1 & (hits_any > 0)
+    s3 = s2 & (F.col("quality_score") >= 0.5)
+    s4 = s3 & (F.col("_rn") == 1)
+    s5 = s4 & (pii_any == 0)
+    agg = d.agg(
+        F.count("*").alias("c0"),
+        *[
+            F.sum(s.cast("int")).alias(f"c{i}")
+            for i, s in enumerate([s1, s2, s3, s4, s5], start=1)
+        ],
+    )
+    return agg.select(
+        F.expr(
+            "stack(6, 0, 'total', c0, 1, 'min_length', c1, 2, 'lang_known', c2,"
+            " 3, 'quality_floor', c3, 4, 'exact_dedup', c4, 5, 'pii_free', c5)"
+            " as (stage_no, stage, survivors)"
+        )
+    )
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_quality_scores": doc_quality_scores,
@@ -447,6 +497,8 @@ QUERIES = {
     # covered; they enter the driver gate only by evicting a certified name
     "doc_train_val_split": doc_train_val_split,
     "embedding_quantize_int8": embedding_quantize_int8,
+    "doc_novelty": doc_novelty,
+    "corpus_filter_funnel": corpus_filter_funnel,
 }
 
 # DuckDB-side replicas. Shared fragments:
@@ -946,4 +998,61 @@ ORACLE["doc_perplexity_proxy"] = f"""
            ROUND(AVG(-ln(cnt::DOUBLE / n_total::DOUBLE)), 4) AS nll_per_token
     FROM toked JOIN freq USING (term) CROSS JOIN tot
     GROUP BY doc_id
+"""
+
+ORACLE["doc_novelty"] = f"""
+    WITH sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+                 generate_series(1, greatest(len(t) - 2, 1)),
+                 i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingles
+        FROM (SELECT doc_id, {_NORM_TOKS} AS t FROM documents)
+    ), inv AS (
+        SELECT doc_id, unnest(shingles) AS g FROM sh
+    ), with_df AS (
+        SELECT doc_id, COUNT(*) OVER (PARTITION BY g) AS df FROM inv
+    )
+    SELECT doc_id, COUNT(*) AS n_shingles,
+           SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_novel,
+           ROUND(AVG(CASE WHEN df = 1 THEN 1.0 ELSE 0.0 END), 4) AS novelty
+    FROM with_df GROUP BY doc_id
+"""
+
+ORACLE["corpus_filter_funnel"] = f"""
+    WITH flags AS (
+        SELECT doc_id,
+               length(text) >= 100 AS f1,
+               (len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|for|with|was)\\b'))
+                + len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\\b'))
+                + len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|une|des|dans|pour|que)\\b'))
+                + len(regexp_extract_all(lower(text), '\\b(el|los|las|es|una|por|con|para|del|como)\\b'))) > 0 AS f2,
+               ROUND(
+                   (CASE WHEN (CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END) >= 10
+                              AND (CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END) <= 5000
+                         THEN 1.0 ELSE 0.5 END) * 0.4
+                   + (len(list_distinct({_TOKS}))::DOUBLE
+                      / GREATEST(CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END, 1)::DOUBLE) * 0.4
+                   + (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+                            ELSE (length(text) - length(regexp_replace(text, '[.,!?;:''"()\\[\\]-]', '', 'g')))::DOUBLE
+                                 / length(text)::DOUBLE END) * 0.2,
+                   4) >= 0.5 AS f3,
+               ROW_NUMBER() OVER (PARTITION BY md5({_NORM}) ORDER BY doc_id ASC) = 1 AS f4,
+               (len(regexp_extract_all(text, '{_PII["email"]}'))
+                + len(regexp_extract_all(text, '{_PII["phone"]}'))
+                + len(regexp_extract_all(text, '{_PII["ipv4"]}'))) = 0 AS f5
+        FROM documents
+    ), agg AS (
+        SELECT COUNT(*) AS c0,
+               SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS c1,
+               SUM(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS c2,
+               SUM(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS c3,
+               SUM(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END) AS c4,
+               SUM(CASE WHEN f1 AND f2 AND f3 AND f4 AND f5 THEN 1 ELSE 0 END) AS c5
+        FROM flags
+    )
+    SELECT 0 AS stage_no, 'total' AS stage, c0 AS survivors FROM agg
+    UNION ALL SELECT 1, 'min_length', c1 FROM agg
+    UNION ALL SELECT 2, 'lang_known', c2 FROM agg
+    UNION ALL SELECT 3, 'quality_floor', c3 FROM agg
+    UNION ALL SELECT 4, 'exact_dedup', c4 FROM agg
+    UNION ALL SELECT 5, 'pii_free', c5 FROM agg
 """
