@@ -366,7 +366,15 @@ def novelty_scores(
     """
     from pyspark.sql import Window
 
-    toks = tokens(normalize_ws(F.col(text_col)))
+    # Stage tokenization behind a projection boundary: a raw expression
+    # referenced inside the transform() lambda is re-inlined and the whole
+    # regex tokenization re-runs PER SHINGLE (the ~8x hazard documented at
+    # operators/dedup.py:_shingle_hash_frame); a bound column is an
+    # attribute lookup.
+    staged = df.select(
+        F.col(id_col), tokens(normalize_ws(F.col(text_col))).alias("_toks")
+    )
+    toks = F.col("_toks")
     n = shingle_size - 1
     shingles = F.array_distinct(
         F.transform(
@@ -374,7 +382,7 @@ def novelty_scores(
             lambda i: F.array_join(F.slice(toks, i, shingle_size), " "),
         )
     )
-    inv = df.select(F.col(id_col), F.explode(shingles).alias("_g"))
+    inv = staged.select(F.col(id_col), F.explode(shingles).alias("_g"))
     with_df = inv.withColumn("_df", F.count("*").over(Window.partitionBy("_g")))
     is_novel = (F.col("_df") == 1).cast("int")
     return with_df.groupBy(id_col).agg(

@@ -169,3 +169,46 @@ def test_ann_single_scan_plans_have_no_joins(spark):
         assert "Deduplicate" not in plan and "HashAggregate" not in plan
         n_exchange = plan.count("Exchange")
         assert n_exchange <= 2, f"{fn.__name__}: {n_exchange} exchanges"
+
+
+def test_q21_single_window_pass_no_self_joins(spark):
+    """Q21's EXISTS + NOT EXISTS pair is expressed as per-order window
+    aggregates; the plan must not contain extra lineitem self-joins (the
+    naive formulation scans+shuffles lineitem three times)."""
+    from cdc_streaming_pipeline_spark.plans.analytics import q21_sole_late_supplier
+
+    plan = _plan(q21_sole_late_supplier(spark, SF_DIR), "simple")
+    assert plan.count("Scan parquet") <= 3  # lineitem + orders + supplier
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_single_scan(spark):
+    """The cleaning funnel computes every stage flag in one projection:
+    exactly one documents scan, one window (dup canonical), no joins."""
+    from cdc_streaming_pipeline_spark.plans.docs import corpus_filter_funnel
+
+    plan = _plan(corpus_filter_funnel(spark, SF_DIR), "simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_doc_novelty_no_pair_join(spark):
+    """Novelty is a frequency op, not a pairs op: one documents scan, a
+    window over the shingle key, and a per-doc aggregate — never a
+    shingle-shingle join (which is quadratic in hot shingles)."""
+    from cdc_streaming_pipeline_spark.plans.docs import doc_novelty
+
+    plan = _plan(doc_novelty(spark, SF_DIR), "simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_q2_min_over_window_not_self_join(spark):
+    """Q2's correlated scalar-min resolves as a window over the aggregated
+    offer frame — one lineitem scan, no offer-offer self-join."""
+    from cdc_streaming_pipeline_spark.plans.analytics import q2_min_cost_supplier
+
+    plan = _plan(q2_min_cost_supplier(spark, SF_DIR), "simple")
+    assert plan.count("Scan parquet") <= 4  # lineitem + 3 broadcast dims
+    assert "Window" in plan
