@@ -223,3 +223,56 @@ def sample_to_mixture(
         .filter(F.col("sample_rank") <= F.col("__quota"))
         .drop("__quota")
     )
+
+
+def temperature_resample(
+    df: DataFrame, strata: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Temperature-flattened mixture resampling (the count^(1/T) domain
+    rebalance used when composing LLM training corpora): big strata are
+    downweighted, small strata upweighted relative to natural proportions,
+    without going fully uniform.
+
+    Temperature is FIXED at T=2 (weight_s = sqrt(count_s)) because that is
+    the one exponent computable exactly in integer arithmetic on any
+    engine: w = isqrt(cnt) via floor(sqrt) plus a ±1 guard, so a last-ulp
+    sqrt difference between engines can never flip a weight. Arbitrary
+    alpha needs float pow, whose final-digit rounding is NOT portable —
+    for other temperatures, precompute integer weights and use
+    ``sample_to_mixture``.
+
+    Quota arithmetic then follows sample_to_mixture's integer scheme
+    (T_total = min_s (cnt_s * W) div w_s; quota_s = (w_s * T_total) div W)
+    and membership is the first quota_s rows per stratum in the portable
+    (md5(id), id) order. Cost: one counts aggregate + two 1-row broadcasts
+    + one window shuffle on the strata — independent of corpus width.
+    """
+    counts = df.groupBy(*strata).agg(F.count("*").alias("__cnt"))
+    root = F.floor(F.sqrt(F.col("__cnt"))).cast("long")
+    guarded = (
+        root
+        - (root * root > F.col("__cnt")).cast("long")
+        + F.when(
+            ((root + 1) * (root + 1)) <= F.col("__cnt"), F.lit(1)
+        ).otherwise(F.lit(0))
+    )
+    wtd = counts.withColumn("__w", guarded).filter(F.col("__w") > 0)
+    wtot = wtd.agg(F.sum("__w").alias("__wtot"))
+    feasible = wtd.crossJoin(F.broadcast(wtot)).withColumn(
+        "__feasible", F.expr("(__cnt * __wtot) div __w")
+    )
+    total = feasible.agg(F.min("__feasible").alias("__T"))
+    quotas = (
+        feasible.crossJoin(F.broadcast(total))
+        .withColumn("__quota", F.expr("(__w * __T) div __wtot"))
+        .select(*strata, "__quota")
+    )
+    w = Window.partitionBy(*strata).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.join(F.broadcast(quotas), on=strata)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= F.col("__quota"))
+        .drop("__quota")
+    )

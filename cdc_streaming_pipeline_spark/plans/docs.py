@@ -406,6 +406,16 @@ def media_av_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio.unionByName(video)
 
 
+def temperature_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened (T=2, weight = isqrt(count)) source-mixture
+    resample of the documents corpus. See
+    operators/sampling.py:temperature_resample."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sp.temperature_resample(docs, ["source"]).select(
+        "doc_id", "source", "sample_rank"
+    )
+
+
 def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram novelty scoring: the share of each document's distinct
     3-token shingles with corpus doc-frequency 1. See
@@ -499,6 +509,7 @@ QUERIES = {
     "embedding_quantize_int8": embedding_quantize_int8,
     "doc_novelty": doc_novelty,
     "corpus_filter_funnel": corpus_filter_funnel,
+    "temperature_sample_by_source": temperature_sample_by_source,
 }
 
 # DuckDB-side replicas. Shared fragments:
@@ -1055,4 +1066,38 @@ ORACLE["corpus_filter_funnel"] = f"""
     UNION ALL SELECT 3, 'quality_floor', c3 FROM agg
     UNION ALL SELECT 4, 'exact_dedup', c4 FROM agg
     UNION ALL SELECT 5, 'pii_free', c5 FROM agg
+"""
+
+ORACLE["temperature_sample_by_source"] = """
+    WITH counts AS (
+        SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source
+    ), weighted AS (
+        SELECT source, cnt,
+               CAST(FLOOR(SQRT(cnt)) AS BIGINT)
+                 - CASE WHEN CAST(FLOOR(SQRT(cnt)) AS BIGINT) * CAST(FLOOR(SQRT(cnt)) AS BIGINT) > cnt THEN 1 ELSE 0 END
+                 + CASE WHEN (CAST(FLOOR(SQRT(cnt)) AS BIGINT) + 1) * (CAST(FLOOR(SQRT(cnt)) AS BIGINT) + 1) <= cnt THEN 1 ELSE 0 END
+               AS w
+        FROM counts
+    ), pos AS (
+        SELECT * FROM weighted WHERE w > 0
+    ), tot AS (
+        SELECT SUM(w) AS wtot FROM pos
+    ), feasible AS (
+        SELECT source, w, (cnt * wtot) // w AS f FROM pos CROSS JOIN tot
+    ), big_t AS (
+        SELECT MIN(f) AS t FROM feasible
+    ), quotas AS (
+        SELECT source, (w * t) // wtot AS quota
+        FROM feasible CROSS JOIN tot CROSS JOIN big_t
+    ), ranked AS (
+        SELECT d.doc_id, d.source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.source
+                   ORDER BY md5(CAST(d.doc_id AS VARCHAR)) ASC, d.doc_id ASC
+               ) AS sample_rank
+        FROM documents d JOIN pos USING (source)
+    )
+    SELECT doc_id, source, sample_rank
+    FROM ranked JOIN quotas USING (source)
+    WHERE sample_rank <= quota
 """
