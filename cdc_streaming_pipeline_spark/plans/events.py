@@ -322,6 +322,34 @@ def hll_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.unionByName(overall)
 
 
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rollup via Spark's NATIVE session_window operator (the
+    batch twin of streaming/pipeline.py:session_windows) — one shuffle on
+    the session key, windows merged by the engine. Semantics note vs
+    user_sessions: session_window merges an event into a session while
+    gap < 30min STRICTLY (its window is [ts, ts+gap)), whereas the lag
+    formulation there breaks on gap > 30min — the oracle below mirrors
+    the strict rule. Session bounds are emitted as epoch microseconds
+    (integer, cross-engine-exact)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window(F.col("ts"), "30 minutes"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(28,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 QUERIES = {
     "count_star_events": count_star_events,
     "first_events": first_events,
@@ -340,6 +368,7 @@ QUERIES = {
     "events_asof_order_state": events_asof_order_state,
     "events_in_purchase_windows": events_in_purchase_windows,
     "hll_users_rollup": hll_users_rollup,
+    "session_window_stats": session_window_stats,
 }
 
 ORACLE = {
@@ -453,4 +482,26 @@ ORACLE["events_in_purchase_windows"] = """
      AND v.ts >= p.ts
      AND v.ts <= p.ts + INTERVAL 1 HOUR
     GROUP BY v.user_id
+"""
+
+ORACLE["session_window_stats"] = """
+    WITH gaps AS (
+        SELECT user_id, ts, value,
+               CASE WHEN COALESCE(epoch_us(ts) - epoch_us(
+                        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)),
+                        1800000000) >= 1800000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+    ), sids AS (
+        SELECT user_id, ts, value,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM gaps
+    )
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts)) + 1800000000 AS session_end_us,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value
+    FROM sids GROUP BY user_id, sid
 """
