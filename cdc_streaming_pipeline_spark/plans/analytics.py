@@ -632,6 +632,83 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (group HAVING against a global-scalar share): parts
+    whose revenue from NATION_1 suppliers exceeds 0.1% of that nation's
+    total — the per-group aggregate and the global total come from ONE
+    aggregation pass (the total is a 1-row broadcast re-join, not a second
+    scan of the grouped frame's source)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1_supp = supp.join(
+        F.broadcast(nation.filter(F.col("n_name") == "NATION_1")),
+        supp.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey")
+    value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = (
+        li.join(F.broadcast(n1_supp), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(dsum(value).alias("part_value"))
+    )
+    total = per_part.agg(
+        F.round(F.sum(F.col("part_value").cast("decimal(28,6)")) * 0.001, 6)
+        .cast("double")
+        .alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+    )
+
+
+def q12_late_shipment_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (conditional two-way counts per group): 1997
+    lineitems shipped more than 60 days after their order date, grouped by
+    return flag (the ship-mode analog in this schema), counting
+    high-priority (1-URGENT/2-HIGH) vs lower-priority orders in one
+    aggregate pass."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    late = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return late.groupBy("l_returnflag").agg(
+        F.sum(is_high.cast("int")).alias("high_line_count"),
+        F.sum((~is_high).cast("int")).alias("low_line_count"),
+    )
+
+
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (nested correlated-aggregate semi-join): suppliers
+    who shipped more than 100 units of 'blue'-named parts during 1997,
+    with nation context. The correlated per-(supplier) quantity subquery
+    is one aggregate; the outer supplier list arrives via semi-join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("blue"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(dsum(F.col("l_quantity"), 2).alias("blue_qty"))
+        .filter(F.col("blue_qty") > 100)
+    )
+    return (
+        supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -665,6 +742,9 @@ QUERIES = {
     "q15_top_supplier": q15_top_supplier,
     "q16_supplier_count_by_part": q16_supplier_count_by_part,
     "q21_sole_late_supplier": q21_sole_late_supplier,
+    "q11_important_part_values": q11_important_part_values,
+    "q12_late_shipment_priority_mix": q12_late_shipment_priority_mix,
+    "q20_excess_shippers": q20_excess_shippers,
 }
 
 ORACLE = {
@@ -980,6 +1060,48 @@ ORACLE = {
         WHERE p_type <> 'PROMO' AND p_size IN (5, 10, 15, 20, 25, 30)
           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         GROUP BY p_brand, p_size
+    """,
+    "q11_important_part_values": f"""
+        WITH per_part AS (
+            SELECT l_partkey,
+                   {sql_dsum('l_extendedprice * (1 - l_discount)')} AS part_value
+            FROM lineitem
+            WHERE l_suppkey IN (
+                SELECT s_suppkey FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_1'
+            )
+            GROUP BY l_partkey
+        ), tot AS (
+            SELECT CAST(ROUND(SUM(CAST(part_value AS DECIMAL(28,6))) * 0.001, 6) AS DOUBLE) AS threshold
+            FROM per_part
+        )
+        SELECT l_partkey, part_value
+        FROM per_part CROSS JOIN tot
+        WHERE part_value > threshold
+    """,
+    "q12_late_shipment_priority_mix": """
+        SELECT l_returnflag,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        GROUP BY l_returnflag
+    """,
+    "q20_excess_shippers": f"""
+        SELECT s_suppkey, s_name, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%blue%')
+              AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l_suppkey
+            HAVING {sql_dsum('l_quantity')} > 100
+        )
     """,
     "q21_sole_late_supplier": """
         WITH flagged AS (
