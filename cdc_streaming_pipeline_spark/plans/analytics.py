@@ -709,6 +709,57 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def daily_revenue_7d_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window surface: daily gross order revenue with a
+    trailing 7-day moving average — the frame is a RANGE over epoch days
+    (not ROWS), so calendar gaps shorten the window exactly as a
+    time-series engine would. The global (unpartitioned) window is safe at
+    any data scale because it runs over the DAY-level aggregate, whose
+    cardinality is bounded by the calendar, not the corpus."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        dsum(F.col("o_totalprice")).alias("day_revenue")
+    )
+    epoch_day = F.datediff(F.col("d"), F.lit("1970-01-01"))
+    w = Window.orderBy(epoch_day).rangeBetween(-6, 0)
+    # sum(decimal)/count, not avg(decimal): Spark's decimal avg divides in
+    # decimal, DuckDB's returns double — the davg trick, windowed.
+    return daily.select(
+        "d",
+        "day_revenue",
+        F.round(
+            F.sum(F.col("day_revenue").cast("decimal(28,6)")).over(w).cast("double")
+            / F.count("*").over(w),
+            4,
+        ).alias("ma7"),
+    )
+
+
+def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing surface: customers ranked into spend deciles, then
+    per-decile totals — the 'who are my top-10% customers' rollup. The
+    NTILE order carries a unique key tiebreak so bucket boundaries are
+    deterministic cross-engine.
+
+    Scale note: exact global NTILE needs a total order (one-partition
+    window over the per-customer aggregate — millions of small rows, the
+    bounded-but-not-free case). Past ~10^8 customers the designated path
+    is approx boundaries + range bucketing: percentile_approx(spend,
+    [0.1..0.9]) broadcast as cutoffs, then a codegen'd CASE bucket —
+    one aggregate, no global sort, deciles exact to the sketch error."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(dsum(F.col("o_totalprice")).alias("spend"))
+    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey").asc())
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum(F.col("spend"), 2).alias("total_spend"),
+        )
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -745,6 +796,8 @@ QUERIES = {
     "q11_important_part_values": q11_important_part_values,
     "q12_late_shipment_priority_mix": q12_late_shipment_priority_mix,
     "q20_excess_shippers": q20_excess_shippers,
+    "daily_revenue_7d_ma": daily_revenue_7d_ma,
+    "customer_value_deciles": customer_value_deciles,
 }
 
 ORACLE = {
@@ -1102,6 +1155,32 @@ ORACLE = {
             GROUP BY l_suppkey
             HAVING {sql_dsum('l_quantity')} > 100
         )
+    """,
+    "daily_revenue_7d_ma": f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   {sql_dsum('o_totalprice')} AS day_revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT d, day_revenue,
+               ROUND(
+                 CAST(SUM(CAST(day_revenue AS DECIMAL(28,6))) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w, 4) AS ma7
+        FROM daily
+        WINDOW w AS (ORDER BY date_diff('day', DATE '1970-01-01', d)
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    "customer_value_deciles": f"""
+        WITH spend AS (
+            SELECT o_custkey, {sql_dsum('o_totalprice')} AS spend
+            FROM orders GROUP BY o_custkey
+        ), bucketed AS (
+            SELECT spend, NTILE(10) OVER (ORDER BY spend DESC, o_custkey ASC) AS decile
+            FROM spend
+        )
+        SELECT decile, COUNT(*) AS n_customers,
+               {sql_dsum('spend')} AS total_spend
+        FROM bucketed GROUP BY decile
     """,
     "q21_sole_late_supplier": """
         WITH flagged AS (
