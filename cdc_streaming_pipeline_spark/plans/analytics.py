@@ -651,10 +651,13 @@ def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(dsum(value).alias("part_value"))
     )
+    # No rounding on the threshold: it is filter-only, and the IEEE
+    # double product of identical inputs is bit-identical across engines,
+    # while ROUND(double, 6) is not (.xxxxxx5 boundaries).
     total = per_part.agg(
-        F.round(F.sum(F.col("part_value").cast("decimal(28,6)")) * 0.001, 6)
-        .cast("double")
-        .alias("threshold")
+        (F.sum(F.col("part_value").cast("decimal(28,6)")).cast("double") * F.lit(0.001)).alias(
+            "threshold"
+        )
     )
     return (
         per_part.crossJoin(F.broadcast(total))
@@ -1126,7 +1129,7 @@ ORACLE = {
             )
             GROUP BY l_partkey
         ), tot AS (
-            SELECT CAST(ROUND(SUM(CAST(part_value AS DECIMAL(28,6))) * 0.001, 6) AS DOUBLE) AS threshold
+            SELECT CAST(SUM(CAST(part_value AS DECIMAL(28,6))) AS DOUBLE) * 0.001 AS threshold
             FROM per_part
         )
         SELECT l_partkey, part_value
