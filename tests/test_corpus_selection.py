@@ -81,3 +81,37 @@ def test_token_budget_full_fraction_keeps_everything(spark):
     )
     assert take_token_budget(df, budget_frac=1.0).count() == 2
     assert take_token_budget(df, budget_frac=0.0).count() == 0
+
+
+def test_funnel_survivors_monotone(spark):
+    """Cumulative funnel stages can only lose documents, and stage 0 is
+    the corpus size."""
+    from cdc_streaming_pipeline_spark.plans.docs import corpus_filter_funnel
+    from tests.conftest import SF_DIR
+
+    rows = {r.stage_no: r.survivors for r in corpus_filter_funnel(spark, SF_DIR).collect()}
+    assert sorted(rows) == [0, 1, 2, 3, 4, 5]
+    for i in range(1, 6):
+        assert rows[i] <= rows[i - 1], f"stage {i} gained documents"
+    from cdc_streaming_pipeline_spark.sources.tables import load_table
+
+    assert rows[0] == load_table(spark, SF_DIR, "documents").count()
+
+
+def test_novelty_bounds_and_unique_doc(spark):
+    """novelty ∈ [0,1]; a doc sharing no shingles with anything scores 1,
+    exact duplicates score 0."""
+    from cdc_streaming_pipeline_spark.operators.text import novelty_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in novelty_scores(df).collect()}
+    assert rows[1].novelty == 0.0 and rows[2].novelty == 0.0  # exact dup pair
+    assert rows[3].novelty == 1.0  # nothing shared
+    assert rows[3].n_novel == rows[3].n_shingles

@@ -88,3 +88,46 @@ def test_sharded_pack_plan_has_no_global_window(spark):
     )
     assert "SinglePartition" not in plan, "sharded pack still has a global exchange"
     assert "Window" in plan
+
+
+def test_temperature_resample_sqrt_quotas(spark):
+    """T=2 flattening on a skewed two-stratum corpus: weights are exact
+    integer square roots (isqrt guard verified at perfect squares and
+    off-squares), quotas follow w_s, and membership is the deterministic
+    (md5(id), id) prefix per stratum."""
+    from cdc_streaming_pipeline_spark.operators.sampling import temperature_resample
+
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_resample(df, ["source"]).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    # w_big = isqrt(100) = 10, w_small = isqrt(9) = 3, W = 13
+    # T = min(100*13 div 10, 9*13 div 3) = min(130, 39) = 39
+    # quota_big = 10*39 div 13 = 30, quota_small = 3*39 div 13 = 9
+    assert len(by_src["big"]) == 30
+    assert len(by_src["small"]) == 9
+    # big stratum went from 100/109 (92%) of the corpus to 30/39 (77%):
+    # flattened toward, but not all the way to, the uniform mix.
+    # ranks are a contiguous 1..quota prefix (deterministic order)
+    assert sorted(r.sample_rank for r in by_src["big"]) == list(range(1, 31))
+
+
+def test_temperature_resample_nonsquare_counts(spark):
+    """isqrt guard on non-square counts: w = floor(sqrt(cnt)) exactly
+    (cnt=2 -> 1, cnt=3 -> 1, cnt=8 -> 2, cnt=15 -> 3, cnt=17 -> 4)."""
+    from cdc_streaming_pipeline_spark.operators.sampling import temperature_resample
+
+    rows = []
+    for src, n in [("a", 2), ("b", 3), ("c", 8), ("d", 15), ("e", 17)]:
+        rows += [(hash(src) % 1000 * 100 + i, src) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_resample(df, ["source"]).collect()
+    # W = 1+1+2+3+4 = 11; T = min(2*11//1, 3*11//1, 8*11//2, 15*11//3, 17*11//4)
+    #   = min(22, 33, 44, 55, 46) = 22
+    # quotas = (w*22)//11 = [2, 2, 4, 6, 8]
+    got = {}
+    for r in out:
+        got[r.source] = got.get(r.source, 0) + 1
+    assert got == {"a": 2, "b": 2, "c": 4, "d": 6, "e": 8}
