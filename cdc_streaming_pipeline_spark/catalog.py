@@ -84,6 +84,30 @@ def recover_partitions(spark: SparkSession, qualified: str) -> None:
     spark.sql(f"MSCK REPAIR TABLE {qualified}")
 
 
+def analyze_table(
+    spark: SparkSession, qualified: str, columns: list[str] | None = None
+) -> None:
+    """Compute table (and optionally column) statistics for the
+    cost-based optimizer. On a real warehouse this runs after each landing
+    cycle: rowCount/sizeInBytes let the planner pick broadcast sides by
+    TABLE reality rather than file-size guesswork, and column NDV/min/max
+    feed join reordering under ``spark.sql.cbo.enabled``. (The reference's
+    Hive stack has the same lever as ANALYZE TABLE ... COMPUTE STATISTICS;
+    hive-site.xml enables the vectorized/stats machinery.)"""
+    spark.sql(f"ANALYZE TABLE {qualified} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {qualified} COMPUTE STATISTICS FOR COLUMNS {cols}")
+
+
+def table_stats(spark: SparkSession, qualified: str) -> dict[str, str]:
+    """Read back the catalog statistics for a table as a plain dict
+    (rowCount/sizeInBytes under the 'Statistics' key of DESCRIBE
+    EXTENDED)."""
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {qualified}").collect()
+    return {r.col_name: r.data_type for r in rows if r.col_name}
+
+
 _STATUS_SCHEMA = T.StructType(
     [
         T.StructField("check", T.StringType(), False),
