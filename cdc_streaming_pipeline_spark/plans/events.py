@@ -99,6 +99,7 @@ def _landed_events_table(spark: SparkSession, sf_dir: str) -> str:
     if spark.catalog.tableExists(table):
         return table
     from cdc_streaming_pipeline_spark.catalog import (
+        analyze_table,
         create_external_table,
         recover_partitions,
         refresh_table,
@@ -121,6 +122,9 @@ def _landed_events_table(spark: SparkSession, sf_dir: str) -> str:
     create_external_table(spark, table, path, fmt="parquet")
     recover_partitions(spark, table)  # partition dirs -> catalog, else 0 rows
     refresh_table(spark, table)
+    # post-landing statistics: rowCount/sizeInBytes into the catalog, the
+    # same ANALYZE cycle a warehouse runs after each landing batch
+    analyze_table(spark, table)
     return table
 
 
