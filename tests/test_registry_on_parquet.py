@@ -59,3 +59,15 @@ def test_oracle_sql_strings_run_on_duckdb():
         except Exception as e:  # noqa: BLE001
             bad.append(f"{name}: {e}")
     assert not bad, "\n".join(bad)
+
+
+def test_ntz_inference_stays_disabled(spark):
+    """Spark 4 reads timezone-less parquet timestamps as TIMESTAMP_NTZ
+    unless this conf is off; NTZ breaks unix_micros/watermark expressions
+    across the engine (round-4 user_sessions incident). Fail HERE with a
+    clear message rather than as dozens of query errors."""
+    assert spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled") == "false"
+    ts_type = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet").schema["ts"].dataType.typeName()
+    )
+    assert ts_type == "timestamp", f"events.ts read as {ts_type}, expected LTZ timestamp"
