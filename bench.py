@@ -114,28 +114,48 @@ def main() -> int:
         json.dump(result, fh, indent=1, sort_keys=True)
         fh.write("\n")
 
-    # The driver keeps only the LAST 2000 chars of stdout and parses the
-    # JSON line out of that window (BENCH_r02/r03 both recorded
-    # parsed:null because the full 76-query line is ~2.3k chars and got
-    # cut mid-line). Emit a compact line and, if needed, drop per-query
-    # entries from the END of the registry (registry order is already the
-    # priority order: cdc family first, then the driver-gate block) until
-    # the line fits well inside the window.
-    MAX_LINE = 1800
+    print(fit_emit_line(result, timings, failures), flush=True)
+    return 1 if failures else 0
+
+
+def fit_emit_line(
+    result: dict,
+    timings: dict[str, float],
+    failures: dict[str, str],
+    max_line: int = 1800,
+) -> str:
+    """Compact the result into ONE JSON line that fits the driver's window.
+
+    The driver keeps only the LAST 2000 chars of stdout and parses the JSON
+    line out of that window (BENCH_r02/r03 both recorded parsed:null because
+    the full 76-query line is ~2.3k chars and got cut mid-line). Emit a
+    compact line and, if needed, drop per-query entries from the END of the
+    registry (registry order is already the priority order: cdc family
+    first, then the driver-gate block) until the line fits.
+    """
     emit = dict(result)
     emit["queries"] = dict(timings)
     if failures:
         # Full exception text is already persisted in BENCH_LOCAL.json;
-        # an unbounded traceback here can blow past MAX_LINE even after
+        # an unbounded traceback here can blow past max_line even after
         # every query entry is dropped, cutting the line mid-JSON.
         emit["failures"] = {k: v[:120] for k, v in failures.items()}
     line = json.dumps(emit, separators=(",", ":"))
-    while len(line) > MAX_LINE and emit["queries"]:
+    while len(line) > max_line and emit["queries"]:
         emit["queries"].pop(next(reversed(emit["queries"])))
         emit["queries_omitted"] = len(timings) - len(emit["queries"])
         line = json.dumps(emit, separators=(",", ":"))
-    print(line, flush=True)
-    return 1 if failures else 0
+    # Many-failure runs: queries can be exhausted while the failures dict
+    # (120 chars/entry) alone still overflows the window. Shrink failure
+    # text first, then drop entries, always keeping the total count.
+    while len(line) > max_line and emit.get("failures"):
+        if any(len(v) > 40 for v in emit["failures"].values()):
+            emit["failures"] = {k: v[:40] for k, v in emit["failures"].items()}
+        else:
+            emit["failures"].pop(next(reversed(emit["failures"])))
+        emit["failures_total"] = len(failures)
+        line = json.dumps(emit, separators=(",", ":"))
+    return line
 
 
 if __name__ == "__main__":

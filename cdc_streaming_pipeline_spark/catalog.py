@@ -101,11 +101,25 @@ def analyze_table(
 
 
 def table_stats(spark: SparkSession, qualified: str) -> dict[str, str]:
-    """Read back the catalog statistics for a table as a plain dict
-    (rowCount/sizeInBytes under the 'Statistics' key of DESCRIBE
-    EXTENDED)."""
+    """Read back the '# Detailed Table Information' section of DESCRIBE
+    TABLE EXTENDED as a plain dict (rowCount/sizeInBytes live under its
+    'Statistics' key). Only that section is returned: the column-schema and
+    partition-info sections reuse col_name values ('# col_name' headers,
+    partition columns repeating schema columns), so a whole-output dict
+    silently overwrites entries with values from the wrong section."""
     rows = spark.sql(f"DESCRIBE TABLE EXTENDED {qualified}").collect()
-    return {r.col_name: r.data_type for r in rows if r.col_name}
+    stats: dict[str, str] = {}
+    in_detail = False
+    for r in rows:
+        name = (r.col_name or "").strip()
+        if name == "# Detailed Table Information":
+            in_detail = True
+            continue
+        if in_detail and name.startswith("#"):
+            in_detail = False
+        if in_detail and name:
+            stats[name] = r.data_type
+    return stats
 
 
 _STATUS_SCHEMA = T.StructType(

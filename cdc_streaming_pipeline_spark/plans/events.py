@@ -490,15 +490,18 @@ ORACLE["events_in_purchase_windows"] = """
 
 ORACLE["session_window_stats"] = """
     WITH gaps AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, event_id, value,
                CASE WHEN COALESCE(epoch_us(ts) - epoch_us(
                         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)),
                         1800000000) >= 1800000000
                     THEN 1 ELSE 0 END AS brk
         FROM events
     ), sids AS (
+        -- same (ts, event_id) tiebreak as the brk window: with duplicate
+        -- (user_id, ts) at a session boundary an untied cumulative sum can
+        -- order a tied row before its brk=1 row — a flaky oracle mismatch.
         SELECT user_id, ts, value,
-               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         FROM gaps
     )

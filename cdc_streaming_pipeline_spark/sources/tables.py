@@ -34,9 +34,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # vectorized parquet reader rejects; read nanos as long and convert to
     # microsecond timestamps (integer division — no double round-trip).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Spark 4 defaults to inferring parquet timestamps without timezone
+    # metadata as TIMESTAMP_NTZ, which unix_micros()/time arithmetic reject.
+    # Pin at RUNTIME (not just session build) so callers that construct
+    # their own SparkSession — like the correctness driver — get TIMESTAMP.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Belt-and-braces: if a cached relation or an engine default still
+    # yields TIMESTAMP_NTZ, normalize to TIMESTAMP (session-local instant
+    # semantics are identical here — testdata is generated timezone-naive).
+    for col_name, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
     # NOTE: these files are single-row-group parquet (unsplittable), so
     # scans are single-partition. A blanket repartition here measured as a
     # net LOSS — tiny tables feeding Arrow/GEMM paths fragment into

@@ -212,3 +212,34 @@ def test_q2_min_over_window_not_self_join(spark):
     plan = _plan(q2_min_cost_supplier(spark, SF_DIR), "simple")
     assert plan.count("Scan parquet") <= 4  # lineitem + 3 broadcast dims
     assert "Window" in plan
+
+
+def test_near_dup_gemm_computed_once_across_queries(spark, monkeypatch):
+    """The blocked-GEMM edge set is the most expensive kernel in the
+    registry; embedding_near_dup_blocked, near_dup_clusters and
+    near_dup_keep_best must SHARE one GEMM per (session, sf_dir) rather
+    than each recomputing it (round-5 verdict item #4)."""
+    from cdc_streaming_pipeline_spark.operators import similarity as sim
+    from cdc_streaming_pipeline_spark.plans import docs
+
+    docs._GEMM_SHARE_CACHE.clear()
+    calls = {"n": 0}
+    real = sim.cosine_near_dup_blocked
+
+    def counting(*args, **kwargs):
+        calls["n"] += 1
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(docs.sim, "cosine_near_dup_blocked", counting)
+    edges = docs.embedding_near_dup_blocked(spark, SF_DIR)
+    n_edges = edges.count()
+    clusters = docs.near_dup_clusters(spark, SF_DIR)
+    n_nodes = clusters.count()
+    keep = docs.near_dup_keep_best(spark, SF_DIR)
+    keep.count()
+    assert calls["n"] == 1, f"GEMM ran {calls['n']} times across the trio"
+    # the shared frames are real results, not empty placeholders
+    assert n_nodes > 0 and n_edges >= 0
+    # and the cluster frame is the SAME object on repeat calls (cache hit)
+    assert docs.near_dup_clusters(spark, SF_DIR) is clusters
+    docs._GEMM_SHARE_CACHE.clear()
