@@ -20,10 +20,7 @@ aggregate) — no Python UDFs.
 from __future__ import annotations
 
 from collections import deque
-from collections.abc import Iterator
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -266,17 +263,22 @@ def ngram_jaccard_pairs(
 
 # -------------------------------------------------------------- simhash --
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per document — SHUFFLE-FREE.
+    """64-bit SimHash per document — SHUFFLE-FREE and ENTIRELY JVM-side.
 
-    SimHash is a per-document reduction, so it never needs the
-    explode + 64-aggregate groupBy of the classic SQL formulation (the
-    previous form here — one shuffle of |tokens| rows and 64 codegen'd
-    sums; measured ~3x slower). Instead: token hashes are computed
-    JVM-side inside the array (``transform(toks, xxhash64)`` — same hash,
-    same seed, bit-identical simhash values as the exploded form), and one
-    Arrow pass per batch does the per-bit ±1 vote sum and sign-bit packing
-    in numpy. Embarrassingly parallel; output is one (id, simhash) row per
-    input row.
+    SimHash is a per-document reduction, so it needs neither the
+    explode + 64-aggregate groupBy of the classic SQL formulation (one
+    shuffle of |tokens| rows; measured ~3x slower) nor a Python stage:
+    token hashes are computed inside the array (``transform(toks,
+    xxhash64)``), then one nested higher-order aggregate does the per-bit
+    vote sum (64-long accumulator, ``(h >> i) & 1`` per bit — identical to
+    a logical shift for bit extraction since ``& 1`` reads below the sign
+    fill) and packs majority bits via ``shiftleft(1L, i)`` (bit 63 wraps to
+    the sign bit, same two's-complement pattern as the unsigned pack).
+    Bit-identical to the previous Arrow/numpy formulation — pinned by the
+    independent numpy oracle in tests/test_similarity_recall.py — with no
+    Python workers to spawn (an earlier mapInPandas variant re-paid ~5s of
+    worker startup whenever the pool went cold between bench passes).
+    Embarrassingly parallel; one (id, simhash) row per input row.
     """
     staged = _parallelize(df).select(
         F.col(id_col).alias("_id"), tokens(normalize_ws(F.col(text_col))).alias("_toks")
@@ -284,22 +286,21 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     hashed = staged.select(
         "_id", F.transform("_toks", lambda t: F.xxhash64(t)).alias("_h")
     )
-
-    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        shifts = np.arange(64, dtype=np.uint64)
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            sims = np.empty(len(pdf), dtype=np.int64)
-            for i, hs in enumerate(pdf["_h"]):
-                h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-                bits = (h[:, None] >> shifts[None, :]) & np.uint64(1)  # (m, 64)
-                votes = 2 * bits.sum(axis=0).astype(np.int64) - len(h)
-                packed = ((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
-                sims[i] = packed.astype(np.int64)
-            yield pd.DataFrame({id_col: pdf["_id"].to_numpy(np.int64), "simhash": sims})
-
-    return hashed.mapInPandas(per_batch, f"{id_col} long, simhash long")
+    packed = F.expr(
+        """
+        aggregate(
+          zip_with(
+            aggregate(_h, array_repeat(0L, 64),
+                      (acc, h) -> zip_with(acc,
+                                           transform(sequence(0, 63),
+                                                     i -> (shiftright(h, i) & 1L)),
+                                           (a, b) -> a + b)),
+            sequence(0, 63),
+            (v, i) -> IF(2 * v > size(_h), shiftleft(1L, i), 0L)),
+          0L, (a, b) -> a + b)
+        """
+    )
+    return hashed.select(F.col("_id").alias(id_col), packed.alias("simhash"))
 
 
 def simhash_near_dup_pairs(
@@ -311,7 +312,11 @@ def simhash_near_dup_pairs(
     """SimHash near-dup pairs: band the 64 bits into 4×16-bit blocks —
     any pair within Hamming ≤3 must agree on ≥1 block (pigeonhole) —
     equi-join per block, then exact Hamming via bit_count(xor)."""
-    sh = simhash64(df, text_col, id_col)
+    # persist: the block self-join below reads this frame TWICE, and
+    # without a cache both sides re-run the whole tokenize+hash+Arrow
+    # signature pipeline (the expensive part — the frame itself is one
+    # (long, long) row per doc, trivially cacheable at any scale)
+    sh = _persist_bounded(simhash64(df, text_col, id_col))
     blocks = sh.select(
         F.col(id_col).alias("_id"),
         "simhash",

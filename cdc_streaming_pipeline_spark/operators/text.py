@@ -390,3 +390,55 @@ def novelty_scores(
         F.sum(is_novel).alias("n_novel"),
         F.round(F.avg(is_novel.cast("double")), 4).alias("novelty"),
     )
+
+
+def boilerplate_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    shingle_size: int = 2,
+    min_df: int = 3,
+) -> DataFrame:
+    """Per-document boilerplate fraction WITHIN its source/domain: the
+    fraction of a document's distinct token shingles that appear in at
+    least ``min_df`` documents of the SAME source. Site templates,
+    navigation chrome, legal footers — the CCNet/RefinedWeb-style cleaning
+    signal, grouped by source because boilerplate is a per-site phenomenon
+    (a phrase ubiquitous on one domain and absent elsewhere is exactly
+    what corpus-global novelty cannot see). Computed at shingle
+    granularity; with a line-splitter as the tokenizer the identical plan
+    is line-level boilerplate removal.
+
+    Plan: distinct shingles per doc → window-count DOCUMENT frequency
+    partitioned by (source, shingle) (one shuffle on that composite key —
+    source in the key means a mega-domain skews only its own partition
+    range, and AQE skew-split handles the rest) → re-aggregate per doc
+    (one shuffle on the id). No joins, no candidate pairs, no driver
+    state. Engine-portable shingle STRINGS so the DuckDB oracle replicates
+    byte-for-byte; at 100 TB swap in xxhash64(shingle) to shuffle 8-byte
+    longs (operators/dedup.py's trick).
+    """
+    from pyspark.sql import Window
+
+    staged = df.select(
+        F.col(id_col), F.col(group_col), tokens(normalize_ws(F.col(text_col))).alias("_toks")
+    )
+    toks = F.col("_toks")
+    n = shingle_size - 1
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - n, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, shingle_size), " "),
+        )
+    )
+    inv = staged.select(F.col(id_col), F.col(group_col), F.explode(shingles).alias("_g"))
+    with_df = inv.withColumn(
+        "_df", F.count("*").over(Window.partitionBy(group_col, "_g"))
+    )
+    is_boiler = (F.col("_df") >= min_df).cast("int")
+    return with_df.groupBy(id_col).agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(is_boiler).alias("n_boiler"),
+        F.round(F.avg(is_boiler.cast("double")), 4).alias("boiler_frac"),
+    )

@@ -477,6 +477,13 @@ def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.novelty_scores(docs)
 
 
+def doc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate fraction (template/chrome detection) — see
+    operators/text.py:boilerplate_scores for the plan/scale story."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.boilerplate_scores(docs)
+
+
 def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical training-data cleaning funnel, as ONE query: every
     per-doc flag (length floor, language known, quality floor, exact-dup
@@ -561,6 +568,7 @@ QUERIES = {
     "doc_train_val_split": doc_train_val_split,
     "embedding_quantize_int8": embedding_quantize_int8,
     "doc_novelty": doc_novelty,
+    "doc_boilerplate": doc_boilerplate,
     "corpus_filter_funnel": corpus_filter_funnel,
     "temperature_sample_by_source": temperature_sample_by_source,
 }
@@ -1078,6 +1086,23 @@ ORACLE["doc_novelty"] = f"""
     SELECT doc_id, COUNT(*) AS n_shingles,
            SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_novel,
            ROUND(AVG(CASE WHEN df = 1 THEN 1.0 ELSE 0.0 END), 4) AS novelty
+    FROM with_df GROUP BY doc_id
+"""
+
+ORACLE["doc_boilerplate"] = f"""
+    WITH sh AS (
+        SELECT doc_id, source, list_distinct(list_transform(
+                 generate_series(1, greatest(len(t) - 1, 1)),
+                 i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS shingles
+        FROM (SELECT doc_id, source, {_NORM_TOKS} AS t FROM documents)
+    ), inv AS (
+        SELECT doc_id, source, unnest(shingles) AS g FROM sh
+    ), with_df AS (
+        SELECT doc_id, COUNT(*) OVER (PARTITION BY source, g) AS df FROM inv
+    )
+    SELECT doc_id, COUNT(*) AS n_shingles,
+           SUM(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS n_boiler,
+           ROUND(AVG(CASE WHEN df >= 3 THEN 1.0 ELSE 0.0 END), 4) AS boiler_frac
     FROM with_df GROUP BY doc_id
 """
 

@@ -178,3 +178,41 @@ def test_blocked_near_dup_equals_exact_baseline_via_plan_wrappers(spark):
     exact = {(r.id_a, r.id_b, r.cosine) for r in embedding_near_dup_exact(spark, sf).collect()}
     blocked = {(r.id_a, r.id_b, r.cosine) for r in embedding_near_dup_blocked(spark, sf).collect()}
     assert exact == blocked
+
+
+def test_simhash_matches_independent_numpy_oracle(spark):
+    """The JVM higher-order-function simhash must be bit-identical to an
+    independent numpy reimplementation of the spec (per-bit majority vote
+    over xxhash64 token hashes, sign-packed into an int64). Pins the
+    arithmetic-vs-logical-shift and bit-63 sign-wrap subtleties."""
+    import numpy as np
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+            (3, "single"),
+            (4, "a a a repeated repeated tokens tokens tokens here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.simhash for r in dd.simhash64(df).collect()}
+
+    # independent oracle: fetch the same token hashes (xxhash64 is the one
+    # shared primitive), then vote+pack in numpy
+    hashed = df.select(
+        "doc_id",
+        F.transform(
+            F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "),
+            lambda t: F.xxhash64(t),
+        ).alias("h"),
+    )
+    shifts = np.arange(64, dtype=np.uint64)
+    for row in hashed.collect():
+        h = np.asarray(row.h, dtype=np.int64).astype(np.uint64)
+        bits = (h[:, None] >> shifts[None, :]) & np.uint64(1)
+        votes = 2 * bits.sum(axis=0).astype(np.int64) - len(h)
+        expected = np.int64(
+            ((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+        )
+        assert got[row.doc_id] == expected, row.doc_id

@@ -5,7 +5,13 @@ DuckDB at the given scale factor, then compares row count, column-name
 sets, and order-insensitive values (columns sorted by name, rows sorted).
 Exact equality required — floats must already be rounded inside the query.
 
-Usage: python tools/oracle_check.py [--json OUT.json] [sf_dir] [query ...]
+Usage: python tools/oracle_check.py [--json OUT.json] [--default-conf]
+       [sf_dir] [query ...]
+
+``--default-conf`` builds a vanilla SparkSession instead of get_spark() —
+the same shape as the driver's harness, so conf-dependent breakage
+(e.g. the round-4/5 TIMESTAMP_NTZ divergence) shows up HERE, not in the
+driver gate.
 
 With ``--json`` a per-query artifact in the driver's CORRECTNESS_r{N}
 shape is written, covering EVERY registered query (the driver gate caps
@@ -77,9 +83,13 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
 def main() -> int:
     argv = sys.argv[1:]
     json_out = None
+    default_conf = False
     if argv and argv[0] == "--json":
         json_out = argv[1]
         argv = argv[2:]
+    if argv and argv[0] == "--default-conf":
+        default_conf = True
+        argv = argv[1:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -88,7 +98,18 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
-    spark = get_spark("oracle_check")
+    if default_conf:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[*]")
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.ui.enabled", "false")
+            .appName("oracle_check_default_conf")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle_check")
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(
