@@ -27,6 +27,20 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def read_cpu_ticks() -> dict[str, int] | None:
+    """Aggregate /proc/stat cpu ticks — steal/idle deltas let a later
+    reader adjudicate 'regression or noisy hypervisor?' without re-running
+    (this box shows multi-minute steal bursts worth up to 3x on wall
+    clock; see .benchmarks/DELTA_r4_r5.md)."""
+    try:
+        with open("/proc/stat", encoding="ascii") as fh:
+            parts = fh.readline().split()
+        names = ["user", "nice", "system", "idle", "iowait", "irq", "softirq", "steal"]
+        return dict(zip(names, (int(v) for v in parts[1:9])))
+    except Exception:  # noqa: BLE001 — non-Linux or locked-down /proc
+        return None
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -75,6 +89,7 @@ def main() -> int:
     # box last minutes (.benchmarks/DELTA_r4_r5.md), so consecutive runs
     # land in the same burst while the same query in pass 1 and pass 2 is
     # separated by the whole suite and rarely hit twice.
+    ticks_before = read_cpu_ticks()
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for pass_no in (1, 2):
@@ -107,6 +122,16 @@ def main() -> int:
     }
     if failures:
         result["failures"] = failures
+    ticks_after = read_cpu_ticks()
+    if ticks_before and ticks_after:
+        delta = {k: ticks_after[k] - ticks_before[k] for k in ticks_before}
+        busy = sum(delta.values()) or 1
+        # host-noise context, local artifact only (never the driver line)
+        result["host_cpu"] = {
+            "steal_ticks": delta.get("steal", 0),
+            "steal_frac": round(delta.get("steal", 0) / busy, 4),
+            "idle_frac": round(delta.get("idle", 0) / busy, 4),
+        }
     # Full per-query JSON always lands beside the repo so round-over-round
     # regression diffs (README "Bench continuity") have complete data.
     local = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
@@ -134,6 +159,7 @@ def fit_emit_line(
     first, then the driver-gate block) until the line fits.
     """
     emit = dict(result)
+    emit.pop("host_cpu", None)  # local-artifact context only
     emit["queries"] = dict(timings)
     if failures:
         # Full exception text is already persisted in BENCH_LOCAL.json;

@@ -484,6 +484,43 @@ def doc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.boilerplate_scores(docs)
 
 
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus vocabulary with cumulative token-coverage fraction —
+    the tokenizer-design curve ("what share of the corpus do the k most
+    frequent terms cover?").
+
+    Scale shape: explode + groupBy(term) with map-side partial counts is
+    the only full shuffle; the global ordering is a LIMIT-k reduction of
+    per-partition top-k (never a full vocabulary sort), and the cumulative
+    window runs over the 50 surviving rows — bounded by k, not by vocab
+    size. The corpus total rides in as a broadcast 1-row aggregate."""
+    from pyspark.sql import Window
+
+    from cdc_streaming_pipeline_spark.functions.textfn import normalize_ws, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens(normalize_ws(F.col("text")))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("_total"))
+    topk = counts.orderBy(F.col("n").desc(), F.col("term").asc()).limit(50)
+    w = (
+        Window.orderBy(F.col("n").desc(), F.col("term").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        topk.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("term").asc())))
+        .withColumn(
+            "cum_frac",
+            F.round(F.sum("n").over(w).cast("double") / F.col("_total").cast("double"), 6),
+        )
+        .select("rank", "term", "n", "cum_frac")
+    )
+
+
 def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical training-data cleaning funnel, as ONE query: every
     per-doc flag (length floor, language known, quality floor, exact-dup
@@ -569,6 +606,7 @@ QUERIES = {
     "embedding_quantize_int8": embedding_quantize_int8,
     "doc_novelty": doc_novelty,
     "doc_boilerplate": doc_boilerplate,
+    "vocab_coverage": vocab_coverage,
     "corpus_filter_funnel": corpus_filter_funnel,
     "temperature_sample_by_source": temperature_sample_by_source,
 }
@@ -1104,6 +1142,23 @@ ORACLE["doc_boilerplate"] = f"""
            SUM(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS n_boiler,
            ROUND(AVG(CASE WHEN df >= 3 THEN 1.0 ELSE 0.0 END), 4) AS boiler_frac
     FROM with_df GROUP BY doc_id
+"""
+
+ORACLE["vocab_coverage"] = f"""
+    WITH counts AS (
+        SELECT term, COUNT(*) AS n
+        FROM (SELECT unnest({_NORM_TOKS}) AS term FROM documents)
+        GROUP BY term
+    ), tot AS (SELECT SUM(n) AS total FROM counts),
+    topk AS (
+        SELECT term, n FROM counts ORDER BY n DESC, term ASC LIMIT 50
+    )
+    SELECT ROW_NUMBER() OVER (ORDER BY n DESC, term ASC) AS rank,
+           term, n,
+           ROUND(SUM(n) OVER (ORDER BY n DESC, term ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE
+                 / total::DOUBLE, 6) AS cum_frac
+    FROM topk CROSS JOIN tot
 """
 
 ORACLE["corpus_filter_funnel"] = f"""
