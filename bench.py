@@ -77,6 +77,21 @@ def main() -> int:
             .count()
             .write.format("noop").mode("overwrite").save()
         )
+
+        # spawn the Python worker pool across all cores (daemon start +
+        # numpy/pandas import is ~6s cold for 32 workers — pay it here, not
+        # inside whichever Arrow-stage query runs first)
+        def _ident(batches):
+            yield from batches
+
+        (
+            spark.range(32_000)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .mapInPandas(_ident, "id long")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
     except Exception as exc:  # noqa: BLE001 — still emit the JSON contract line
         log(f"warmup failed: {exc}")
     log(f"warmup {time.perf_counter() - t0:.2f}s; {len(queries)} queries at {sf_dir}")

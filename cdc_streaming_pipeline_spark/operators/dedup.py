@@ -91,7 +91,10 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
 
 
 _SHINGLE_CACHE: deque[DataFrame] = deque()
-_SHINGLE_CACHE_MAX = 4
+# distinct persisted frames a full registry pass touches (minhash + ngram
+# + simhash + contamination); each is ids + hash arrays — MBs at sf0.1.
+_SHINGLE_CACHE_MAX = 8
+_FRAME_MEMO: dict[tuple, DataFrame] = {}
 
 
 def _persist_bounded(df: DataFrame) -> DataFrame:
@@ -105,8 +108,37 @@ def _persist_bounded(df: DataFrame) -> DataFrame:
     df = df.persist()
     _SHINGLE_CACHE.append(df)
     while len(_SHINGLE_CACHE) > _SHINGLE_CACHE_MAX:
-        _SHINGLE_CACHE.popleft().unpersist(blocking=False)
+        evicted = _SHINGLE_CACHE.popleft()
+        for k, v in list(_FRAME_MEMO.items()):
+            if v is evicted:
+                del _FRAME_MEMO[k]
+        evicted.unpersist(blocking=False)
     return df
+
+
+def _memo_frame(df: DataFrame, kind: str, params: tuple, build) -> DataFrame:
+    """Cross-CALL reuse of a derived frame, keyed by the INPUT's semantic
+    plan hash (same corpus plan + same params → same derived frame).
+
+    ``_persist_bounded`` alone only helps the joins inside one returned
+    plan; a pipeline running several dedup ops over the same corpus (the
+    normal case — minhash AND simhash AND contamination over one snapshot)
+    re-shingled/re-signed from scratch per op. Spark's semanticHash makes
+    the input identity checkable without executing anything, applicationId
+    keeps frames from leaking across sessions, and eviction rides the same
+    bounded registry (an evicted entry just rebuilds)."""
+    key = (
+        kind,
+        df.sparkSession.sparkContext.applicationId,
+        df.semanticHash(),
+        *params,
+    )
+    cached = _FRAME_MEMO.get(key)
+    if cached is not None:
+        return cached
+    frame = _persist_bounded(build())
+    _FRAME_MEMO[key] = frame
+    return frame
 
 
 def _shingle_hash_frame(
@@ -161,10 +193,13 @@ def minhash_lsh_pairs(
     # of the Jaccard verify — persist so the string-heavy shingling runs
     # once, not once per consumer. (Self-joins get ReuseExchange for free;
     # the differently-keyed verify joins do not.)
-    base = _persist_bounded(
-        _shingle_hash_frame(df, text_col, id_col, shingle_size).withColumn(
+    base = _memo_frame(
+        df,
+        "minhash_base",
+        (text_col, id_col, shingle_size, num_hashes),
+        lambda: _shingle_hash_frame(df, text_col, id_col, shingle_size).withColumn(
             "sig", minhash_signature_from_hashes(F.col("sh_h"), num_hashes)
-        )
+        ),
     )
     banded = base.select(
         "_id",
@@ -240,7 +275,12 @@ def ngram_jaccard_pairs(
     Jaccard is dominated by stop-shingles anyway. The doc-frequency filter
     is one window over the inverted index — same shuffle the join needs.
     """
-    base = _persist_bounded(_shingle_hash_frame(df, text_col, id_col, shingle_size))
+    base = _memo_frame(
+        df,
+        "shingles",
+        (text_col, id_col, shingle_size),
+        lambda: _shingle_hash_frame(df, text_col, id_col, shingle_size),
+    )
     # (persisted: feeds the inverted index and both verify joins)
     inv = base.select("_id", F.explode("sh_h").alias("sh"))
     # df >= 2: a shingle seen in ONE document can never produce a pair, so
@@ -316,7 +356,9 @@ def simhash_near_dup_pairs(
     # without a cache both sides re-run the whole tokenize+hash+Arrow
     # signature pipeline (the expensive part — the frame itself is one
     # (long, long) row per doc, trivially cacheable at any scale)
-    sh = _persist_bounded(simhash64(df, text_col, id_col))
+    sh = _memo_frame(
+        df, "simhash", (text_col, id_col), lambda: simhash64(df, text_col, id_col)
+    )
     blocks = sh.select(
         F.col(id_col).alias("_id"),
         "simhash",

@@ -171,3 +171,35 @@ def test_watermark_filter_pushed_to_source(spark, derby):
     plan = polled._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan
     assert "updated_at" in plan.split("PushedFilters:")[1][:200]
+
+
+def test_jdbc_to_landing_to_latest_state_e2e(spark, derby, tmp_path):
+    """Full S1-alt pipeline: JDBC snapshot+polls -> time-partitioned
+    landing (P1) -> latest-state materialization (I1) == the source table.
+    The same landing/materialization chain the Debezium-shaped path uses —
+    proving the polling source is a drop-in capture stage for it."""
+    from cdc_streaming_pipeline_spark.sources.event_log import write_event_log
+
+    url, execute = derby
+    landing = str(tmp_path / "landed")
+    src = JdbcIncrementalSource(spark, url, "customer", driver=DERBY_DRIVER)
+    write_event_log(src.snapshot(), landing, ts_col="updated_at")
+
+    execute(
+        'UPDATE customer SET "email" = \'moved@example.com\','
+        ' "updated_at" = TIMESTAMP(\'2026-01-05 00:00:00\') WHERE "id" = 2'
+    )
+    execute(
+        "INSERT INTO customer VALUES (22, 'name_22', 'user22@example.com',"
+        " TIMESTAMP('2026-01-05 00:00:00'))"
+    )
+    write_event_log(src.poll(), landing, ts_col="updated_at")
+
+    landed = spark.read.parquet(landing)
+    state = latest_state(landed, key_cols=["id"], order_col=LSN_COL).select(
+        "id", "name", "email"
+    )
+    truth = jdbc_reader(spark, url, "customer", driver=DERBY_DRIVER).select(
+        "id", "name", "email"
+    )
+    assert sorted(map(tuple, state.collect())) == sorted(map(tuple, truth.collect()))

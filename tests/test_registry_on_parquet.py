@@ -71,3 +71,28 @@ def test_ntz_inference_stays_disabled(spark):
         spark.read.parquet(f"{SF_DIR}/events.parquet").schema["ts"].dataType.typeName()
     )
     assert ts_type == "timestamp", f"events.ts read as {ts_type}, expected LTZ timestamp"
+
+
+def test_spark_and_oracle_column_names_agree(spark):
+    """The driver's value-hash compare sorts columns BY NAME, so a Spark
+    result aliased `sum_qty` against an oracle emitting `sum(l_quantity)`
+    hash-mismatches even with identical values. Cheap full-surface pin:
+    Spark side needs only plan analysis (df.columns — no job); the oracle
+    side one DESCRIBE per query."""
+    import duckdb
+
+    from cdc_streaming_pipeline_spark.sources.tables import TABLE_NAMES
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    oracles = entrymod.oracle_sql()
+    bad = []
+    for name, sql in oracles.items():
+        spark_cols = sorted(_QUERIES[name](spark, SF_DIR).columns)
+        oracle_cols = sorted(r[0] for r in con.execute(f"DESCRIBE {sql}").fetchall())
+        if spark_cols != oracle_cols:
+            bad.append(f"{name}: spark={spark_cols} oracle={oracle_cols}")
+    assert not bad, "\n".join(bad)
