@@ -484,6 +484,62 @@ def doc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.boilerplate_scores(docs)
 
 
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-overlap matrix: for every source pair, the
+    Jaccard similarity of their distinct 3-gram shingle sets — the
+    "how much does feed A re-publish feed B" diagnostic read before
+    weighting sources in a corpus mixture (exact-duplicate fingerprints
+    miss near-verbatim syndication; shingle sets catch it).
+
+    Scale shape: distinct (source, shingle) pairs (one explode + one
+    aggregate), self-join on shingle with source_a < source_b (work is
+    proportional to shingles shared by 2+ sources, never |A|x|B|), pair
+    counts in one groupBy, per-source set sizes broadcast back onto the
+    pair rows. Output is bounded by sources² — tiny at any corpus size."""
+    from cdc_streaming_pipeline_spark.functions.textfn import normalize_ws, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "source", tokens(normalize_ws(F.col("text"))).alias("_toks")
+    )
+    toks = F.col("_toks")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, 3), " "),
+        )
+    )
+    src_sh = (
+        staged.select("source", F.explode(shingles).alias("_g")).distinct()
+    )
+    sizes = src_sh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    inter = (
+        src_sh.alias("a")
+        .join(
+            src_sh.alias("b"),
+            (F.col("a._g") == F.col("b._g")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.withColumnRenamed("source", "source_a")
+                   .withColumnRenamed("n_sh", "n_a")), "source_a")
+        .join(F.broadcast(sizes.withColumnRenamed("source", "source_b")
+              .withColumnRenamed("n_sh", "n_b")), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 corpus vocabulary with cumulative token-coverage fraction —
     the tokenizer-design curve ("what share of the corpus do the k most
@@ -607,6 +663,7 @@ QUERIES = {
     "doc_novelty": doc_novelty,
     "doc_boilerplate": doc_boilerplate,
     "vocab_coverage": vocab_coverage,
+    "source_overlap": source_overlap,
     "corpus_filter_funnel": corpus_filter_funnel,
     "temperature_sample_by_source": temperature_sample_by_source,
 }
@@ -1142,6 +1199,28 @@ ORACLE["doc_boilerplate"] = f"""
            SUM(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS n_boiler,
            ROUND(AVG(CASE WHEN df >= 3 THEN 1.0 ELSE 0.0 END), 4) AS boiler_frac
     FROM with_df GROUP BY doc_id
+"""
+
+ORACLE["source_overlap"] = f"""
+    WITH sh AS (
+        SELECT source, list_distinct(list_transform(
+                 generate_series(1, greatest(len(t) - 2, 1)),
+                 i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingles
+        FROM (SELECT source, {_NORM_TOKS} AS t FROM documents)
+    ), src_sh AS (
+        SELECT DISTINCT source, unnest(shingles) AS g FROM sh
+    ), sizes AS (
+        SELECT source, COUNT(*) AS n_sh FROM src_sh GROUP BY source
+    ), inter AS (
+        SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+        FROM src_sh a JOIN src_sh b ON a.g = b.g AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_common,
+           ROUND(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
 """
 
 ORACLE["vocab_coverage"] = f"""

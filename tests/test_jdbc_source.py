@@ -203,3 +203,44 @@ def test_jdbc_to_landing_to_latest_state_e2e(spark, derby, tmp_path):
         "id", "name", "email"
     )
     assert sorted(map(tuple, state.collect())) == sorted(map(tuple, truth.collect()))
+
+
+def test_randomized_mutation_waves_converge(spark, derby):
+    """Seeded random insert/update waves with polls interleaved: after any
+    number of waves, snapshot+polls applied latest-row-wins must equal the
+    live table. The property the watermark logic has to hold under
+    arbitrary interleavings, not just the hand-written cases."""
+    import random
+
+    rng = random.Random(20260814)
+    url, execute = derby
+    src = JdbcIncrementalSource(spark, url, "customer", driver=DERBY_DRIVER)
+    batches = [src.snapshot()]
+    next_id = 23
+    day = 6
+    for _wave in range(4):
+        for _ in range(rng.randint(1, 4)):
+            ts = f"2026-01-{day:02d} 00:00:00"
+            if rng.random() < 0.5:
+                execute(
+                    f"INSERT INTO customer VALUES ({next_id}, 'name_{next_id}',"
+                    f" 'user{next_id}@example.com', TIMESTAMP('{ts}'))"
+                )
+                next_id += 1
+            else:
+                victim = rng.randint(1, 20)
+                execute(
+                    f'UPDATE customer SET "email" = \'w{day}_{victim}@example.com\','
+                    f' "updated_at" = TIMESTAMP(\'{ts}\') WHERE "id" = {victim}'
+                )
+            day += 1
+        batches.append(src.poll())
+
+    events = batches[0]
+    for b in batches[1:]:
+        events = events.unionByName(b)
+    state = _current_state(events).select("id", "name", "email")
+    truth = jdbc_reader(spark, url, "customer", driver=DERBY_DRIVER).select(
+        "id", "name", "email"
+    )
+    assert sorted(map(tuple, state.collect())) == sorted(map(tuple, truth.collect()))
