@@ -243,3 +243,28 @@ def test_near_dup_gemm_computed_once_across_queries(spark, monkeypatch):
     # and the cluster frame is the SAME object on repeat calls (cache hit)
     assert docs.near_dup_clusters(spark, SF_DIR) is clusters
     docs._GEMM_SHARE_CACHE.clear()
+
+
+def test_vocab_coverage_topk_without_global_sort(spark):
+    """The top-50 must be a TakeOrderedAndProject (per-partition top-k
+    reduction), never a full vocabulary Sort+Limit — at 100 TB the vocab
+    is millions of rows and a global sort of it is the difference between
+    a reduction and a shuffle."""
+    from cdc_streaming_pipeline_spark.plans import docs
+
+    plan = _plan(docs.vocab_coverage(spark, SF_DIR), "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_boilerplate_window_is_partitioned(spark):
+    """The DF-count window must partition by (source, shingle); an
+    unpartitioned window would serialize the whole corpus through one
+    task (the WindowExec single-partition trap)."""
+    from cdc_streaming_pipeline_spark.plans import docs
+
+    plan = _plan(docs.doc_boilerplate(spark, SF_DIR), "simple")
+    import re
+
+    wins = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert wins, "no window found"
+    assert all(re.search(r"windowspecdefinition\(source#\d+, _g#\d+", w) for w in wins), wins
