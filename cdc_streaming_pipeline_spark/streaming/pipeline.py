@@ -255,3 +255,29 @@ def dedup_within_watermark(
     Keys default to the CDC identity (table, id, lsn)."""
     keys = key_cols or ["_table", "id", LSN_COL]
     return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def heartbeat_stream(
+    spark, rows_per_second: int = 1, source_name: str = "heartbeat"
+) -> DataFrame:
+    """S6 — heartbeat source on Spark's rate source.
+
+    The reference emits 5s heartbeats so Debezium's offsets advance on
+    idle tables (cdc_pipeline_dag.py:141 heartbeat.interval.ms). Spark
+    advances watermarks per trigger, so nothing NEEDS a heartbeat for
+    progress — what remains useful is a liveness beacon: union this onto
+    an event stream and a downstream windowed count emits a row every
+    window even when the real source is silent, which is what the
+    reference's monitor greps for. Columns mirror the wide-event shape
+    closely enough to unionByName(allowMissingColumns=True)."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+        .select(
+            F.col("timestamp").alias("updated_at"),
+            F.lit("hb").alias("_op"),
+            F.lit(source_name).alias("_table"),
+            F.format_string("%020d", F.col("value")).alias(LSN_COL),
+        )
+    )

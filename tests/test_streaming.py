@@ -136,3 +136,39 @@ def test_upsert_state_idempotent_on_batch_replay(spark, tmp_path):
         map(repr, read_latest_state(spark, state_dir, raw=True).collect())
     )
     assert rows_after == rows_before
+
+
+def test_heartbeat_stream_emits_rows_and_unions_with_events(spark, tmp_path):
+    """S6: the rate-source heartbeat is streamable, carries the CDC
+    metadata shape, and unions onto a wide event stream."""
+    from cdc_streaming_pipeline_spark.streaming.pipeline import heartbeat_stream
+
+    hb = heartbeat_stream(spark, rows_per_second=10)
+    assert hb.isStreaming
+    out = str(tmp_path / "hb_out")
+    ckpt = str(tmp_path / "hb_ckpt")
+    q = (
+        hb.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 60
+    n = 0
+    while time.time() < deadline:
+        try:
+            n = spark.read.parquet(out).count()
+        except Exception:  # noqa: BLE001 - sink dir not created yet
+            n = 0
+        if n > 0:
+            break
+        time.sleep(1)
+    q.stop()
+    assert n > 0
+    hb_batch = spark.read.parquet(out)
+    assert {"updated_at", "_op", "_table", "_lsn"}.issubset(set(hb_batch.columns))
+    ops = {r["_op"] for r in hb_batch.select("_op").distinct().collect()}
+    assert ops == {"hb"}
