@@ -354,6 +354,45 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel: users reaching view -> click -> purchase
+    with STRICTLY increasing event times (a later stage only counts if it
+    happens after the user's earliest completion of the previous stage —
+    the classic product-analytics funnel, the sequential-pattern query
+    class MATCH_RECOGNIZE serves elsewhere).
+
+    Plan: one conditional min-aggregate per stage, each keyed on user_id —
+    three narrow shuffles on the same key (co-partitioned, the exchanges
+    reuse), joins carry one timestamp per user. No collect_list of event
+    sequences, no per-user Python — at 100 TB each stage is a filtered
+    partial-agg over the events scan."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count("*").alias("n_users")).select(F.lit(1).alias("stage"), F.lit("view").alias("stage_name"), "n_users")
+        .unionByName(s2.agg(F.count("*").alias("n_users")).select(F.lit(2).alias("stage"), F.lit("click").alias("stage_name"), "n_users"))
+        .unionByName(s3.agg(F.count("*").alias("n_users")).select(F.lit(3).alias("stage"), F.lit("purchase").alias("stage_name"), "n_users"))
+    )
+
+
 QUERIES = {
     "count_star_events": count_star_events,
     "first_events": first_events,
@@ -373,6 +412,7 @@ QUERIES = {
     "events_in_purchase_windows": events_in_purchase_windows,
     "hll_users_rollup": hll_users_rollup,
     "session_window_stats": session_window_stats,
+    "event_funnel": event_funnel,
 }
 
 ORACLE = {
@@ -511,4 +551,24 @@ ORACLE["session_window_stats"] = """
            COUNT(*) AS n_events,
            CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value
     FROM sids GROUP BY user_id, sid
+"""
+
+ORACLE["event_funnel"] = """
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+    )
+    SELECT 1 AS stage, 'view' AS stage_name, COUNT(*) AS n_users FROM s1
+    UNION ALL
+    SELECT 2, 'click', COUNT(*) FROM s2
+    UNION ALL
+    SELECT 3, 'purchase', COUNT(*) FROM s3
 """
