@@ -1,0 +1,150 @@
+"""Partition-pruned CDC merge into a bucket-partitioned parquet snapshot.
+
+The reference lands CDC events in Hive and leaves "apply the changes to a
+queryable table" to downstream consumers (cdc_pipeline_dag.py:360-383 builds
+the wide external table; init.sql seeds the source). `latest_state`
+(operators/cdc.py:126) answers that as a full recompute over the whole log.
+This module is the INCREMENTAL answer — the op a production Spark deployment
+runs every few minutes, and the one whose cost model actually matters at
+100 TB:
+
+* The snapshot lives on disk partitioned by a stable key bucket
+  (``_kb = pmod(xxhash64(key), n_buckets)``). Bucket count is fixed at table
+  creation, so a key always lands in the same partition directory.
+* An incoming CDC batch touches only the buckets its keys hash into. The
+  merge reads ONLY those partitions (partition pruning on the scan — a
+  batch touching 3 of 512 buckets reads ~0.6% of a 100 TB snapshot), merges
+  with `latest_state` semantics, and rewrites ONLY those partitions via
+  dynamic partition overwrite. Untouched partition files are never opened,
+  never rewritten (byte-identity asserted in tests/test_merge.py).
+* The snapshot stores RAW latest rows — delete markers and the LSN column
+  included — so a late, lower-LSN event can never resurrect a deleted key
+  (same invariant as streaming/pipeline.py's raw state, and the workload
+  property test's applied-state oracle).
+
+This is exactly Delta/Iceberg ``MERGE INTO`` file-skipping semantics,
+expressed with plain parquet + Spark dynamic partition overwrite — no table
+format required. On a real deployment, swap `merge_cdc_batch`'s write for a
+``MERGE INTO`` and keep everything upstream unchanged.
+
+Scale notes
+-----------
+* One shuffle per merge (the `latest_state` window over touched buckets);
+  the union's snapshot side arrives already bucket-partitioned.
+* ``touched_buckets`` is a collect of DISTINCT bucket ids — bounded by
+  ``n_buckets`` (an int list of ≤ a few thousand), never by data volume.
+* Dynamic partition overwrite is atomic per partition directory on HDFS-like
+  stores; on object stores pair it with a manifest commit (out of scope
+  here, noted for deployment).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_streaming_pipeline_spark.operators.cdc import latest_state, mark_deleted
+from cdc_streaming_pipeline_spark.schemas import LSN_COL
+
+BUCKET_COL = "_kb"
+
+
+def with_key_bucket(df: DataFrame, key_cols: list[str], n_buckets: int) -> DataFrame:
+    """Stable key bucket: pmod(xxhash64(keys...), n_buckets).
+
+    xxhash64 is deterministic across Spark sessions/versions for the same
+    input, so the bucket assignment is a durable property of the key — the
+    requirement for the on-disk layout to be reusable across runs.
+    """
+    return df.withColumn(
+        BUCKET_COL,
+        F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int"),
+    )
+
+
+def init_snapshot(
+    events: DataFrame,
+    path: str,
+    key_cols: list[str],
+    n_buckets: int = 64,
+    order_col: str = LSN_COL,
+) -> None:
+    """Bootstrap the snapshot from an event backlog (initial load / backfill).
+
+    Writes raw latest rows (delete markers kept) partitioned by key bucket.
+    `repartition(BUCKET_COL)` co-locates each bucket in one task so each
+    partition directory gets contiguous, well-sized files rather than
+    n_tasks × n_buckets small files.
+    """
+    state = latest_state(events, key_cols=key_cols, order_col=order_col, drop_deleted=False)
+    out = with_key_bucket(state, key_cols, n_buckets)
+    (
+        out.repartition(F.col(BUCKET_COL))
+        .write.mode("overwrite")
+        .partitionBy(BUCKET_COL)
+        .parquet(path)
+    )
+
+
+def touched_buckets(batch_df: DataFrame, key_cols: list[str], n_buckets: int) -> list[int]:
+    """Distinct key buckets present in a CDC batch — the partitions the merge
+    is allowed to read and rewrite. Bounded by n_buckets, not by batch size
+    (Spark aggregates the distinct before the driver sees anything)."""
+    rows = (
+        with_key_bucket(batch_df, key_cols, n_buckets)
+        .select(BUCKET_COL)
+        .distinct()
+        .collect()
+    )
+    return sorted(r[BUCKET_COL] for r in rows)
+
+
+def merge_cdc_batch(
+    spark: SparkSession,
+    path: str,
+    batch_df: DataFrame,
+    key_cols: list[str],
+    n_buckets: int = 64,
+    order_col: str = LSN_COL,
+) -> list[int]:
+    """Merge one CDC batch into the snapshot, touching only its buckets.
+
+    Returns the list of rewritten bucket ids. The scan filter
+    ``_kb IN (...)`` is a partition-column predicate, so Spark prunes the
+    listing to those directories — the snapshot read cost is proportional to
+    the batch's key spread, not to snapshot size. The write uses
+    ``partitionOverwriteMode=dynamic`` as a per-write OPTION (not a global
+    conf mutation), so only partitions present in the output frame — exactly
+    the touched ones — are replaced.
+    """
+    batch = with_key_bucket(batch_df, key_cols, n_buckets)
+    touched = touched_buckets(batch_df, key_cols, n_buckets)
+    if not touched:
+        return []
+    prev = (
+        spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(touched))
+        if os.path.exists(path)
+        else None
+    )
+    merged = batch if prev is None else prev.unionByName(batch, allowMissingColumns=True)
+    new_state = latest_state(merged, key_cols=key_cols, order_col=order_col, drop_deleted=False)
+    (
+        new_state.repartition(F.col(BUCKET_COL))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BUCKET_COL)
+        .parquet(path)
+    )
+    return touched
+
+
+def read_snapshot(spark: SparkSession, path: str, raw: bool = False) -> DataFrame:
+    """Current table contents. raw=True keeps delete markers and the bucket
+    column (the merge's own input view); the default is the queryable view."""
+    df = spark.read.parquet(path)
+    if raw:
+        return df
+    df = mark_deleted(df) if "_is_deleted" not in df.columns else df
+    return df.filter(~F.col("_is_deleted")).drop("_is_deleted", BUCKET_COL)

@@ -1,0 +1,166 @@
+"""Partition-pruned CDC merge (operators/merge.py).
+
+Three invariants:
+1. Incremental merges == full recompute (`latest_state` over the whole log),
+   for any seeded interleaving, including deletes and late events.
+2. Untouched bucket partitions are byte-identical after a merge — the
+   file-skipping property that makes the op viable at 100 TB.
+3. The snapshot scan for a merge is partition-pruned (the `_kb IN (...)`
+   predicate reaches the scan as a partition filter).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_streaming_pipeline_spark.operators.cdc import latest_state
+from cdc_streaming_pipeline_spark.operators.merge import (
+    BUCKET_COL,
+    init_snapshot,
+    merge_cdc_batch,
+    read_snapshot,
+    touched_buckets,
+    with_key_bucket,
+)
+from cdc_streaming_pipeline_spark.sources.event_log import read_event_log
+from cdc_streaming_pipeline_spark.workload import CdcWorkloadGenerator
+
+KEYS = ["id", "_table"]
+N_BUCKETS = 16
+
+
+def _event_batches(spark, tmp_path, seed, n_batches=3, ops_per_batch=60):
+    """Seeded workload split into ordered batches, plus the full log."""
+    gen = CdcWorkloadGenerator(seed=seed)
+    gen.initial_load(rows_per_table=10)
+    dirs = []
+    for b in range(n_batches):
+        gen.run(ops_per_batch)
+        d = str(tmp_path / f"batch_{b}")
+        # write_json_files emits ALL events so far; slice per-batch below
+        gen.write_json_files(d, n_files=2)
+        dirs.append(d)
+    full = read_event_log(spark, dirs[-1])
+    batches = []
+    prev_max = None
+    for d in dirs:
+        log = read_event_log(spark, d)
+        if prev_max is not None:
+            log = log.filter(F.col("_lsn") > prev_max)
+        prev_max = read_event_log(spark, d).agg(F.max("_lsn")).collect()[0][0]
+        batches.append(log)
+    return batches, full
+
+
+def _partition_files(path):
+    out = {}
+    for entry in os.listdir(path):
+        if not entry.startswith(f"{BUCKET_COL}="):
+            continue
+        bucket = int(entry.split("=", 1)[1])
+        pdir = os.path.join(path, entry)
+        out[bucket] = sorted(
+            (f, os.path.getmtime(os.path.join(pdir, f)), os.path.getsize(os.path.join(pdir, f)))
+            for f in os.listdir(pdir)
+            if f.endswith(".parquet")
+        )
+    return out
+
+
+def _state_dict(df):
+    cols = sorted(c for c in df.columns if c != BUCKET_COL)
+    return {
+        (r["id"], r["_table"]): tuple(r[c] for c in cols)
+        for r in df.select(*cols, "id", "_table").collect()
+    }
+
+
+@pytest.mark.parametrize("seed", [7, 42])
+def test_incremental_merge_equals_full_recompute(spark, tmp_path, seed):
+    batches, full = _event_batches(spark, tmp_path, seed)
+    snap = str(tmp_path / "snapshot")
+    init_snapshot(batches[0], snap, KEYS, n_buckets=N_BUCKETS)
+    for batch in batches[1:]:
+        merge_cdc_batch(spark, snap, batch, KEYS, n_buckets=N_BUCKETS)
+
+    got = _state_dict(read_snapshot(spark, snap))
+    expected = _state_dict(latest_state(full, key_cols=KEYS))
+    assert got == expected
+
+
+def test_untouched_partitions_are_not_rewritten(spark, tmp_path):
+    batches, _ = _event_batches(spark, tmp_path, seed=3)
+    snap = str(tmp_path / "snapshot")
+    init_snapshot(batches[0], snap, KEYS, n_buckets=N_BUCKETS)
+
+    before = _partition_files(snap)
+    # merge a batch restricted to ONE key → at most one touched bucket
+    one_key = batches[1].filter((F.col("_table") == "customer")).limit(1)
+    assert one_key.count() == 1
+    touched = merge_cdc_batch(spark, snap, one_key, KEYS, n_buckets=N_BUCKETS)
+    after = _partition_files(snap)
+
+    assert len(touched) == 1
+    for bucket, files in before.items():
+        if bucket in touched:
+            continue
+        assert after[bucket] == files, f"bucket {bucket} was rewritten"
+
+
+def test_touched_buckets_bounded_and_deterministic(spark, tmp_path):
+    batches, _ = _event_batches(spark, tmp_path, seed=5, n_batches=1)
+    t1 = touched_buckets(batches[0], KEYS, N_BUCKETS)
+    t2 = touched_buckets(batches[0], KEYS, N_BUCKETS)
+    assert t1 == t2
+    assert all(0 <= b < N_BUCKETS for b in t1)
+
+
+def test_merge_scan_is_partition_pruned(spark, tmp_path):
+    batches, _ = _event_batches(spark, tmp_path, seed=9, n_batches=1)
+    snap = str(tmp_path / "snapshot")
+    init_snapshot(batches[0], snap, KEYS, n_buckets=N_BUCKETS)
+    pruned = spark.read.parquet(snap).filter(F.col(BUCKET_COL).isin([1, 2]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition filters appear as PartitionFilters on the parquet scan node
+    assert "PartitionFilters" in plan and BUCKET_COL in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_delete_not_resurrected_by_late_event(spark, tmp_path):
+    """A late lower-LSN update arriving after the delete's merge must not
+    resurrect the key — the raw-snapshot (markers kept) invariant."""
+    rows = [
+        # key 1: insert lsn 1, delete lsn 3 land in batch A; late update lsn 2 in batch B
+        {"id": 1, "_table": "t", "v": "a", "_op": "c", "_lsn": "001", "_deleted": None},
+        {"id": 1, "_table": "t", "v": None, "_op": "d", "_lsn": "003", "_deleted": "true"},
+    ]
+    late = [{"id": 1, "_table": "t", "v": "b", "_op": "u", "_lsn": "002", "_deleted": None}]
+    snap = str(tmp_path / "snap")
+    schema = "id bigint, _table string, v string, _op string, _lsn string, _deleted string"
+    a = spark.createDataFrame(rows, schema=schema)
+    b = spark.createDataFrame(late, schema=schema)
+    init_snapshot(a, snap, KEYS, n_buckets=4)
+    merge_cdc_batch(spark, snap, b, KEYS, n_buckets=4)
+    assert read_snapshot(spark, snap).count() == 0
+    raw = read_snapshot(spark, snap, raw=True)
+    assert raw.count() == 1 and raw.collect()[0]["_lsn"] == "003"
+
+
+def test_idempotent_replay(spark, tmp_path):
+    """Replaying the same batch (at-least-once delivery) changes nothing."""
+    batches, _ = _event_batches(spark, tmp_path, seed=11, n_batches=2)
+    snap = str(tmp_path / "snapshot")
+    init_snapshot(batches[0], snap, KEYS, n_buckets=N_BUCKETS)
+    merge_cdc_batch(spark, snap, batches[1], KEYS, n_buckets=N_BUCKETS)
+    first = _state_dict(read_snapshot(spark, snap))
+    merge_cdc_batch(spark, snap, batches[1], KEYS, n_buckets=N_BUCKETS)
+    assert _state_dict(read_snapshot(spark, snap)) == first
+
+
+def test_bucket_assignment_is_stable(spark):
+    df = spark.range(100).withColumn("_table", F.lit("t")).withColumnRenamed("id", "id")
+    a = with_key_bucket(df, KEYS, 32).select("id", BUCKET_COL).collect()
+    b = with_key_bucket(df, KEYS, 32).select("id", BUCKET_COL).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
