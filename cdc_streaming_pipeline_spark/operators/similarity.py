@@ -466,3 +466,28 @@ def cosine_near_dup_lsh(
         .applyInPandas(bucket_gemm, "id_a long, id_b long, cosine double")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def dimension_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension corpus statistics (mean / sample-stddev / min / max) —
+    the feature-scaling pre-pass for quantization, whitening, and drift
+    monitoring over an embedding column.
+
+    Plan: posexplode multiplies rows × d, but partial aggregation collapses
+    each task's output to d rows before the (d-row) shuffle — the scan
+    dominates, the shuffle is constant-size regardless of corpus size.
+    """
+    exploded = df.select(
+        F.posexplode(F.col(vec_col)).alias("dim", "x")
+    ).select("dim", F.col("x").cast("double").alias("x"))
+    return (
+        exploded.groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("x"), 4).alias("mean"),
+            F.round(F.stddev_samp("x"), 4).alias("stddev"),
+            F.round(F.min("x"), 4).alias("min_val"),
+            F.round(F.max("x"), 4).alias("max_val"),
+        )
+        .orderBy("dim")
+    )

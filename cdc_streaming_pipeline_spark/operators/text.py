@@ -442,3 +442,41 @@ def boilerplate_scores(
         F.sum(is_boiler).alias("n_boiler"),
         F.round(F.avg(is_boiler.cast("double")), 4).alias("boiler_frac"),
     )
+
+
+def word_entropy_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy (bits) of the unigram distribution — a
+    repetitiveness/diversity quality signal (low entropy = degenerate
+    keyboard-mash or template text; used alongside repetition_stats as a
+    pretraining filter).
+
+    Uses the single-aggregation identity  H = log2(N) - (1/N)·Σ c·log2(c)
+    over per-(doc, token) counts, so the plan is explode + two key-local
+    aggregations (map-side partial combine on both), no window, no join.
+    Empty documents are excluded (entropy undefined at N=0).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(normalize_ws(F.col(text_col)))).alias("_tok")
+    ).filter(F.col("_tok") != "")
+    counts = toks.groupBy(id_col, "_tok").agg(F.count("*").alias("_c"))
+    c = F.col("_c").cast("double")
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_tokens"),
+            F.count("*").alias("n_distinct_tokens"),
+            F.sum(c * F.log2(c)).alias("_clogc"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "n_distinct_tokens",
+            F.round(
+                F.log2(F.col("n_tokens").cast("double"))
+                - F.col("_clogc") / F.col("n_tokens").cast("double"),
+                4,
+            ).alias("entropy_bits"),
+        )
+    )

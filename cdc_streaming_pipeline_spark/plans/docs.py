@@ -619,6 +619,40 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler over documents (nulls / exact distinct / min / max per
+    column in one pass) — the landed-table health check the reference's Hive
+    consumers run by hand (operators/profile.py)."""
+    from cdc_streaming_pipeline_spark.operators.profile import profile_columns
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_columns(docs)
+
+
+def doc_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram Shannon entropy (repetitiveness filter signal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.word_entropy_scores(docs)
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/std/min/max over the embedding corpus — the
+    feature-scaling pre-pass for int8 quantization and drift monitoring."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.dimension_stats(emb)
+
+
+def embedding_pca_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 PCA explained-variance spectrum via distributed moment
+    aggregation + driver-side d×d eigendecomposition (operators/pca.py).
+    Non-SQL-expressible (eigensolve) → rows-only in the gate; numpy-exact
+    parity is pytest-gated in tests/test_pca.py."""
+    from cdc_streaming_pipeline_spark.operators.pca import pca_explained_variance
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_explained_variance(spark, emb, k=10)
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_quality_scores": doc_quality_scores,
@@ -666,6 +700,10 @@ QUERIES = {
     "source_overlap": source_overlap,
     "corpus_filter_funnel": corpus_filter_funnel,
     "temperature_sample_by_source": temperature_sample_by_source,
+    "profile_documents": profile_documents,
+    "doc_word_entropy": doc_word_entropy,
+    "embedding_dim_stats": embedding_dim_stats,
+    "embedding_pca_explained": embedding_pca_explained,
 }
 
 # DuckDB-side replicas. Shared fragments:
@@ -1312,4 +1350,74 @@ ORACLE["temperature_sample_by_source"] = """
     SELECT doc_id, source, sample_rank
     FROM ranked JOIN quotas USING (source)
     WHERE sample_rank <= quota
+"""
+
+ORACLE["profile_documents"] = """
+    WITH n AS (SELECT COUNT(*) AS n_rows FROM documents)
+    SELECT * FROM (
+        SELECT 'doc_id' AS col_name, n_rows,
+               (SELECT COUNT(*) FROM documents WHERE doc_id IS NULL) AS n_nulls,
+               (SELECT COUNT(DISTINCT doc_id) FROM documents) AS n_distinct,
+               (SELECT CAST(MIN(doc_id) AS VARCHAR) FROM documents) AS min_val,
+               (SELECT CAST(MAX(doc_id) AS VARCHAR) FROM documents) AS max_val
+        FROM n
+        UNION ALL
+        SELECT 'text', n_rows,
+               (SELECT COUNT(*) FROM documents WHERE text IS NULL),
+               (SELECT COUNT(DISTINCT text) FROM documents),
+               (SELECT MIN(text) FROM documents),
+               (SELECT MAX(text) FROM documents)
+        FROM n
+        UNION ALL
+        SELECT 'lang', n_rows,
+               (SELECT COUNT(*) FROM documents WHERE lang IS NULL),
+               (SELECT COUNT(DISTINCT lang) FROM documents),
+               (SELECT MIN(lang) FROM documents),
+               (SELECT MAX(lang) FROM documents)
+        FROM n
+        UNION ALL
+        SELECT 'source', n_rows,
+               (SELECT COUNT(*) FROM documents WHERE source IS NULL),
+               (SELECT COUNT(DISTINCT source) FROM documents),
+               (SELECT MIN(source) FROM documents),
+               (SELECT MAX(source) FROM documents)
+        FROM n
+        UNION ALL
+        SELECT 'n_chars', n_rows,
+               (SELECT COUNT(*) FROM documents WHERE n_chars IS NULL),
+               (SELECT COUNT(DISTINCT n_chars) FROM documents),
+               (SELECT CAST(MIN(n_chars) AS VARCHAR) FROM documents),
+               (SELECT CAST(MAX(n_chars) AS VARCHAR) FROM documents)
+        FROM n
+    ) ORDER BY col_name
+"""
+
+ORACLE["doc_word_entropy"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_NORM_TOKS}) AS tok
+        FROM documents WHERE trim(text) <> ''
+    ), counts AS (
+        SELECT doc_id, tok, COUNT(*) AS c FROM toks WHERE tok <> '' GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_distinct_tokens,
+           ROUND(log2(CAST(SUM(c) AS DOUBLE))
+                 - SUM(c * log2(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE),
+                 4) AS entropy_bits
+    FROM counts GROUP BY doc_id
+"""
+
+ORACLE["embedding_dim_stats"] = """
+    WITH x AS (
+        SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    )
+    SELECT dim, COUNT(*) AS n,
+           ROUND(AVG(x), 4) AS mean,
+           ROUND(STDDEV_SAMP(x), 4) AS stddev,
+           ROUND(MIN(x), 4) AS min_val,
+           ROUND(MAX(x), 4) AS max_val
+    FROM x GROUP BY dim ORDER BY dim
 """
