@@ -278,8 +278,43 @@ def cdc_split_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(bad.agg(F.count("*").alias("n_bad")))
 
 
+def cdc_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental partition-pruned merge (operators/merge.py) — the
+    production-form latest-state maintenance: bootstrap the snapshot from
+    the initial-load batch (op='r', lsn-offset 1), then merge the change
+    batch (updates/deletes/re-inserts, offsets 2-4) touching only the key
+    buckets present in the batch (dynamic partition overwrite). The final
+    snapshot must equal the full-recompute latest-state, so this reuses
+    cdc_latest_state's closed-form oracle verbatim.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from cdc_streaming_pipeline_spark.operators.merge import (
+        init_snapshot,
+        merge_cdc_batch,
+        read_snapshot,
+    )
+
+    log = _order_event_log(_orders(spark, sf_dir))
+    flat = filter_tombstones(log).select("value.*")
+    off = F.substring(F.col(LSN_COL), -1, 1).cast("int")  # _lsn = k*10 + off
+    batch1 = flat.filter(off == 1)
+    batch2 = flat.filter(off > 1)
+
+    digest = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{sf_dir}".encode()
+    ).hexdigest()[:8]
+    snap = os.path.join(tempfile.gettempdir(), f"cdc_merge_snap_{digest}")
+    init_snapshot(batch1, snap, key_cols=["id"], n_buckets=16)
+    merge_cdc_batch(spark, snap, batch2, key_cols=["id"], n_buckets=16)
+    return read_snapshot(spark, snap).select("id", "status", "total_amount", OP_COL)
+
+
 QUERIES = {
     "cdc_latest_state": cdc_latest_state,
+    "cdc_merge_partitioned": cdc_merge_partitioned,
     "cdc_unwrap": cdc_unwrap,
     "cdc_wide_union_counts": cdc_wide_union_counts,
     "cdc_demux_customer": cdc_demux_customer,
@@ -392,3 +427,6 @@ ORACLE = {
         FROM v WHERE _op <> 'd'
     """,
 }
+
+# The merge query's certificate IS latest-state equivalence: same SQL.
+ORACLE["cdc_merge_partitioned"] = ORACLE["cdc_latest_state"]
