@@ -64,6 +64,7 @@ class CdcStreamingPipeline:
         sink_format: str = "parquet",
         trigger_seconds: int = 60,
         name: str = "cdc_pipeline",
+        state_backend: str = "versioned",
     ) -> None:
         self.spark = spark
         self.source_path = source_path
@@ -77,6 +78,9 @@ class CdcStreamingPipeline:
         self.sink_format = sink_format
         self.trigger_seconds = trigger_seconds
         self.name = name
+        if state_backend not in ("versioned", "partitioned"):
+            raise ValueError(f"unknown state_backend: {state_backend!r}")
+        self.state_backend = state_backend
 
     # ------------------------------------------------------------- sink --
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -93,6 +97,24 @@ class CdcStreamingPipeline:
             self._upsert_state(good, batch_id)
 
     def _upsert_state(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.state_backend == "partitioned":
+            # The 100 TB backend: partition-pruned bucket merge
+            # (operators/merge.py) — reads/rewrites only the buckets this
+            # batch touches instead of rewriting the whole state. Replays
+            # are idempotent (latest-row-wins over identical events).
+            from cdc_streaming_pipeline_spark.operators.merge import (
+                init_snapshot,
+                merge_cdc_batch,
+            )
+
+            snap = os.path.join(self.state_path, "partitioned")
+            if not os.path.exists(snap):
+                init_snapshot(batch_df, snap, key_cols=self.key_cols, order_col=LSN_COL)
+            else:
+                merge_cdc_batch(
+                    self.spark, snap, batch_df, key_cols=self.key_cols, order_col=LSN_COL
+                )
+            return
         prev = read_latest_state(self.spark, self.state_path, raw=True)
         merged = (
             prev.unionByName(batch_df, allowMissingColumns=True)
@@ -148,6 +170,11 @@ def read_latest_state(
     lower-LSN events cannot resurrect a deleted key); the default filters
     them out — the queryable current-table-contents view.
     """
+    partitioned = os.path.join(state_path, "partitioned")
+    if os.path.exists(partitioned):
+        from cdc_streaming_pipeline_spark.operators.merge import read_snapshot
+
+        return read_snapshot(spark, partitioned, raw=raw)
     pointer = os.path.join(state_path, _POINTER)
     if not os.path.exists(pointer):
         return None
