@@ -397,3 +397,96 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ------------------------------------------------- substring-level dedup --
+def duplicate_span_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 8,
+) -> DataFrame:
+    """Exact substring-level deduplication at token granularity — the
+    operator behind "exact substring dedup" in published pretraining
+    pipelines (remove repeated passages, keep exactly one corpus-wide
+    copy), approximated on token k-grams instead of a suffix array:
+
+    1. Every k-token span is keyed by its text. A span text is *duplicated*
+       if it occurs in ≥2 documents; its *owner* is the min doc_id
+       containing it (the kept copy — deterministic, engine-portable).
+    2. In every non-owner document, all token positions covered by a
+       duplicated span are removed; the owner keeps its text untouched.
+    3. Output per document: token counts before/after, removed fraction,
+       and an md5 fingerprint of the cleaned (space-joined) text so the
+       full rewritten content is value-checked without shipping it.
+
+    Plan shape: one explode to (doc, pos, gram) [~n_tokens rows per doc],
+    one groupBy gram for df+owner (map-side combinable), one equi-join back
+    (no pair enumeration — cost tracks dup-span volume, not doc pairs²),
+    one explode of covered positions (k × dup spans only), one per-doc
+    re-aggregation. All JVM expressions.
+    """
+    k = span_tokens
+    staged = df.select(
+        F.col(id_col).alias("_id"), tokens(normalize_ws(F.col(text_col))).alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    staged = _parallelize(staged)
+
+    toks = staged.select(
+        "_id", F.posexplode("_toks").alias("idx", "tok")
+    )
+    gram_idx = F.when(
+        F.size("_toks") >= k, F.sequence(F.lit(0), F.size("_toks") - k)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = staged.select(
+        "_id",
+        F.explode(
+            F.transform(
+                gram_idx,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.array_join(F.slice("_toks", i + 1, k), " ").alias("g"),
+                ),
+            )
+        ).alias("pg"),
+    ).select("_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+
+    owners = grams.groupBy("g").agg(
+        F.countDistinct("_id").alias("ndocs"), F.min("_id").alias("owner")
+    )
+    dup_pos = (
+        grams.join(owners.filter(F.col("ndocs") >= 2), "g")
+        .filter(F.col("_id") != F.col("owner"))
+        .select("_id", "pos")
+    )
+    removed = dup_pos.select(
+        "_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("idx")
+    ).distinct()
+
+    kept = toks.join(removed, ["_id", "idx"], "left_anti")
+    cleaned = kept.groupBy("_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "tok"))), lambda s: s["tok"]
+            ),
+            " ",
+        ).alias("_cleaned"),
+    )
+    base = staged.select("_id", F.size("_toks").alias("n_tokens"))
+    return (
+        base.join(cleaned, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.round(
+                (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+                / F.col("n_tokens").cast("double"),
+                4,
+            ).alias("frac_removed"),
+            F.md5(F.coalesce(F.col("_cleaned"), F.lit(""))).alias("cleaned_fp"),
+        )
+    )

@@ -653,6 +653,15 @@ def embedding_pca_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_explained_variance(spark, emb, k=10)
 
 
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup (token 8-gram spans): every duplicated
+    span keeps exactly one corpus-wide copy (min-doc_id owner), covered
+    tokens removed everywhere else; per-doc counts + cleaned-text md5
+    (operators/dedup.py:duplicate_span_removal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.duplicate_span_removal(docs, span_tokens=8)
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_quality_scores": doc_quality_scores,
@@ -701,6 +710,7 @@ QUERIES = {
     "corpus_filter_funnel": corpus_filter_funnel,
     "temperature_sample_by_source": temperature_sample_by_source,
     "profile_documents": profile_documents,
+    "dedup_span_removal": dedup_span_removal,
     "doc_word_entropy": doc_word_entropy,
     "embedding_dim_stats": embedding_dim_stats,
     "embedding_pca_explained": embedding_pca_explained,
@@ -1420,4 +1430,47 @@ ORACLE["embedding_dim_stats"] = """
            ROUND(MIN(x), 4) AS min_val,
            ROUND(MAX(x), 4) AS max_val
     FROM x GROUP BY dim ORDER BY dim
+"""
+
+ORACLE["dedup_span_removal"] = f"""
+    WITH t AS (
+        SELECT doc_id, {_NORM_TOKS} AS toks
+        FROM documents WHERE trim(text) <> ''
+    ), grams AS (
+        SELECT doc_id,
+               unnest(generate_series(0, len(toks) - 8)) AS pos,
+               unnest(list_transform(generate_series(1, len(toks) - 7),
+                      i -> array_to_string(list_slice(toks, i, i + 7), ' '))) AS g
+        FROM t WHERE len(toks) >= 8
+    ), owners AS (
+        SELECT g, COUNT(DISTINCT doc_id) AS ndocs, MIN(doc_id) AS owner
+        FROM grams GROUP BY g
+    ), dup_pos AS (
+        SELECT DISTINCT gr.doc_id, gr.pos
+        FROM grams gr JOIN owners o USING (g)
+        WHERE o.ndocs >= 2 AND gr.doc_id <> o.owner
+    ), removed AS (
+        SELECT DISTINCT doc_id, idx FROM (
+            SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS idx FROM dup_pos
+        )
+    ), pos_toks AS (
+        SELECT doc_id, unnest(toks) AS tok,
+               generate_subscripts(toks, 1) - 1 AS idx
+        FROM t
+    ), kept AS (
+        SELECT p.doc_id, p.idx, p.tok
+        FROM pos_toks p
+        ANTI JOIN removed r ON r.doc_id = p.doc_id AND r.idx = p.idx
+    ), cleaned AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY idx) AS cleaned
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           len(t.toks) AS n_tokens,
+           len(t.toks) - COALESCE(c.n_kept, 0) AS n_removed,
+           ROUND((len(t.toks) - COALESCE(c.n_kept, 0))::DOUBLE
+                 / len(t.toks)::DOUBLE, 4) AS frac_removed,
+           md5(COALESCE(c.cleaned, '')) AS cleaned_fp
+    FROM t LEFT JOIN cleaned c USING (doc_id)
 """

@@ -115,3 +115,27 @@ def test_novelty_bounds_and_unique_doc(spark):
     assert rows[1].novelty == 0.0 and rows[2].novelty == 0.0  # exact dup pair
     assert rows[3].novelty == 1.0  # nothing shared
     assert rows[3].n_novel == rows[3].n_shingles
+
+
+def test_duplicate_span_removal_semantics(spark):
+    from cdc_streaming_pipeline_spark.operators.dedup import duplicate_span_removal
+    import hashlib
+
+    shared = "a b c d e f g h"  # exactly one 8-token span
+    rows = [
+        (1, f"{shared} unique1 tail1"),           # owner (min doc_id): untouched
+        (2, f"lead2 {shared} unique2"),           # non-owner: span removed
+        (3, "totally different words here only"), # <8 tokens: no grams, untouched
+        (4, f"{shared}"),                         # non-owner, fully covered -> empty
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in duplicate_span_removal(df, span_tokens=8).collect()}
+
+    assert out[1]["n_removed"] == 0
+    assert out[1]["cleaned_fp"] == hashlib.md5(f"{shared} unique1 tail1".encode()).hexdigest()
+    assert out[2]["n_removed"] == 8
+    assert out[2]["cleaned_fp"] == hashlib.md5(b"lead2 unique2").hexdigest()
+    assert out[3]["n_removed"] == 0
+    assert out[4]["n_removed"] == 8 and out[4]["n_tokens"] == 8
+    assert out[4]["cleaned_fp"] == hashlib.md5(b"").hexdigest()
+    assert abs(out[2]["frac_removed"] - 8 / 10) < 1e-9
