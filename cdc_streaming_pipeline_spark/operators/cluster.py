@@ -329,3 +329,72 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster the
+    embedding space with k-means, then drop every item whose cosine to a
+    LOWER-id item in the SAME cluster exceeds ``threshold``.
+
+    The clustering is the scalability move: instead of the n² all-pairs GEMM
+    (see ``similarity.cosine_near_dup_blocked``), pairwise work happens only
+    inside each cluster — sum over clusters of |c|² flops, i.e. ~n²/k on
+    balanced clusters, and the approximation loss is exactly the cross-cluster
+    pairs (recall vs the exact dedup is pytest-gated). Assignment is one
+    Arrow-batched GEMM per partition against broadcast centroids (no
+    shuffle); the per-cluster dedup is one shuffle on cluster id. For a
+    mega-cluster that outgrows one task, nest the block decomposition from
+    ``cosine_near_dup_blocked`` inside the cluster key — same semantics.
+
+    Output: one row per input vector — (id, cluster, kept). kept=false means
+    a lower-id same-cluster item covers it at >= threshold cosine. Seeded
+    k-means (not SQL-expressible) → rows-only in the oracle gate; precision/
+    recall vs the exact pair set is asserted in tests/test_similarity_recall.py.
+    """
+    spark = df.sparkSession
+    cent = kmeans_fit(
+        df, k=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    bc = spark.sparkContext.broadcast(cent)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(np.int64),
+                    "cluster": np.argmax(mat @ c.T, axis=1).astype(np.int32),
+                    vec_col: pdf[vec_col],
+                }
+            )
+
+    assigned = df.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, cluster int, {vec_col} array<float>"
+    )
+
+    def dedup_cluster(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy(np.int64)
+        mat = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+        sims = np.round(mat @ mat.T, 4)
+        np.fill_diagonal(sims, 0.0)
+        # kept[j] = no i < j (in id order) with sims[i, j] >= threshold
+        covered = np.triu(sims >= threshold, k=1).any(axis=0)
+        return pd.DataFrame(
+            {id_col: ids, "cluster": np.int32(key[0]), "kept": ~covered}
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        dedup_cluster, f"{id_col} long, cluster int, kept boolean"
+    )

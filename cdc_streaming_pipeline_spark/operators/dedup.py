@@ -490,3 +490,28 @@ def duplicate_span_removal(
             F.md5(F.coalesce(F.col("_cleaned"), F.lit(""))).alias("cleaned_fp"),
         )
     )
+
+
+def incremental_exact_dedup(
+    batch: DataFrame,
+    existing: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: dedup a NEW batch within itself, then drop
+    every batch document whose fingerprint already exists in the corpus.
+
+    This is the shape production pipelines actually run daily — the corpus
+    fingerprint store is persisted state (at 100 TB it is a parquet table of
+    md5 strings, ~32 bytes/doc), and each ingest batch pays one groupBy on
+    its own fingerprints plus one left-anti shuffle join whose payload is
+    (fp, id) only — never document text. The batch side is typically small
+    enough that AQE converts the anti-join to broadcast automatically.
+
+    Output: the surviving batch representatives (fp, min-id, within-batch
+    copy count).
+    """
+    fp = F.md5(normalize_ws(F.col(text_col)))
+    batch_reps = exact_dedup(batch, text_col=text_col, id_col=id_col)
+    seen = existing.select(fp.alias("fp")).distinct()
+    return batch_reps.join(seen, "fp", "left_anti")

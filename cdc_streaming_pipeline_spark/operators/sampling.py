@@ -276,3 +276,37 @@ def temperature_resample(
         .filter(F.col("sample_rank") <= F.col("__quota"))
         .drop("__quota")
     )
+
+
+def shard_assignment(
+    df: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training order.
+
+    Every row gets a shard (md5-bucket of its id — engine-portable, stable
+    across runs and engines) and a dense 0-based position within that shard,
+    ordered by the full md5 hex (a pseudo-random but reproducible total
+    order), tying on id. This is the "shuffle the corpus, split into N
+    reader shards" step before tokenizer/packing jobs.
+
+    Scale path: the per-shard ``row_number`` here windows on the shard key,
+    which means one sort per shard — fine while corpus/n_shards fits a
+    partition's spill budget (pick n_shards accordingly: 100 TB / 4096
+    shards = 25 GB sorts, spillable). For dense positions WITHOUT any
+    per-shard sort, sub-bucket on a PREFIX of the same md5 (prefix ranges
+    preserve the hex order), count per sub-bucket, and add broadcast prefix
+    offsets — the distributed zipWithIndex pattern; the registered query
+    keeps the simpler single-window form because both produce identical
+    output.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy("shard_id").orderBy("_h", id_col)
+    return (
+        df.select(id_col)
+        .withColumn("_h", h)
+        .withColumn("shard_id", md5_bucket(F.col(id_col), n_shards))
+        .withColumn("shard_pos", F.row_number().over(w) - F.lit(1))
+        .select(id_col, "shard_id", "shard_pos")
+    )

@@ -480,3 +480,107 @@ def word_entropy_scores(
             ).alias("entropy_bits"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window token chunking — the pretraining/RAG sharding primitive
+    that turns variable-length documents into bounded-length training rows.
+
+    Windows of ``chunk_tokens`` tokens start every ``stride`` tokens; a final
+    window is pinned at ``n - chunk_tokens + 1`` so the tail is always covered
+    (dedup'd when it aligns with the strided grid). Pure JVM expressions
+    (sequence/slice/posexplode) — a narrow per-row flatMap with no shuffle and
+    no Python workers, so at 100 TB it streams through the scan stage at
+    whole-stage-codegen speed; output size is input tokens × (chunk/stride)
+    overlap factor, which is the designed cost of overlap.
+
+    Output: one row per (doc, chunk) with the 0-based chunk index, 1-based
+    start token, actual chunk token count (the last chunk of a short doc may
+    be shorter), and an md5 of the chunk text for value-level verification.
+    """
+    toks = tokens(normalize_ws(F.col(text_col)))
+    d = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(id_col, toks.alias("_toks"))
+        .withColumn("_n", F.size("_toks"))
+    )
+    last = F.greatest(F.col("_n") - chunk_tokens + 1, F.lit(1))
+    starts = F.array_sort(
+        F.array_distinct(
+            F.concat(F.sequence(F.lit(1), last, F.lit(stride)), F.array(last))
+        )
+    )
+    return (
+        d.select(
+            id_col,
+            "_toks",
+            "_n",
+            F.posexplode(starts).alias("chunk_idx", "start_token"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_idx",
+            "start_token",
+            F.least(F.lit(chunk_tokens), F.col("_n") - F.col("start_token") + 1).alias(
+                "n_chunk_tokens"
+            ),
+            F.md5(
+                F.array_join(F.slice("_toks", F.col("start_token"), chunk_tokens), " ")
+            ).alias("chunk_md5"),
+        )
+    )
+
+
+# Fixed published-style weights for the linear quality classifier below.
+# (Feature order: log1p_tokens, diversity, stopword_ratio, punct_ratio,
+# digit_ratio.) Frozen constants so the score is deterministic and the
+# DuckDB oracle replicates it bit-for-bit in plain arithmetic.
+QUALITY_LOGIT_WEIGHTS: tuple[float, ...] = (0.6, 2.5, 3.0, -4.0, -3.0)
+QUALITY_LOGIT_BIAS: float = -3.0
+
+
+def with_quality_logit(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Linear quality classifier (fastText/CCNet-style shape): a fixed-weight
+    logistic model over cheap lexical features, producing a keep-probability
+    and a boolean keep decision at p >= 0.5.
+
+    The model itself is intentionally frozen (training a classifier is out of
+    scope); the point is the SERVING path — all five features and the sigmoid
+    are JVM column expressions, so scoring 100 TB is a pure map stage with
+    zero shuffle, zero Python. Swap the constants for learned weights and the
+    plan is unchanged.
+    """
+    text = F.col(text_col)
+    n_tok = token_count(text).cast("double")
+    diversity = F.size(F.array_distinct(tokens(text))).cast("double") / F.greatest(
+        token_count(text), F.lit(1)
+    ).cast("double")
+    stop_hits = lang_hits(text, "en").cast("double")
+    stop_ratio = stop_hits / F.greatest(n_tok, F.lit(1.0))
+    n = F.length(text)
+    digits = n - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    digit_ratio = F.when(n == 0, F.lit(0.0)).otherwise(
+        digits.cast("double") / n.cast("double")
+    )
+    w = QUALITY_LOGIT_WEIGHTS
+    z = (
+        F.lit(QUALITY_LOGIT_BIAS)
+        + F.lit(w[0]) * F.log1p(n_tok)
+        + F.lit(w[1]) * diversity
+        + F.lit(w[2]) * stop_ratio
+        + F.lit(w[3]) * punct_ratio(text)
+        + F.lit(w[4]) * digit_ratio
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return df.select(
+        "doc_id",
+        F.round(z, 4).alias("logit"),
+        F.round(p, 4).alias("p_keep"),
+        (p >= 0.5).alias("keep"),
+    )

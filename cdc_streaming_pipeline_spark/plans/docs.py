@@ -662,6 +662,52 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicate_span_removal(docs, span_tokens=8)
 
 
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (64-token windows, stride 48, tail
+    pinned) — the pretraining/RAG primitive that turns documents into
+    bounded-length training rows (operators/text.py:chunk_documents).
+    Pure JVM flatMap, no shuffle; chunk md5 makes it value-checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.chunk_documents(docs, chunk_tokens=64, stride=48)
+
+
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup of an ingest batch (doc_id % 5 == 0) against
+    the already-landed corpus (the rest): within-batch groupBy + one
+    ids-only anti-join against the persisted fingerprint store
+    (operators/dedup.py:incremental_exact_dedup) — the daily-ingest shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    existing = docs.filter(F.col("doc_id") % 5 != 0)
+    return dd.incremental_exact_dedup(batch, existing)
+
+
+def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + reader-shard assignment: md5-bucket
+    shard, dense md5-ordered position within shard
+    (operators/sampling.py:shard_assignment) — the pre-tokenizer split."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sp.shard_assignment(docs, n_shards=8)
+
+
+def doc_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight logistic quality classifier (fastText/CCNet serving
+    shape): five lexical features + sigmoid, all JVM expressions
+    (operators/text.py:with_quality_logit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.with_quality_logit(docs)
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means clusters, then drop items
+    covered by a lower-id same-cluster neighbor at >= threshold cosine
+    (operators/cluster.py:semantic_dedup). ~n²/k flops vs the exact n²
+    GEMM; seeded k-means → rows-only in the gate, precision/recall vs the
+    exact pair set gated in tests/test_similarity_recall.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cl.semantic_dedup(emb, n_clusters=8, threshold=NEAR_DUP_COSINE)
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_quality_scores": doc_quality_scores,
@@ -714,6 +760,11 @@ QUERIES = {
     "doc_word_entropy": doc_word_entropy,
     "embedding_dim_stats": embedding_dim_stats,
     "embedding_pca_explained": embedding_pca_explained,
+    "doc_chunks": doc_chunks,
+    "dedup_incremental_batch": dedup_incremental_batch,
+    "corpus_shard_assignment": corpus_shard_assignment,
+    "doc_quality_logit": doc_quality_logit,
+    "semantic_dedup": semantic_dedup,
 }
 
 # DuckDB-side replicas. Shared fragments:
@@ -1473,4 +1524,78 @@ ORACLE["dedup_span_removal"] = f"""
                  / len(t.toks)::DOUBLE, 4) AS frac_removed,
            md5(COALESCE(c.cleaned, '')) AS cleaned_fp
     FROM t LEFT JOIN cleaned c USING (doc_id)
+"""
+
+ORACLE["doc_chunks"] = f"""
+    WITH t AS (
+        SELECT doc_id, {_NORM_TOKS} AS toks
+        FROM documents WHERE trim(text) <> ''
+    ), s AS (
+        SELECT doc_id, toks,
+               list_sort(list_distinct(list_append(
+                   generate_series(1, greatest(len(toks) - 63, 1), 48),
+                   greatest(len(toks) - 63, 1)))) AS starts
+        FROM t
+    ), e AS (
+        SELECT doc_id, toks, unnest(starts) AS st FROM s
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY st) - 1 AS INT)
+               AS chunk_idx,
+           CAST(st AS INT) AS start_token,
+           CAST(least(64, len(toks) - st + 1) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(list_slice(toks, st, st + 63), ' ')) AS chunk_md5
+    FROM e
+"""
+
+ORACLE["dedup_incremental_batch"] = f"""
+    WITH b AS (
+        SELECT md5({_NORM}) AS fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        FROM documents WHERE doc_id % 5 = 0 GROUP BY 1
+    ), e AS (
+        SELECT DISTINCT md5({_NORM}) AS fp
+        FROM documents WHERE doc_id % 5 <> 0
+    )
+    SELECT b.fp, b.doc_id, b.n_copies FROM b ANTI JOIN e USING (fp)
+"""
+
+_MD5_HEX = "md5(doc_id::VARCHAR)"
+_SHARD8 = f"CAST(CAST(('0x' || substr({_MD5_HEX}, 1, 8)) AS UBIGINT) % 8 AS BIGINT)"
+ORACLE["corpus_shard_assignment"] = f"""
+    SELECT doc_id,
+           {_SHARD8} AS shard_id,
+           CAST(row_number() OVER (PARTITION BY {_SHARD8}
+                                   ORDER BY {_MD5_HEX}, doc_id) - 1 AS INT)
+               AS shard_pos
+    FROM documents
+"""
+
+ORACLE["doc_quality_logit"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               (CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END)::DOUBLE AS n_tok,
+               len(list_distinct({_TOKS}))::DOUBLE AS n_dist,
+               len(regexp_extract_all(lower(text),
+                   '\\b(the|and|of|to|in|is|that|for|with|was)\\b'))::DOUBLE AS stop_hits,
+               length(text) AS n,
+               length(regexp_replace(text, '[.,!?;:''"()\\[\\]-]', '', 'g')) AS n_nopunct,
+               length(regexp_replace(text, '[0-9]', '', 'g')) AS n_nodigit
+        FROM documents
+    ), z AS (
+        SELECT doc_id,
+               -3.0
+               + 0.6 * ln(1.0 + n_tok)
+               + 2.5 * (n_dist / greatest(n_tok, 1.0))
+               + 3.0 * (stop_hits / greatest(n_tok, 1.0))
+               - 4.0 * (CASE WHEN n = 0 THEN 0.0
+                        ELSE (n - n_nopunct)::DOUBLE / n::DOUBLE END)
+               - 3.0 * (CASE WHEN n = 0 THEN 0.0
+                        ELSE (n - n_nodigit)::DOUBLE / n::DOUBLE END) AS z
+        FROM t
+    )
+    SELECT doc_id,
+           ROUND(z, 4) AS logit,
+           ROUND(1.0 / (1.0 + exp(-z)), 4) AS p_keep,
+           (1.0 / (1.0 + exp(-z))) >= 0.5 AS keep
+    FROM z
 """

@@ -139,3 +139,133 @@ def test_duplicate_span_removal_semantics(spark):
     assert out[4]["n_removed"] == 8 and out[4]["n_tokens"] == 8
     assert out[4]["cleaned_fp"] == hashlib.md5(b"").hexdigest()
     assert abs(out[2]["frac_removed"] - 8 / 10) < 1e-9
+
+
+# ---------------------------------------------------------------- chunking --
+
+def test_chunk_documents_covers_every_token_and_pins_tail(spark):
+    from cdc_streaming_pipeline_spark.operators.text import chunk_documents
+
+    # 150 tokens: strided starts 1, 49, 97 (last full-window start is
+    # 150-64+1 = 87, so the pinned tail chunk starts there)
+    text = " ".join(f"tok{i}" for i in range(1, 151))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = sorted(
+        chunk_documents(df, chunk_tokens=64, stride=48).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert [r.start_token for r in out] == [1, 49, 87]
+    assert [r.chunk_idx for r in out] == [0, 1, 2]
+    assert all(r.n_chunk_tokens == 64 for r in out)
+    covered = set()
+    for r in out:
+        covered.update(range(r.start_token, r.start_token + r.n_chunk_tokens))
+    assert covered == set(range(1, 151))
+
+
+def test_chunk_documents_short_doc_single_chunk_and_md5(spark):
+    import hashlib
+
+    from cdc_streaming_pipeline_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(7, "Alpha  Beta\tGamma"), (8, "   ")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, chunk_tokens=64, stride=48).collect()
+    assert len(out) == 1  # blank doc emits no chunks
+    (r,) = out
+    assert (r.doc_id, r.chunk_idx, r.start_token, r.n_chunk_tokens) == (7, 0, 1, 3)
+    assert r.chunk_md5 == hashlib.md5(b"alpha beta gamma").hexdigest()
+
+
+def test_chunk_documents_aligned_tail_not_duplicated(spark):
+    from cdc_streaming_pipeline_spark.operators.text import chunk_documents
+
+    # n=112: last = 112-64+1 = 49 which IS on the stride grid (1, 49) —
+    # the pinned tail must dedup against the strided start
+    text = " ".join(f"t{i}" for i in range(112))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=64, stride=48).collect()
+    assert sorted(r.start_token for r in out) == [1, 49]
+
+
+# ------------------------------------------------------ incremental dedup --
+
+def test_incremental_dedup_drops_known_and_collapses_batch_dups(spark):
+    from cdc_streaming_pipeline_spark.operators.dedup import incremental_exact_dedup
+
+    existing = spark.createDataFrame(
+        [(1, "already landed doc"), (2, "another old doc")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "Already   landed DOC"),  # dup of corpus (normalized) -> dropped
+            (11, "fresh doc"),
+            (12, "fresh doc"),  # within-batch dup -> collapsed to id 11
+            (13, "unique newcomer"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_copies for r in incremental_exact_dedup(batch, existing).collect()}
+    assert out == {11: 2, 13: 1}
+
+
+# ------------------------------------------------------- shard assignment --
+
+def test_shard_assignment_dense_positions_and_md5_order(spark):
+    import hashlib
+
+    from cdc_streaming_pipeline_spark.operators.sampling import shard_assignment
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = shard_assignment(df, n_shards=4).collect()
+    assert len(out) == 200 and len({r.doc_id for r in out}) == 200
+    by_shard: dict[int, list] = {}
+    for r in out:
+        h = hashlib.md5(str(r.doc_id).encode()).hexdigest()
+        assert r.shard_id == int(h[:8], 16) % 4
+        by_shard.setdefault(r.shard_id, []).append((r.shard_pos, h, r.doc_id))
+    for rows in by_shard.values():
+        rows.sort()
+        # dense 0..n-1 positions, ordered by (md5, id)
+        assert [p for p, _, _ in rows] == list(range(len(rows)))
+        assert [h for _, h, _ in rows] == sorted(h for _, h, _ in rows)
+
+
+# ----------------------------------------------------------- quality logit --
+
+def test_quality_logit_matches_python_reference(spark):
+    import math
+    import re
+
+    from cdc_streaming_pipeline_spark.operators.text import (
+        QUALITY_LOGIT_BIAS,
+        QUALITY_LOGIT_WEIGHTS,
+        with_quality_logit,
+    )
+
+    text = "The cat and the dog, with 42 bones (shared)."
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    (r,) = with_quality_logit(df).collect()
+
+    toks = re.split(r"\s+", text.strip())
+    n_tok = float(len(toks))
+    diversity = len(set(toks)) / max(n_tok, 1)
+    stop_hits = len(
+        re.findall(r"\b(?:the|and|of|to|in|is|that|for|with|was)\b", text.lower())
+    )
+    punct = sum(ch in ".,!?;:'\"()[]-" for ch in text) / len(text)
+    digit = sum(ch.isdigit() for ch in text) / len(text)
+    w = QUALITY_LOGIT_WEIGHTS
+    z = (
+        QUALITY_LOGIT_BIAS
+        + w[0] * math.log1p(n_tok)
+        + w[1] * diversity
+        + w[2] * (stop_hits / max(n_tok, 1.0))
+        + w[3] * punct
+        + w[4] * digit
+    )
+    assert abs(r.logit - round(z, 4)) < 1e-9
+    assert abs(r.p_keep - round(1 / (1 + math.exp(-z)), 4)) < 1e-9
+    assert r.keep == (1 / (1 + math.exp(-z)) >= 0.5)

@@ -216,3 +216,29 @@ def test_simhash_matches_independent_numpy_oracle(spark):
             ((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
         )
         assert got[row.doc_id] == expected, row.doc_id
+
+
+def test_semantic_dedup_precision_one_and_single_cluster_equals_exact(spark):
+    """SemDeDup quality gate. (a) Precision is exactly 1: cosines inside a
+    cluster are computed exactly, so every dropped id has a TRUE lower-id
+    near-dup. (b) With n_clusters=1 the operator degenerates to exact
+    semantic dedup — the dropped set must equal the ids that have any
+    lower-id partner in the exact all-pairs set. (c) Recall at k=8 is
+    data-dependent (cross-cluster pairs are the designed loss); on the
+    near-orthogonal driver embeddings it measures ~0.47 — floor at 0.3."""
+    from cdc_streaming_pipeline_spark.operators.cluster import semantic_dedup
+
+    emb = _emb(spark)
+    n_rows = emb.count()
+    exact_pairs = sim.cosine_near_dup_exact(emb, threshold=0.4).collect()
+    droppable = {max(p.id_a, p.id_b) for p in exact_pairs}
+    assert droppable, "fixture should contain near-dup pairs"
+
+    out = semantic_dedup(emb, n_clusters=8, threshold=0.4).collect()
+    assert len(out) == n_rows  # one verdict per input vector
+    dropped = {r.vec_id for r in out if not r.kept}
+    assert dropped <= droppable  # precision == 1
+    assert len(dropped & droppable) / len(droppable) >= 0.3
+
+    single = semantic_dedup(emb, n_clusters=1, threshold=0.4).collect()
+    assert {r.vec_id for r in single if not r.kept} == droppable
