@@ -268,3 +268,46 @@ def test_boilerplate_window_is_partitioned(spark):
     wins = [l for l in plan.splitlines() if "windowspecdefinition" in l]
     assert wins, "no window found"
     assert all(re.search(r"windowspecdefinition\(source#\d+, _g#\d+", w) for w in wins), wins
+
+
+def test_doc_chunks_shuffle_free_and_prunes_columns(spark):
+    """Chunking is a per-row flatMap: no Exchange anywhere, and the scan
+    must read only (doc_id, text) — never lang/source/n_chars."""
+    from cdc_streaming_pipeline_spark.plans.docs import doc_chunks
+
+    plan = _plan(doc_chunks(spark, SF_DIR))
+    assert "Exchange" not in plan
+    read = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "doc_id" in read and "text" in read
+    assert "lang" not in read and "n_chars" not in read
+
+
+def test_incremental_dedup_anti_join_broadcasts(spark):
+    """The batch-vs-corpus anti-join must be a broadcast hash join (the
+    deduped batch side is small by contract) and both sides' doc_id % 5
+    filters must reach the scans."""
+    from cdc_streaming_pipeline_spark.plans.docs import dedup_incremental_batch
+
+    plan = _plan(dedup_incremental_batch(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_shard_assignment_single_exchange_on_shard(spark):
+    """One hash exchange (the shard window) — the md5/bucket expressions
+    must not introduce extra shuffles."""
+    from cdc_streaming_pipeline_spark.plans.docs import corpus_shard_assignment
+
+    plan = _plan(corpus_shard_assignment(spark, SF_DIR), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_quality_logit_pure_map_stage(spark):
+    """Classifier scoring is a map-only plan: no Exchange, no Python
+    workers (BatchEvalPython/ArrowEvalPython absent)."""
+    from cdc_streaming_pipeline_spark.plans.docs import doc_quality_logit
+
+    plan = _plan(doc_quality_logit(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
