@@ -40,6 +40,12 @@ HEAVY = [
     "source_overlap",
     "ngram_jaccard_pairs",
     "embedding_near_dup_lsh",
+    "dedup_span_removal",
+    "doc_chunks",
+    "dedup_incremental_batch",
+    "corpus_shard_assignment",
+    "doc_quality_logit",
+    "semantic_dedup",
 ]
 
 
