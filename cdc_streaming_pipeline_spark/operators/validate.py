@@ -1,0 +1,83 @@
+"""Declarative data-quality validation (Deequ-style constraint checking).
+
+The pre-training / pre-commit gate a 100 TB pipeline runs before a corpus
+or warehouse snapshot is allowed downstream: row-level constraints
+(not-null, domain membership, cross-column consistency) are evaluated as a
+SINGLE aggregate pass over one scan — each check is one conditional-sum
+column, so adding checks is free; uniqueness adds an exact distinct (the
+one genuinely shuffling check — swap ``F.count_distinct`` for
+``F.approx_count_distinct`` at extreme cardinality, same report shape).
+Referential integrity runs as one anti-join per foreign key, assembled
+into a single unioned plan so the whole audit is one action; small parent
+key sets broadcast automatically.
+
+Output shape (both entry points): one row per check —
+(check_name, violations, n_rows, passed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def check_constraints(
+    df: DataFrame,
+    row_checks: list[tuple[str, Column]],
+    unique_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Evaluate named row-level constraints in ONE aggregate pass.
+
+    ``row_checks`` maps check name -> a boolean Column that is TRUE when
+    the row VIOLATES the constraint. ``unique_cols`` adds per-column
+    duplicate counts (non-null count minus exact distinct count).
+    """
+    aggs = [F.count("*").alias("_n")]
+    for name, violated in row_checks:
+        aggs.append(F.sum(violated.cast("long")).alias(name))
+    for c in unique_cols:
+        aggs.append((F.count(c) - F.count_distinct(F.col(c))).alias(f"unique_{c}"))
+    names = [n for n, _ in row_checks] + [f"unique_{c}" for c in unique_cols]
+    row = df.agg(*aggs)
+    stack_args = ", ".join(f"'{n}', {n}" for n in names)
+    return (
+        row.select(
+            F.col("_n").alias("n_rows"),
+            F.expr(f"stack({len(names)}, {stack_args}) as (check_name, violations)"),
+        )
+        .select(
+            "check_name",
+            "violations",
+            "n_rows",
+            (F.col("violations") == 0).alias("passed"),
+        )
+    )
+
+
+def fk_orphan_report(
+    fks: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit: for each (name, child, child_key,
+    parent, parent_key), count non-null child keys with no matching
+    parent row. One left-anti join per FK (parent side reduced to its
+    distinct key column — tiny, so it broadcasts), unioned into a single
+    plan so the whole audit is one job.
+    """
+    reports = []
+    for name, child, ckey, parent, pkey in fks:
+        orphans = (
+            child.select(F.col(ckey).alias("_k"))
+            .filter(F.col("_k").isNotNull())
+            .join(parent.select(F.col(pkey).alias("_k")).distinct(), "_k", "left_anti")
+            .agg(F.count("*").alias("violations"))
+            .select(
+                F.lit(name).alias("check_name"),
+                "violations",
+                (F.col("violations") == 0).alias("passed"),
+            )
+        )
+        reports.append(orphans)
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

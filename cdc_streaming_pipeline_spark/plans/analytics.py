@@ -763,6 +763,27 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def validate_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse-wide foreign-key audit: orphaned child keys across every
+    FK edge of the schema, one anti-join per edge unioned into a single
+    job (operators/validate.py:fk_orphan_report). Parent key sets are
+    distinct-projected first, so at 100 TB every parent side is a tiny
+    broadcast and each edge costs one scan of the child key column."""
+    from cdc_streaming_pipeline_spark.operators.validate import fk_orphan_report
+
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("region", "nation", "customer", "supplier", "orders", "lineitem", "part")}
+    return fk_orphan_report([
+        ("orders_custkey", t["orders"], "o_custkey", t["customer"], "c_custkey"),
+        ("lineitem_orderkey", t["lineitem"], "l_orderkey", t["orders"], "o_orderkey"),
+        ("lineitem_partkey", t["lineitem"], "l_partkey", t["part"], "p_partkey"),
+        ("lineitem_suppkey", t["lineitem"], "l_suppkey", t["supplier"], "s_suppkey"),
+        ("customer_nationkey", t["customer"], "c_nationkey", t["nation"], "n_nationkey"),
+        ("supplier_nationkey", t["supplier"], "s_nationkey", t["nation"], "n_nationkey"),
+        ("nation_regionkey", t["nation"], "n_regionkey", t["region"], "r_regionkey"),
+    ])
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -775,6 +796,7 @@ QUERIES = {
     "rollup_lineitem": rollup_lineitem,
     "cube_orders": cube_orders,
     "wide_entity_union": wide_entity_union,
+    "validate_referential_integrity": validate_referential_integrity,
     "nations_customers_only": nations_customers_only,
     "order_priority_counts": order_priority_counts,
     "q7_volume_shipping": q7_volume_shipping,
@@ -1206,3 +1228,30 @@ ORACLE = {
         GROUP BY s_name
     """,
 }
+
+ORACLE["validate_referential_integrity"] = """
+    WITH checks(check_name, violations) AS (
+        SELECT 'orders_custkey', (SELECT COUNT(*) FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        UNION ALL SELECT 'lineitem_orderkey', (SELECT COUNT(*) FROM lineitem l
+            WHERE l.l_orderkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        UNION ALL SELECT 'lineitem_partkey', (SELECT COUNT(*) FROM lineitem l
+            WHERE l.l_partkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        UNION ALL SELECT 'lineitem_suppkey', (SELECT COUNT(*) FROM lineitem l
+            WHERE l.l_suppkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        UNION ALL SELECT 'customer_nationkey', (SELECT COUNT(*) FROM customer c
+            WHERE c.c_nationkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+        UNION ALL SELECT 'supplier_nationkey', (SELECT COUNT(*) FROM supplier s
+            WHERE s.s_nationkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+        UNION ALL SELECT 'nation_regionkey', (SELECT COUNT(*) FROM nation n
+            WHERE n.n_regionkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+    )
+    SELECT check_name, violations, violations = 0 AS passed FROM checks
+"""

@@ -708,6 +708,28 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cl.semantic_dedup(emb, n_clusters=8, threshold=NEAR_DUP_COSINE)
 
 
+def validate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality gate over the documents table: not-null,
+    domain-membership, cross-column consistency, and key-uniqueness checks
+    in one aggregate pass (operators/validate.py:check_constraints). The
+    lang_known check is deliberately strict (4 Latin langs) so the corpus's
+    zh rows exercise the FAILING branch of the report."""
+    from cdc_streaming_pipeline_spark.operators.validate import check_constraints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return check_constraints(
+        docs,
+        row_checks=[
+            ("doc_id_not_null", F.col("doc_id").isNull()),
+            ("text_not_null", F.col("text").isNull()),
+            ("lang_known", ~F.col("lang").isin("en", "de", "fr", "es")),
+            ("n_chars_consistent", F.col("n_chars") != F.length("text")),
+            ("n_chars_nonneg", F.col("n_chars") < 0),
+        ],
+        unique_cols=("doc_id",),
+    )
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_quality_scores": doc_quality_scores,
@@ -765,6 +787,7 @@ QUERIES = {
     "corpus_shard_assignment": corpus_shard_assignment,
     "doc_quality_logit": doc_quality_logit,
     "semantic_dedup": semantic_dedup,
+    "validate_documents": validate_documents,
 }
 
 # DuckDB-side replicas. Shared fragments:
@@ -1598,4 +1621,27 @@ ORACLE["doc_quality_logit"] = f"""
            ROUND(1.0 / (1.0 + exp(-z)), 4) AS p_keep,
            (1.0 / (1.0 + exp(-z))) >= 0.5 AS keep
     FROM z
+"""
+
+ORACLE["validate_documents"] = """
+    WITH a AS (
+        SELECT COUNT(*) AS n,
+               SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS c_id,
+               SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS c_text,
+               SUM(CASE WHEN lang NOT IN ('en','de','fr','es') THEN 1 ELSE 0 END) AS c_lang,
+               SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS c_cons,
+               SUM(CASE WHEN n_chars < 0 THEN 1 ELSE 0 END) AS c_neg,
+               COUNT(doc_id) - COUNT(DISTINCT doc_id) AS c_uniq
+        FROM documents
+    )
+    SELECT check_name, violations, n AS n_rows, violations = 0 AS passed
+    FROM a, (VALUES ('doc_id_not_null'), ('text_not_null'), ('lang_known'),
+                    ('n_chars_consistent'), ('n_chars_nonneg'), ('unique_doc_id')) v(check_name),
+    LATERAL (SELECT CASE check_name
+                 WHEN 'doc_id_not_null' THEN c_id
+                 WHEN 'text_not_null' THEN c_text
+                 WHEN 'lang_known' THEN c_lang
+                 WHEN 'n_chars_consistent' THEN c_cons
+                 WHEN 'n_chars_nonneg' THEN c_neg
+                 ELSE c_uniq END AS violations) x
 """
