@@ -393,6 +393,63 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly detection: per (type, hour) counts scored as a
+    z-score against the trailing 24 OBSERVED hourly buckets (lag window —
+    deterministic in both engines even when hours are missing from the
+    grid); buckets with fewer than 12 trailing observations or zero
+    variance get a null score. Two shuffles total (hourly rollup + the
+    per-type window); at 100 TB the rollup is the reduction — the window
+    runs over ~types x hours rows, not events."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("hour").rowsBetween(-24, -1)
+    scored = hourly.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.avg("n_events").over(w).alias("_mu"),
+        F.stddev_samp("n_events").over(w).alias("_sd"),
+        F.count("n_events").over(w).alias("_nprev"),
+    )
+    z = F.when(
+        (F.col("_nprev") >= 12) & (F.col("_sd") > 0),
+        (F.col("n_events") - F.col("_mu")) / F.col("_sd"),
+    )
+    return scored.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.round(z, 4).alias("z_score"),
+        F.coalesce(F.abs(z) > 3.0, F.lit(False)).alias("anomaly"),
+    )
+
+
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen date, counted on each
+    day-offset they return. The canonical product-analytics rollup: one
+    groupBy for first-seen, one join back (hash-partitioned on user_id on
+    both sides — co-located at any scale), one distinct + count."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_date")
+    )
+    active = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_date",
+            F.datediff(F.to_date("ts"), F.col("cohort_date")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return active.groupBy("cohort_date", "day_offset").agg(
+        F.count("*").alias("n_users")
+    )
+
+
 QUERIES = {
     "count_star_events": count_star_events,
     "first_events": first_events,
@@ -413,6 +470,8 @@ QUERIES = {
     "hll_users_rollup": hll_users_rollup,
     "session_window_stats": session_window_stats,
     "event_funnel": event_funnel,
+    "event_rate_anomaly": event_rate_anomaly,
+    "user_retention_cohorts": user_retention_cohorts,
 }
 
 ORACLE = {
@@ -571,4 +630,38 @@ ORACLE["event_funnel"] = """
     SELECT 2, 'click', COUNT(*) FROM s2
     UNION ALL
     SELECT 3, 'purchase', COUNT(*) FROM s3
+"""
+
+ORACLE["event_rate_anomaly"] = """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ), scored AS (
+        SELECT event_type, hour, n_events,
+               AVG(n_events) OVER w AS mu,
+               STDDEV_SAMP(n_events) OVER w AS sd,
+               COUNT(n_events) OVER w AS nprev
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour, n_events,
+           ROUND(CASE WHEN nprev >= 12 AND sd > 0
+                      THEN (n_events - mu) / sd END, 4) AS z_score,
+           COALESCE(abs(CASE WHEN nprev >= 12 AND sd > 0
+                             THEN (n_events - mu) / sd END) > 3.0, false) AS anomaly
+    FROM scored
+"""
+
+ORACLE["user_retention_cohorts"] = """
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+        FROM events GROUP BY user_id
+    ), active AS (
+        SELECT DISTINCT e.user_id, f.cohort_date,
+               datediff('day', f.cohort_date, CAST(e.ts AS DATE)) AS day_offset
+        FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT cohort_date, day_offset, COUNT(*) AS n_users
+    FROM active GROUP BY cohort_date, day_offset
 """
