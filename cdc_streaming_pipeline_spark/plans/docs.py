@@ -708,6 +708,32 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cl.semantic_dedup(emb, n_clusters=8, threshold=NEAR_DUP_COSINE)
 
 
+def media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash media dedup: 64-bit DCT pHash per payload
+    (real kernel; pixel decode stubbed behind the deterministic-fake
+    raster), banded pigeonhole self-join, exact Hamming verify
+    (operators/multimodal.py:phash_near_dup_pairs). Numpy-dependent hash
+    → rows-only in the gate; the pair set is proven EQUAL to the
+    brute-force all-pairs Hamming truth in tests/test_multimodal_phash.py."""
+    from cdc_streaming_pipeline_spark.functions.textfn import normalize_ws
+
+    docs = load_table(spark, sf_dir, "documents")
+    # payload = NORMALIZED text bytes: the corpus's duplicates are case/
+    # whitespace variants, so normalizing first is what makes them collide
+    # at Hamming 0 — the byte-raster analog of decoding before hashing
+    norm = docs.withColumn("text", normalize_ws(F.col("text")))
+    media = mm.synthesize_media(norm)
+    # every 10th doc also appears as a simulated re-encode (identical
+    # pixels, new media_id) so the pair set is non-empty at every SF —
+    # sf0.1 additionally contributes the corpus's 8 real duplicate groups
+    reencodes = media.filter(F.col("media_id") % 10 == 0).withColumn(
+        "media_id", F.col("media_id") + F.lit(1_000_000_000)
+    )
+    return mm.phash_near_dup_pairs(
+        media.unionByName(reencodes), max_hamming=4, deterministic_fake=True
+    )
+
+
 def validate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style data-quality gate over the documents table: not-null,
     domain-membership, cross-column consistency, and key-uniqueness checks
@@ -788,6 +814,7 @@ QUERIES = {
     "doc_quality_logit": doc_quality_logit,
     "semantic_dedup": semantic_dedup,
     "validate_documents": validate_documents,
+    "media_phash_pairs": media_phash_pairs,
 }
 
 # DuckDB-side replicas. Shared fragments:
