@@ -450,6 +450,34 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout demonstrator: Morton-interleave (user bucket, day)
+    into one clustering key (operators/layout.py — pure JVM bit
+    arithmetic), then report per-z-range-bucket row counts and the min/max
+    span of BOTH dimensions. Tight spans on both axes per bucket are
+    exactly why a z-ordered write prunes on either filter column at 100 TB
+    (parquet min/max stats stay selective for user AND day, not just the
+    leading sort column)."""
+    from cdc_streaming_pipeline_spark.operators.layout import zorder_value
+
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        F.pmod(F.col("user_id"), F.lit(256)).alias("u"),
+        F.dayofmonth("ts").alias("d"),
+    ).withColumn("zvalue", zorder_value([F.col("u"), F.col("d")], bits=8))
+    return (
+        q.withColumn("bucket", F.shiftright("zvalue", 10))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("u").alias("u_min"),
+            F.max("u").alias("u_max"),
+            F.min("d").alias("d_min"),
+            F.max("d").alias("d_max"),
+        )
+    )
+
+
 QUERIES = {
     "count_star_events": count_star_events,
     "first_events": first_events,
@@ -472,6 +500,7 @@ QUERIES = {
     "event_funnel": event_funnel,
     "event_rate_anomaly": event_rate_anomaly,
     "user_retention_cohorts": user_retention_cohorts,
+    "events_zorder_stats": events_zorder_stats,
 }
 
 ORACLE = {
@@ -664,4 +693,18 @@ ORACLE["user_retention_cohorts"] = """
     )
     SELECT cohort_date, day_offset, COUNT(*) AS n_users
     FROM active GROUP BY cohort_date, day_offset
+"""
+
+# generated by operators/layout.py:zorder_sql(["u","d"], 8) so the Spark
+# expression and the oracle stay in lockstep bit-for-bit
+ORACLE["events_zorder_stats"] = """
+    WITH q AS (
+        SELECT user_id % 256 AS u, date_part('day', ts) AS d FROM events
+    ), z AS (
+        SELECT u, d, ((((u >> 0) & 1) << 0) | (((d >> 0) & 1) << 1) | (((u >> 1) & 1) << 2) | (((d >> 1) & 1) << 3) | (((u >> 2) & 1) << 4) | (((d >> 2) & 1) << 5) | (((u >> 3) & 1) << 6) | (((d >> 3) & 1) << 7) | (((u >> 4) & 1) << 8) | (((d >> 4) & 1) << 9) | (((u >> 5) & 1) << 10) | (((d >> 5) & 1) << 11) | (((u >> 6) & 1) << 12) | (((d >> 6) & 1) << 13) | (((u >> 7) & 1) << 14) | (((d >> 7) & 1) << 15)) AS zvalue FROM q
+    )
+    SELECT zvalue >> 10 AS bucket, COUNT(*) AS n_events,
+           MIN(u) AS u_min, MAX(u) AS u_max,
+           MIN(d) AS d_min, MAX(d) AS d_max
+    FROM z GROUP BY 1
 """

@@ -311,3 +311,49 @@ def test_quality_logit_pure_map_stage(spark):
     plan = _plan(doc_quality_logit(spark, SF_DIR))
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_zorder_value_matches_python_morton(spark):
+    """The unrolled JVM bit-interleave must equal a reference Morton code,
+    and range-partitioning on it must give each partition a contiguous
+    z-range (the property that makes min/max stats tight on both dims)."""
+    from pyspark.sql import functions as F
+
+    from cdc_streaming_pipeline_spark.operators.layout import (
+        zorder_repartition,
+        zorder_value,
+    )
+
+    rows = [(u, d) for u in (0, 1, 5, 130, 255) for d in (0, 1, 17, 31)]
+    df = spark.createDataFrame(rows, "u long, d long")
+    got = {
+        (r.u, r.d): r.z
+        for r in df.withColumn(
+            "z", zorder_value([F.col("u"), F.col("d")], bits=8)
+        ).collect()
+    }
+
+    def morton(u, d):
+        z = 0
+        for i in range(8):
+            z |= ((u >> i) & 1) << (2 * i)
+            z |= ((d >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == {(u, d): morton(u, d) for u, d in rows}
+
+    big = spark.createDataFrame(
+        [(i % 256, (i * 7) % 32) for i in range(2000)], "u long, d long"
+    )
+    parts = (
+        zorder_repartition(
+            big, {"qu": F.col("u"), "qd": F.col("d")}, bits=8, n_partitions=8
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.min("zvalue").alias("lo"), F.max("zvalue").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r.lo, r.hi) for r in parts)
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # contiguous, non-overlapping z-ranges
