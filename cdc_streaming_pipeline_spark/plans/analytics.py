@@ -784,6 +784,29 @@ def validate_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFram
     ])
 
 
+def lineitem_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-shuffle skew diagnostic over lineitem's join key
+    (operators/diagnostics.py:key_skew_report): top-10 heaviest order
+    keys with share + skew factor — the report that decides plain join
+    vs AQE skew-split vs salting. Distributed top-N, no global sort."""
+    from cdc_streaming_pipeline_spark.operators.diagnostics import key_skew_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return key_skew_report(li, "l_orderkey", top_n=10)
+
+
+def join_cardinality_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact orders⋈lineitem output size from the two key histograms
+    without materializing the join
+    (operators/diagnostics.py:join_cardinality) — the runnability check
+    before paying for a 100 TB join."""
+    from cdc_streaming_pipeline_spark.operators.diagnostics import join_cardinality
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return join_cardinality(orders, "o_orderkey", li, "l_orderkey")
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -797,6 +820,8 @@ QUERIES = {
     "cube_orders": cube_orders,
     "wide_entity_union": wide_entity_union,
     "validate_referential_integrity": validate_referential_integrity,
+    "lineitem_skew_report": lineitem_skew_report,
+    "join_cardinality_orders_lineitem": join_cardinality_orders_lineitem,
     "nations_customers_only": nations_customers_only,
     "order_priority_counts": order_priority_counts,
     "q7_volume_shipping": q7_volume_shipping,
@@ -1254,4 +1279,32 @@ ORACLE["validate_referential_integrity"] = """
               AND NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
     )
     SELECT check_name, violations, violations = 0 AS passed FROM checks
+"""
+
+ORACLE["lineitem_skew_report"] = """
+    WITH counts AS (
+        SELECT l_orderkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+    ), totals AS (
+        SELECT SUM(cnt) AS total, AVG(cnt) AS mean FROM counts
+    ), ranked AS (
+        -- rank on the NUMERIC key; aliasing the VARCHAR cast to the same
+        -- name and ordering by it in the outer query would tie-break
+        -- lexicographically and pick a different top-10 at count ties
+        SELECT row_number() OVER (ORDER BY cnt DESC, key) AS rnk,
+               key, cnt, total, mean
+        FROM counts, totals
+    )
+    SELECT CAST(rnk AS INT) AS rank, CAST(key AS VARCHAR) AS key, cnt,
+           ROUND(cnt / total, 4) AS share,
+           ROUND(cnt / mean, 2) AS skew_factor
+    FROM ranked WHERE rnk <= 10
+"""
+
+ORACLE["join_cardinality_orders_lineitem"] = """
+    WITH ha AS (SELECT o_orderkey AS k, COUNT(*) AS ca FROM orders GROUP BY 1),
+         hb AS (SELECT l_orderkey AS k, COUNT(*) AS cb FROM lineitem GROUP BY 1)
+    SELECT SUM(ca * cb) AS n_join_rows,
+           COUNT(*) AS n_matching_keys,
+           MAX(ca * cb) AS max_key_contribution
+    FROM ha JOIN hb USING (k)
 """
