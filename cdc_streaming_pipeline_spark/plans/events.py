@@ -478,6 +478,56 @@ def events_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap via Theta sketches: per-type distinct-user
+    sketches, then pairwise INTERSECTION / UNION estimates ("users who
+    did both A and B") with sketch set-algebra — the 100 TB pattern that
+    replaces an exact distinct self-join: sketches are a few KB per
+    group, merge/intersect is sketch-side, and the event table is scanned
+    ONCE for all 10 pairs. Sketch internals are engine-specific →
+    rows-only in the gate; estimate error vs the exact intersection is
+    gated in tests/test_sketches.py."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.expr("theta_sketch_agg(user_id)").alias("sk")
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    return (
+        a.join(b, F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.expr("theta_sketch_estimate(theta_intersection(a.sk, b.sk))")
+            .cast("long")
+            .alias("approx_common_users"),
+            F.expr("theta_sketch_estimate(theta_union(a.sk, b.sk))")
+            .cast("long")
+            .alias("approx_either_users"),
+        )
+    )
+
+
+def kll_value_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile rollup on KLL sketches (the successor to GK with
+    proven rank error): per-type p50/p90/p99 of purchase value, plus the
+    overall row obtained by MERGING the per-type sketches — no rescan,
+    same pattern as hll_users_rollup. Rows-only (sketch estimates);
+    rank-error accuracy gated in tests/test_sketches.py."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.expr("kll_sketch_agg_double(value)").alias("sk")
+    )
+    quantiles = [
+        F.round(F.expr(f"kll_sketch_get_quantile_double(sk, {q})"), 4).alias(name)
+        for q, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
+    ]
+    est = per_type.select("event_type", *quantiles)
+    overall = per_type.agg(
+        F.expr("kll_merge_agg_double(sk)").alias("sk")
+    ).select(F.lit("__all__").alias("event_type"), *quantiles)
+    return est.unionByName(overall)
+
+
 QUERIES = {
     "count_star_events": count_star_events,
     "first_events": first_events,
@@ -501,6 +551,8 @@ QUERIES = {
     "event_rate_anomaly": event_rate_anomaly,
     "user_retention_cohorts": user_retention_cohorts,
     "events_zorder_stats": events_zorder_stats,
+    "theta_user_overlap": theta_user_overlap,
+    "kll_value_rollup": kll_value_rollup,
 }
 
 ORACLE = {

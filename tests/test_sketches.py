@@ -62,3 +62,51 @@ def test_hll_rollup_merge_matches_exact_overall(spark):
     assert "__all__" in rows
     rel = abs(rows["__all__"] - exact_overall) / max(exact_overall, 1)
     assert rel <= 0.05, f"merged estimate {rows['__all__']} vs exact {exact_overall}"
+
+
+def test_theta_overlap_estimates_match_exact_set_algebra(spark):
+    """Theta intersection/union estimates vs the exact distinct-user set
+    algebra. At this cardinality (~150 users/type, far below the default
+    nominal entries) theta is near-exact — gate at 5% relative error."""
+    from cdc_streaming_pipeline_spark.plans.events import theta_user_overlap
+
+    approx = {
+        (r.type_a, r.type_b): (r.approx_common_users, r.approx_either_users)
+        for r in theta_user_overlap(spark, SF_DIR).collect()
+    }
+    assert len(approx) == 10  # C(5,2) type pairs
+    ev = load_table(spark, SF_DIR, "events")
+    users = {
+        t: {r.user_id for r in ev.filter(F.col("event_type") == t).select("user_id").distinct().collect()}
+        for t in {a for a, _ in approx} | {b for _, b in approx}
+    }
+    for (a, b), (common, either) in approx.items():
+        exact_common = len(users[a] & users[b])
+        exact_either = len(users[a] | users[b])
+        assert abs(common - exact_common) <= max(1, 0.05 * exact_common), (a, b)
+        assert abs(either - exact_either) <= max(1, 0.05 * exact_either), (a, b)
+
+
+def test_kll_rollup_rank_accuracy_including_merged_row(spark):
+    """KLL rank guarantee for the per-type rows AND the merged __all__
+    row (merging must not void the error bound)."""
+    from cdc_streaming_pipeline_spark.plans.events import kll_value_rollup
+
+    approx = {
+        r.event_type: (r.p50, r.p90, r.p99)
+        for r in kll_value_rollup(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "value").cache()
+    n_all = ev.count()
+    for t, qs in approx.items():
+        if t == "__all__":
+            scoped, n = ev, n_all
+        else:
+            scoped = ev.filter(F.col("event_type") == t)
+            n = scoped.count()
+        for phi, a in zip((0.5, 0.9, 0.99), qs):
+            cdf = scoped.filter(F.col("value") <= a).count() / n
+            slack = 0.02 + 2.0 / n  # default-k KLL normalized rank error ~1.3%
+            assert phi - slack <= cdf <= phi + slack + 1e-9, (
+                f"{t} φ={phi}: value {a} at cdf {cdf:.4f} (n={n})"
+            )
