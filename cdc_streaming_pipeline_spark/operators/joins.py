@@ -152,3 +152,39 @@ def salted_join(
         how,
     )
     return out.drop("_salt")
+
+
+def pit_join(
+    fact: DataFrame,
+    dim_scd2: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    probe_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time (temporal) join: each fact row matched to the SCD2
+    dimension VERSION that was valid at the fact's probe point —
+    ``valid_from <= probe < valid_to`` (open ``valid_to`` = NULL means
+    still current). The correctness backbone of training-data and
+    feature-store pipelines: joining facts to today's dimension leaks
+    the future into the past; joining to the version interval does not.
+
+    Execution shape: an equi-join on the KEY carries the interval
+    predicate as a join condition, so Spark hash-joins on the key and
+    filters version candidates per row — per-key version counts are
+    small by construction (one per change), so the candidate fan-out is
+    bounded; the SCD2 invariant (non-overlapping intervals per key)
+    guarantees at most ONE match per fact row, no dedup pass needed."""
+    d = (
+        dim_scd2.withColumn("_pk", F.col(dim_key))
+        .withColumn("_vf", F.col(valid_from))
+        .withColumn("_vt", F.col(valid_to))
+        .drop(dim_key)
+    )
+    cond = (
+        (fact[fact_key] == d["_pk"])
+        & (d["_vf"] <= fact[probe_col])
+        & (d["_vt"].isNull() | (fact[probe_col] < d["_vt"]))
+    )
+    return fact.join(d, cond, "left").drop("_pk", "_vf", "_vt")

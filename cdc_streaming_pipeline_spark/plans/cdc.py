@@ -312,6 +312,32 @@ def cdc_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot(spark, snap).select("id", "status", "total_amount", OP_COL)
 
 
+def cdc_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the SCD2 history: every order key
+    probed at LSN k*10+2 (the update instant) must surface exactly the
+    version valid THEN — updates win where they exist, snapshots
+    elsewhere, and deleted keys still resolve (the delete only closes the
+    interval at k*10+3, after the probe). The temporal-join correctness
+    contract of feature-store/training pipelines: no future leakage
+    (operators/joins.py:pit_join; closed-form oracle from the fixture)."""
+    log = _order_event_log(_orders(spark, sf_dir))
+    flat = filter_tombstones(log).select("value.*")
+    dim = scd2_history(flat, key_cols=["id"], order_col=LSN_COL).select(
+        "id", "status", "total_amount", "valid_from", "valid_to"
+    )
+    from cdc_streaming_pipeline_spark.operators.joins import pit_join
+
+    probes = _orders(spark, sf_dir).select(
+        F.col("o_orderkey").alias("fid"),
+        F.lpad((F.col("o_orderkey") * 10 + 2).cast("string"), _LSN_PAD, "0").alias(
+            "probe_lsn"
+        ),
+    )
+    return pit_join(probes, dim, "fid", "id", "probe_lsn").select(
+        F.col("fid").alias("id"), "probe_lsn", "status", "total_amount", "valid_from"
+    )
+
+
 QUERIES = {
     "cdc_latest_state": cdc_latest_state,
     "cdc_merge_partitioned": cdc_merge_partitioned,
@@ -321,6 +347,7 @@ QUERIES = {
     "cdc_split_corrupt": cdc_split_corrupt,
     "cdc_state_as_of": cdc_state_as_of,
     "cdc_scd2_history": cdc_scd2_history,
+    "cdc_pit_lookup": cdc_pit_lookup,
 }
 
 ORACLE = {
@@ -430,3 +457,16 @@ ORACLE = {
 
 # The merge query's certificate IS latest-state equivalence: same SQL.
 ORACLE["cdc_merge_partitioned"] = ORACLE["cdc_latest_state"]
+
+# Probe at k*10+2: updates (k%3==0) are valid exactly from that LSN; all
+# other keys still sit on their snapshot version (deletes close at +3,
+# re-inserts open at +4 — both after the probe), so every key resolves.
+ORACLE["cdc_pit_lookup"] = f"""
+    SELECT o_orderkey AS id,
+           {_SQL_LSN.format(off=2)} AS probe_lsn,
+           CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus ELSE 'pending' END AS status,
+           CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0 ELSE o_totalprice END AS total_amount,
+           CASE WHEN o_orderkey % 3 = 0 THEN {_SQL_LSN.format(off=2)}
+                ELSE {_SQL_LSN.format(off=1)} END AS valid_from
+    FROM orders
+"""

@@ -528,6 +528,38 @@ def kll_value_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.unionByName(overall)
 
 
+def incremental_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: the stored hourly rollup (history =
+    event_id % 5 != 0) is MERGED with the new batch's partial rollup
+    (event_id % 5 == 0) by re-aggregating partials — counts add, sums add
+    — with NO rescan of history rows. The oracle aggregates all events
+    directly, certifying merged-partials == full-recompute, i.e. the
+    incremental refresh is lossless. Sums accumulate in exact decimal
+    (functions/precision.py) so partial-merge order cannot shift the last
+    bits — the property that makes incremental refresh safe at any
+    cluster topology."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("_sv"),
+        )
+
+    old = partial(ev.filter(F.col("event_id") % 5 != 0))
+    delta = partial(ev.filter(F.col("event_id") % 5 == 0))
+    return (
+        old.unionByName(delta)
+        .groupBy("hour", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("_sv"), 2).cast("double").alias("sum_value"),
+        )
+    )
+
+
 QUERIES = {
     "count_star_events": count_star_events,
     "first_events": first_events,
@@ -553,6 +585,7 @@ QUERIES = {
     "events_zorder_stats": events_zorder_stats,
     "theta_user_overlap": theta_user_overlap,
     "kll_value_rollup": kll_value_rollup,
+    "incremental_hourly_rollup": incremental_hourly_rollup,
 }
 
 ORACLE = {
@@ -759,4 +792,11 @@ ORACLE["events_zorder_stats"] = """
            MIN(u) AS u_min, MAX(u) AS u_max,
            MIN(d) AS d_min, MAX(d) AS d_max
     FROM z GROUP BY 1
+"""
+
+ORACLE["incremental_hourly_rollup"] = """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
 """

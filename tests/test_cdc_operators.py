@@ -166,3 +166,34 @@ def test_split_corrupt_routes_poison_rows(spark):
     clean = spark.createDataFrame([(1,)], "id int")
     good, bad = split_corrupt(clean)
     assert good.count() == 1 and bad.count() == 0
+
+
+def test_pit_join_interval_semantics(spark):
+    """Point-in-time join edges: probe inside a closed interval gets that
+    version, probe in the open (current) interval gets the open version,
+    probe before any version or on an unknown key gets NULLs, and a probe
+    exactly AT valid_to belongs to the NEXT version (half-open)."""
+    from cdc_streaming_pipeline_spark.operators.joins import pit_join
+
+    dim = spark.createDataFrame(
+        [
+            (1, "v1", "010", "020"),
+            (1, "v2", "020", None),   # open/current
+            (2, "w1", "050", "060"),  # closed, then deleted (no open row)
+        ],
+        "id long, payload string, valid_from string, valid_to string",
+    )
+    fact = spark.createDataFrame(
+        [
+            (1, 1, "015"),  # inside v1
+            (2, 1, "020"),  # AT v1.valid_to -> v2 (half-open)
+            (3, 1, "999"),  # far future -> open v2
+            (4, 1, "005"),  # before first version -> null
+            (5, 2, "070"),  # after deletion closed the interval -> null
+            (6, 9, "015"),  # unknown key -> null
+        ],
+        "probe_id long, fid long, probe string",
+    )
+    out = {r.probe_id: r.payload for r in pit_join(fact, dim, "fid", "id", "probe").collect()}
+    assert out == {1: "v1", 2: "v2", 3: "v2", 4: None, 5: None, 6: None}
+    assert pit_join(fact, dim, "fid", "id", "probe").count() == 6  # never fans out

@@ -84,12 +84,15 @@ def main() -> int:
     argv = sys.argv[1:]
     json_out = None
     default_conf = False
-    if argv and argv[0] == "--json":
-        json_out = argv[1]
-        argv = argv[2:]
-    if argv and argv[0] == "--default-conf":
-        default_conf = True
-        argv = argv[1:]
+    while argv and argv[0].startswith("--"):
+        if argv[0] == "--json":
+            json_out = argv[1]
+            argv = argv[2:]
+        elif argv[0] == "--default-conf":
+            default_conf = True
+            argv = argv[1:]
+        else:
+            raise SystemExit(f"unknown flag {argv[0]}")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
