@@ -357,3 +357,15 @@ def test_zorder_value_matches_python_morton(spark):
     spans = sorted((r.lo, r.hi) for r in parts)
     for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
         assert hi1 <= lo2  # contiguous, non-overlapping z-ranges
+
+
+def test_pit_join_hash_joins_on_key_not_nested_loop(spark):
+    """The temporal join's interval predicate must ride as a residual
+    condition on the KEY hash join — a nested-loop/cartesian plan here
+    would be quadratic at scale."""
+    from cdc_streaming_pipeline_spark.plans.cdc import cdc_pit_lookup
+
+    plan = _plan(cdc_pit_lookup(spark, SF_DIR))
+    assert "HashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
