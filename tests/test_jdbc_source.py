@@ -244,3 +244,24 @@ def test_randomized_mutation_waves_converge(spark, derby):
         "id", "name", "email"
     )
     assert sorted(map(tuple, state.collect())) == sorted(map(tuple, truth.collect()))
+
+
+def test_federated_join_jdbc_with_parquet(spark, derby):
+    """Hybrid-source federation: the JDBC snapshot joins a parquet-side
+    frame in ONE Spark plan — the warehouse pattern of enriching landed
+    parquet facts with an operational-DB dimension without an export hop.
+    Pushdown check: the JDBC scan must carry the id predicate (JDBC
+    relation PushedFilters), not filter on the Spark side."""
+    url, _ = derby
+    dim = jdbc_reader(
+        spark, url, "customer", driver=DERBY_DRIVER, partition_column="id", num_partitions=2
+    ).filter(F.col("id") <= 10)
+    facts = spark.createDataFrame(
+        [(i, i * 10.0) for i in range(1, 21)], "cust_id int, amount double"
+    )
+    out = facts.join(dim, facts["cust_id"] == dim["id"]).select("cust_id", "name", "amount")
+    rows = {r.cust_id: r.name for r in out.collect()}
+    assert rows == {i: f"name_{i}" for i in range(1, 11)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "LessThanOrEqual(id,10)" in plan.replace('"', "")
