@@ -584,3 +584,27 @@ def with_quality_logit(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(p, 4).alias("p_keep"),
         (p >= 0.5).alias("keep"),
     )
+
+
+def clean_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pre-tokenization text normalization — the standard cleaning pass a
+    pretraining pipeline runs before chunking/dedup: strip C0/C1 control
+    characters (keeping \\n and \\t), collapse space/tab runs to one
+    space, cap blank-line runs at one empty line, and trim per-line edge
+    whitespace. Pure JVM regexp chain (one map stage, no shuffle); the
+    regex subset used (character classes, (?m) anchors, bounded
+    repetition) behaves identically on Java regex and RE2, which is what
+    lets the DuckDB oracle replicate the transform bit-for-bit via the
+    cleaned-text md5."""
+    t = F.col(text_col)
+    t = F.regexp_replace(t, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    t = F.regexp_replace(t, r"[ \t]+", " ")
+    t = F.regexp_replace(t, r"(?m)^ | $", "")
+    t = F.regexp_replace(t, r"\n{3,}", "\n\n")
+    return df.select(
+        "doc_id",
+        F.length(text_col).alias("n_chars_raw"),
+        F.length(t).alias("n_chars_clean"),
+        (F.length(text_col) - F.length(t)).alias("n_removed"),
+        F.md5(t).alias("clean_md5"),
+    )

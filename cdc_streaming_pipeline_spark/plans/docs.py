@@ -756,6 +756,27 @@ def validate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenization cleaning pass (operators/text.py:clean_text):
+    control-char strip, whitespace normalization, blank-line capping —
+    value-certified through the cleaned-text md5."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.clean_text(docs)
+
+
+def minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXT-side dedup clusters: MinHash+LSH candidate pairs (banded,
+    Jaccard >= 0.5 verified exactly) -> connected components -> one row
+    per doc with its cluster id (min reachable doc_id; singletons keep
+    their own id). The clusters a text-dedup pass actually consumes —
+    the seeded-hash pair set makes it rows-only; containment of the
+    exact-Jaccard truth inside these clusters is pytest-gated."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, jaccard_threshold=0.5).select("id_a", "id_b")
+    nodes = docs.select(F.col("doc_id").alias("doc_id"))
+    return cl.connected_components(pairs, nodes, id_col="doc_id")
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_quality_scores": doc_quality_scores,
@@ -815,6 +836,8 @@ QUERIES = {
     "semantic_dedup": semantic_dedup,
     "validate_documents": validate_documents,
     "media_phash_pairs": media_phash_pairs,
+    "doc_clean_text": doc_clean_text,
+    "minhash_dedup_clusters": minhash_dedup_clusters,
 }
 
 # DuckDB-side replicas. Shared fragments:
@@ -1671,4 +1694,21 @@ ORACLE["validate_documents"] = """
                  WHEN 'n_chars_consistent' THEN c_cons
                  WHEN 'n_chars_nonneg' THEN c_neg
                  ELSE c_uniq END AS violations) x
+"""
+
+ORACLE["doc_clean_text"] = """
+    WITH c AS (
+        SELECT doc_id, length(text) AS n_chars_raw,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+                           '[ \\t]+', ' ', 'g'),
+                       '^ | $', '', 'gm'),
+                   '\\n{3,}', '\\n\\n', 'g') AS t
+        FROM documents
+    )
+    SELECT doc_id, n_chars_raw, length(t) AS n_chars_clean,
+           n_chars_raw - length(t) AS n_removed, md5(t) AS clean_md5
+    FROM c
 """

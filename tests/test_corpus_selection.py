@@ -269,3 +269,24 @@ def test_quality_logit_matches_python_reference(spark):
     assert abs(r.logit - round(z, 4)) < 1e-9
     assert abs(r.p_keep - round(1 / (1 + math.exp(-z)), 4)) < 1e-9
     assert r.keep == (1 / (1 + math.exp(-z)) >= 0.5)
+
+
+# ---------------------------------------------------------------- cleaning --
+
+def test_clean_text_rules_on_dirty_input(spark):
+    import hashlib
+
+    from cdc_streaming_pipeline_spark.operators.text import clean_text
+
+    dirty = "  a\x00b\x07c  \t d  \n\n\n\n line2\t\x7f end  "
+    # strip control chars -> "  abc  \t d  \n\n\n\n line2\t end  "
+    # collapse space/tab runs -> " abc d \n\n\n\n line2 end "
+    # trim line edges -> "abc d\n\n\n\nline2 end"
+    # cap blank runs -> "abc d\n\nline2 end"
+    want = "abc d\n\nline2 end"
+    df = spark.createDataFrame([(1, dirty)], "doc_id long, text string")
+    (r,) = clean_text(df).collect()
+    assert r.clean_md5 == hashlib.md5(want.encode()).hexdigest()
+    assert r.n_chars_raw == len(dirty)
+    assert r.n_chars_clean == len(want)
+    assert r.n_removed == len(dirty) - len(want)

@@ -242,3 +242,29 @@ def test_semantic_dedup_precision_one_and_single_cluster_equals_exact(spark):
 
     single = semantic_dedup(emb, n_clusters=1, threshold=0.4).collect()
     assert {r.vec_id for r in single if not r.kept} == droppable
+
+
+def test_minhash_clusters_contain_high_jaccard_truth_and_cover_all_docs(spark):
+    """Cluster-level containment: every exact-Jaccard >= 0.7 pair must
+    share a cluster in minhash_dedup_clusters (transitivity can only
+    merge further, never split), every doc appears exactly once, and
+    cluster_id == min member id."""
+    from cdc_streaming_pipeline_spark.plans.docs import minhash_dedup_clusters
+    from tests.conftest import SF_DIR as sf
+
+    docs = _docs(spark)
+    n_docs = docs.count()
+    assign = {r.doc_id: r.cluster_id for r in minhash_dedup_clusters(spark, sf).collect()}
+    assert len(assign) == n_docs
+    truth = {
+        (r.id_a, r.id_b)
+        for r in dd.ngram_jaccard_pairs(docs, jaccard_threshold=0.7).collect()
+    }
+    assert truth
+    for a, b in truth:
+        assert assign[a] == assign[b], (a, b)
+    by_cluster: dict[int, list[int]] = {}
+    for d, c in assign.items():
+        by_cluster.setdefault(c, []).append(d)
+    for c, members in by_cluster.items():
+        assert c == min(members)
