@@ -608,3 +608,37 @@ def clean_text(df: DataFrame, text_col: str = "text") -> DataFrame:
         (F.length(text_col) - F.length(t)).alias("n_removed"),
         F.md5(t).alias("clean_md5"),
     )
+
+
+def compression_ratio_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Compression-ratio quality signal (deflate level 6): highly
+    repetitive/templated text compresses far below natural prose, making
+    the ratio a cheap repetition/boilerplate filter (used alongside the
+    JVM-side repetition stats). zlib has no JVM SQL expression, so this is
+    a legitimately Python kernel — Arrow-batched mapInPandas (bytes stay
+    partition-local, no shuffle), NOT a row-at-a-time UDF; the kernel is
+    pinned against direct zlib in tests."""
+    import zlib
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raw = [(t or "").encode() for t in pdf[text_col]]
+            comp = [len(zlib.compress(b, 6)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": [len(b) for b in raw],
+                    "n_compressed": comp,
+                    "compression_ratio": [
+                        round(c / n, 4) if n else 0.0 for c, n in zip(comp, (len(b) for b in raw))
+                    ],
+                }
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(
+        score, "doc_id long, n_bytes int, n_compressed int, compression_ratio double"
+    )

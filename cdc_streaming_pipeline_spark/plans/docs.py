@@ -777,6 +777,15 @@ def minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cl.connected_components(pairs, nodes, id_col="doc_id")
 
 
+def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deflate compression-ratio quality signal
+    (operators/text.py:compression_ratio_scores) — repetitive/templated
+    docs score low. No SQL zlib -> rows-only; kernel pinned against
+    direct zlib in tests/test_corpus_selection.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.compression_ratio_scores(docs)
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_quality_scores": doc_quality_scores,
@@ -838,6 +847,7 @@ QUERIES = {
     "media_phash_pairs": media_phash_pairs,
     "doc_clean_text": doc_clean_text,
     "minhash_dedup_clusters": minhash_dedup_clusters,
+    "doc_compression_ratio": doc_compression_ratio,
 }
 
 # DuckDB-side replicas. Shared fragments:

@@ -290,3 +290,23 @@ def test_clean_text_rules_on_dirty_input(spark):
     assert r.n_chars_raw == len(dirty)
     assert r.n_chars_clean == len(want)
     assert r.n_removed == len(dirty) - len(want)
+
+
+def test_compression_ratio_matches_zlib_and_ranks_repetition(spark):
+    import zlib
+
+    from cdc_streaming_pipeline_spark.operators.text import compression_ratio_scores
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog and keeps going"),
+            (2, "spam " * 200),
+            (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in compression_ratio_scores(df).collect()}
+    for i, t in rows:
+        b = t.encode()
+        assert out[i].n_bytes == len(b)
+        assert out[i].n_compressed == len(zlib.compress(b, 6))
+        want = round(len(zlib.compress(b, 6)) / len(b), 4) if b else 0.0
+        assert abs(out[i].compression_ratio - want) < 1e-12
+    # repetitive text compresses far better than prose
+    assert out[2].compression_ratio < out[1].compression_ratio / 2
