@@ -308,3 +308,46 @@ def heartbeat_stream(
             F.format_string("%020d", F.col("value")).alias(LSN_COL),
         )
     )
+
+
+# ----------------------------------------------------- rollup maintenance --
+def upsert_rollup_partial(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> None:
+    """foreachBatch body for INCREMENTAL AGGREGATE maintenance (the
+    streaming twin of plans/events.py:incremental_hourly_rollup).
+
+    Additive aggregates are not replay-idempotent if merged in place (a
+    redelivered batch would double-count), so the state layout is one
+    partial-aggregate directory PER BATCH ID, overwritten on replay —
+    exactly-once by construction on top of at-least-once delivery, the
+    same trick the versioned latest-state backend uses. Partials hold
+    exact-decimal sums (functions/precision.py rationale) so merge order
+    can never shift the result."""
+    partial = batch_df.groupBy(
+        F.date_trunc("hour", F.col(ts_col)).alias("hour"), *group_cols
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(28,6)")).alias("sum_partial"),
+    )
+    partial.write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"batch_id={batch_id}")
+    )
+
+
+def read_rollup(
+    spark: SparkSession, state_dir: str, group_cols: tuple[str, ...] = ("event_type",)
+) -> DataFrame:
+    """Serve the maintained rollup: merge all per-batch partials (counts
+    and decimal sums add associatively). Compaction = rewriting the merged
+    frame as a single partial; the read is identical either way."""
+    partials = spark.read.parquet(os.path.join(state_dir, "batch_id=*"))
+    return partials.groupBy("hour", *group_cols).agg(
+        F.sum("n_events").alias("n_events"),
+        F.round(F.sum("sum_partial"), 2).cast("double").alias("sum_value"),
+    )

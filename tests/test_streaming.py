@@ -205,3 +205,63 @@ def test_streaming_e2e_partitioned_state_backend(spark, tmp_path):
             r.id for r in got.filter(F.col("_table") == table).select("id").collect()
         }
         assert stream_ids == applied, table
+
+
+def test_streaming_rollup_maintenance_matches_batch_and_replay_idempotent(spark, tmp_path):
+    """Incremental aggregate maintenance e2e: a 3-micro-batch event
+    stream maintained via per-batch partial dirs must equal the one-shot
+    batch rollup, and REPLAYING a batch (at-least-once delivery) must not
+    change the answer (the partial dir is overwritten, not appended)."""
+    from cdc_streaming_pipeline_spark.sources.tables import load_table
+    from cdc_streaming_pipeline_spark.streaming.pipeline import (
+        read_rollup,
+        upsert_rollup_partial,
+    )
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "ts", "event_type", "value")
+    src = str(tmp_path / "src")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode("append").parquet(src)
+
+    state = str(tmp_path / "rollup")
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    seen_batches = []
+
+    def body(batch_df, batch_id):
+        # capture the batch's rows so the replay below re-delivers EXACTLY
+        # what this batch id originally carried
+        seen_batches.append((batch_id, batch_df.collect()))
+        upsert_rollup_partial(batch_df, state, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(seen_batches) >= 3  # one per file
+
+    def as_map(df):
+        return {
+            (r.hour, r.event_type): (r.n_events, r.sum_value) for r in df.collect()
+        }
+
+    want = as_map(
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type").agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(28,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    got = as_map(read_rollup(spark, state))
+    assert got == want
+
+    # replay batch 1 (same id, same rows) -> overwrite, answer unchanged
+    bid, rows = seen_batches[1]
+    upsert_rollup_partial(spark.createDataFrame(rows, ev.schema), state, bid)
+    assert as_map(read_rollup(spark, state)) == want
