@@ -290,13 +290,23 @@ def perceptual_hash(media: DataFrame, deterministic_fake: bool = False) -> DataF
         )
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # rasters are built per payload (variable length), but the DCT /
+        # threshold / bit-pack runs BATCHED across the whole Arrow batch —
+        # one einsum instead of thousands of 8x32 matmuls (bit-identical
+        # to _phash64, pinned in tests/test_multimodal_phash.py)
+        powers = np.uint64(1) << np.arange(63, dtype=np.uint64)
         for pdf in batches:
             payloads = [bytes(b) if b is not None else b"" for b in pdf["media_bytes"]]
+            imgs = np.stack([_payload_pixels(p) for p in payloads])
+            coef = np.einsum("ui,nij,vj->nuv", _DCT_BASIS, imgs, _DCT_BASIS)
+            flat = coef.reshape(len(payloads), 64)[:, 1:]
+            bits = flat > np.median(flat, axis=1, keepdims=True)
+            vals = (bits.astype(np.uint64) * powers).sum(axis=1, dtype=np.uint64)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].astype("int64"),
                     "kind": pdf["kind"],
-                    "phash": [_phash64(p) for p in payloads],
+                    "phash": vals.view(np.int64),
                 }
             )
 

@@ -105,3 +105,16 @@ def test_phash_real_decode_path_is_marked_stub(spark):
         raise AssertionError("expected NotImplementedError")
     except NotImplementedError:
         pass
+
+
+def test_batched_kernel_bit_identical_to_scalar_reference(spark):
+    """The einsum-batched hash path must equal the scalar _phash64
+    reference for every corpus payload (median/threshold/pack parity)."""
+    docs = load_table(spark, SF_DIR, "documents").limit(100)
+    media = synthesize_media(docs)
+    got = {
+        r.media_id: r.phash
+        for r in perceptual_hash(media, deterministic_fake=True).collect()
+    }
+    for r in media.select("media_id", "media_bytes").collect():
+        assert got[r.media_id] == _phash64(bytes(r.media_bytes)), r.media_id
