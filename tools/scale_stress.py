@@ -46,6 +46,14 @@ HEAVY = [
     "corpus_shard_assignment",
     "doc_quality_logit",
     "semantic_dedup",
+    "media_phash_pairs",
+    "theta_user_overlap",
+    "kll_value_rollup",
+    "validate_referential_integrity",
+    "minhash_dedup_clusters",
+    "doc_compression_ratio",
+    "doc_clean_text",
+    "event_rate_anomaly",
 ]
 
 
