@@ -62,7 +62,12 @@ _PRIORITY: list[str] = [
     "doc_contamination",
     "doc_perplexity_proxy",
     "pack_documents",
-    "ann_topk_ivf",
+    # (round-6 swap: ann_topk_ivf -> tail. Its gate row was rows-only by
+    # design — the tail's ORACLE_LOCAL record and the pytest recall gate
+    # carry identical information — while cdc_pit_lookup is HASH-certified
+    # and extends the gate's CDC-family core with the temporal-join
+    # capability. Net: one more hash-green row inside the driver cap.)
+    "cdc_pit_lookup",
     "media_image_pipeline",
     # SURVEY §2 rubric analytics (TPC-H shapes, anti-join, windows, sets)
     "q1_pricing_summary",
