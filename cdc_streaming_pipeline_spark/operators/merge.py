@@ -41,6 +41,7 @@ Scale notes
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -148,3 +149,67 @@ def read_snapshot(spark: SparkSession, path: str, raw: bool = False) -> DataFram
         return df
     df = mark_deleted(df) if "_is_deleted" not in df.columns else df
     return df.filter(~F.col("_is_deleted")).drop("_is_deleted", BUCKET_COL)
+
+
+def propagate_deletions(
+    spark: SparkSession,
+    path: str,
+    keys_df: DataFrame,
+    key_cols: list[str],
+    n_buckets: int = 64,
+) -> list[int]:
+    """Compliance deletion (right-to-be-forgotten) against the bucketed
+    snapshot: PHYSICALLY remove every row whose key appears in ``keys_df``,
+    rewriting only the partitions those keys hash into.
+
+    Distinct from a CDC delete event: ``merge_cdc_batch`` keeps a delete
+    MARKER (so late lower-LSN events cannot resurrect the key), which is
+    the wrong answer when the obligation is to erase the data itself. This
+    op anti-joins the affected buckets against the key set and overwrites
+    just those directories — cost proportional to the keys' bucket spread,
+    never snapshot size, same pruning contract as the merge (untouched
+    partition files stay byte-identical; asserted in tests/test_merge.py).
+    The returned bucket list is the audit record of what was rewritten.
+    """
+    if not os.path.exists(path):
+        return []
+    # bucket = xxhash64 of the TYPED key (an int and a long with the same
+    # value hash differently), so the key frame must carry the snapshot's
+    # exact key dtypes before bucketing — cast defensively from the footer
+    # schema rather than trusting the caller's frame
+    snap_types = {f.name: f.dataType for f in spark.read.parquet(path).schema.fields}
+    keys_typed = keys_df.select(
+        *[F.col(c).cast(snap_types[c]).alias(c) for c in key_cols]
+    )
+    touched = touched_buckets(keys_typed, key_cols, n_buckets)
+    if not touched:
+        return []
+    keys = with_key_bucket(keys_typed, key_cols, n_buckets).select(
+        *key_cols, BUCKET_COL
+    ).distinct()
+    prev = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(touched))
+    kept = prev.join(F.broadcast(keys), on=[*key_cols, BUCKET_COL], how="left_anti")
+    kept = kept.persist()
+    # dynamic overwrite only replaces partitions PRESENT in the output —
+    # a bucket whose every row was erased emits nothing and would keep its
+    # old files, silently failing the erasure. Find fully-emptied buckets
+    # (a tiny per-bucket count) and remove their directories explicitly.
+    surviving = {
+        r[BUCKET_COL] for r in kept.select(BUCKET_COL).distinct().collect()
+    }
+    if surviving:
+        (
+            kept.repartition(F.col(BUCKET_COL))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(BUCKET_COL)
+            .parquet(path)
+        )
+    kept.unpersist()
+    for b in touched:
+        if b not in surviving:
+            shutil.rmtree(os.path.join(path, f"{BUCKET_COL}={b}"), ignore_errors=True)
+    # the rmtree above bypasses Spark's write path, so the session's cached
+    # file listing for this path still names the removed files — invalidate
+    spark.catalog.refreshByPath(path)
+    return touched

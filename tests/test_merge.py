@@ -164,3 +164,53 @@ def test_bucket_assignment_is_stable(spark):
     a = with_key_bucket(df, KEYS, 32).select("id", BUCKET_COL).collect()
     b = with_key_bucket(df, KEYS, 32).select("id", BUCKET_COL).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_propagate_deletions_erases_rows_and_prunes_rewrites(spark, tmp_path):
+    """Right-to-be-forgotten: requested keys vanish PHYSICALLY (raw view —
+    no marker rows left, unlike a CDC delete), untouched buckets stay
+    byte-identical, and the returned bucket list matches the keys' spread."""
+    from cdc_streaming_pipeline_spark.operators.merge import propagate_deletions
+
+    batches, full = _event_batches(spark, tmp_path, seed=11)
+    snap = str(tmp_path / "snap")
+    init_snapshot(full, snap, KEYS, n_buckets=N_BUCKETS)
+    before_files = _partition_files(snap)
+    before = _state_dict(read_snapshot(spark, snap, raw=True))
+
+    victims = [k for k in sorted(before)[:3]]
+    # materialized frame with the snapshot's key TYPES (id is bigint —
+    # a string id would xxhash into different buckets), and no lineage
+    # over the snapshot path (which is about to be rewritten)
+    keys_df = spark.createDataFrame(victims, "id bigint, _table string")
+    touched = propagate_deletions(spark, snap, keys_df, KEYS, n_buckets=N_BUCKETS)
+    assert 1 <= len(touched) <= 3  # audit record covers the victims' spread
+
+    after = _state_dict(read_snapshot(spark, snap, raw=True))
+    assert set(after) == set(before) - set(victims)  # erased, others intact
+    for k in set(after):
+        assert after[k] == before[k]
+
+    after_files = _partition_files(snap)
+    for bucket, files in before_files.items():
+        if bucket not in touched:
+            assert after_files[bucket] == files, f"bucket {bucket} rewritten"
+
+
+def test_propagate_deletions_empties_whole_bucket(spark, tmp_path):
+    """A bucket whose EVERY key is erased must lose its partition directory
+    (dynamic overwrite alone cannot delete an empty partition)."""
+    from cdc_streaming_pipeline_spark.operators.merge import propagate_deletions
+
+    _, full = _event_batches(spark, tmp_path, seed=5)
+    snap = str(tmp_path / "snap2")
+    init_snapshot(full, snap, KEYS, n_buckets=N_BUCKETS)
+    raw = read_snapshot(spark, snap, raw=True)
+    some_bucket = raw.select(BUCKET_COL).first()[BUCKET_COL]
+    bucket_keys = (
+        raw.filter(F.col(BUCKET_COL) == some_bucket).select("id", "_table").distinct()
+    )
+    propagate_deletions(spark, snap, bucket_keys, KEYS, n_buckets=N_BUCKETS)
+    assert not os.path.exists(os.path.join(snap, f"{BUCKET_COL}={some_bucket}"))
+    remaining = read_snapshot(spark, snap, raw=True)
+    assert remaining.filter(F.col(BUCKET_COL) == some_bucket).count() == 0
