@@ -85,3 +85,74 @@ def test_connected_components_paths_agree_on_random_graphs(spark, pairs):
         comp[lbl].add(v)
     for lbl, members in comp.items():
         assert lbl == min(members)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n_tokens=st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=12),
+    chunk=st.sampled_from([16, 64]),
+    stride_frac=st.sampled_from([2, 4]),
+)
+def test_chunk_documents_invariants_for_random_lengths(spark, n_tokens, chunk, stride_frac):
+    """For ANY document length: every token is covered, chunk indices are
+    dense from 0, no chunk exceeds the window, the final chunk reaches the
+    last token, and overlap never exceeds window - stride."""
+    from cdc_streaming_pipeline_spark.operators.text import chunk_documents
+
+    stride = max(1, chunk - chunk // stride_frac)
+    rows = [(i, " ".join(f"t{i}x{j}" for j in range(n))) for i, n in enumerate(n_tokens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=chunk, stride=stride).collect()
+    by_doc = defaultdict(list)
+    for r in out:
+        by_doc[r.doc_id].append(r)
+    for i, n in enumerate(n_tokens):
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r.chunk_idx)
+        if n == 0:
+            assert not chunks  # blank docs emit nothing
+            continue
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        covered = set()
+        for c in chunks:
+            assert 1 <= c.n_chunk_tokens <= chunk
+            assert c.start_token + c.n_chunk_tokens - 1 <= n
+            covered.update(range(c.start_token, c.start_token + c.n_chunk_tokens))
+        assert covered == set(range(1, n + 1)), f"doc {i} (n={n}) not fully covered"
+        assert chunks[-1].start_token + chunks[-1].n_chunk_tokens - 1 == n
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", max_codepoint=0x2FF, exclude_characters="\r"
+            ),
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_clean_text_is_idempotent_and_never_grows(spark, texts):
+    """clean(clean(x)) == clean(x) (a normalizer must be a projection) and
+    cleaning never adds characters, for arbitrary unicode soup."""
+    from cdc_streaming_pipeline_spark.operators.text import clean_text
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = {r.doc_id: r for r in clean_text(df).collect()}
+    # reconstruct cleaned text via the same chain to feed a second pass
+    from pyspark.sql import functions as F
+
+    t = F.col("text")
+    t = F.regexp_replace(t, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    t = F.regexp_replace(t, r"[ \t]+", " ")
+    t = F.regexp_replace(t, r"(?m)^ | $", "")
+    t = F.regexp_replace(t, r"\n{3,}", "\n\n")
+    cleaned_df = df.select("doc_id", t.alias("text"))
+    twice = {r.doc_id: r for r in clean_text(cleaned_df).collect()}
+    for i, raw in rows:
+        assert once[i].n_chars_clean <= once[i].n_chars_raw
+        assert twice[i].n_removed == 0, f"not idempotent on {raw!r}"
+        assert twice[i].clean_md5 == once[i].clean_md5
