@@ -338,6 +338,41 @@ def cdc_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_compliance_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten against the merged snapshot: build the full
+    latest-state snapshot (same pipeline as cdc_merge_partitioned), then
+    PHYSICALLY erase keys with id % 7 == 0 via the partition-pruned
+    deletion (operators/merge.py:propagate_deletions) and return the
+    surviving queryable state. Closed-form oracle: the latest-state
+    survivors minus the erased residue class — certifying both that the
+    requested keys are gone and that nothing else was disturbed by the
+    targeted rewrite."""
+    import hashlib
+    import os
+    import tempfile
+
+    from cdc_streaming_pipeline_spark.operators.merge import (
+        init_snapshot,
+        propagate_deletions,
+        read_snapshot,
+    )
+
+    log = _order_event_log(_orders(spark, sf_dir))
+    flat = filter_tombstones(log).select("value.*")
+    digest = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{sf_dir}:erasure".encode()
+    ).hexdigest()[:8]
+    snap = os.path.join(tempfile.gettempdir(), f"cdc_erasure_snap_{digest}")
+    init_snapshot(flat, snap, key_cols=["id"], n_buckets=16)
+    victims = (
+        _orders(spark, sf_dir)
+        .select(F.col("o_orderkey").alias("id"))
+        .filter(F.col("id") % 7 == 0)
+    )
+    propagate_deletions(spark, snap, victims, key_cols=["id"], n_buckets=16)
+    return read_snapshot(spark, snap).select("id", "status", "total_amount", OP_COL)
+
+
 QUERIES = {
     "cdc_latest_state": cdc_latest_state,
     "cdc_merge_partitioned": cdc_merge_partitioned,
@@ -348,6 +383,7 @@ QUERIES = {
     "cdc_state_as_of": cdc_state_as_of,
     "cdc_scd2_history": cdc_scd2_history,
     "cdc_pit_lookup": cdc_pit_lookup,
+    "cdc_compliance_erasure": cdc_compliance_erasure,
 }
 
 ORACLE = {
@@ -470,3 +506,8 @@ ORACLE["cdc_pit_lookup"] = f"""
                 ELSE {_SQL_LSN.format(off=1)} END AS valid_from
     FROM orders
 """
+
+# latest-state survivors minus the erased residue class (id % 7 == 0)
+ORACLE["cdc_compliance_erasure"] = (
+    "SELECT * FROM (" + ORACLE["cdc_latest_state"] + ") WHERE id % 7 <> 0"
+)
