@@ -786,6 +786,31 @@ def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.compression_ratio_scores(docs)
 
 
+def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup at CHUNK granularity: exact md5 dedup over the sliding-window
+    chunks, rolled up per document (how much of each doc is made of
+    corpus-duplicated chunks) — the practical middle ground between
+    doc-level exact dedup (misses partial overlap) and quadratic fuzzy
+    matching. Two shuffles: chunk-md5 counts, then the per-doc rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = tx.chunk_documents(docs, chunk_tokens=64, stride=48)
+    freq = chunks.groupBy("chunk_md5").agg(F.count("*").alias("_n_occ"))
+    return (
+        chunks.join(freq, "chunk_md5")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("_n_occ") >= 2).cast("long")).alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 4).alias("dup_frac"),
+        )
+    )
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_quality_scores": doc_quality_scores,
@@ -848,6 +873,7 @@ QUERIES = {
     "doc_clean_text": doc_clean_text,
     "minhash_dedup_clusters": minhash_dedup_clusters,
     "doc_compression_ratio": doc_compression_ratio,
+    "chunk_dedup_stats": chunk_dedup_stats,
 }
 
 # DuckDB-side replicas. Shared fragments:
@@ -1722,3 +1748,12 @@ ORACLE["doc_clean_text"] = """
            n_chars_raw - length(t) AS n_removed, md5(t) AS clean_md5
     FROM c
 """
+
+ORACLE["chunk_dedup_stats"] = (
+    "WITH chunks AS (" + ORACLE["doc_chunks"] + "), "
+    "freq AS (SELECT chunk_md5, COUNT(*) AS n_occ FROM chunks GROUP BY 1) "
+    "SELECT c.doc_id, COUNT(*) AS n_chunks, "
+    "SUM(CASE WHEN f.n_occ >= 2 THEN 1 ELSE 0 END) AS n_dup_chunks, "
+    "ROUND(SUM(CASE WHEN f.n_occ >= 2 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 4) AS dup_frac "
+    "FROM chunks c JOIN freq f USING (chunk_md5) GROUP BY c.doc_id"
+)
