@@ -811,6 +811,39 @@ def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-layout manifest — the lineage record written next to exported
+    training shards: per shard, the doc count, total whitespace tokens,
+    and an md5 over the shard's doc_ids in shard_pos order. Certifying
+    the hash certifies the ENTIRE deterministic shuffle+shard layout
+    (membership AND order), which is what makes a training run
+    reproducible from the manifest alone."""
+    from cdc_streaming_pipeline_spark.functions.textfn import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    shards = sp.shard_assignment(docs, n_shards=8)
+    toks = docs.select("doc_id", token_count(F.col("text")).alias("_nt"))
+    return (
+        shards.join(toks, "doc_id")
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_nt").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("shard_pos", "doc_id"))
+                        ),
+                        lambda x: x["doc_id"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("content_md5"),
+        )
+    )
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_quality_scores": doc_quality_scores,
@@ -874,6 +907,7 @@ QUERIES = {
     "minhash_dedup_clusters": minhash_dedup_clusters,
     "doc_compression_ratio": doc_compression_ratio,
     "chunk_dedup_stats": chunk_dedup_stats,
+    "training_shard_manifest": training_shard_manifest,
 }
 
 # DuckDB-side replicas. Shared fragments:
@@ -1757,3 +1791,23 @@ ORACLE["chunk_dedup_stats"] = (
     "ROUND(SUM(CASE WHEN f.n_occ >= 2 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 4) AS dup_frac "
     "FROM chunks c JOIN freq f USING (chunk_md5) GROUP BY c.doc_id"
 )
+
+ORACLE["training_shard_manifest"] = f"""
+    WITH shards AS (
+        SELECT doc_id,
+               {_SHARD8} AS shard_id,
+               row_number() OVER (PARTITION BY {_SHARD8}
+                                  ORDER BY {_MD5_HEX}, doc_id) - 1 AS shard_pos
+        FROM documents
+    ), toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS nt
+        FROM documents
+    )
+    SELECT s.shard_id, COUNT(*) AS n_docs,
+           CAST(SUM(t.nt) AS BIGINT) AS n_tokens,
+           md5(string_agg(CAST(s.doc_id AS VARCHAR), ',' ORDER BY s.shard_pos))
+               AS content_md5
+    FROM shards s JOIN toks t USING (doc_id)
+    GROUP BY s.shard_id
+"""
