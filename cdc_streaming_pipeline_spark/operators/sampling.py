@@ -310,3 +310,81 @@ def shard_assignment(
         .withColumn("shard_pos", F.row_number().over(w) - F.lit(1))
         .select(id_col, "shard_id", "shard_pos")
     )
+
+
+def shard_manifest(
+    shards: DataFrame,
+    tokens: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Constant-memory shard manifest: per shard, the doc count, token sum,
+    and an md5 over the shard's ids in ``shard_pos`` order.
+
+    The digest certifies membership AND order of the entire deterministic
+    shard layout, yet no operator ever materializes a whole shard: rows are
+    hash-partitioned by ``shard_id`` (each shard lands wholly in one
+    partition), sorted within the partition by (shard_id, shard_pos) — an
+    external, spillable sort — and streamed through a chained
+    ``hashlib.md5`` in Arrow-batch-sized chunks. Peak state per executor is
+    one md5 context + two counters per in-flight shard; peak rows in memory
+    is one Arrow batch (``spark.sql.execution.arrow.maxRecordsPerBatch``),
+    independent of shard size. The incremental digest of
+    ``"id1,id2,...“``-bytes is byte-identical to
+    ``md5(array_join(ids, ','))`` / DuckDB ``md5(string_agg(...))``, so the
+    certificate value (and its SQL oracle) is unchanged from a
+    collect_list formulation — without the per-group unbounded aggregation
+    buffer that OOMs when a training shard holds millions of docs.
+
+    ``shards``: (id_col, shard_id, shard_pos) as from shard_assignment;
+    ``tokens``: (id_col, _nt) per-doc token counts.
+    """
+    joined = shards.join(tokens, id_col).select(
+        "shard_id", "shard_pos", F.col(id_col).alias("_id"), "_nt"
+    )
+    srt = joined.repartition(F.col("shard_id")).sortWithinPartitions(
+        "shard_id", "shard_pos"
+    )
+
+    def digest(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        cur = None  # [shard_id, md5-context, n_docs, n_tokens]
+
+        def flush():
+            return pd.DataFrame(
+                {
+                    "shard_id": [cur[0]],
+                    "n_docs": [cur[2]],
+                    "n_tokens": [cur[3]],
+                    "content_md5": [cur[1].hexdigest()],
+                }
+            )
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sid = pdf["shard_id"].to_numpy()
+            starts = np.flatnonzero(np.r_[True, sid[1:] != sid[:-1]])
+            ends = np.r_[starts[1:], len(sid)]
+            for a, b in zip(starts, ends):
+                s = int(sid[a])
+                if cur is not None and s != cur[0]:
+                    yield flush()
+                    cur = None
+                blob = ",".join(map(str, pdf["_id"].iloc[a:b]))
+                if cur is None:
+                    cur = [s, hashlib.md5(), 0, 0]
+                else:
+                    cur[1].update(b",")
+                cur[1].update(blob.encode())
+                cur[2] += int(b - a)
+                cur[3] += int(pdf["_nt"].iloc[a:b].sum())
+        if cur is not None:
+            yield flush()
+
+    return srt.mapInPandas(
+        digest, "shard_id bigint, n_docs bigint, n_tokens bigint, content_md5 string"
+    )

@@ -278,15 +278,22 @@ def cdc_split_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(bad.agg(F.count("*").alias("n_bad")))
 
 
-def cdc_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental partition-pruned merge (operators/merge.py) — the
-    production-form latest-state maintenance: bootstrap the snapshot from
-    the initial-load batch (op='r', lsn-offset 1), then merge the change
-    batch (updates/deletes/re-inserts, offsets 2-4) touching only the key
-    buckets present in the batch (dynamic partition overwrite). The final
-    snapshot must equal the full-recompute latest-state, so this reuses
-    cdc_latest_state's closed-form oracle verbatim.
-    """
+_SNAPSHOT_MEMO: dict[tuple[str, str], str] = {}
+
+
+def _merged_snapshot_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build — once per (session, sf_dir) — the bucket-partitioned merged
+    snapshot (init from the op='r' batch, then one partition-pruned
+    merge of the change batch) and return its directory. Memoized like
+    plans/docs.py:_memo_gemm: the two heaviest registered CDC queries
+    (`cdc_merge_partitioned`, `cdc_compliance_erasure`) both start from
+    exactly this state, and the snapshot build is two partitioned write
+    jobs — the dominant cost of either query — so building it twice per
+    session is pure waste. Consumers must not mutate the memoized
+    directory; erasure clones it first."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _SNAPSHOT_MEMO:
+        return _SNAPSHOT_MEMO[key]
     import hashlib
     import os
     import tempfile
@@ -294,7 +301,6 @@ def cdc_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_streaming_pipeline_spark.operators.merge import (
         init_snapshot,
         merge_cdc_batch,
-        read_snapshot,
     )
 
     log = _order_event_log(_orders(spark, sf_dir))
@@ -309,6 +315,22 @@ def cdc_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap = os.path.join(tempfile.gettempdir(), f"cdc_merge_snap_{digest}")
     init_snapshot(batch1, snap, key_cols=["id"], n_buckets=16)
     merge_cdc_batch(spark, snap, batch2, key_cols=["id"], n_buckets=16)
+    _SNAPSHOT_MEMO[key] = snap
+    return snap
+
+
+def cdc_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental partition-pruned merge (operators/merge.py) — the
+    production-form latest-state maintenance: bootstrap the snapshot from
+    the initial-load batch (op='r', lsn-offset 1), then merge the change
+    batch (updates/deletes/re-inserts, offsets 2-4) touching only the key
+    buckets present in the batch (dynamic partition overwrite). The final
+    snapshot must equal the full-recompute latest-state, so this reuses
+    cdc_latest_state's closed-form oracle verbatim.
+    """
+    from cdc_streaming_pipeline_spark.operators.merge import read_snapshot
+
+    snap = _merged_snapshot_path(spark, sf_dir)
     return read_snapshot(spark, snap).select("id", "status", "total_amount", OP_COL)
 
 
@@ -346,24 +368,35 @@ def cdc_compliance_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving queryable state. Closed-form oracle: the latest-state
     survivors minus the erased residue class — certifying both that the
     requested keys are gone and that nothing else was disturbed by the
-    targeted rewrite."""
+    targeted rewrite.
+
+    Starts from a CLONE of the session's memoized merged snapshot
+    (`_merged_snapshot_path`) rather than rebuilding one — the merge is
+    certified equal to the full-recompute latest-state, so the starting
+    bytes are the same state and the second full snapshot write is
+    skipped. The directory clone is a driver-side copy here (a distcp on
+    a real deployment); erasure then rewrites only the pruned buckets of
+    the clone, leaving the memoized snapshot untouched for
+    cdc_merge_partitioned."""
     import hashlib
     import os
+    import shutil
     import tempfile
 
     from cdc_streaming_pipeline_spark.operators.merge import (
-        init_snapshot,
         propagate_deletions,
         read_snapshot,
     )
 
-    log = _order_event_log(_orders(spark, sf_dir))
-    flat = filter_tombstones(log).select("value.*")
+    base = _merged_snapshot_path(spark, sf_dir)
     digest = hashlib.md5(
         f"{spark.sparkContext.applicationId}:{sf_dir}:erasure".encode()
     ).hexdigest()[:8]
     snap = os.path.join(tempfile.gettempdir(), f"cdc_erasure_snap_{digest}")
-    init_snapshot(flat, snap, key_cols=["id"], n_buckets=16)
+    if os.path.exists(snap):
+        shutil.rmtree(snap)
+    shutil.copytree(base, snap)
+    spark.catalog.refreshByPath(snap)
     victims = (
         _orders(spark, sf_dir)
         .select(F.col("o_orderkey").alias("id"))

@@ -817,31 +817,20 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     and an md5 over the shard's doc_ids in shard_pos order. Certifying
     the hash certifies the ENTIRE deterministic shuffle+shard layout
     (membership AND order), which is what makes a training run
-    reproducible from the manifest alone."""
+    reproducible from the manifest alone.
+
+    Constant-memory by construction (operators/sampling.py:shard_manifest):
+    hash-partition by shard, external sort within partition, chained md5
+    over Arrow-sized chunks — no collect_list, so a 100 TB shard with
+    millions of docs never materializes in one aggregation buffer. The
+    streamed digest is byte-identical to md5(string_agg(...)) in the SQL
+    oracle."""
     from cdc_streaming_pipeline_spark.functions.textfn import token_count
 
     docs = load_table(spark, sf_dir, "documents")
     shards = sp.shard_assignment(docs, n_shards=8)
     toks = docs.select("doc_id", token_count(F.col("text")).alias("_nt"))
-    return (
-        shards.join(toks, "doc_id")
-        .groupBy("shard_id")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("_nt").alias("n_tokens"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("shard_pos", "doc_id"))
-                        ),
-                        lambda x: x["doc_id"].cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("content_md5"),
-        )
-    )
+    return sp.shard_manifest(shards, toks)
 
 
 QUERIES = {

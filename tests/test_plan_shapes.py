@@ -369,3 +369,17 @@ def test_pit_join_hash_joins_on_key_not_nested_loop(spark):
     assert "HashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_shard_manifest_streams_digest_without_collect_list(spark):
+    """The manifest must never buffer a whole shard: no collect_list /
+    ObjectHashAggregate group buffer anywhere in the plan — the digest is
+    a chained md5 in a MapInPandas stage over a within-partition sort, so
+    per-executor memory is one Arrow batch regardless of shard size."""
+    from cdc_streaming_pipeline_spark.plans.docs import training_shard_manifest
+
+    plan = _plan(training_shard_manifest(spark, SF_DIR))
+    assert "collect_list" not in plan
+    assert "ObjectHashAggregate" not in plan
+    assert "MapInPandas" in plan
+    assert "Sort" in plan  # the spillable within-partition order

@@ -131,3 +131,54 @@ def test_temperature_resample_nonsquare_counts(spark):
     for r in out:
         got[r.source] = got.get(r.source, 0) + 1
     assert got == {"a": 2, "b": 2, "c": 4, "d": 6, "e": 8}
+
+
+def test_shard_manifest_digest_matches_collect_list_and_survives_tiny_batches(spark):
+    """The streamed chained-md5 manifest must equal the unbounded
+    collect_list formulation it replaced — including when Arrow batches are
+    far smaller than a shard, which forces the digest to chain across many
+    batch boundaries. Since per-executor state is one md5 context + one
+    Arrow batch, equality under maxRecordsPerBatch=64 IS the
+    constant-memory certificate."""
+    from cdc_streaming_pipeline_spark.operators.sampling import (
+        shard_assignment,
+        shard_manifest,
+    )
+    from cdc_streaming_pipeline_spark.functions.textfn import token_count
+    from cdc_streaming_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    shards = shard_assignment(docs, n_shards=4)
+    toks = docs.select("doc_id", token_count(F.col("text")).alias("_nt"))
+
+    reference = {
+        r.shard_id: (r.n_docs, r.n_tokens, r.content_md5)
+        for r in shards.join(toks, "doc_id")
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_nt").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("shard_pos", "doc_id"))),
+                        lambda x: x["doc_id"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("content_md5"),
+        )
+        .collect()
+    }
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        streamed = {
+            r.shard_id: (r.n_docs, r.n_tokens, r.content_md5)
+            for r in shard_manifest(shards, toks).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    assert streamed == reference
