@@ -189,23 +189,31 @@ def propagate_deletions(
     ).distinct()
     prev = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(touched))
     kept = prev.join(F.broadcast(keys), on=[*key_cols, BUCKET_COL], how="left_anti")
-    kept = kept.persist()
+    # The overwrite below rewrites the very files `kept`'s lineage reads, so
+    # the survivors must be DURABLY materialized first — a persist() would
+    # leave a window where an evicted partition recomputed mid-write re-reads
+    # files scheduled for deletion. Stage the (pruned, small) survivor set to
+    # a sibling directory and run the overwrite from the staged copy; the
+    # extra write is proportional to the touched buckets, never the snapshot.
+    staging = f"{path.rstrip('/')}._erasure_staging"
+    kept.write.mode("overwrite").parquet(staging)
+    staged = spark.read.parquet(staging)
     # dynamic overwrite only replaces partitions PRESENT in the output —
     # a bucket whose every row was erased emits nothing and would keep its
     # old files, silently failing the erasure. Find fully-emptied buckets
     # (a tiny per-bucket count) and remove their directories explicitly.
     surviving = {
-        r[BUCKET_COL] for r in kept.select(BUCKET_COL).distinct().collect()
+        r[BUCKET_COL] for r in staged.select(BUCKET_COL).distinct().collect()
     }
     if surviving:
         (
-            kept.repartition(F.col(BUCKET_COL))
+            staged.repartition(F.col(BUCKET_COL))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(BUCKET_COL)
             .parquet(path)
         )
-    kept.unpersist()
+    shutil.rmtree(staging, ignore_errors=True)
     for b in touched:
         if b not in surviving:
             shutil.rmtree(os.path.join(path, f"{BUCKET_COL}={b}"), ignore_errors=True)

@@ -59,20 +59,34 @@ def fk_orphan_report(
 ) -> DataFrame:
     """Referential-integrity audit: for each (name, child, child_key,
     parent, parent_key), count non-null child keys with no matching
-    parent row. One left-anti join per FK (parent side reduced to its
-    distinct key column — tiny, so it broadcasts), unioned into a single
-    plan so the whole audit is one job.
+    parent row. One left OUTER join per FK (parent side reduced to its
+    distinct key column — tiny, so it broadcasts): orphans are the
+    unmatched rows, and the same pass counts the audited child rows, so
+    the report carries (check_name, violations, n_rows, passed) like
+    ``check_constraints`` at the cost of the anti-join it replaces. All
+    edges union into a single plan so the whole audit is one job.
     """
     reports = []
     for name, child, ckey, parent, pkey in fks:
+        hits = (
+            parent.select(F.col(pkey).alias("_k"))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
         orphans = (
             child.select(F.col(ckey).alias("_k"))
             .filter(F.col("_k").isNotNull())
-            .join(parent.select(F.col(pkey).alias("_k")).distinct(), "_k", "left_anti")
-            .agg(F.count("*").alias("violations"))
+            .join(F.broadcast(hits), "_k", "left")
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("_hit").isNull().cast("long")), F.lit(0)
+                ).alias("violations"),
+                F.count("*").alias("n_rows"),
+            )
             .select(
                 F.lit(name).alias("check_name"),
                 "violations",
+                "n_rows",
                 (F.col("violations") == 0).alias("passed"),
             )
         )

@@ -1255,30 +1255,44 @@ ORACLE = {
 }
 
 ORACLE["validate_referential_integrity"] = """
-    WITH checks(check_name, violations) AS (
-        SELECT 'orders_custkey', (SELECT COUNT(*) FROM orders o
-            WHERE o.o_custkey IS NOT NULL
-              AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
-        UNION ALL SELECT 'lineitem_orderkey', (SELECT COUNT(*) FROM lineitem l
-            WHERE l.l_orderkey IS NOT NULL
-              AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
-        UNION ALL SELECT 'lineitem_partkey', (SELECT COUNT(*) FROM lineitem l
-            WHERE l.l_partkey IS NOT NULL
-              AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
-        UNION ALL SELECT 'lineitem_suppkey', (SELECT COUNT(*) FROM lineitem l
-            WHERE l.l_suppkey IS NOT NULL
-              AND NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
-        UNION ALL SELECT 'customer_nationkey', (SELECT COUNT(*) FROM customer c
-            WHERE c.c_nationkey IS NOT NULL
-              AND NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
-        UNION ALL SELECT 'supplier_nationkey', (SELECT COUNT(*) FROM supplier s
-            WHERE s.s_nationkey IS NOT NULL
-              AND NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
-        UNION ALL SELECT 'nation_regionkey', (SELECT COUNT(*) FROM nation n
-            WHERE n.n_regionkey IS NOT NULL
-              AND NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+    WITH checks(check_name, violations, n_rows) AS (
+        SELECT 'orders_custkey',
+               CAST(COUNT(*) FILTER (WHERE NOT EXISTS
+                   (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+               COUNT(*)
+        FROM orders o WHERE o.o_custkey IS NOT NULL
+        UNION ALL SELECT 'lineitem_orderkey',
+               CAST(COUNT(*) FILTER (WHERE NOT EXISTS
+                   (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+               COUNT(*)
+        FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+        UNION ALL SELECT 'lineitem_partkey',
+               CAST(COUNT(*) FILTER (WHERE NOT EXISTS
+                   (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) AS BIGINT),
+               COUNT(*)
+        FROM lineitem l WHERE l.l_partkey IS NOT NULL
+        UNION ALL SELECT 'lineitem_suppkey',
+               CAST(COUNT(*) FILTER (WHERE NOT EXISTS
+                   (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT),
+               COUNT(*)
+        FROM lineitem l WHERE l.l_suppkey IS NOT NULL
+        UNION ALL SELECT 'customer_nationkey',
+               CAST(COUNT(*) FILTER (WHERE NOT EXISTS
+                   (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT),
+               COUNT(*)
+        FROM customer c WHERE c.c_nationkey IS NOT NULL
+        UNION ALL SELECT 'supplier_nationkey',
+               CAST(COUNT(*) FILTER (WHERE NOT EXISTS
+                   (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)) AS BIGINT),
+               COUNT(*)
+        FROM supplier s WHERE s.s_nationkey IS NOT NULL
+        UNION ALL SELECT 'nation_regionkey',
+               CAST(COUNT(*) FILTER (WHERE NOT EXISTS
+                   (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)) AS BIGINT),
+               COUNT(*)
+        FROM nation n WHERE n.n_regionkey IS NOT NULL
     )
-    SELECT check_name, violations, violations = 0 AS passed FROM checks
+    SELECT check_name, violations, n_rows, violations = 0 AS passed FROM checks
 """
 
 ORACLE["lineitem_skew_report"] = """

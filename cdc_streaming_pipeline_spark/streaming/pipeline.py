@@ -345,8 +345,22 @@ def read_rollup(
 ) -> DataFrame:
     """Serve the maintained rollup: merge all per-batch partials (counts
     and decimal sums add associatively). Compaction = rewriting the merged
-    frame as a single partial; the read is identical either way."""
-    partials = spark.read.parquet(os.path.join(state_dir, "batch_id=*"))
+    frame as a single partial; the read is identical either way.
+
+    Only COMMITTED partials are served: a crash mid-``upsert_rollup_partial``
+    leaves a batch_id dir without its ``_SUCCESS`` marker, and reading it
+    would under/over-count until the stream replays the batch — so partial
+    dirs lacking the marker are skipped (they are exactly the ones the
+    replay will overwrite)."""
+    committed = [
+        os.path.join(state_dir, d)
+        for d in sorted(os.listdir(state_dir))
+        if d.startswith("batch_id=")
+        and os.path.exists(os.path.join(state_dir, d, "_SUCCESS"))
+    ]
+    if not committed:
+        raise FileNotFoundError(f"no committed rollup partials under {state_dir}")
+    partials = spark.read.parquet(*committed)
     return partials.groupBy("hour", *group_cols).agg(
         F.sum("n_events").alias("n_events"),
         F.round(F.sum("sum_partial"), 2).cast("double").alias("sum_value"),

@@ -265,3 +265,44 @@ def test_streaming_rollup_maintenance_matches_batch_and_replay_idempotent(spark,
     bid, rows = seen_batches[1]
     upsert_rollup_partial(spark.createDataFrame(rows, ev.schema), state, bid)
     assert as_map(read_rollup(spark, state)) == want
+
+
+def test_read_rollup_skips_uncommitted_partial_dirs(spark, tmp_path):
+    """A crash mid-write leaves a batch_id dir without _SUCCESS; serving it
+    would under/over-count until the replay overwrites it, so read_rollup
+    must ignore it and serve only committed partials."""
+    import os
+    import shutil
+
+    from cdc_streaming_pipeline_spark.sources.tables import load_table
+    from cdc_streaming_pipeline_spark.streaming.pipeline import (
+        read_rollup,
+        upsert_rollup_partial,
+    )
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "ts", "event_type", "value")
+    state = str(tmp_path / "rollup")
+    upsert_rollup_partial(ev.filter(F.col("event_id") % 2 == 0), state, 0)
+    before = {
+        (r.hour, r.event_type): (r.n_events, r.sum_value)
+        for r in read_rollup(spark, state).collect()
+    }
+
+    # simulate a crash mid-write of batch 1: data file present, no _SUCCESS
+    upsert_rollup_partial(ev.filter(F.col("event_id") % 2 == 1), state, 1)
+    os.remove(os.path.join(state, "batch_id=1", "_SUCCESS"))
+    after = {
+        (r.hour, r.event_type): (r.n_events, r.sum_value)
+        for r in read_rollup(spark, state).collect()
+    }
+    assert after == before  # uncommitted partial is invisible
+
+    # no committed partials at all -> explicit error, not an empty frame
+    shutil.rmtree(state)
+    os.makedirs(os.path.join(state, "batch_id=9"))
+    try:
+        read_rollup(spark, state)
+        raise AssertionError("expected FileNotFoundError")
+    except FileNotFoundError:
+        pass

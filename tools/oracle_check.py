@@ -86,6 +86,8 @@ def main() -> int:
     default_conf = False
     while argv and argv[0].startswith("--"):
         if argv[0] == "--json":
+            if len(argv) < 2:
+                raise SystemExit("usage: --json <output-path> [sf_dir] [query ...]")
             json_out = argv[1]
             argv = argv[2:]
         elif argv[0] == "--default-conf":
