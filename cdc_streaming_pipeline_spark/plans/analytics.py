@@ -807,6 +807,70 @@ def join_cardinality_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFr
     return join_cardinality(orders, "o_orderkey", li, "l_orderkey")
 
 
+_DERBY_MEMO: dict[tuple[str, str], str] = {}
+
+
+def _derby_nation_url(spark: SparkSession, sf_dir: str) -> str:
+    """Seed — once per (session, sf_dir) — an embedded Derby database with
+    the parquet `nation` table and return its JDBC url. Derby ships inside
+    Spark's own jars (no external driver), so this stands in for the
+    operational Postgres the reference polls (postgres/init/init.sql);
+    because the rows come FROM the parquet table, the DuckDB oracle can
+    replicate the federated query exactly."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _DERBY_MEMO:
+        return _DERBY_MEMO[key]
+    import hashlib
+    import os
+    import tempfile
+
+    from cdc_streaming_pipeline_spark.sources.jdbc import DERBY_DRIVER
+
+    digest = hashlib.md5(f"{key[0]}:{sf_dir}".encode()).hexdigest()[:8]
+    url = f"jdbc:derby:{os.path.join(tempfile.gettempdir(), f'fed_nation_{digest}')};create=true"
+    (
+        load_table(spark, sf_dir, "nation")
+        .write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation")
+        .option("driver", DERBY_DRIVER)
+        .mode("overwrite")
+        .save()
+    )
+    _DERBY_MEMO[key] = url
+    return url
+
+
+def jdbc_federated_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 federated path as a first-class query: an operational-DB
+    dimension (nation, served by embedded Derby over JDBC) joins landed
+    parquet facts (customer) in ONE Spark plan — the enrich-without-export
+    warehouse pattern. The region predicate is pushed to the REMOTE scan
+    (JDBC PushedFilters, pinned in tests/test_jdbc_source.py) and the
+    25-row dimension broadcasts; the parquet side never leaves Spark."""
+    from cdc_streaming_pipeline_spark.sources.jdbc import DERBY_DRIVER, jdbc_reader
+
+    url = _derby_nation_url(spark, sf_dir)
+    dim = (
+        jdbc_reader(
+            spark, url, "nation", driver=DERBY_DRIVER,
+            partition_column="n_nationkey", num_partitions=2,
+        )
+        .filter(F.col("n_regionkey") <= 2)
+        .select("n_nationkey", "n_name")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.join(F.broadcast(dim), cust["c_nationkey"] == dim["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+        .select("n_name", "n_customers", "total_acctbal")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -822,6 +886,7 @@ QUERIES = {
     "validate_referential_integrity": validate_referential_integrity,
     "lineitem_skew_report": lineitem_skew_report,
     "join_cardinality_orders_lineitem": join_cardinality_orders_lineitem,
+    "jdbc_federated_enrich": jdbc_federated_enrich,
     "nations_customers_only": nations_customers_only,
     "order_priority_counts": order_priority_counts,
     "q7_volume_shipping": q7_volume_shipping,
@@ -1321,4 +1386,14 @@ ORACLE["join_cardinality_orders_lineitem"] = """
            COUNT(*) AS n_matching_keys,
            MAX(ca * cb) AS max_key_contribution
     FROM ha JOIN hb USING (k)
+"""
+
+# The Derby dimension is seeded FROM the parquet nation table, so the
+# federated join replicates exactly against the parquet views.
+ORACLE["jdbc_federated_enrich"] = f"""
+    SELECT n_name, COUNT(*) AS n_customers,
+           {sql_dsum('c_acctbal')} AS total_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_regionkey <= 2
+    GROUP BY n_name
 """

@@ -49,6 +49,7 @@ def read_event_log(
     fmt: str = "json",
     streaming: bool = False,
     schema: T.StructType | None = None,
+    options: dict | None = None,
 ) -> DataFrame:
     """Schema-on-read scan of a landed event log (S5).
 
@@ -64,6 +65,8 @@ def read_event_log(
     if schema is None:
         schema = event_schema(entity)
     reader = spark.readStream if streaming else spark.read
+    if options:
+        reader = reader.options(**options)
     if fmt != "json":
         return reader.schema(schema).format(fmt).load(path)
     # JSON lines are scanned as text and parsed with from_json — exactly the

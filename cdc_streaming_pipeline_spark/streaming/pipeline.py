@@ -65,6 +65,7 @@ class CdcStreamingPipeline:
         trigger_seconds: int = 60,
         name: str = "cdc_pipeline",
         state_backend: str = "versioned",
+        max_files_per_trigger: int | None = None,
     ) -> None:
         self.spark = spark
         self.source_path = source_path
@@ -81,6 +82,9 @@ class CdcStreamingPipeline:
         if state_backend not in ("versioned", "partitioned"):
             raise ValueError(f"unknown state_backend: {state_backend!r}")
         self.state_backend = state_backend
+        # bound micro-batch size (and let availableNow backfills split into
+        # many batches instead of one giant catch-up batch)
+        self.max_files_per_trigger = max_files_per_trigger
 
     # ------------------------------------------------------------- sink --
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -133,8 +137,14 @@ class CdcStreamingPipeline:
 
     # ------------------------------------------------------------ start --
     def start(self, available_now: bool = False) -> StreamingQuery:
+        opts = (
+            {"maxFilesPerTrigger": str(self.max_files_per_trigger)}
+            if self.max_files_per_trigger
+            else None
+        )
         stream = read_event_log(
-            self.spark, self.source_path, entity=self.entity, streaming=True
+            self.spark, self.source_path, entity=self.entity, streaming=True,
+            options=opts,
         )
         writer = (
             stream.writeStream.foreachBatch(self._process_batch)

@@ -156,3 +156,83 @@ def test_clean_text_is_idempotent_and_never_grows(spark, texts):
         assert once[i].n_chars_clean <= once[i].n_chars_raw
         assert twice[i].n_removed == 0, f"not idempotent on {raw!r}"
         assert twice[i].clean_md5 == once[i].clean_md5
+
+
+@st.composite
+def _cdc_events(draw):
+    """Random per-key CDC event sequences: ops over a small key pool with a
+    strictly increasing global LSN (SCD2 requires strict order per key;
+    probes, not events, exercise duplicate/boundary timestamps)."""
+    n = draw(st.integers(min_value=1, max_value=24))
+    keys = draw(st.integers(min_value=1, max_value=4))
+    return [
+        (
+            draw(st.integers(min_value=1, max_value=keys)),  # key
+            draw(st.sampled_from(["c", "u", "d"])),  # op
+            draw(st.integers(min_value=0, max_value=99)),  # payload value
+        )
+        for _ in range(n)
+    ]
+
+
+@settings(max_examples=8, deadline=None)
+@given(events=_cdc_events())
+def test_pit_join_matches_bruteforce_interval_scan(spark, events):
+    """pit_join against a randomly generated SCD2 history must equal a
+    per-probe brute-force interval scan — including probes ON interval
+    boundaries (half-open: valid_from inclusive, valid_to exclusive),
+    before the first version, after a delete, and on keys with no
+    history. The SCD2 invariant guarantees at most one match per probe."""
+    from cdc_streaming_pipeline_spark.operators.cdc import scd2_history
+    from cdc_streaming_pipeline_spark.operators.joins import pit_join
+
+    rows = [
+        (key, op, val, (i + 1) * 10)  # lsn = 10, 20, ... (strictly increasing)
+        for i, (key, op, val) in enumerate(events)
+    ]
+    log = spark.createDataFrame(rows, "id long, _op string, val long, lsn long")
+    dim = scd2_history(log, key_cols=["id"], order_col="lsn").select(
+        "id", "val", "valid_from", "valid_to"
+    )
+
+    # python twin of scd2_history: per key, each non-delete opens a version,
+    # the next event (any op) closes it
+    versions = {}
+    per_key = {}
+    for key, op, val, lsn in rows:
+        per_key.setdefault(key, []).append((lsn, op, val))
+    for key, evs in per_key.items():
+        for i, (lsn, op, val) in enumerate(evs):
+            if op == "d":
+                continue
+            nxt = evs[i + 1][0] if i + 1 < len(evs) else None
+            versions.setdefault(key, []).append((lsn, nxt, val))
+
+    # probes: every boundary, mid-interval, before-first, and a key with
+    # no events at all (0); duplicates across keys are fine
+    max_key = max(r[0] for r in rows)
+    probes = []
+    fid = 0
+    for key in range(0, max_key + 2):
+        for t in {5} | {lsn for _, _, _, lsn in rows} | {
+            lsn + 5 for _, _, _, lsn in rows
+        }:
+            fid += 1
+            probes.append((fid, key, t))
+    fact = spark.createDataFrame(probes, "fid long, key long, probe long")
+
+    got = {
+        r.fid: (r.val, r.valid_from, r.valid_to)
+        for r in pit_join(fact, dim, "key", "id", "probe").collect()
+    }
+    assert len(got) == len(probes)  # left join: every probe survives, once
+
+    for fid_, key, t in probes:
+        match = [
+            (val, vf, vt)
+            for vf, vt, val in versions.get(key, [])
+            if vf <= t and (vt is None or t < vt)
+        ]
+        assert len(match) <= 1  # SCD2 non-overlap
+        want = match[0] if match else (None, None, None)
+        assert got[fid_] == want, (fid_, key, t)
