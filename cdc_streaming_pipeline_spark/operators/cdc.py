@@ -236,3 +236,58 @@ def split_corrupt(df: DataFrame, corrupt_col: str = "_corrupt_record") -> tuple[
     good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     bad = df.filter(F.col(corrupt_col).isNotNull())
     return good, bad
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+    op_col: str = OP_COL,
+) -> DataFrame:
+    """Derive CDC events by DIFFING two table snapshots — the inverse of
+    applying a change stream, and the standard recovery/reconciliation
+    move when log capture was down (or never existed) between two
+    snapshot exports: diff(yesterday, today) IS the missing change batch.
+
+    One full-outer join shuffled on the key: keys only in ``new`` emit
+    'c', keys only in ``old`` emit 'd', keys in both emit 'u' iff any
+    compare column differs (null-safe), and identical rows emit nothing.
+    Emitted rows carry the NEW image ('c'/'u') or nulls with the key
+    ('d') — exactly what `latest_state` needs to roll the older snapshot
+    forward. At 100 TB both sides arrive bucket-partitioned from the
+    snapshot layout (operators/merge.py), so the join co-locates without
+    a re-shuffle when read through the same bucketing."""
+    o = old.select(
+        *[F.col(k).alias(f"_o_{k}") for k in key_cols],
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_n_{k}") for k in key_cols],
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+    )
+    cond = None
+    for k in key_cols:
+        c = o[f"_o_{k}"] == n[f"_n_{k}"]
+        cond = c if cond is None else (cond & c)
+    joined = o.join(n, cond, "full_outer")
+    in_old = F.col(f"_o_{key_cols[0]}").isNotNull()
+    in_new = F.col(f"_n_{key_cols[0]}").isNotNull()
+    changed = None
+    for c in compare_cols:
+        d = ~F.col(f"_n_{c}").eqNullSafe(F.col(f"_o_{c}"))
+        changed = d if changed is None else (changed | d)
+    op = (
+        F.when(~in_old, F.lit("c"))
+        .when(~in_new, F.lit("d"))
+        .when(changed, F.lit("u"))
+    )
+    out_keys = [
+        F.coalesce(F.col(f"_n_{k}"), F.col(f"_o_{k}")).alias(k) for k in key_cols
+    ]
+    out_vals = [F.col(f"_n_{c}").alias(c) for c in compare_cols]
+    return (
+        joined.withColumn(op_col, op)
+        .filter(F.col(op_col).isNotNull())
+        .select(*out_keys, *out_vals, op_col)
+    )

@@ -807,6 +807,28 @@ def join_cardinality_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFr
     return join_cardinality(orders, "o_orderkey", li, "l_orderkey")
 
 
+def salted_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join as a certified query: lineitem⋈orders through
+    operators/joins.py:salted_join (left side salted 8 ways, right side
+    replicated per salt), aggregated to revenue per order priority. The
+    oracle is the PLAIN join's SQL — hash equality certifies that the
+    salt-split rewrite is semantically invisible, which is the entire
+    contract that lets it replace a skew-collapsed shuffle at 100 TB."""
+    from cdc_streaming_pipeline_spark.operators.joins import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = salted_join(li, orders, "l_orderkey", "o_orderkey", n_salts=8, how="inner")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lineitems"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
 _DERBY_MEMO: dict[tuple[str, str], str] = {}
 
 
@@ -887,6 +909,7 @@ QUERIES = {
     "lineitem_skew_report": lineitem_skew_report,
     "join_cardinality_orders_lineitem": join_cardinality_orders_lineitem,
     "jdbc_federated_enrich": jdbc_federated_enrich,
+    "salted_revenue_by_priority": salted_revenue_by_priority,
     "nations_customers_only": nations_customers_only,
     "order_priority_counts": order_priority_counts,
     "q7_volume_shipping": q7_volume_shipping,
@@ -1396,4 +1419,12 @@ ORACLE["jdbc_federated_enrich"] = f"""
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     WHERE n_regionkey <= 2
     GROUP BY n_name
+"""
+
+# plain-join oracle: the salted rewrite must be semantically invisible
+ORACLE["salted_revenue_by_priority"] = f"""
+    SELECT o.o_orderpriority, COUNT(*) AS n_lineitems,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
 """

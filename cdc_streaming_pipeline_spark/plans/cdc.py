@@ -406,6 +406,31 @@ def cdc_compliance_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot(spark, snap).select("id", "status", "total_amount", OP_COL)
 
 
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse CDC (operators/cdc.py:snapshot_diff): reconstruct the change
+    batch between two snapshot exports — the reconciliation move when log
+    capture was down. 'Yesterday' = the initial-load image MISSING the
+    id%7 cohort (they hadn't been inserted yet); 'today' = the final
+    latest-state. The diff must emit exactly: 'c' for the cohort that
+    appeared, 'd' for keys deleted in between, 'u' for keys whose image
+    changed, and NOTHING for untouched keys — certified against the
+    closed-form full-outer oracle."""
+    o = _orders(spark, sf_dir)
+    old = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("id"),
+        F.lit("pending").alias("status"),
+        F.col("o_totalprice").alias("total_amount"),
+    )
+    log = _order_event_log(o)
+    flat = filter_tombstones(log).select("value.*")
+    new = latest_state(flat, key_cols=["id"], order_col=LSN_COL).select(
+        "id", "status", "total_amount"
+    )
+    from cdc_streaming_pipeline_spark.operators.cdc import snapshot_diff
+
+    return snapshot_diff(old, new, ["id"], ["status", "total_amount"])
+
+
 QUERIES = {
     "cdc_latest_state": cdc_latest_state,
     "cdc_merge_partitioned": cdc_merge_partitioned,
@@ -417,6 +442,7 @@ QUERIES = {
     "cdc_scd2_history": cdc_scd2_history,
     "cdc_pit_lookup": cdc_pit_lookup,
     "cdc_compliance_erasure": cdc_compliance_erasure,
+    "cdc_snapshot_diff": cdc_snapshot_diff,
 }
 
 ORACLE = {
@@ -543,4 +569,23 @@ ORACLE["cdc_pit_lookup"] = f"""
 # latest-state survivors minus the erased residue class (id % 7 == 0)
 ORACLE["cdc_compliance_erasure"] = (
     "SELECT * FROM (" + ORACLE["cdc_latest_state"] + ") WHERE id % 7 <> 0"
+)
+
+# reverse CDC: full-outer diff of the two closed-form snapshot images;
+# identical rows vanish, the rest classify as c/d/u on the new image
+ORACLE["cdc_snapshot_diff"] = (
+    "WITH old AS (SELECT o_orderkey AS id, 'pending' AS status,"
+    "                    o_totalprice AS total_amount"
+    "             FROM orders WHERE o_orderkey % 7 <> 0),"
+    " new AS (SELECT id, status, total_amount FROM ("
+    + ORACLE["cdc_latest_state"]
+    + " )), d AS ("
+    " SELECT COALESCE(n.id, o.id) AS id, n.status, n.total_amount,"
+    "        CASE WHEN o.id IS NULL THEN 'c'"
+    "             WHEN n.id IS NULL THEN 'd'"
+    "             WHEN n.status IS DISTINCT FROM o.status"
+    "               OR n.total_amount IS DISTINCT FROM o.total_amount THEN 'u'"
+    "        END AS _op"
+    " FROM old o FULL JOIN new n ON o.id = n.id)"
+    " SELECT * FROM d WHERE _op IS NOT NULL"
 )

@@ -833,6 +833,28 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.shard_manifest(shards, toks)
 
 
+def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training on the curated corpus: distributed BPE merge
+    induction (operators/bpe.py). The corpus collapses to a word-frequency
+    table in one pass (the only corpus-sized job — at 100 TB it's one
+    explode+shuffle); the merge loop then iterates on that compressed
+    table with a 1-row collect per round. Returns the learned merge table
+    — a pure function of the corpus given the pinned (freq DESC, left,
+    right) tie-break. No SQL oracle (iterative); certified by the exact
+    pure-Python parity test in tests/test_bpe.py."""
+    from cdc_streaming_pipeline_spark.operators.bpe import (
+        train_bpe,
+        word_frequency_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = word_frequency_table(docs)
+    merges = train_bpe(wf, n_merges=24)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_freq long"
+    )
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_quality_scores": doc_quality_scores,
@@ -896,6 +918,7 @@ QUERIES = {
     "minhash_dedup_clusters": minhash_dedup_clusters,
     "doc_compression_ratio": doc_compression_ratio,
     "chunk_dedup_stats": chunk_dedup_stats,
+    "bpe_vocab_merges": bpe_vocab_merges,
     "training_shard_manifest": training_shard_manifest,
 }
 

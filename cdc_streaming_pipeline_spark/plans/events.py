@@ -153,6 +153,39 @@ def events_landed_partition_counts(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def landed_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files audit over the landed partitioned sink: per day, how
+    many partition dirs, how many physical parquet files, and rows per
+    file — the operational query that catches the classic streaming-sink
+    failure mode (thousands of KB-sized files per partition strangling
+    the NameNode/scan at 100 TB). File identity comes from
+    input_file_name() at scan time, so the count reflects the REAL layout.
+    The landing write routes each hour to one task (events.py:119), so
+    the certified contract is exactly one file per hour partition — the
+    oracle states files == distinct hours, and a compaction regression
+    breaks the row hash."""
+    t = spark.table(_landed_events_table(spark, sf_dir))
+    return (
+        t.withColumn("_file", F.input_file_name())  # project before agg:
+        # Spark bans nondeterministic expressions INSIDE aggregates
+        .groupBy("year", "month", "day")
+        .agg(
+            F.count_distinct("hour").alias("n_hour_partitions"),
+            F.count_distinct("_file").alias("n_files"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            F.col("year").cast("int").alias("year"),
+            F.col("month").cast("int").alias("month"),
+            F.col("day").cast("int").alias("day"),
+            "n_hour_partitions",
+            "n_files",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("n_files"), 2).alias("rows_per_file"),
+        )
+    )
+
+
 def hourly_type_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time windows per event type — the batch
     equivalent of the streaming windowed aggregate (same expressions run
@@ -568,6 +601,7 @@ QUERIES = {
     "latest_event_per_user": latest_event_per_user,
     "time_partition_counts": time_partition_counts,
     "events_landed_partition_counts": events_landed_partition_counts,
+    "landed_file_stats": landed_file_stats,
     "hourly_type_windows": hourly_type_windows,
     "user_sessions": user_sessions,
     "insert_key_generation": insert_key_generation,
@@ -799,4 +833,20 @@ ORACLE["incremental_hourly_rollup"] = """
            COUNT(*) AS n_events,
            CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2
+"""
+
+# one file per hour partition is the landing-write contract, so the
+# physical file count equals the distinct-hour count per day
+ORACLE["landed_file_stats"] = """
+    SELECT EXTRACT(year FROM ts)::INT AS year,
+           EXTRACT(month FROM ts)::INT AS month,
+           EXTRACT(day FROM ts)::INT AS day,
+           COUNT(DISTINCT EXTRACT(hour FROM ts)) AS n_hour_partitions,
+           COUNT(DISTINCT EXTRACT(hour FROM ts)) AS n_files,
+           COUNT(*) AS n_rows,
+           ROUND(COUNT(*)::DOUBLE / COUNT(DISTINCT EXTRACT(hour FROM ts)), 2)
+               AS rows_per_file
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+    GROUP BY 1, 2, 3
 """
