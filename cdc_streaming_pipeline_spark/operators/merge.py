@@ -221,3 +221,111 @@ def propagate_deletions(
     # file listing for this path still names the removed files — invalidate
     spark.catalog.refreshByPath(path)
     return touched
+
+
+# ----------------------------------------------------- SCD2 maintenance --
+SCD2_COLS = ("valid_from", "valid_to", "is_current")
+
+
+def init_scd2(
+    events: DataFrame,
+    path: str,
+    key_cols: list[str],
+    n_buckets: int = 64,
+    order_col: str = LSN_COL,
+) -> None:
+    """Bootstrap the bucket-partitioned SCD2 version table from an event
+    backlog. Version rows keep EVERY event column (op, lsn, deleted flag
+    included) alongside the interval bounds — that is what makes the
+    table self-describing enough for `merge_scd2_batch` to reconstruct
+    the exact event log later."""
+    from cdc_streaming_pipeline_spark.operators.cdc import scd2_history
+
+    hist = scd2_history(events, key_cols=key_cols, order_col=order_col)
+    out = with_key_bucket(hist, key_cols, n_buckets)
+    (
+        out.repartition(F.col(BUCKET_COL))
+        .write.mode("overwrite")
+        .partitionBy(BUCKET_COL)
+        .parquet(path)
+    )
+
+
+def merge_scd2_batch(
+    spark: SparkSession,
+    path: str,
+    batch_df: DataFrame,
+    key_cols: list[str],
+    n_buckets: int = 64,
+    order_col: str = LSN_COL,
+) -> list[int]:
+    """Incremental SCD2 maintenance, partition-pruned like
+    ``merge_cdc_batch``: only the buckets the batch's keys hash into are
+    read, recomputed, and dynamically overwritten.
+
+    The trick that makes the touched-bucket recompute EXACT (not an
+    approximation that drifts from the full recompute): the version table
+    is a lossless encoding of its own event history —
+
+    * every stored version row IS its opening non-delete event, verbatim
+      (all event columns were kept at write time);
+    * every ``valid_to`` bound that no version of the same key OPENS at
+      was closed by a delete event at exactly that LSN, so the delete
+      events are reconstructible too.
+
+    Reconstructed history ∪ new batch, deduped on (key, lsn) — which also
+    makes replays idempotent — then ``scd2_history`` re-derives the
+    touched keys' versions from scratch. Late, out-of-order events are
+    handled exactly (the recompute re-sorts per key), which in-place
+    interval surgery cannot do. Returns the rewritten bucket ids."""
+    from cdc_streaming_pipeline_spark.operators.cdc import scd2_history
+
+    touched = touched_buckets(batch_df, key_cols, n_buckets)
+    if not touched:
+        return []
+    prev = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(touched))
+    event_cols = [c for c in prev.columns if c not in SCD2_COLS and c != BUCKET_COL]
+
+    ev_old = prev.select(*event_cols)
+    # delete reconstruction: closed bounds not re-opened by the same key
+    starts = prev.select(
+        *[F.col(k).alias(f"_s_{k}") for k in key_cols],
+        F.col("valid_from").alias("_s_vf"),
+    ).distinct()
+    closed = prev.filter(F.col("valid_to").isNotNull())
+    cond = F.col("valid_to") == F.col("_s_vf")
+    for k in key_cols:
+        cond = cond & (F.col(k) == F.col(f"_s_{k}"))
+    from cdc_streaming_pipeline_spark.schemas import DELETED_COL, OP_COL
+
+    meta = {order_col: F.col("valid_to"), OP_COL: F.lit("d")}
+    if DELETED_COL in event_cols:
+        meta[DELETED_COL] = F.lit("true")
+    dels = closed.join(starts, cond, "left_anti").select(
+        *[
+            meta[c].alias(c)
+            if c in meta
+            else (F.col(c) if c in key_cols else F.lit(None).cast(prev.schema[c].dataType).alias(c))
+            for c in event_cols
+        ]
+    )
+    log = (
+        ev_old.unionByName(dels)
+        .unionByName(batch_df.select(*event_cols))
+        .dropDuplicates([*key_cols, order_col])
+    )
+    hist = scd2_history(log, key_cols=key_cols, order_col=order_col)
+    out = with_key_bucket(hist, key_cols, n_buckets)
+    (
+        out.repartition(F.col(BUCKET_COL))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BUCKET_COL)
+        .parquet(path)
+    )
+    return touched
+
+
+def read_scd2(spark: SparkSession, path: str) -> DataFrame:
+    """The maintained SCD2 dimension (bucket column dropped)."""
+    return spark.read.parquet(path).drop(BUCKET_COL)

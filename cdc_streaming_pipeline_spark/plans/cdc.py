@@ -406,6 +406,38 @@ def cdc_compliance_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot(spark, snap).select("id", "status", "total_amount", OP_COL)
 
 
+def cdc_scd2_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance (operators/merge.py:merge_scd2_batch):
+    bootstrap the version table from the initial-load batch, then merge
+    the change batch (updates/deletes/re-inserts) touching only its key
+    buckets — the version table's lossless event encoding makes the
+    pruned recompute exact. Final table must equal the full-recompute
+    SCD2 history, so this reuses cdc_scd2_history's closed-form oracle
+    verbatim."""
+    import hashlib
+    import os
+    import tempfile
+
+    from cdc_streaming_pipeline_spark.operators.merge import (
+        init_scd2,
+        merge_scd2_batch,
+        read_scd2,
+    )
+
+    log = _order_event_log(_orders(spark, sf_dir))
+    flat = filter_tombstones(log).select("value.*")
+    off = F.substring(F.col(LSN_COL), -1, 1).cast("int")  # _lsn = k*10 + off
+    digest = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{sf_dir}:scd2".encode()
+    ).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"cdc_scd2_snap_{digest}")
+    init_scd2(flat.filter(off == 1), path, key_cols=["id"], n_buckets=16)
+    merge_scd2_batch(spark, path, flat.filter(off > 1), key_cols=["id"], n_buckets=16)
+    return read_scd2(spark, path).select(
+        "id", "status", "total_amount", OP_COL, "valid_from", "valid_to", "is_current"
+    )
+
+
 def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reverse CDC (operators/cdc.py:snapshot_diff): reconstruct the change
     batch between two snapshot exports — the reconciliation move when log
@@ -443,6 +475,7 @@ QUERIES = {
     "cdc_pit_lookup": cdc_pit_lookup,
     "cdc_compliance_erasure": cdc_compliance_erasure,
     "cdc_snapshot_diff": cdc_snapshot_diff,
+    "cdc_scd2_merge_incremental": cdc_scd2_merge_incremental,
 }
 
 ORACLE = {
@@ -589,3 +622,6 @@ ORACLE["cdc_snapshot_diff"] = (
     " FROM old o FULL JOIN new n ON o.id = n.id)"
     " SELECT * FROM d WHERE _op IS NOT NULL"
 )
+
+# incremental SCD2 merge must equal the full recompute — same oracle
+ORACLE["cdc_scd2_merge_incremental"] = ORACLE["cdc_scd2_history"]

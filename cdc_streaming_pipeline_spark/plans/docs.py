@@ -833,6 +833,50 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.shard_manifest(shards, toks)
 
 
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training leakage gate: for each evaluation boundary
+    (train→val, train→test, val→test), how many docs on the LATER side
+    share a fingerprint with the earlier side — exact (normalized-text
+    md5) and bag-of-words (order-insensitive) both reported. This is the
+    check that actually blocks a training run: a dedup pass that ran
+    BEFORE splitting can still leak near-copies ACROSS the split. One
+    fingerprint projection, then three broadcast semi-joins per type
+    unioned into a single job (distinct fingerprint sets are tiny next
+    to the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = sp.md5_bucket(F.col("doc_id"), 100)
+    split = (
+        F.when(b < 80, F.lit("train")).when(b < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    fps = tx.with_fingerprint(docs).select(
+        "doc_id", "fp_exact", "fp_bow", split.alias("split")
+    )
+    reports = []
+    for earlier, later in (("train", "val"), ("train", "test"), ("val", "test")):
+        late = fps.filter(F.col("split") == later)
+        leaks = None
+        for col in ("fp_exact", "fp_bow"):
+            seen = (
+                fps.filter(F.col("split") == earlier).select(col).distinct()
+            )
+            n = (
+                late.join(F.broadcast(seen), col, "left_semi")
+                .agg(F.count("*").alias(f"n_{col.removeprefix('fp_')}_leaks"))
+            )
+            leaks = n if leaks is None else leaks.crossJoin(n)
+        reports.append(
+            leaks.select(
+                F.lit(f"{earlier}->{later}").alias("boundary"),
+                "n_exact_leaks",
+                "n_bow_leaks",
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer training on the curated corpus: distributed BPE merge
     induction (operators/bpe.py). The corpus collapses to a word-frequency
@@ -919,6 +963,7 @@ QUERIES = {
     "doc_compression_ratio": doc_compression_ratio,
     "chunk_dedup_stats": chunk_dedup_stats,
     "bpe_vocab_merges": bpe_vocab_merges,
+    "split_leakage_report": split_leakage_report,
     "training_shard_manifest": training_shard_manifest,
 }
 
@@ -1822,4 +1867,24 @@ ORACLE["training_shard_manifest"] = f"""
                AS content_md5
     FROM shards s JOIN toks t USING (doc_id)
     GROUP BY s.shard_id
+"""
+
+ORACLE["split_leakage_report"] = f"""
+    WITH fps AS (
+        SELECT doc_id,
+               md5({_NORM}) AS fp_exact,
+               md5(array_to_string(list_sort(list_distinct({_NORM_TOKS})), ' ')) AS fp_bow,
+               CASE WHEN {_MD5_BUCKET} < 80 THEN 'train'
+                    WHEN {_MD5_BUCKET} < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ), pairs(earlier, later) AS (
+        VALUES ('train', 'val'), ('train', 'test'), ('val', 'test')
+    )
+    SELECT p.earlier || '->' || p.later AS boundary,
+           (SELECT COUNT(*) FROM fps l WHERE l.split = p.later AND l.fp_exact IN
+               (SELECT fp_exact FROM fps e WHERE e.split = p.earlier)) AS n_exact_leaks,
+           (SELECT COUNT(*) FROM fps l WHERE l.split = p.later AND l.fp_bow IN
+               (SELECT fp_bow FROM fps e WHERE e.split = p.earlier)) AS n_bow_leaks
+    FROM pairs p
 """

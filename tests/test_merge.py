@@ -214,3 +214,62 @@ def test_propagate_deletions_empties_whole_bucket(spark, tmp_path):
     assert not os.path.exists(os.path.join(snap, f"{BUCKET_COL}={some_bucket}"))
     remaining = read_snapshot(spark, snap, raw=True)
     assert remaining.filter(F.col(BUCKET_COL) == some_bucket).count() == 0
+
+
+def _scd2_full(spark, full):
+    from cdc_streaming_pipeline_spark.operators.cdc import scd2_history
+
+    return scd2_history(full, key_cols=KEYS)
+
+
+def _scd2_dict(df):
+    cols = sorted(c for c in df.columns if c != BUCKET_COL)
+    return sorted(
+        tuple(r[c] for c in cols) for r in df.select(*cols).collect()
+    )
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_incremental_scd2_merge_equals_full_recompute(spark, tmp_path, seed):
+    """merge_scd2_batch over seeded batches == scd2_history over the whole
+    log — every version row, every interval bound, every is_current flag."""
+    from cdc_streaming_pipeline_spark.operators.merge import (
+        init_scd2,
+        merge_scd2_batch,
+        read_scd2,
+    )
+
+    batches, full = _event_batches(spark, tmp_path, seed=seed)
+    path = str(tmp_path / "scd2")
+    init_scd2(batches[0], path, key_cols=KEYS, n_buckets=N_BUCKETS)
+    for b in batches[1:]:
+        merge_scd2_batch(spark, path, b, key_cols=KEYS, n_buckets=N_BUCKETS)
+    assert _scd2_dict(read_scd2(spark, path)) == _scd2_dict(_scd2_full(spark, full))
+
+
+def test_scd2_merge_skips_untouched_buckets_and_replays_idempotently(spark, tmp_path):
+    from cdc_streaming_pipeline_spark.operators.merge import (
+        init_scd2,
+        merge_scd2_batch,
+        read_scd2,
+    )
+
+    batches, full = _event_batches(spark, tmp_path, seed=31)
+    path = str(tmp_path / "scd2")
+    init_scd2(batches[0], path, key_cols=KEYS, n_buckets=N_BUCKETS)
+    before = _partition_files(path)
+    # merge a batch restricted to ONE key -> at most one touched bucket
+    one_key = batches[1].filter(F.col("_table") == "customer").limit(1)
+    assert one_key.count() == 1
+    touched = merge_scd2_batch(spark, path, one_key, key_cols=KEYS, n_buckets=N_BUCKETS)
+    after = _partition_files(path)
+    assert len(touched) == 1
+    untouched = set(before) - set(touched)
+    assert untouched
+    for b in untouched:
+        assert after[b] == before[b]  # same files, same mtimes, same sizes
+
+    # replaying the SAME batch must not change the table (dedup on key+lsn)
+    state1 = _scd2_dict(read_scd2(spark, path))
+    merge_scd2_batch(spark, path, one_key, key_cols=KEYS, n_buckets=N_BUCKETS)
+    assert _scd2_dict(read_scd2(spark, path)) == state1
