@@ -398,3 +398,59 @@ def semantic_dedup(
     return assigned.groupBy("cluster").applyInPandas(
         dedup_cluster, f"{id_col} long, cluster int, kept boolean"
     )
+
+
+def coverage_sample(
+    df: DataFrame,
+    n_clusters: int = 16,
+    per_cell: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Semantic coverage sampling: the diversity-aware selection step of a
+    training-data pipeline — pick the ``per_cell`` most REPRESENTATIVE
+    items from every k-means cell, so the sample spans the embedding
+    space instead of oversampling its dense modes (the failure of uniform
+    sampling under skewed semantic density).
+
+    One corpus scan after the k-means fit: broadcast centroids, each
+    Arrow batch assigns its rows (one GEMM) and emits (id, cell,
+    centrality = cosine to own centroid); a window ranks per cell —
+    shuffle on the cell key only, output bounded by k × per_cell. Ties
+    break on id, so the selection is deterministic given the seeded fit.
+    Returns (id_col, cell, centrality, cell_rank, n_in_cell).
+    """
+    spark = df.sparkSession
+    cent = kmeans_fit(df, k=n_clusters, id_col=id_col, vec_col=vec_col, seed=seed)
+    bc = spark.sparkContext.broadcast(cent)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(np.int64)
+            mat = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            sims = mat @ c.T
+            cells = np.argmax(sims, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "cell": cells.astype(np.int32),
+                    "centrality": np.round(sims[np.arange(len(ids)), cells], 4),
+                }
+            )
+
+    assigned = df.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, cell int, centrality double"
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.col("centrality").desc(), F.col(id_col).asc()
+    )
+    return (
+        assigned.withColumn("cell_rank", F.row_number().over(w))
+        .withColumn("n_in_cell", F.count("*").over(Window.partitionBy("cell")))
+        .filter(F.col("cell_rank") <= per_cell)
+        .select(id_col, "cell", "centrality", "cell_rank", "n_in_cell")
+    )

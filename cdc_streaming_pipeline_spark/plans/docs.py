@@ -833,6 +833,17 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.shard_manifest(shards, toks)
 
 
+def embedding_coverage_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware selection (operators/cluster.py:coverage_sample):
+    the per_cell most representative vectors of every k-means cell, so
+    the sample SPANS the embedding space instead of oversampling dense
+    modes. Seeded k-means → rows-only in the gate; the per-cell argmax
+    and full-coverage invariants are numpy-verified in
+    tests/test_similarity_recall.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cl.coverage_sample(emb, n_clusters=8, per_cell=4)
+
+
 def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-training leakage gate: for each evaluation boundary
     (train→val, train→test, val→test), how many docs on the LATER side
@@ -964,6 +975,7 @@ QUERIES = {
     "chunk_dedup_stats": chunk_dedup_stats,
     "bpe_vocab_merges": bpe_vocab_merges,
     "split_leakage_report": split_leakage_report,
+    "embedding_coverage_sample": embedding_coverage_sample,
     "training_shard_manifest": training_shard_manifest,
 }
 

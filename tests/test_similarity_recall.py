@@ -268,3 +268,43 @@ def test_minhash_clusters_contain_high_jaccard_truth_and_cover_all_docs(spark):
         by_cluster.setdefault(c, []).append(d)
     for c, members in by_cluster.items():
         assert c == min(members)
+
+
+def test_coverage_sample_spans_all_cells_and_picks_argmax_centrality(spark):
+    """coverage_sample invariants vs a numpy replay of the same seeded
+    fit: every non-empty cell is represented, each cell contributes its
+    top-per_cell rows by (cosine-to-centroid DESC, id ASC) exactly, and
+    n_in_cell matches the true assignment counts."""
+    import numpy as np
+
+    from cdc_streaming_pipeline_spark.operators.cluster import (
+        _collect_matrix,
+        _normalize,
+        coverage_sample,
+        kmeans_fit,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    got = coverage_sample(emb, n_clusters=4, per_cell=3).collect()
+
+    cent = kmeans_fit(emb, k=4)
+    ids, mat = _collect_matrix(emb, "vec_id", "embedding")
+    mat = _normalize(mat)
+    sims = mat @ cent.T
+    cells = np.argmax(sims, axis=1)
+    centr = np.round(sims[np.arange(len(ids)), cells], 4)
+
+    want = {}
+    counts = {}
+    for c in np.unique(cells):
+        members = np.nonzero(cells == c)[0]
+        counts[int(c)] = len(members)
+        order = members[np.lexsort((ids[members], -centr[members]))][:3]
+        for rank, i in enumerate(order, start=1):
+            want[(int(c), rank)] = (int(ids[i]), float(centr[i]))
+
+    assert {r.cell for r in got} == {int(c) for c in np.unique(cells)}
+    assert len(got) == len(want)
+    for r in got:
+        assert want[(r.cell, r.cell_rank)] == (r.vec_id, r.centrality)
+        assert r.n_in_cell == counts[r.cell]
