@@ -383,3 +383,33 @@ def test_shard_manifest_streams_digest_without_collect_list(spark):
     assert "ObjectHashAggregate" not in plan
     assert "MapInPandas" in plan
     assert "Sort" in plan  # the spillable within-partition order
+
+
+def test_snapshot_diff_joins_on_key_no_cartesian(spark):
+    from cdc_streaming_pipeline_spark.plans.cdc import cdc_snapshot_diff
+
+    plan = _plan(cdc_snapshot_diff(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FullOuter" in plan  # the diff IS a keyed full-outer join
+
+
+def test_split_leakage_semi_joins_broadcast(spark):
+    """Each boundary check must be a broadcast LEFT-SEMI on the distinct
+    fingerprint set — a shuffled semi here means the tiny side stopped
+    broadcasting and the corpus re-shuffles per boundary at 100 TB."""
+    from cdc_streaming_pipeline_spark.plans.docs import split_leakage_report
+
+    plan = _plan(split_leakage_report(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_join_no_cartesian_and_salt_in_keys(spark):
+    from cdc_streaming_pipeline_spark.plans.analytics import (
+        salted_revenue_by_priority,
+    )
+
+    plan = _plan(salted_revenue_by_priority(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "_salt" in plan  # the salt column rides in the join keys

@@ -236,3 +236,51 @@ def test_pit_join_matches_bruteforce_interval_scan(spark, events):
         assert len(match) <= 1  # SCD2 non-overlap
         want = match[0] if match else (None, None, None)
         assert got[fid_] == want, (fid_, key, t)
+
+
+@st.composite
+def _two_snapshots(draw):
+    """Random old/new table states over a shared key pool, with nulls in
+    compare columns (the null-safe-equality trap)."""
+    keys = draw(st.integers(min_value=1, max_value=12))
+    val = st.one_of(st.none(), st.integers(min_value=0, max_value=3))
+    old = {
+        k: (draw(val), draw(val))
+        for k in range(1, keys + 1)
+        if draw(st.booleans())
+    }
+    new = {
+        k: (draw(val), draw(val))
+        for k in range(1, keys + 1)
+        if draw(st.booleans())
+    }
+    return old, new
+
+
+@settings(max_examples=10, deadline=None)
+@given(snaps=_two_snapshots())
+def test_snapshot_diff_matches_python_set_diff(spark, snaps):
+    """snapshot_diff == the dict-based diff: keys only in new -> 'c',
+    only in old -> 'd', in both with any null-safe-unequal column -> 'u',
+    identical rows emit nothing; emitted images are the NEW side."""
+    from cdc_streaming_pipeline_spark.operators.cdc import snapshot_diff
+
+    old, new = snaps
+    schema = "id long, a long, b long"
+    old_df = spark.createDataFrame([(k, *v) for k, v in old.items()], schema)
+    new_df = spark.createDataFrame([(k, *v) for k, v in new.items()], schema)
+
+    got = {
+        r.id: (r._op, r.a, r.b)
+        for r in snapshot_diff(old_df, new_df, ["id"], ["a", "b"]).collect()
+    }
+
+    want = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            want[k] = ("c", *new[k])
+        elif k not in new:
+            want[k] = ("d", None, None)
+        elif old[k] != new[k]:
+            want[k] = ("u", *new[k])
+    assert got == want
