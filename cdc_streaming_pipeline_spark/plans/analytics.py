@@ -807,6 +807,31 @@ def join_cardinality_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFr
     return join_cardinality(orders, "o_orderkey", li, "l_orderkey")
 
 
+def heavy_hitter_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-memory heavy hitters (operators/freq.py): Misra-Gries
+    candidate pass (k counters per partition, NO shuffle of the distinct
+    key space) + exact recount of the tiny shortlist. The fixture derives
+    a power-law key from orders — 30% of rows collapse onto 7 hot
+    residues, the rest stay unique — the shape where a full groupBy
+    shuffles ~0.7n distinct keys to find 7. The MG union guarantee
+    (any key with freq > n/k survives some partition's summary) plus the
+    exact recount makes the result EQUAL to the full-groupBy answer, so
+    it is hash-certified against that oracle. Threshold = floor(n/k)+1 —
+    strictly above n/k, because the superset guarantee needs f > n/k (an
+    item at exactly n/k can be wiped in every partition); the one
+    count() is a bounded 1-row job."""
+    from cdc_streaming_pipeline_spark.operators.freq import heavy_hitters
+
+    o = load_table(spark, sf_dir, "orders")
+    keyed = o.select(
+        F.when(F.col("o_orderkey") % 10 < 3, F.col("o_orderkey") % 7)
+        .otherwise(F.col("o_orderkey"))
+        .alias("key")
+    )
+    n = keyed.count()
+    return heavy_hitters(keyed, "key", min_count=n // 64 + 1, k=64)
+
+
 def salted_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-mitigated join as a certified query: lineitem⋈orders through
     operators/joins.py:salted_join (left side salted 8 ways, right side
@@ -910,6 +935,7 @@ QUERIES = {
     "join_cardinality_orders_lineitem": join_cardinality_orders_lineitem,
     "jdbc_federated_enrich": jdbc_federated_enrich,
     "salted_revenue_by_priority": salted_revenue_by_priority,
+    "heavy_hitter_keys": heavy_hitter_keys,
     "nations_customers_only": nations_customers_only,
     "order_priority_counts": order_priority_counts,
     "q7_volume_shipping": q7_volume_shipping,
@@ -1427,4 +1453,16 @@ ORACLE["salted_revenue_by_priority"] = f"""
            {sql_dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY 1
+"""
+
+# full-groupBy truth: the MG shortlist + recount must equal it exactly
+ORACLE["heavy_hitter_keys"] = """
+    WITH keyed AS (
+        SELECT CASE WHEN o_orderkey % 10 < 3 THEN o_orderkey % 7
+                    ELSE o_orderkey END AS key
+        FROM orders
+    )
+    SELECT key, COUNT(*) AS n_occurrences
+    FROM keyed GROUP BY 1
+    HAVING COUNT(*) >= (SELECT COUNT(*) FROM keyed) // 64 + 1
 """

@@ -284,3 +284,43 @@ def test_snapshot_diff_matches_python_set_diff(spark, snaps):
         elif old[k] != new[k]:
             want[k] = ("u", *new[k])
     assert got == want
+
+
+@st.composite
+def _skewed_stream(draw):
+    """Value stream with a few hot items + noise tail, in random order
+    (MG survivors are order-dependent; the recount must erase that)."""
+    n_hot = draw(st.integers(min_value=1, max_value=3))
+    stream = []
+    for h in range(n_hot):
+        stream += [1000 + h] * draw(st.integers(min_value=20, max_value=40))
+    n_noise = draw(st.integers(min_value=0, max_value=120))
+    stream += [draw(st.integers(min_value=0, max_value=500)) for _ in range(n_noise)]
+    perm = draw(st.permutations(range(len(stream))))
+    return [stream[i] for i in perm]
+
+
+@settings(max_examples=10, deadline=None)
+@given(stream=_skewed_stream(), k=st.sampled_from([8, 16]))
+def test_heavy_hitters_equal_full_groupby_for_any_order(spark, stream, k):
+    """MG shortlist + exact recount == the full-groupBy answer at the
+    n/k threshold, for ANY arrival order and partition split — the
+    superset guarantee proven in operators/freq.py."""
+    from collections import Counter
+
+    from cdc_streaming_pipeline_spark.operators.freq import (
+        heavy_hitters,
+        mg_candidates,
+    )
+
+    df = spark.createDataFrame([(v,) for v in stream], "key long").repartition(4)
+    n = len(stream)
+    thresh = n // k + 1  # strictly > n/k: the bound the MG union covers
+    got = {
+        (r.key, r.n_occurrences)
+        for r in heavy_hitters(df, "key", min_count=thresh, k=k).collect()
+    }
+    want = {(v, c) for v, c in Counter(stream).items() if c >= thresh}
+    assert got == want
+    # candidate set stays bounded by k x partitions
+    assert mg_candidates(df, "key", k=k).count() <= k * 4
