@@ -52,6 +52,18 @@ from cdc_streaming_pipeline_spark.schemas import LSN_COL
 BUCKET_COL = "_kb"
 
 
+def read_bucketed(spark: SparkSession, path: str):
+    """Every read of a bucketed table goes through schema-merged parquet:
+    dynamic overwrite rewrites only TOUCHED buckets, so after an additive
+    upstream schema change different bucket dirs legitimately carry
+    different footers — a plain read picks one footer and silently DROPS
+    the new column (bug class reproduced in tests/test_merge.py). The
+    footer-merge cost is bounded by the files actually listed, i.e. the
+    pruned buckets on merge paths; a deployment avoiding even that keeps
+    a sidecar schema file updated on write."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def with_key_bucket(df: DataFrame, key_cols: list[str], n_buckets: int) -> DataFrame:
     """Stable key bucket: pmod(xxhash64(keys...), n_buckets).
 
@@ -125,7 +137,7 @@ def merge_cdc_batch(
     if not touched:
         return []
     prev = (
-        spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(touched))
+        read_bucketed(spark, path).filter(F.col(BUCKET_COL).isin(touched))
         if os.path.exists(path)
         else None
     )
@@ -144,7 +156,7 @@ def merge_cdc_batch(
 def read_snapshot(spark: SparkSession, path: str, raw: bool = False) -> DataFrame:
     """Current table contents. raw=True keeps delete markers and the bucket
     column (the merge's own input view); the default is the queryable view."""
-    df = spark.read.parquet(path)
+    df = read_bucketed(spark, path)
     if raw:
         return df
     df = mark_deleted(df) if "_is_deleted" not in df.columns else df
@@ -177,7 +189,7 @@ def propagate_deletions(
     # value hash differently), so the key frame must carry the snapshot's
     # exact key dtypes before bucketing — cast defensively from the footer
     # schema rather than trusting the caller's frame
-    snap_types = {f.name: f.dataType for f in spark.read.parquet(path).schema.fields}
+    snap_types = {f.name: f.dataType for f in read_bucketed(spark, path).schema.fields}
     keys_typed = keys_df.select(
         *[F.col(c).cast(snap_types[c]).alias(c) for c in key_cols]
     )
@@ -187,7 +199,7 @@ def propagate_deletions(
     keys = with_key_bucket(keys_typed, key_cols, n_buckets).select(
         *key_cols, BUCKET_COL
     ).distinct()
-    prev = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(touched))
+    prev = read_bucketed(spark, path).filter(F.col(BUCKET_COL).isin(touched))
     kept = prev.join(F.broadcast(keys), on=[*key_cols, BUCKET_COL], how="left_anti")
     # The overwrite below rewrites the very files `kept`'s lineage reads, so
     # the survivors must be DURABLY materialized first — a persist() would
@@ -283,7 +295,7 @@ def merge_scd2_batch(
     touched = touched_buckets(batch_df, key_cols, n_buckets)
     if not touched:
         return []
-    prev = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(touched))
+    prev = read_bucketed(spark, path).filter(F.col(BUCKET_COL).isin(touched))
     event_cols = [c for c in prev.columns if c not in SCD2_COLS and c != BUCKET_COL]
 
     ev_old = prev.select(*event_cols)
@@ -309,9 +321,12 @@ def merge_scd2_batch(
             for c in event_cols
         ]
     )
+    # union by NAME with missing-column fill: an additive upstream column
+    # arrives only on the batch side — reconstructed history reads NULL
+    # there, and a column the upstream dropped nulls out on the batch side
     log = (
         ev_old.unionByName(dels)
-        .unionByName(batch_df.select(*event_cols))
+        .unionByName(batch_df, allowMissingColumns=True)
         .dropDuplicates([*key_cols, order_col])
     )
     hist = scd2_history(log, key_cols=key_cols, order_col=order_col)
@@ -328,4 +343,4 @@ def merge_scd2_batch(
 
 def read_scd2(spark: SparkSession, path: str) -> DataFrame:
     """The maintained SCD2 dimension (bucket column dropped)."""
-    return spark.read.parquet(path).drop(BUCKET_COL)
+    return read_bucketed(spark, path).drop(BUCKET_COL)

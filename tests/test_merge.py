@@ -273,3 +273,46 @@ def test_scd2_merge_skips_untouched_buckets_and_replays_idempotently(spark, tmp_
     state1 = _scd2_dict(read_scd2(spark, path))
     merge_scd2_batch(spark, path, one_key, key_cols=KEYS, n_buckets=N_BUCKETS)
     assert _scd2_dict(read_scd2(spark, path)) == state1
+
+
+def test_merge_survives_additive_schema_evolution(spark, tmp_path):
+    """Dynamic overwrite rewrites only touched buckets, so an additive
+    upstream column leaves the snapshot with MIXED footers across bucket
+    dirs. A plain parquet read picks one footer and silently drops the
+    new column (the reproduced bug class); every bucketed read now goes
+    through mergeSchema, so the evolved column must survive with NULLs
+    on un-evolved rows — for the latest-state snapshot AND the SCD2
+    table."""
+    from cdc_streaming_pipeline_spark.operators.merge import (
+        init_scd2,
+        init_snapshot,
+        merge_cdc_batch,
+        merge_scd2_batch,
+        read_scd2,
+        read_snapshot,
+    )
+
+    b1 = spark.createDataFrame(
+        [(i, "a", f"{i:06d}", "c") for i in range(40)],
+        "id long, status string, _lsn string, _op string",
+    )
+    b2 = spark.createDataFrame(
+        [(1, "b", "900001", "u", "x@y.z")],
+        "id long, status string, _lsn string, _op string, email string",
+    )
+
+    snap = str(tmp_path / "snap")
+    init_snapshot(b1, snap, ["id"], n_buckets=8)
+    merge_cdc_batch(spark, snap, b2, ["id"], n_buckets=8)
+    out = read_snapshot(spark, snap, raw=True)
+    rows = {r.id: r for r in out.filter(F.col("id").isin(1, 2)).collect()}
+    assert rows[1].email == "x@y.z"
+    assert rows[2].email is None  # un-evolved bucket reads NULL, not a drop
+
+    scd2 = str(tmp_path / "scd2")
+    init_scd2(b1, scd2, ["id"], n_buckets=8)
+    merge_scd2_batch(spark, scd2, b2, ["id"], n_buckets=8)
+    hist = read_scd2(spark, scd2)
+    assert "email" in hist.columns
+    v = {(r.id, r.valid_from): r for r in hist.filter(F.col("id") == 1).collect()}
+    assert v[(1, "900001")].email == "x@y.z" and v[(1, "900001")].is_current
