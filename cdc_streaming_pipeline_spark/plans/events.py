@@ -203,6 +203,51 @@ def hourly_type_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING event-time windows (1 hour long, 15-minute slide) per
+    event type — each event contributes to 4 overlapping windows, the
+    shape behind rate/SLO dashboards that tumbling windows can't express
+    (a spike straddling a tumbling boundary halves). Spark's window()
+    explodes each row into its windows BEFORE the shuffle, so the agg
+    stays one partial-aggregated shuffle; the oracle replicates the
+    explode with a 4-offset unnest."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral transition matrix: for consecutive events of
+    each user (ts order, event_id tiebreak), count (from_type, to_type)
+    pairs and each pair's share of its from-type's outgoing transitions —
+    the Markov-chain summary behind funnel/next-action models. One
+    window shuffle on user_id + one pair aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    wt = Window.partitionBy("from_type")
+    return pairs.withColumn(
+        "share",
+        F.round(F.col("n_transitions") / F.sum("n_transitions").over(wt), 4),
+    )
+
+
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: split each user's event sequence on >30-min gaps,
     count sessions and events-per-session stats. Lag + cumulative-sum —
@@ -603,6 +648,8 @@ QUERIES = {
     "events_landed_partition_counts": events_landed_partition_counts,
     "landed_file_stats": landed_file_stats,
     "hourly_type_windows": hourly_type_windows,
+    "sliding_window_counts": sliding_window_counts,
+    "event_transition_matrix": event_transition_matrix,
     "user_sessions": user_sessions,
     "insert_key_generation": insert_key_generation,
     "users_view_no_purchase": users_view_no_purchase,
@@ -849,4 +896,37 @@ ORACLE["landed_file_stats"] = """
     FROM events
     WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
     GROUP BY 1, 2, 3
+"""
+
+# sliding windows: every event lands in the 4 windows whose start is
+# within (ts - 1h, ts], at 15-minute alignment — replicated by unnesting
+# the 4 offsets from the event's 15-minute bucket
+ORACLE["sliding_window_counts"] = """
+    WITH exploded AS (
+        SELECT time_bucket(INTERVAL '15 minutes', ts)
+                   - (o.i * INTERVAL '15 minutes') AS window_start,
+               event_type, value
+        FROM events, (SELECT unnest(range(4)) AS i) o
+        WHERE time_bucket(INTERVAL '15 minutes', ts)
+                   - (o.i * INTERVAL '15 minutes') > ts - INTERVAL '1 hour'
+    )
+    SELECT window_start, event_type, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM exploded GROUP BY 1, 2
+"""
+
+ORACLE["event_transition_matrix"] = """
+    WITH pairs AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    ), counts AS (
+        SELECT from_type, to_type, COUNT(*) AS n_transitions
+        FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_transitions,
+           ROUND(n_transitions / SUM(n_transitions) OVER (PARTITION BY from_type), 4)
+               AS share
+    FROM counts
 """
