@@ -239,6 +239,38 @@ def propagate_deletions(
 SCD2_COLS = ("valid_from", "valid_to", "is_current")
 
 
+def _scd2_with_markers(events: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """SCD2 versions PLUS zero-width delete-marker rows.
+
+    ``scd2_history`` encodes a delete only as a closed ``valid_to`` bound
+    on the preceding version — which is LOSSY when there is no preceding
+    version yet (a delete arriving before its key's first insert across
+    micro-batch boundaries) or when the closing bound lands in a bucket
+    rewrite that later recomputes without it: a late lower-LSN insert
+    would then resurrect an open version. So every delete event is ALSO
+    stored verbatim as a marker row with ``valid_from == valid_to ==``
+    its LSN — a zero-width interval no point-in-time probe can match,
+    invisible in the default read, but preserved for the merge's event
+    reconstruction. Same tombstone-retention move as the latest-state
+    snapshot's raw delete rows (init_snapshot docstring).
+
+    With markers, EVERY stored row is its originating event verbatim, so
+    reconstruction is just dropping the interval columns — nothing is
+    inferred."""
+    from cdc_streaming_pipeline_spark.operators.cdc import mark_deleted, scd2_history
+
+    hist = scd2_history(events, key_cols=key_cols, order_col=order_col)
+    marked = mark_deleted(events) if "_is_deleted" not in events.columns else events
+    markers = (
+        marked.filter(F.col("_is_deleted"))
+        .drop("_is_deleted")
+        .withColumn("valid_from", F.col(order_col))
+        .withColumn("valid_to", F.col(order_col))
+        .withColumn("is_current", F.lit(False))
+    )
+    return hist.unionByName(markers)
+
+
 def init_scd2(
     events: DataFrame,
     path: str,
@@ -247,14 +279,14 @@ def init_scd2(
     order_col: str = LSN_COL,
 ) -> None:
     """Bootstrap the bucket-partitioned SCD2 version table from an event
-    backlog. Version rows keep EVERY event column (op, lsn, deleted flag
-    included) alongside the interval bounds — that is what makes the
-    table self-describing enough for `merge_scd2_batch` to reconstruct
-    the exact event log later."""
-    from cdc_streaming_pipeline_spark.operators.cdc import scd2_history
-
-    hist = scd2_history(events, key_cols=key_cols, order_col=order_col)
-    out = with_key_bucket(hist, key_cols, n_buckets)
+    backlog. Rows keep EVERY event column (op, lsn, deleted flag
+    included) alongside the interval bounds, and deletes persist as
+    zero-width marker rows — together that makes the table a LOSSLESS
+    encoding of its own event history, which is what
+    `merge_scd2_batch`'s pruned recompute relies on."""
+    out = with_key_bucket(
+        _scd2_with_markers(events, key_cols, order_col), key_cols, n_buckets
+    )
     (
         out.repartition(F.col(BUCKET_COL))
         .write.mode("overwrite")
@@ -275,62 +307,29 @@ def merge_scd2_batch(
     ``merge_cdc_batch``: only the buckets the batch's keys hash into are
     read, recomputed, and dynamically overwritten.
 
-    The trick that makes the touched-bucket recompute EXACT (not an
-    approximation that drifts from the full recompute): the version table
-    is a lossless encoding of its own event history —
-
-    * every stored version row IS its opening non-delete event, verbatim
-      (all event columns were kept at write time);
-    * every ``valid_to`` bound that no version of the same key OPENS at
-      was closed by a delete event at exactly that LSN, so the delete
-      events are reconstructible too.
-
-    Reconstructed history ∪ new batch, deduped on (key, lsn) — which also
-    makes replays idempotent — then ``scd2_history`` re-derives the
-    touched keys' versions from scratch. Late, out-of-order events are
-    handled exactly (the recompute re-sorts per key), which in-place
-    interval surgery cannot do. Returns the rewritten bucket ids."""
-    from cdc_streaming_pipeline_spark.operators.cdc import scd2_history
-
+    Because every stored row (version or delete marker) IS its
+    originating event verbatim (`_scd2_with_markers`), the touched-bucket
+    recompute is EXACT: strip the interval columns from the stored rows,
+    union the new batch (by name, missing columns null-filled — additive
+    schema evolution), dedupe on (key, lsn) — which also makes replays
+    idempotent — and re-derive the touched keys' versions from scratch.
+    Late, out-of-order events are handled exactly (the recompute re-sorts
+    per key), including a delete that arrived BEFORE its key's first
+    insert (the marker preserves it). Returns the rewritten bucket ids."""
     touched = touched_buckets(batch_df, key_cols, n_buckets)
     if not touched:
         return []
     prev = read_bucketed(spark, path).filter(F.col(BUCKET_COL).isin(touched))
     event_cols = [c for c in prev.columns if c not in SCD2_COLS and c != BUCKET_COL]
 
-    ev_old = prev.select(*event_cols)
-    # delete reconstruction: closed bounds not re-opened by the same key
-    starts = prev.select(
-        *[F.col(k).alias(f"_s_{k}") for k in key_cols],
-        F.col("valid_from").alias("_s_vf"),
-    ).distinct()
-    closed = prev.filter(F.col("valid_to").isNotNull())
-    cond = F.col("valid_to") == F.col("_s_vf")
-    for k in key_cols:
-        cond = cond & (F.col(k) == F.col(f"_s_{k}"))
-    from cdc_streaming_pipeline_spark.schemas import DELETED_COL, OP_COL
-
-    meta = {order_col: F.col("valid_to"), OP_COL: F.lit("d")}
-    if DELETED_COL in event_cols:
-        meta[DELETED_COL] = F.lit("true")
-    dels = closed.join(starts, cond, "left_anti").select(
-        *[
-            meta[c].alias(c)
-            if c in meta
-            else (F.col(c) if c in key_cols else F.lit(None).cast(prev.schema[c].dataType).alias(c))
-            for c in event_cols
-        ]
-    )
-    # union by NAME with missing-column fill: an additive upstream column
-    # arrives only on the batch side — reconstructed history reads NULL
-    # there, and a column the upstream dropped nulls out on the batch side
     log = (
-        ev_old.unionByName(dels)
+        prev.select(*event_cols)
         .unionByName(batch_df, allowMissingColumns=True)
         .dropDuplicates([*key_cols, order_col])
     )
-    hist = scd2_history(log, key_cols=key_cols, order_col=order_col)
-    out = with_key_bucket(hist, key_cols, n_buckets)
+    out = with_key_bucket(
+        _scd2_with_markers(log, key_cols, order_col), key_cols, n_buckets
+    )
     (
         out.repartition(F.col(BUCKET_COL))
         .write.mode("overwrite")
@@ -341,6 +340,14 @@ def merge_scd2_batch(
     return touched
 
 
-def read_scd2(spark: SparkSession, path: str) -> DataFrame:
-    """The maintained SCD2 dimension (bucket column dropped)."""
-    return read_bucketed(spark, path).drop(BUCKET_COL)
+def read_scd2(spark: SparkSession, path: str, raw: bool = False) -> DataFrame:
+    """The maintained SCD2 dimension. The default view hides the
+    zero-width delete markers (``valid_from == valid_to`` — matchable by
+    no point-in-time probe); raw=True keeps them (the merge's own input
+    view), with the bucket column dropped either way."""
+    df = read_bucketed(spark, path).drop(BUCKET_COL)
+    if raw:
+        return df
+    return df.filter(
+        F.col("valid_to").isNull() | (F.col("valid_to") != F.col("valid_from"))
+    )

@@ -833,6 +833,31 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.shard_manifest(shards, toks)
 
 
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIX for what split_leakage_report measures: assign train/val/
+    test by the md5 bucket of the duplicate-GROUP key (the bag-of-words
+    fingerprint) instead of the doc id, so every member of a duplicate
+    group lands on the same side and cross-split contamination is zero
+    BY CONSTRUCTION. Same zero-shuffle assignment property as the id
+    split (the bucket is a row-local expression); the report rolls up
+    per (split, lang) plus a per-split count of distinct groups —
+    certifying both the mixture and that groups never straddle."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = tx.with_fingerprint(docs)
+    b = sp.md5_bucket(F.col("fp_bow"), 100)
+    split = (
+        F.when(b < 80, F.lit("train")).when(b < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        fps.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("fp_bow").alias("n_groups"),
+        )
+    )
+
+
 def embedding_coverage_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity-aware selection (operators/cluster.py:coverage_sample):
     the per_cell most representative vectors of every k-means cell, so
@@ -975,6 +1000,7 @@ QUERIES = {
     "chunk_dedup_stats": chunk_dedup_stats,
     "bpe_vocab_merges": bpe_vocab_merges,
     "split_leakage_report": split_leakage_report,
+    "leakage_safe_split": leakage_safe_split,
     "embedding_coverage_sample": embedding_coverage_sample,
     "training_shard_manifest": training_shard_manifest,
 }
@@ -1899,4 +1925,22 @@ ORACLE["split_leakage_report"] = f"""
            (SELECT COUNT(*) FROM fps l WHERE l.split = p.later AND l.fp_bow IN
                (SELECT fp_bow FROM fps e WHERE e.split = p.earlier)) AS n_bow_leaks
     FROM pairs p
+"""
+
+ORACLE["leakage_safe_split"] = f"""
+    WITH fps AS (
+        SELECT doc_id, lang,
+               md5(array_to_string(list_sort(list_distinct({_NORM_TOKS})), ' ')) AS fp_bow
+        FROM documents
+    ), assigned AS (
+        SELECT lang, fp_bow,
+               CASE WHEN CAST(('0x' || substr(md5(fp_bow), 1, 8)) AS UBIGINT) % 100 < 80
+                    THEN 'train'
+                    WHEN CAST(('0x' || substr(md5(fp_bow), 1, 8)) AS UBIGINT) % 100 < 90
+                    THEN 'val' ELSE 'test' END AS split
+        FROM fps
+    )
+    SELECT split, lang, COUNT(*) AS n_docs,
+           COUNT(DISTINCT fp_bow) AS n_groups
+    FROM assigned GROUP BY 1, 2
 """

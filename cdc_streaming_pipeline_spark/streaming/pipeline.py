@@ -79,7 +79,7 @@ class CdcStreamingPipeline:
         self.sink_format = sink_format
         self.trigger_seconds = trigger_seconds
         self.name = name
-        if state_backend not in ("versioned", "partitioned"):
+        if state_backend not in ("versioned", "partitioned", "scd2"):
             raise ValueError(f"unknown state_backend: {state_backend!r}")
         self.state_backend = state_backend
         # bound micro-batch size (and let availableNow backfills split into
@@ -101,6 +101,25 @@ class CdcStreamingPipeline:
             self._upsert_state(good, batch_id)
 
     def _upsert_state(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.state_backend == "scd2":
+            # Maintain the full VERSION HISTORY incrementally (SCD Type 2)
+            # instead of just the latest row — the warehouse-dimension
+            # backend. Partition-pruned per batch like "partitioned", and
+            # replay-idempotent (merge dedupes on key+lsn), so the same
+            # at-least-once checkpoint story applies.
+            from cdc_streaming_pipeline_spark.operators.merge import (
+                init_scd2,
+                merge_scd2_batch,
+            )
+
+            snap = os.path.join(self.state_path, "scd2")
+            if not os.path.exists(snap):
+                init_scd2(batch_df, snap, key_cols=self.key_cols, order_col=LSN_COL)
+            else:
+                merge_scd2_batch(
+                    self.spark, snap, batch_df, key_cols=self.key_cols, order_col=LSN_COL
+                )
+            return
         if self.state_backend == "partitioned":
             # The 100 TB backend: partition-pruned bucket merge
             # (operators/merge.py) — reads/rewrites only the buckets this

@@ -310,3 +310,30 @@ def test_compression_ratio_matches_zlib_and_ranks_repetition(spark):
         assert abs(out[i].compression_ratio - want) < 1e-12
     # repetitive text compresses far better than prose
     assert out[2].compression_ratio < out[1].compression_ratio / 2
+
+
+def test_leakage_safe_split_groups_never_straddle(spark):
+    """The group-keyed split's whole point: every doc sharing a
+    bag-of-words fingerprint lands in the SAME split, so cross-split
+    exact/bow contamination is structurally zero."""
+    from pyspark.sql import functions as F
+
+    from cdc_streaming_pipeline_spark.operators import sampling as sp
+    from cdc_streaming_pipeline_spark.operators import text as tx
+    from cdc_streaming_pipeline_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    fps = tx.with_fingerprint(docs)
+    b = sp.md5_bucket(F.col("fp_bow"), 100)
+    split = (
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    per_group = (
+        fps.withColumn("split", split)
+        .groupBy("fp_bow")
+        .agg(F.count_distinct("split").alias("n_splits"))
+    )
+    assert per_group.filter(F.col("n_splits") > 1).count() == 0

@@ -316,3 +316,30 @@ def test_merge_survives_additive_schema_evolution(spark, tmp_path):
     assert "email" in hist.columns
     v = {(r.id, r.valid_from): r for r in hist.filter(F.col("id") == 1).collect()}
     assert v[(1, "900001")].email == "x@y.z" and v[(1, "900001")].is_current
+
+
+def test_scd2_merge_delete_before_insert_across_batches(spark, tmp_path):
+    """The tombstone-retention bug class: a delete processed in an EARLIER
+    batch than its key's insert (interleaved file batches) must still
+    close the version — the zero-width delete marker preserves the event
+    where plain scd2 output would lose it and let the late insert
+    resurrect an open version."""
+    from cdc_streaming_pipeline_spark.operators.merge import (
+        init_scd2,
+        merge_scd2_batch,
+        read_scd2,
+    )
+
+    schema = "id bigint, _table string, v string, _op string, _lsn string, _deleted string"
+    first = spark.createDataFrame([(8, "t", None, "d", "082", "true")], schema)
+    late = spark.createDataFrame([(8, "t", "a", "c", "038", None)], schema)
+    path = str(tmp_path / "scd2")
+    init_scd2(first, path, ["id", "_table"], n_buckets=4)
+    merge_scd2_batch(spark, path, late, ["id", "_table"], n_buckets=4)
+
+    rows = read_scd2(spark, path).collect()
+    assert len(rows) == 1
+    assert (rows[0].valid_from, rows[0].valid_to, rows[0].is_current) == ("038", "082", False)
+    # the marker stays in the raw view for future merges, hidden by default
+    raw = read_scd2(spark, path, raw=True)
+    assert raw.count() == 2

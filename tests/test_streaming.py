@@ -362,3 +362,29 @@ def test_state_upsert_restart_resumes_from_checkpoint(spark, tmp_path):
         pipe2 = _pipeline(spark, base, state_backend=backend, max_files_per_trigger=1)
         pipe2.run_once()
         _latest_state_matches_log(spark, src, str(base / "state"), gen)
+
+
+def test_streaming_scd2_backend_maintains_full_history(spark, tmp_path):
+    """state_backend='scd2': the stream maintains the SCD Type-2 version
+    history incrementally (partition-pruned per micro-batch) and the
+    final table equals scd2_history over the whole log — intervals,
+    closure by deletes, is_current flags and all."""
+    from cdc_streaming_pipeline_spark.operators.cdc import scd2_history
+    from cdc_streaming_pipeline_spark.operators.merge import read_scd2
+
+    gen = CdcWorkloadGenerator(seed=29)
+    gen.initial_load(rows_per_table=6)
+    gen.run(60)
+    src = str(tmp_path / "src")
+    gen.write_json_files(src, n_files=3)
+
+    pipe = _pipeline(spark, tmp_path, state_backend="scd2", max_files_per_trigger=1)
+    pipe.run_once()
+
+    from cdc_streaming_pipeline_spark.operators.cdc import split_corrupt
+
+    full, _ = split_corrupt(read_event_log(spark, src))  # pipeline drops the DLQ col
+    want = scd2_history(full, key_cols=["id", "_table"])
+    cols = sorted(c for c in want.columns)
+    as_set = lambda df: sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+    assert as_set(read_scd2(spark, str(tmp_path / "state" / "scd2"))) == as_set(want)
