@@ -182,6 +182,12 @@ def propagate_deletions(
     never snapshot size, same pruning contract as the merge (untouched
     partition files stay byte-identical; asserted in tests/test_merge.py).
     The returned bucket list is the audit record of what was rewritten.
+
+    Works verbatim on the SCD2 version table too (same key-bucket
+    layout): applied there it purges the victims' entire HISTORY —
+    versions and delete markers — which is what the erasure obligation
+    actually demands (tests/test_merge.py::
+    test_propagate_deletions_purges_scd2_history_too).
     """
     if not os.path.exists(path):
         return []

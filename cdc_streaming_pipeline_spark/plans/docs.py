@@ -913,6 +913,26 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_BPE_MEMO: dict[tuple[str, str], list] = {}
+
+
+def _trained_merges(spark: SparkSession, sf_dir: str) -> list:
+    """Train once per (session, sf_dir) — the merge table is a pure
+    function of the corpus, and BOTH bpe queries (training output +
+    corpus-wide application) start from it. Same memo pattern as
+    _memo_gemm / the merge snapshot."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BPE_MEMO:
+        from cdc_streaming_pipeline_spark.operators.bpe import (
+            train_bpe,
+            word_frequency_table,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        _BPE_MEMO[key] = train_bpe(word_frequency_table(docs), n_merges=24)
+    return _BPE_MEMO[key]
+
+
 def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer training on the curated corpus: distributed BPE merge
     induction (operators/bpe.py). The corpus collapses to a word-frequency
@@ -922,16 +942,53 @@ def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     — a pure function of the corpus given the pinned (freq DESC, left,
     right) tie-break. No SQL oracle (iterative); certified by the exact
     pure-Python parity test in tests/test_bpe.py."""
+    merges = _trained_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_freq long"
+    )
+
+
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer SERVING path: apply the learned BPE merge table to the
+    whole corpus and report per-doc BPE token counts + the compression
+    vs whitespace tokens. The scale trick: merges are never applied to
+    the corpus — the (word → n_subtokens) mapping is computed ONCE on
+    the word-frequency table (bounded: distinct words, not corpus rows)
+    and BROADCAST-joined to the exploded corpus. A 100 TB corpus pays
+    one explode + one broadcast join; the fold only ever runs over the
+    compressed vocabulary. Rows-only (depends on the trained merges);
+    exact-parity of training and application is pinned in
+    tests/test_bpe.py."""
     from cdc_streaming_pipeline_spark.operators.bpe import (
-        train_bpe,
+        segment_with_merges,
         word_frequency_table,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     wf = word_frequency_table(docs)
-    merges = train_bpe(wf, n_merges=24)
-    return spark.createDataFrame(
-        merges, "rank int, left string, right string, merged string, pair_freq long"
+    merges = _trained_merges(spark, sf_dir)
+    vocab = segment_with_merges(wf, merges).select(
+        "word", F.size("toks").alias("_n_sub")
+    )
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    return (
+        words.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ws_tokens"),
+            F.sum("_n_sub").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_ws_tokens",
+            "n_bpe_tokens",
+            F.round(F.col("n_bpe_tokens") / F.col("n_ws_tokens"), 4).alias(
+                "subtokens_per_word"
+            ),
+        )
     )
 
 
@@ -999,6 +1056,7 @@ QUERIES = {
     "doc_compression_ratio": doc_compression_ratio,
     "chunk_dedup_stats": chunk_dedup_stats,
     "bpe_vocab_merges": bpe_vocab_merges,
+    "bpe_token_counts": bpe_token_counts,
     "split_leakage_report": split_leakage_report,
     "leakage_safe_split": leakage_safe_split,
     "embedding_coverage_sample": embedding_coverage_sample,

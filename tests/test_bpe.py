@@ -101,3 +101,24 @@ def test_bpe_word_boundary_never_crossed(spark):
     for _, _, _, merged, _ in merges:
         inner = merged[: -len(END_OF_WORD)] if merged.endswith(END_OF_WORD) else merged
         assert END_OF_WORD not in inner
+
+
+def test_bpe_token_counts_match_python_application(spark):
+    """The corpus-wide serving path (broadcast vocab join) must agree
+    with applying the python twin's final segmentation word-by-word."""
+    import re
+
+    from cdc_streaming_pipeline_spark.plans.docs import bpe_token_counts
+    from cdc_streaming_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    wf = word_frequency_table(docs)
+    word_freq = {r.word: r.freq for r in wf.collect()}
+    merges, py_seg = _py_train(word_freq, n_merges=24)
+
+    got = {r.doc_id: (r.n_ws_tokens, r.n_bpe_tokens) for r in
+           bpe_token_counts(spark, SF_DIR).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        words = [w for w in re.split(r"\s+", row.text.strip().lower()) if w]
+        want = (len(words), sum(len(py_seg[w]) for w in words))
+        assert got[row.doc_id] == want, row.doc_id

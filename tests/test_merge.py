@@ -343,3 +343,38 @@ def test_scd2_merge_delete_before_insert_across_batches(spark, tmp_path):
     # the marker stays in the raw view for future merges, hidden by default
     raw = read_scd2(spark, path, raw=True)
     assert raw.count() == 2
+
+
+def test_propagate_deletions_purges_scd2_history_too(spark, tmp_path):
+    """GDPR erasure must remove HISTORY, not just current rows: applied to
+    the SCD2 table (same key-bucket layout, so the same operator works
+    verbatim), every version row AND delete marker of the victim keys
+    vanishes from the raw view, untouched buckets stay byte-identical."""
+    from cdc_streaming_pipeline_spark.operators.merge import (
+        init_scd2,
+        propagate_deletions,
+        read_scd2,
+    )
+
+    batches, full = _event_batches(spark, tmp_path, seed=13)
+    path = str(tmp_path / "scd2")
+    init_scd2(full, path, KEYS, n_buckets=N_BUCKETS)
+    before_files = _partition_files(path)
+    all_keys = sorted(
+        (r.id, r._table)
+        for r in read_scd2(spark, path, raw=True).select("id", "_table").distinct().collect()
+    )
+    victims = all_keys[:3]
+    vdf = spark.createDataFrame(victims, "id bigint, _table string")
+    touched = propagate_deletions(spark, path, vdf, KEYS, n_buckets=N_BUCKETS)
+    assert touched
+
+    raw = read_scd2(spark, path, raw=True)
+    survivors = {
+        (r.id, r._table) for r in raw.select("id", "_table").distinct().collect()
+    }
+    assert survivors == set(all_keys) - set(victims)
+    after_files = _partition_files(path)
+    for b, files in before_files.items():
+        if b not in touched and b in after_files:
+            assert after_files[b] == files
