@@ -204,6 +204,14 @@ def read_latest_state(
         from cdc_streaming_pipeline_spark.operators.merge import read_snapshot
 
         return read_snapshot(spark, partitioned, raw=raw)
+    scd2 = os.path.join(state_path, "scd2")
+    if os.path.exists(scd2):
+        # the SCD2 backend's latest-state view: currently-open versions
+        # (raw=True returns the full history incl. delete markers)
+        from cdc_streaming_pipeline_spark.operators.merge import read_scd2
+
+        hist = read_scd2(spark, scd2, raw=raw)
+        return hist if raw else hist.filter(F.col("is_current"))
     pointer = os.path.join(state_path, _POINTER)
     if not os.path.exists(pointer):
         return None

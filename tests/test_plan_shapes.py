@@ -413,3 +413,15 @@ def test_salted_join_no_cartesian_and_salt_in_keys(spark):
     plan = _plan(salted_revenue_by_priority(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "_salt" in plan  # the salt column rides in the join keys
+
+
+def test_heavy_hitters_shortlist_broadcasts_no_full_distinct_shuffle(spark):
+    """The MG path's reason to exist: the recount joins the corpus to a
+    BROADCAST shortlist (left-semi) — and the only groupBy shuffles rows
+    of shortlisted keys, never the full distinct key space."""
+    from cdc_streaming_pipeline_spark.plans.analytics import heavy_hitter_keys
+
+    plan = _plan(heavy_hitter_keys(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "MapInPandas" in plan  # the bounded-memory candidate pass
+    assert "CartesianProduct" not in plan

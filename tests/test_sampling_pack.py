@@ -182,3 +182,42 @@ def test_shard_manifest_digest_matches_collect_list_and_survives_tiny_batches(sp
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
 
     assert streamed == reference
+
+
+def test_training_shard_export_round_trip_matches_manifest(spark, tmp_path):
+    """The export path end-to-end: write each shard as a parquet dir in
+    shard_pos order, read the files back, recompute each shard's digest
+    from the READ-BACK row order — it must equal the manifest computed
+    from the logical frame, proving the manifest certifies what actually
+    lands on disk."""
+    import hashlib
+
+    from cdc_streaming_pipeline_spark.functions.textfn import token_count
+    from cdc_streaming_pipeline_spark.operators.sampling import (
+        shard_assignment,
+        shard_manifest,
+    )
+    from cdc_streaming_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    shards = shard_assignment(docs, n_shards=4)
+    toks = docs.select("doc_id", token_count(F.col("text")).alias("_nt"))
+    manifest = {
+        r.shard_id: r.content_md5 for r in shard_manifest(shards, toks).collect()
+    }
+
+    out = str(tmp_path / "shards")
+    (
+        shards.repartition(F.col("shard_id"))
+        .sortWithinPartitions("shard_id", "shard_pos")
+        .write.partitionBy("shard_id")
+        .parquet(out)
+    )
+    for shard_id, want in manifest.items():
+        # read back WITHOUT re-sorting: parquet preserves within-file row
+        # order, and each shard dir was written by one task
+        back = spark.read.parquet(f"{out}/shard_id={shard_id}").collect()
+        digest = hashlib.md5(
+            ",".join(str(r.doc_id) for r in back).encode()
+        ).hexdigest()
+        assert digest == want, shard_id

@@ -332,7 +332,7 @@ def test_state_upsert_restart_resumes_from_checkpoint(spark, tmp_path):
     checkpoint story for the versioned state backend (SURVEY §3.1)."""
     import pytest
 
-    for backend in ("versioned", "partitioned"):
+    for backend in ("versioned", "partitioned", "scd2"):
         base = tmp_path / backend
         base.mkdir()
         gen = CdcWorkloadGenerator(seed=17)
