@@ -248,6 +248,36 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_disorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder audit — the measurement that DESIGNS the
+    watermark: per event type, how often consecutive events of a user
+    (arrival order = event_id) regress in event time, and by how much.
+    withWatermark's delay should dominate the observed max backstep;
+    guessing it instead of measuring it silently drops late data. One
+    window shuffle on the user key, one aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").asc())
+    steps = (
+        ev.withColumn("_prev_ts", F.lag("ts").over(w))
+        .filter(F.col("_prev_ts").isNotNull())
+        .withColumn(
+            "_backstep_s",
+            F.greatest(
+                F.lit(0.0),
+                (F.unix_micros("_prev_ts") - F.unix_micros("ts")) / 1_000_000.0,
+            ),
+        )
+    )
+    return steps.groupBy("event_type").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum((F.col("_backstep_s") > 0).cast("long")).alias("n_regressions"),
+        F.round(
+            F.sum((F.col("_backstep_s") > 0).cast("long")) / F.count("*"), 4
+        ).alias("regression_frac"),
+        F.round(F.max("_backstep_s"), 1).alias("max_backstep_s"),
+    )
+
+
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: split each user's event sequence on >30-min gaps,
     count sessions and events-per-session stats. Lag + cumulative-sum —
@@ -650,6 +680,7 @@ QUERIES = {
     "hourly_type_windows": hourly_type_windows,
     "sliding_window_counts": sliding_window_counts,
     "event_transition_matrix": event_transition_matrix,
+    "event_disorder_stats": event_disorder_stats,
     "user_sessions": user_sessions,
     "insert_key_generation": insert_key_generation,
     "users_view_no_purchase": users_view_no_purchase,
@@ -929,4 +960,21 @@ ORACLE["event_transition_matrix"] = """
            ROUND(n_transitions / SUM(n_transitions) OVER (PARTITION BY from_type), 4)
                AS share
     FROM counts
+"""
+
+ORACLE["event_disorder_stats"] = """
+    WITH steps AS (
+        SELECT event_type,
+               GREATEST(0.0,
+                   (epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id))
+                    - epoch_us(ts)) / 1000000.0) AS backstep_s
+        FROM events
+        QUALIFY LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id) IS NOT NULL
+    )
+    SELECT event_type, COUNT(*) AS n_pairs,
+           SUM(CASE WHEN backstep_s > 0 THEN 1 ELSE 0 END) AS n_regressions,
+           ROUND(SUM(CASE WHEN backstep_s > 0 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 4)
+               AS regression_frac,
+           ROUND(MAX(backstep_s), 1) AS max_backstep_s
+    FROM steps GROUP BY 1
 """
