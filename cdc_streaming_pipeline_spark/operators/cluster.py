@@ -454,3 +454,64 @@ def coverage_sample(
         .filter(F.col("cell_rank") <= per_cell)
         .select(id_col, "cell", "centrality", "cell_rank", "n_in_cell")
     )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-space outlier scoring — the quality filter that catches
+    mis-embedded / corrupted / off-distribution vectors before they
+    poison retrieval or training: each vector's cosine distance to its
+    OWN k-means centroid, z-scored against its cell's distance
+    distribution (a global z-score would flag every small cell instead).
+
+    Two corpus scans after the fit: one assignment pass (batch GEMM
+    against broadcast centroids) and one re-join against the per-cell
+    moment aggregates (k rows, broadcast). Returns
+    (id_col, cell, dist, cell_dist_mean, outlier_z)."""
+    spark = df.sparkSession
+    cent = kmeans_fit(df, k=n_clusters, id_col=id_col, vec_col=vec_col, seed=seed)
+    bc = spark.sparkContext.broadcast(cent)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(np.int64)
+            mat = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            sims = mat @ c.T
+            cells = np.argmax(sims, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "cell": cells.astype(np.int32),
+                    "dist": np.round(1.0 - sims[np.arange(len(ids)), cells], 6),
+                }
+            )
+
+    assigned = df.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, cell int, dist double"
+    )
+    stats = assigned.groupBy("cell").agg(
+        F.avg("dist").alias("cell_dist_mean"),
+        F.stddev_pop("dist").alias("_sd"),
+    )
+    return (
+        assigned.join(F.broadcast(stats), "cell")
+        .select(
+            id_col,
+            "cell",
+            "dist",
+            F.round("cell_dist_mean", 6).alias("cell_dist_mean"),
+            F.round(
+                (F.col("dist") - F.col("cell_dist_mean"))
+                / F.when(F.col("_sd") > 0, F.col("_sd")).otherwise(F.lit(1.0)),
+                4,
+            ).alias("outlier_z"),
+        )
+    )

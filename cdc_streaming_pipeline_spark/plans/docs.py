@@ -833,6 +833,23 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.shard_manifest(shards, toks)
 
 
+def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier filter (operators/cluster.py:embedding_outliers):
+    per-cell z-scored cosine distance to the assigned k-means centroid —
+    flags mis-embedded/off-distribution vectors before they poison
+    retrieval or training. Seeded fit → rows-only; the z-score math is
+    numpy-replayed in tests/test_similarity_recall.py. Top-20 by
+    outlier_z (id tiebreak) keeps the output bounded."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scores = cl.embedding_outliers(emb, n_clusters=8)
+    # distributed top-k (TakeOrderedAndProject), not a global sort
+    return (
+        scores.orderBy(F.col("outlier_z").desc(), F.col("vec_id").asc())
+        .limit(20)
+        .select("vec_id", "cell", "dist", "outlier_z")
+    )
+
+
 def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FIX for what split_leakage_report measures: assign train/val/
     test by the md5 bucket of the duplicate-GROUP key (the bag-of-words
@@ -1060,6 +1077,7 @@ QUERIES = {
     "split_leakage_report": split_leakage_report,
     "leakage_safe_split": leakage_safe_split,
     "embedding_coverage_sample": embedding_coverage_sample,
+    "embedding_outlier_scores": embedding_outlier_scores,
     "training_shard_manifest": training_shard_manifest,
 }
 

@@ -308,3 +308,36 @@ def test_coverage_sample_spans_all_cells_and_picks_argmax_centrality(spark):
     for r in got:
         assert want[(r.cell, r.cell_rank)] == (r.vec_id, r.centrality)
         assert r.n_in_cell == counts[r.cell]
+
+
+def test_embedding_outliers_zscores_match_numpy_replay(spark):
+    """embedding_outliers vs a numpy replay of the same seeded fit:
+    identical cells, distances, and per-cell z-scores."""
+    import numpy as np
+
+    from cdc_streaming_pipeline_spark.operators.cluster import (
+        _collect_matrix,
+        _normalize,
+        embedding_outliers,
+        kmeans_fit,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    got = {r.vec_id: (r.cell, r.dist, r.outlier_z)
+           for r in embedding_outliers(emb, n_clusters=4).collect()}
+
+    cent = kmeans_fit(emb, k=4)
+    ids, mat = _collect_matrix(emb, "vec_id", "embedding")
+    mat = _normalize(mat)
+    sims = mat @ cent.T
+    cells = np.argmax(sims, axis=1)
+    dist = np.round(1.0 - sims[np.arange(len(ids)), cells], 6)
+    for c in np.unique(cells):
+        m = cells == c
+        mu, sd = dist[m].mean(), dist[m].std()
+        z = np.round((dist[m] - mu) / (sd if sd > 0 else 1.0), 4)
+        for vid, d, zz in zip(ids[m], dist[m], z):
+            gc, gd, gz = got[int(vid)]
+            assert gc == int(c)
+            assert abs(gd - d) < 1e-9
+            assert abs(gz - zz) < 2e-4  # mean/std rounding in the plan
