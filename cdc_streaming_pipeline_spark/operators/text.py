@@ -642,3 +642,56 @@ def compression_ratio_scores(df: DataFrame, text_col: str = "text") -> DataFrame
     return df.select("doc_id", text_col).mapInPandas(
         score, "doc_id long, n_bytes int, n_compressed int, compression_ratio double"
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """Bigram-LM quality filter: mean −ln p(w₂|w₁) per document with
+    add-k smoothed corpus-estimated probabilities,
+    p = (c(w₁w₂) + k) / (c(w₁) + k·V). Catches what the unigram proxy
+    can't: a doc of common words in impossible ORDER scores high here
+    and normal there — the word-salad detector.
+
+    One explode into adjacent pairs (two shifted array slices — no UDF)
+    feeds both the bigram count table and the per-doc join; the unigram
+    context counts and the vocabulary size ride as one more join + a
+    broadcast 1-row aggregate. c(w₁) is the token's full corpus count
+    (identical in both engines; documented simplification vs
+    context-position counts). k = 0.5 is exactly representable, so the
+    smoothing arithmetic is bit-identical across engines."""
+    t = tokens(normalize_ws(F.col(text_col)))
+    n = F.size("_t")
+    pair_arr = F.arrays_zip(
+        F.slice("_t", 1, n - 1).alias("w1"), F.slice("_t", 2, n - 1).alias("w2")
+    )
+    pairs = (
+        df.select(F.col(id_col).alias("_id"), t.alias("_t"))
+        .filter(n >= 2)
+        .select("_id", F.explode(pair_arr).alias("p"))
+        .select("_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    uni = (
+        df.select(F.explode(t).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    vocab = uni.agg(F.count("*").alias("v"))
+    nll = -F.log(
+        (F.col("c12") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("v"))
+    )
+    return (
+        pairs.join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg(nll), 4).alias("bigram_nll"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )

@@ -362,6 +362,14 @@ def doc_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.perplexity_proxy_scores(docs)
 
 
+def doc_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality filter (operators/text.py:bigram_lm_scores):
+    add-k smoothed mean −ln p(w₂|w₁) per doc — the word-salad detector
+    the unigram proxy can't be (common words in impossible order)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.bigram_lm_scores(docs)
+
+
 def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-pretraining sequence packing: assign docs (in id order within
     md5 shards) to 512-token training sequences via SHARD-PARTITIONED
@@ -1042,6 +1050,7 @@ QUERIES = {
     "doc_repetition_stats": doc_repetition_stats,
     "doc_contamination": doc_contamination,
     "doc_perplexity_proxy": doc_perplexity_proxy,
+    "doc_bigram_nll": doc_bigram_nll,
     "pack_documents": pack_documents,
     "ann_topk_ivf": ann_topk_ivf,
     "media_image_pipeline": media_image_pipeline,
@@ -2019,4 +2028,29 @@ ORACLE["leakage_safe_split"] = f"""
     SELECT split, lang, COUNT(*) AS n_docs,
            COUNT(DISTINCT fp_bow) AS n_groups
     FROM assigned GROUP BY 1, 2
+"""
+
+ORACLE["doc_bigram_nll"] = f"""
+    WITH toked AS (
+        SELECT doc_id, {_NORM_TOKS} AS t FROM documents
+    ), pairs AS (
+        SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        FROM toked, UNNEST(range(1, len(t))) AS u(i)
+        WHERE len(t) >= 2
+    ), uni AS (
+        SELECT unnest(t) AS w1 FROM toked
+    ), uc AS (
+        SELECT w1, COUNT(*) AS c1 FROM uni GROUP BY 1
+    ), bc AS (
+        SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2
+    ), v AS (
+        SELECT COUNT(DISTINCT w1) AS v FROM uni
+    )
+    SELECT p.doc_id, COUNT(*) AS n_pairs,
+           ROUND(AVG(-ln((bc.c12 + 0.5) / (uc.c1 + 0.5 * v.v))), 4) AS bigram_nll
+    FROM pairs p
+    JOIN bc ON p.w1 = bc.w1 AND p.w2 = bc.w2
+    JOIN uc ON p.w1 = uc.w1
+    CROSS JOIN v
+    GROUP BY 1
 """

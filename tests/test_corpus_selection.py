@@ -337,3 +337,23 @@ def test_leakage_safe_split_groups_never_straddle(spark):
         .agg(F.count_distinct("split").alias("n_splits"))
     )
     assert per_group.filter(F.col("n_splits") > 1).count() == 0
+
+
+def test_bigram_nll_detects_word_salad(spark):
+    """The bigram LM's reason to exist: the same tokens in a repeated
+    natural order score LOW (seen transitions), while a doc cycling
+    through rare cross-words scores HIGH — and a two-token doc with the
+    corpus's dominant transition sits below one with a never-repeated
+    transition."""
+    from cdc_streaming_pipeline_spark.operators.text import bigram_lm_scores
+
+    rows = [
+        (1, " ".join(["the quick fox"] * 30)),          # repeated natural phrase
+        (2, " ".join(f"w{i % 17} z{i % 13}" for i in range(30))),  # churn
+        (3, "the quick"),                               # dominant transition
+        (4, "fox z9"),                                  # rare transition
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.bigram_nll for r in bigram_lm_scores(df).collect()}
+    assert got[1] < got[2]
+    assert got[3] < got[4]
