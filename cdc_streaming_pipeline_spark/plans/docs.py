@@ -362,6 +362,62 @@ def doc_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.perplexity_proxy_scores(docs)
 
 
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a query: the confusion matrix of the
+    n-gram lang-id against the corpus's labeled `lang` column, with
+    per-cell share of the true label's row — the diagnostic that decides
+    whether the cheap heuristic is good enough before a 100 TB pass, and
+    the template for evaluating ANY per-row classifier in-engine. One
+    map stage (the id expressions) + one aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = tx.with_lang_id(docs).select("lang", "pred_lang")
+    counts = pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n_docs"))
+    from pyspark.sql import Window as W
+
+    return counts.withColumn(
+        "row_share",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(W.partitionBy("lang")), 4),
+    )
+
+
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard: the keep-or-drop summary a corpus
+    owner reads before weighting sources — doc count, mean whitespace
+    tokens, mean quality score, exact-duplicate fraction (docs whose
+    normalized fingerprint appears >1 time corpus-wide), and mean
+    unigram NLL. Composes certified signals into ONE certified query:
+    two shuffles (fingerprint counts, source rollup) plus the NLL
+    subquery's own pair of shuffles."""
+    from cdc_streaming_pipeline_spark.functions.textfn import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = tx.with_fingerprint(docs).select("doc_id", "source", "fp_exact")
+    dup = fp.groupBy("fp_exact").agg(F.count("*").alias("_n_copies"))
+    dup_flag = fp.join(dup, "fp_exact").select(
+        "doc_id", (F.col("_n_copies") > 1).cast("long").alias("_is_dup")
+    )
+    nll = tx.perplexity_proxy_scores(docs).select("doc_id", "nll_per_token")
+    base = docs.select(
+        "doc_id", "source", token_count(F.col("text")).alias("_nt")
+    )
+    q = tx.with_quality_score(docs).select("doc_id", "quality_score")
+    from cdc_streaming_pipeline_spark.functions.precision import davg
+
+    return (
+        base.join(dup_flag, "doc_id")
+        .join(q, "doc_id")
+        .join(nll, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            davg(F.col("_nt"), 2).alias("avg_tokens"),
+            davg(F.col("quality_score"), 4).alias("avg_quality"),
+            davg(F.col("_is_dup"), 4).alias("dup_frac"),
+            davg(F.col("nll_per_token"), 4).alias("avg_nll"),
+        )
+    )
+
+
 def doc_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM quality filter (operators/text.py:bigram_lm_scores):
     add-k smoothed mean −ln p(w₂|w₁) per doc — the word-salad detector
@@ -1051,6 +1107,8 @@ QUERIES = {
     "doc_contamination": doc_contamination,
     "doc_perplexity_proxy": doc_perplexity_proxy,
     "doc_bigram_nll": doc_bigram_nll,
+    "lang_id_confusion": lang_id_confusion,
+    "source_quality_report": source_quality_report,
     "pack_documents": pack_documents,
     "ann_topk_ivf": ann_topk_ivf,
     "media_image_pipeline": media_image_pipeline,
@@ -2054,3 +2112,31 @@ ORACLE["doc_bigram_nll"] = f"""
     CROSS JOIN v
     GROUP BY 1
 """
+
+ORACLE["lang_id_confusion"] = (
+    "WITH pred AS (SELECT p.doc_id, d.lang, p.pred_lang FROM ("
+    + ORACLE["doc_lang_id"]
+    + ") p JOIN documents d USING (doc_id)), "
+    "counts AS (SELECT lang, pred_lang, COUNT(*) AS n_docs FROM pred GROUP BY 1, 2) "
+    "SELECT lang, pred_lang, n_docs, "
+    "ROUND(n_docs / SUM(n_docs) OVER (PARTITION BY lang), 4) AS row_share "
+    "FROM counts"
+)
+
+from cdc_streaming_pipeline_spark.functions.precision import sql_davg as _sql_davg  # noqa: E402
+
+ORACLE["source_quality_report"] = (
+    f"WITH base AS (SELECT doc_id, source, "
+    f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS nt, "
+    f"md5({_NORM}) AS fp FROM documents), "
+    "dup AS (SELECT fp, COUNT(*) AS n FROM base GROUP BY 1) "
+    "SELECT b.source, COUNT(*) AS n_docs, "
+    f"{_sql_davg('b.nt', 2)} AS avg_tokens, "
+    f"{_sql_davg('q.quality_score', 4)} AS avg_quality, "
+    f"{_sql_davg('CASE WHEN d.n > 1 THEN 1 ELSE 0 END', 4)} AS dup_frac, "
+    f"{_sql_davg('nll.nll_per_token', 4)} AS avg_nll "
+    "FROM base b JOIN dup d ON b.fp = d.fp "
+    "JOIN (" + ORACLE["doc_quality_scores"] + ") q ON b.doc_id = q.doc_id "
+    "JOIN (" + ORACLE["doc_perplexity_proxy"] + ") nll ON b.doc_id = nll.doc_id "
+    "GROUP BY 1"
+)
