@@ -807,6 +807,58 @@ def join_cardinality_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFr
     return join_cardinality(orders, "o_orderkey", li, "l_orderkey")
 
 
+def subject_access_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR Article-15 subject access: for each requested subject, how
+    many rows each table holds about them — customer profile, orders,
+    and order lines (reached through the order join). The read-side twin
+    of the erasure op: the request set drives broadcast semi-joins, so
+    cost tracks the subjects' data volume, never warehouse size. One row
+    per (subject, table) with the subject's data footprint."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    subjects = F.broadcast(
+        cust.filter(F.col("c_custkey") % 97 == 0).select(
+            F.col("c_custkey").alias("subject_id")
+        )
+    )
+    c_rows = (
+        cust.join(subjects, cust.c_custkey == subjects.subject_id)
+        .groupBy("subject_id")
+        .agg(F.count("*").alias("n_rows"))
+        .select("subject_id", F.lit("customer").alias("table_name"), "n_rows")
+    )
+    o = orders.join(subjects, orders.o_custkey == subjects.subject_id)
+    o_rows = o.groupBy("subject_id").agg(F.count("*").alias("n_rows")).select(
+        "subject_id", F.lit("orders").alias("table_name"), "n_rows"
+    )
+    l_rows = (
+        li.join(
+            o.select("o_orderkey", "subject_id"), li.l_orderkey == F.col("o_orderkey")
+        )
+        .groupBy("subject_id")
+        .agg(F.count("*").alias("n_rows"))
+        .select("subject_id", F.lit("lineitem").alias("table_name"), "n_rows")
+    )
+    return c_rows.unionByName(o_rows).unionByName(l_rows)
+
+
+def orders_fully_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division (the FOR-ALL shape): orders where EVERY
+    lineitem came back returned — one conditional aggregate per order
+    (count == returned-count), no double scan, no NOT EXISTS re-probe.
+    The canonical rewrite of division onto a grouped comparison."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias("n_returned"),
+    )
+    return (
+        per_order.filter(F.col("n_lines") == F.col("n_returned"))
+        .select(F.col("l_orderkey").alias("o_orderkey"), "n_lines")
+    )
+
+
 def heavy_hitter_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-memory heavy hitters (operators/freq.py): Misra-Gries
     candidate pass (k counters per partition, NO shuffle of the distinct
@@ -936,6 +988,8 @@ QUERIES = {
     "jdbc_federated_enrich": jdbc_federated_enrich,
     "salted_revenue_by_priority": salted_revenue_by_priority,
     "heavy_hitter_keys": heavy_hitter_keys,
+    "subject_access_report": subject_access_report,
+    "orders_fully_returned": orders_fully_returned,
     "nations_customers_only": nations_customers_only,
     "order_priority_counts": order_priority_counts,
     "q7_volume_shipping": q7_volume_shipping,
@@ -1465,4 +1519,28 @@ ORACLE["heavy_hitter_keys"] = """
     SELECT key, COUNT(*) AS n_occurrences
     FROM keyed GROUP BY 1
     HAVING COUNT(*) >= (SELECT COUNT(*) FROM keyed) // 64 + 1
+"""
+
+ORACLE["subject_access_report"] = """
+    WITH subjects AS (
+        SELECT c_custkey AS subject_id FROM customer WHERE c_custkey % 97 = 0
+    )
+    SELECT s.subject_id, 'customer' AS table_name, COUNT(*) AS n_rows
+    FROM customer c JOIN subjects s ON c.c_custkey = s.subject_id GROUP BY 1
+    UNION ALL
+    SELECT s.subject_id, 'orders', COUNT(*)
+    FROM orders o JOIN subjects s ON o.o_custkey = s.subject_id GROUP BY 1
+    UNION ALL
+    SELECT s.subject_id, 'lineitem', COUNT(*)
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN subjects s ON o.o_custkey = s.subject_id
+    GROUP BY 1
+"""
+
+ORACLE["orders_fully_returned"] = """
+    SELECT l_orderkey AS o_orderkey, COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY 1
+    HAVING COUNT(*) = SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
 """
