@@ -47,7 +47,13 @@ _PRIORITY: list[str] = [
     "dedup_documents_exact",
     "minhash_dedup_pairs",
     "ngram_jaccard_pairs",
-    "simhash_near_dup_pairs",
+    # (round-7 swap: simhash_near_dup_pairs -> tail. Its gate row was
+    # rows-only by design — the tail's ORACLE_LOCAL record + the numpy
+    # bit-identity pytest carry identical information, and minhash stays
+    # in the gate as the fuzzy-dedup representative — while the
+    # incremental SCD2 merge is HASH-certified and extends the gate's
+    # CDC core with the production version-history maintenance op.)
+    "cdc_scd2_merge_incremental",
     "embedding_norms",
     "ann_topk_bruteforce",
     "embedding_near_dup_blocked",

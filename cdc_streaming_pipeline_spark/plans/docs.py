@@ -362,6 +362,37 @@ def doc_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.perplexity_proxy_scores(docs)
 
 
+def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup verification — the character-level metric
+    the token-set families (minhash/jaccard/simhash) cannot see (they
+    score transposed words as identical). Candidates are BLOCKED on the
+    bag-of-words fingerprint (same word multiset ⇒ same block), so the
+    quadratic Levenshtein verify runs only inside tiny blocks — the
+    classic blocking+verify record-linkage shape — and the whole op is
+    JVM levenshtein on both engines, hash-certifiable. Output: pairs with
+    raw edit distance and a length-normalized similarity."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = tx.with_fingerprint(docs)
+    from cdc_streaming_pipeline_spark.functions.textfn import normalize_ws
+
+    side = fps.select(
+        "doc_id", "fp_bow", normalize_ws(F.col("text")).alias("_norm")
+    )
+    a, b = side.alias("a"), side.alias("b")
+    lev = F.levenshtein(F.col("a._norm"), F.col("b._norm"))
+    max_len = F.greatest(F.length("a._norm"), F.length("b._norm"))
+    return (
+        a.join(b, (F.col("a.fp_bow") == F.col("b.fp_bow"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            lev.alias("edit_distance"),
+            F.round(1.0 - lev / F.greatest(max_len, F.lit(1)), 4).alias("edit_sim"),
+        )
+    )
+
+
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier evaluation as a query: the confusion matrix of the
     n-gram lang-id against the corpus's labeled `lang` column, with
@@ -1107,6 +1138,7 @@ QUERIES = {
     "doc_contamination": doc_contamination,
     "doc_perplexity_proxy": doc_perplexity_proxy,
     "doc_bigram_nll": doc_bigram_nll,
+    "edit_distance_pairs": edit_distance_pairs,
     "lang_id_confusion": lang_id_confusion,
     "source_quality_report": source_quality_report,
     "pack_documents": pack_documents,
@@ -2140,3 +2172,18 @@ ORACLE["source_quality_report"] = (
     "JOIN (" + ORACLE["doc_perplexity_proxy"] + ") nll ON b.doc_id = nll.doc_id "
     "GROUP BY 1"
 )
+
+ORACLE["edit_distance_pairs"] = f"""
+    WITH side AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct({_NORM_TOKS})), ' ')) AS fp_bow,
+               {_NORM} AS norm
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.norm, b.norm) AS edit_distance,
+           ROUND(1.0 - levenshtein(a.norm, b.norm)
+                 / GREATEST(GREATEST(length(a.norm), length(b.norm)), 1), 4) AS edit_sim
+    FROM side a JOIN side b
+      ON a.fp_bow = b.fp_bow AND a.doc_id < b.doc_id
+"""
