@@ -491,3 +491,89 @@ def dimension_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+def pq_fit(
+    df: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 8,
+    seed: int = 42,
+) -> np.ndarray:
+    """Product-quantization codebooks: split the dimension into ``m``
+    subspaces and k-means each on a bounded deterministic sample — the
+    embedding-STORAGE scale path (64 float32 dims → m bytes: 32× smaller,
+    scan-able entirely in memory at corpus sizes where raw vectors
+    aren't). Returns (m, ks, sub_dim) codebooks. The fit is driver-side
+    numpy on ≤32k sampled rows (the same bound as cluster.kmeans_fit);
+    training cost is independent of corpus size."""
+    from cdc_streaming_pipeline_spark.operators.sampling import md5_bucket
+
+    sample = (
+        df.withColumn("_b", md5_bucket(F.col(id_col), 1 << 16))
+        .orderBy("_b", id_col)
+        .limit(32768)
+        .select(vec_col)
+        .collect()
+    )
+    mat = np.array([r[0] for r in sample], dtype=np.float64)
+    n, dim = mat.shape
+    assert dim % m == 0, (dim, m)
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ks, sub))
+    for j in range(m):
+        x = mat[:, j * sub : (j + 1) * sub]
+        cent = x[rng.choice(n, size=ks, replace=False)]
+        for _ in range(iters):
+            d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for c in range(ks):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = x[mask].mean(0)
+        books[j] = cent
+    return books
+
+
+def pq_assign(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector against broadcast codebooks: one corpus scan,
+    per-batch vectorized nearest-code search per subspace, emitting the
+    code word and the exact reconstruction squared error. Returns
+    (id_col, codes array<int>, recon_sq_err)."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        books = bc.value
+        m, ks, sub = books.shape
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(np.int64)
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((len(ids), m), dtype=np.int32)
+            err = np.zeros(len(ids))
+            for j in range(m):
+                x = mat[:, j * sub : (j + 1) * sub]
+                d = ((x[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+                codes[:, j] = d.argmin(1)
+                err += d[np.arange(len(ids)), codes[:, j]]
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "codes": list(codes),
+                    "recon_sq_err": np.round(err, 6),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        encode, f"{id_col} long, codes array<int>, recon_sq_err double"
+    )

@@ -807,6 +807,40 @@ def join_cardinality_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFr
     return join_cardinality(orders, "o_orderkey", li, "l_orderkey")
 
 
+def benford_deviation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals — the forensic
+    data-quality screen for fabricated/truncated monetary columns: the
+    observed share of each leading digit vs Benford's log10(1+1/d)
+    expectation, with each digit's chi-square contribution. One map
+    expression + one 9-group aggregate; a synthetic uniform price column
+    (like this fixture's) deviates hard and the query proves it."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.substring(F.col("o_totalprice").cast("string"), 1, 1).cast("int")
+    counts = (
+        o.select(digit.alias("digit"))
+        # guard: a sub-1 value would yield digit 0 (Benford share inf);
+        # keep the audit defined for any input distribution
+        .filter(F.col("digit").between(1, 9))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    total = counts.agg(F.sum("n_orders").alias("n_total"))
+    expected = F.log10(1.0 + 1.0 / F.col("digit"))
+    observed = F.col("n_orders") / F.col("n_total")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_orders",
+            F.round(observed, 4).alias("observed_share"),
+            F.round(expected, 4).alias("benford_share"),
+            F.round(
+                F.pow(observed - expected, 2) / expected * F.col("n_total"), 2
+            ).alias("chi2_contrib"),
+        )
+    )
+
+
 def subject_access_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GDPR Article-15 subject access: for each requested subject, how
     many rows each table holds about them — customer profile, orders,
@@ -988,6 +1022,7 @@ QUERIES = {
     "jdbc_federated_enrich": jdbc_federated_enrich,
     "salted_revenue_by_priority": salted_revenue_by_priority,
     "heavy_hitter_keys": heavy_hitter_keys,
+    "benford_deviation_orders": benford_deviation_orders,
     "subject_access_report": subject_access_report,
     "orders_fully_returned": orders_fully_returned,
     "nations_customers_only": nations_customers_only,
@@ -1543,4 +1578,20 @@ ORACLE["orders_fully_returned"] = """
     FROM lineitem
     GROUP BY 1
     HAVING COUNT(*) = SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+"""
+
+ORACLE["benford_deviation_orders"] = """
+    WITH counts AS (
+        SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT) AS digit,
+               COUNT(*) AS n_orders
+        FROM orders WHERE o_totalprice > 0
+          AND CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT) BETWEEN 1 AND 9
+        GROUP BY 1
+    ), tot AS (SELECT SUM(n_orders) AS n_total FROM counts)
+    SELECT digit, n_orders,
+           ROUND(n_orders / n_total, 4) AS observed_share,
+           ROUND(log10(1.0 + 1.0 / digit), 4) AS benford_share,
+           ROUND(POW(n_orders / n_total - log10(1.0 + 1.0 / digit), 2)
+                 / log10(1.0 + 1.0 / digit) * n_total, 2) AS chi2_contrib
+    FROM counts CROSS JOIN tot
 """

@@ -362,6 +362,31 @@ def doc_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.perplexity_proxy_scores(docs)
 
 
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (operators/similarity.py:pq_fit/pq_assign):
+    64 float32 dims → 8 one-byte codes (32× smaller), the storage form
+    that lets ANN scan the whole corpus in memory at 100 TB. Summary per
+    subspace: vectors encoded, distinct codes in use, mean squared
+    reconstruction error — plus ADC-recall and distortion-vs-ks gates in
+    tests/test_similarity_recall.py. Seeded fit → rows-only."""
+    from cdc_streaming_pipeline_spark.operators.similarity import pq_assign, pq_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_fit(emb, m=8, ks=16)
+    coded = pq_assign(emb, books)
+    per_sub = coded.select(
+        F.posexplode("codes").alias("subspace", "code"), "recon_sq_err"
+    )
+    return per_sub.groupBy("subspace").agg(
+        F.count("*").alias("n_vectors"),
+        F.count_distinct("code").alias("n_codes_used"),
+        # recon_sq_err is the WHOLE vector's error (summed over subspaces),
+        # so this column repeats the global mean on every row — kept per
+        # row so the single output frame carries both facts
+        F.round(F.avg("recon_sq_err"), 6).alias("avg_total_sq_err"),
+    )
+
+
 def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup verification — the character-level metric
     the token-set families (minhash/jaccard/simhash) cannot see (they
@@ -1177,6 +1202,7 @@ QUERIES = {
     "leakage_safe_split": leakage_safe_split,
     "embedding_coverage_sample": embedding_coverage_sample,
     "embedding_outlier_scores": embedding_outlier_scores,
+    "embedding_pq_codes": embedding_pq_codes,
     "training_shard_manifest": training_shard_manifest,
 }
 
