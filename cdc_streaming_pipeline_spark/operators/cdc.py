@@ -291,3 +291,47 @@ def snapshot_diff(
         .filter(F.col(op_col).isNotNull())
         .select(*out_keys, *out_vals, op_col)
     )
+
+
+def ivm_group_aggregate(
+    envelope: DataFrame,
+    group_field: str,
+    value_field: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """Incremental view maintenance (IVM) of a grouped COUNT/SUM from a
+    Debezium-envelope change stream — the algebra behind incrementally
+    maintained materialized views: every event contributes its AFTER
+    image positively and its BEFORE image negatively, so inserts add,
+    deletes subtract, and an update that MOVES a row between groups
+    debits the old group and credits the new one in the same pass.
+    Summing contributions replays the view to the log's final state
+    with ONE aggregation and zero state — no per-key window, no join
+    against the previous view. Groups that net to zero rows are dropped
+    (they no longer exist in the view).
+
+    ``envelope``: DataFrame[value: struct{before, after, op, table,
+    lsn}] where before/after carry ``group_field`` and ``value_field``.
+    """
+    v = F.col(value_col)
+    after = envelope.filter(v["after"].isNotNull()).select(
+        v["after"][group_field].alias("_g"),
+        F.lit(1).alias("_sign"),
+        v["after"][value_field].alias("_val"),
+    )
+    before = envelope.filter(v["before"].isNotNull()).select(
+        v["before"][group_field].alias("_g"),
+        F.lit(-1).alias("_sign"),
+        (-v["before"][value_field]).alias("_val"),
+    )
+    from cdc_streaming_pipeline_spark.functions.precision import dsum
+
+    return (
+        after.unionByName(before)
+        .groupBy(F.col("_g").alias(group_field))
+        .agg(
+            F.sum("_sign").cast("long").alias("n_rows"),
+            dsum(F.col("_val")).alias("total_amount"),
+        )
+        .filter(F.col("n_rows") != 0)
+    )

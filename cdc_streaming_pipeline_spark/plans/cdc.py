@@ -111,10 +111,9 @@ def _image(k: Column, status: Column, total: Column) -> Column:
     return F.struct(k.alias("id"), status.alias("status"), total.alias("total_amount"))
 
 
-def cdc_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1: Debezium envelope {before, after, op, table, lsn} → flat
-    after-image rows (before-image for deletes — rewrite semantics)."""
-    o = _orders(spark, sf_dir)
+def _order_envelope(o: DataFrame) -> DataFrame:
+    """Raw Debezium-envelope stream {before, after, op, table, lsn} over
+    the orders fixture (snapshot / update / delete waves)."""
     k = F.col("o_orderkey")
     init = _image(k, F.lit("pending"), F.col("o_totalprice"))
     upd = _image(k, F.col("o_orderstatus"), F.col("o_totalprice") + 100.0)
@@ -133,7 +132,27 @@ def cdc_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap = o.select(env(null_img, init, "r", 1).alias("value"))
     updates = o.filter(k % 3 == 0).select(env(init, upd, "u", 2).alias("value"))
     deletes = o.filter(k % 5 == 0).select(env(last, null_img, "d", 3).alias("value"))
-    return unwrap_envelope(snap.union(updates).union(deletes))
+    return snap.union(updates).union(deletes)
+
+
+def cdc_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: Debezium envelope {before, after, op, table, lsn} → flat
+    after-image rows (before-image for deletes — rewrite semantics)."""
+    return unwrap_envelope(_order_envelope(_orders(spark, sf_dir)))
+
+
+def cdc_ivm_status_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/cdc.py:ivm_group_aggregate):
+    maintain COUNT/SUM(total) per status straight from the envelope
+    stream — after-images credit, before-images debit, updates move rows
+    between groups — and land EXACTLY on the final-state aggregate with
+    one aggregation and zero state. Certified against the closed-form
+    latest-state rollup; exact-decimal sums make the ± cancellation
+    order-insensitive."""
+    from cdc_streaming_pipeline_spark.operators.cdc import ivm_group_aggregate
+
+    env = _order_envelope(_orders(spark, sf_dir))
+    return ivm_group_aggregate(env, "status", "total_amount")
 
 
 def _order_entity_events(o: DataFrame) -> DataFrame:
@@ -476,6 +495,7 @@ QUERIES = {
     "cdc_compliance_erasure": cdc_compliance_erasure,
     "cdc_snapshot_diff": cdc_snapshot_diff,
     "cdc_scd2_merge_incremental": cdc_scd2_merge_incremental,
+    "cdc_ivm_status_totals": cdc_ivm_status_totals,
 }
 
 ORACLE = {
@@ -625,3 +645,18 @@ ORACLE["cdc_snapshot_diff"] = (
 
 # incremental SCD2 merge must equal the full recompute — same oracle
 ORACLE["cdc_scd2_merge_incremental"] = ORACLE["cdc_scd2_history"]
+
+# IVM must land exactly on the final-state rollup: survivors are the
+# non-deleted keys with the update image where one exists
+ORACLE["cdc_ivm_status_totals"] = """
+    WITH state AS (
+        SELECT CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus
+                    ELSE 'pending' END AS status,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+                    ELSE o_totalprice END AS amt
+        FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT status, COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(amt AS DECIMAL(28,6))), 2) AS DOUBLE) AS total_amount
+    FROM state GROUP BY 1
+"""

@@ -197,3 +197,33 @@ def test_pit_join_interval_semantics(spark):
     out = {r.probe_id: r.payload for r in pit_join(fact, dim, "fid", "id", "probe").collect()}
     assert out == {1: "v1", 2: "v2", 3: "v2", 4: None, 5: None, 6: None}
     assert pit_join(fact, dim, "fid", "id", "probe").count() == 6  # never fans out
+
+
+def test_ivm_group_aggregate_moves_rows_and_drops_empty_groups(spark):
+    """IVM algebra on a hand-built envelope: an update MOVES a row
+    between groups (debit old, credit new), a delete removes it, and a
+    group whose rows all left nets to zero and disappears."""
+    from pyspark.sql import functions as F
+
+    from cdc_streaming_pipeline_spark.operators.cdc import ivm_group_aggregate
+
+    img = "struct<id:bigint,g:string,amt:double>"
+    rows = [
+        # id 1: insert A(10) -> update to B(12): A must net out entirely
+        (None, (1, "A", 10.0), "c"),
+        ((1, "A", 10.0), (1, "B", 12.0), "u"),
+        # id 2: insert B(5), then delete
+        (None, (2, "B", 5.0), "c"),
+        ((2, "B", 5.0), None, "d"),
+        # id 3: stays in C
+        (None, (3, "C", 7.0), "c"),
+    ]
+    env = spark.createDataFrame(
+        [(r,) for r in rows],
+        f"value struct<before:{img},after:{img},op:string>",
+    )
+    got = {
+        r.g: (r.n_rows, r.total_amount)
+        for r in ivm_group_aggregate(env, "g", "amt").collect()
+    }
+    assert got == {"B": (1, 12.0), "C": (1, 7.0)}  # A netted to zero, gone
