@@ -577,3 +577,80 @@ def pq_assign(
     return df.select(id_col, vec_col).mapInPandas(
         encode, f"{id_col} long, codes array<int>, recon_sq_err double"
     )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ks: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """ANN over PQ codes with asymmetric distance (ADC): queries keep
+    their full vectors; the corpus is scanned as m-byte codes. Per query,
+    one (m × ks) distance table against the codebooks turns scoring a
+    candidate into m table lookups + adds — no corpus-side floats ever
+    load, which is the whole 100 TB pitch (the coded corpus is 32×
+    smaller than raw vectors and typically memory-resident).
+
+    One coded-corpus scan: each Arrow batch gathers ADC distances for
+    ALL queries via vectorized table lookups and emits its local top-k;
+    a tiny global window finishes. Queries (small by contract) collect +
+    broadcast, same as the LSH/IVF paths."""
+    spark = corpus.sparkSession
+    if codebooks is None:
+        codebooks = pq_fit(corpus, m=m, ks=ks, vec_col=vec_col, id_col=id_col)
+    coded = pq_assign(corpus, codebooks, vec_col=vec_col, id_col=id_col)
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    mm, ks_, sub = codebooks.shape
+    # (nq, m, ks) distance tables: query-to-codeword squared distances
+    tables = np.stack(
+        [
+            ((codebooks[j][None, :, :] - q_mat[:, None, j * sub : (j + 1) * sub]) ** 2).sum(-1)
+            for j in range(mm)
+        ],
+        axis=1,
+    )
+    bc = spark.sparkContext.broadcast((q_ids, tables))
+    take = k + (1 if exclude_self else 0)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, tabs = bc.value  # tabs: (nq, m, ks)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids_c = pdf[id_col].to_numpy(np.int64)
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (n, m)
+            # ADC distance of every row to every query: gather per
+            # subspace then sum — (nq, n)
+            d = np.zeros((len(ids_q), len(ids_c)))
+            for j in range(codes.shape[1]):
+                d += tabs[:, j, :][:, codes[:, j]]
+            d = np.round(d, 6)
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(ids_q):
+                order = np.lexsort((ids_c, d[qi]))[:take]
+                out_q.extend([qid] * len(order))
+                out_n.extend(ids_c[order])
+                out_s.extend(d[qi][order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "adc_dist": out_s}
+            )
+
+    cand = coded.mapInPandas(score, "query_id long, neighbor_id long, adc_dist double")
+    if exclude_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adc_dist")
+    )

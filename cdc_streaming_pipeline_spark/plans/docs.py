@@ -387,6 +387,20 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate top-k (operators/similarity.py:pq_topk) — the
+    fourth ANN strategy next to brute/LSH/IVF: the corpus is scanned as
+    8-byte codes (32× smaller than raw vectors), each query pays one
+    (m×ks) table build and scores candidates via table lookups. Seeded
+    codebooks → rows-only; recall-vs-exact gated in
+    tests/test_similarity_recall.py."""
+    from cdc_streaming_pipeline_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < ANN_QUERY_IDS)
+    return pq_topk(emb, qs, k=ANN_K)
+
+
 def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup verification — the character-level metric
     the token-set families (minhash/jaccard/simhash) cannot see (they
@@ -1203,6 +1217,7 @@ QUERIES = {
     "embedding_coverage_sample": embedding_coverage_sample,
     "embedding_outlier_scores": embedding_outlier_scores,
     "embedding_pq_codes": embedding_pq_codes,
+    "ann_topk_pq": ann_topk_pq,
     "training_shard_manifest": training_shard_manifest,
 }
 

@@ -392,3 +392,31 @@ def test_pq_distortion_shrinks_with_codebook_size_and_adc_recall(spark):
     # gate is "far above chance" (chance = 2k/n = 2%), not a production
     # recall bar; structured embeddings recall far higher
     assert hits / total >= 0.2, hits / total
+
+
+def test_pq_topk_operator_recall_vs_bruteforce(spark):
+    """The distributed ADC search must reproduce the numpy ADC study's
+    behavior: recall vs the exact cosine top-k well above chance on this
+    worst-case (near-orthogonal) corpus, and its own ranking must be
+    deterministic across runs."""
+    from cdc_streaming_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, qs, k=5)
+    want = {}
+    for r in exact.collect():
+        want.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    got1 = pq_topk(emb, qs, k=5).collect()
+    got2 = pq_topk(emb, qs, k=5).collect()
+    assert sorted(map(tuple, got1)) == sorted(map(tuple, got2))  # deterministic
+
+    hits = sum(
+        1 for r in got1 if r.neighbor_id in want.get(r.query_id, set())
+    )
+    total = sum(len(v) for v in want.values())
+    assert hits / total >= 0.15, hits / total  # chance is ~1%
