@@ -362,6 +362,34 @@ def doc_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.perplexity_proxy_scores(docs)
 
 
+def embedding_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering evaluation against the corpus's ground-truth labels:
+    fit k-means at the label cardinality, then per cluster report size,
+    majority label, and purity (majority share) — the unsupervised-
+    quality gate run before trusting cluster-based curation (semantic
+    dedup cells, coverage sampling, topic routing). One assignment scan
+    + two small aggregations; seeded fit → rows-only, with the
+    Window-free majority computed via a max_by."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_labels = emb.select("label").distinct().count()
+    # reuse the outlier op's assignment path: cell per vector
+    scored = cl.embedding_outliers(emb, n_clusters=n_labels).select("vec_id", "cell")
+    labeled = scored.join(emb.select("vec_id", "label"), "vec_id")
+    per_pair = labeled.groupBy("cell", "label").agg(F.count("*").alias("n"))
+    return (
+        per_pair.groupBy("cell")
+        .agg(
+            F.sum("n").alias("n_vectors"),
+            # deterministic majority: count desc, then LOWEST label on ties
+            F.max_by(
+                "label", F.struct(F.col("n").alias("n"), (-F.col("label")).alias("t"))
+            ).alias("majority_label"),
+            F.round(F.max("n") / F.sum("n"), 4).alias("purity"),
+        )
+        .withColumnRenamed("cell", "cluster")
+    )
+
+
 def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (operators/similarity.py:pq_fit/pq_assign):
     64 float32 dims → 8 one-byte codes (32× smaller), the storage form
@@ -1218,6 +1246,7 @@ QUERIES = {
     "embedding_outlier_scores": embedding_outlier_scores,
     "embedding_pq_codes": embedding_pq_codes,
     "ann_topk_pq": ann_topk_pq,
+    "embedding_cluster_purity": embedding_cluster_purity,
     "training_shard_manifest": training_shard_manifest,
 }
 

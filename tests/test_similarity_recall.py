@@ -420,3 +420,25 @@ def test_pq_topk_operator_recall_vs_bruteforce(spark):
     )
     total = sum(len(v) for v in want.values())
     assert hits / total >= 0.15, hits / total  # chance is ~1%
+
+
+def test_embedding_cluster_purity_structure_and_determinism(spark):
+    """Purity report invariants: cluster sizes partition the corpus,
+    purity is bounded below by the uniform share (majority >= mean) and
+    above by 1, and the seeded pipeline is run-to-run deterministic.
+    (On this corpus's random embeddings purity sits barely above chance
+    — which is the op's point: it SAYS when clusters don't track
+    labels.)"""
+    from cdc_streaming_pipeline_spark.plans.docs import embedding_cluster_purity
+
+    rows1 = sorted(embedding_cluster_purity(spark, SF_DIR).collect())
+    rows2 = sorted(embedding_cluster_purity(spark, SF_DIR).collect())
+    assert rows1 == rows2
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    n_labels = emb.select("label").distinct().count()
+    assert sum(r.n_vectors for r in rows1) == n
+    for r in rows1:
+        assert 1.0 / n_labels <= r.purity <= 1.0
+        assert 0 <= r.majority_label < n_labels
