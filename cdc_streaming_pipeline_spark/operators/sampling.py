@@ -388,3 +388,31 @@ def shard_manifest(
     return srt.mapInPandas(
         digest, "shard_id bigint, n_docs bigint, n_tokens bigint, content_md5 string"
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement à la Efraimidis–Spirakis:
+    every row draws a key -ln(u)/w from a uniform u and the k SMALLEST
+    keys win — provably equivalent to sequential weighted draws, yet
+    embarrassingly parallel (per-row expression + one distributed top-k,
+    no sequential reservoir, no driver state). The uniform comes from
+    the row's md5 (first 13 hex digits / 16^13 — past double precision),
+    so the SAME sample falls out of any engine, any partitioning, any
+    rerun — the engine-portability contract of the md5-bucket samplers,
+    extended to weighted draws. Zero-weight rows never win (key = +inf
+    behavior via filter). Returns winners with their draw key."""
+    u = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10).cast(
+        "double"
+    ) / F.lit(float(16**13))
+    key = -F.log(u) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("draw_key", F.round(key, 10))
+        .orderBy(F.col("draw_key").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -362,6 +362,24 @@ def doc_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.perplexity_proxy_scores(docs)
 
 
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (operators/sampling.py:
+    weighted_sample, Efraimidis–Spirakis keys): 50 docs drawn with
+    probability proportional to token count — longer docs proportionally
+    likelier, no sequential reservoir, no driver state, and the md5
+    uniform makes the winning set engine-portable, so the draw itself is
+    hash-certified against the SQL twin."""
+    from cdc_streaming_pipeline_spark.functions.textfn import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    weighted = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return sp.weighted_sample(weighted, k=50, weight_col="n_tokens").select(
+        "doc_id", "n_tokens", "draw_key"
+    )
+
+
 def embedding_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clustering evaluation against the corpus's ground-truth labels:
     fit k-means at the label cardinality, then per cluster report size,
@@ -1247,6 +1265,7 @@ QUERIES = {
     "embedding_pq_codes": embedding_pq_codes,
     "ann_topk_pq": ann_topk_pq,
     "embedding_cluster_purity": embedding_cluster_purity,
+    "weighted_sample_docs": weighted_sample_docs,
     "training_shard_manifest": training_shard_manifest,
 }
 
@@ -2256,4 +2275,19 @@ ORACLE["edit_distance_pairs"] = f"""
                  / GREATEST(GREATEST(length(a.norm), length(b.norm)), 1), 4) AS edit_sim
     FROM side a JOIN side b
       ON a.fp_bow = b.fp_bow AND a.doc_id < b.doc_id
+"""
+
+ORACLE["weighted_sample_docs"] = f"""
+    WITH weighted AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS n_tokens
+        FROM documents
+    ), keyed AS (
+        SELECT doc_id, n_tokens,
+               ROUND(-ln(CAST(CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 13)) AS UBIGINT) AS DOUBLE)
+                         / 4503599627370496.0) / n_tokens, 10) AS draw_key
+        FROM weighted WHERE n_tokens > 0
+    )
+    SELECT doc_id, n_tokens, draw_key
+    FROM keyed ORDER BY draw_key ASC, doc_id ASC LIMIT 50
 """

@@ -221,3 +221,28 @@ def test_training_shard_export_round_trip_matches_manifest(spark, tmp_path):
             ",".join(str(r.doc_id) for r in back).encode()
         ).hexdigest()
         assert digest == want, shard_id
+
+
+def test_weighted_sample_matches_python_replay_and_favors_weight(spark):
+    """The ES-key draw must equal an independent python replay of
+    -ln(md5-uniform)/weight (same winners, same order), and across a
+    weight sweep the heavy group must win far more slots than the light
+    one (w=9 vs w=1 on otherwise-identical ids)."""
+    import hashlib
+    import math
+
+    from cdc_streaming_pipeline_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 9 if i % 2 == 0 else 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = [(r.doc_id, r.draw_key) for r in weighted_sample(df, k=40, weight_col="w").collect()]
+
+    def key(i, w):
+        u = int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16) / 16**13
+        return round(-math.log(u) / w, 10), i
+
+    want = sorted((key(i, w) for i, w in rows))[:40]
+    assert [(i, k) for (k, i) in want] == got
+
+    heavy = sum(1 for i, _ in got if i % 2 == 0)
+    assert heavy >= 30  # w=9 group should dominate ~9:1
