@@ -515,3 +515,53 @@ def incremental_exact_dedup(
     batch_reps = exact_dedup(batch, text_col=text_col, id_col=id_col)
     seen = existing.select(fp.alias("fp")).distinct()
     return batch_reps.join(seen, "fp", "left_anti")
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    containment_threshold: float = 0.9,
+    max_doc_freq: int = 10,
+) -> DataFrame:
+    """Exact ASYMMETRIC containment |A∩B|/|A| over shared-rare-shingle
+    candidates — the subset-duplication detector Jaccard structurally
+    misses: a short doc quoted wholesale inside a long one has
+    containment ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0, so a Jaccard threshold
+    never fires. Same inverted-index candidate generation and stop-
+    shingle guard as ``ngram_jaccard_pairs`` (one shuffle, output-
+    proportional); the verify divides by the CONTAINED side's set size.
+    Emits ordered (id_small, id_big) with containment of the smaller
+    set in the larger, plus both set sizes — ties on size keep id
+    order."""
+    base = _memo_frame(
+        df,
+        "shingles",
+        (text_col, id_col, shingle_size),
+        lambda: _shingle_hash_frame(df, text_col, id_col, shingle_size),
+    )
+    inv = base.select("_id", F.explode("sh_h").alias("sh"))
+    rare = inv.withColumn(
+        "df", F.count("*").over(Window.partitionBy("sh"))
+    ).filter((F.col("df") <= max_doc_freq) & (F.col("df") >= 2))
+    cand_ids = (
+        rare.alias("a")
+        .join(rare.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_a = base.select(F.col("_id").alias("id_a"), F.col("sh_h").alias("sh_a"))
+    sh_b = base.select(F.col("_id").alias("id_b"), F.col("sh_h").alias("sh_b"))
+    cand = cand_ids.join(sh_a, "id_a").join(sh_b, "id_b")
+    na, nb = F.size("sh_a"), F.size("sh_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    a_small = (na < nb) | ((na == nb) & (F.col("id_a") < F.col("id_b")))
+    out = cand.select(
+        F.when(a_small, F.col("id_a")).otherwise(F.col("id_b")).alias("id_small"),
+        F.when(a_small, F.col("id_b")).otherwise(F.col("id_a")).alias("id_big"),
+        F.when(a_small, na).otherwise(nb).alias("n_shingles_small"),
+        F.when(a_small, nb).otherwise(na).alias("n_shingles_big"),
+        F.round(inter.cast("double") / F.least(na, nb), 4).alias("containment"),
+    )
+    return out.filter(F.col("containment") >= containment_threshold)

@@ -362,6 +362,18 @@ def doc_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.perplexity_proxy_scores(docs)
 
 
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric subset-duplication detector
+    (operators/dedup.py:ngram_containment_pairs): pairs where ≥60% of
+    the smaller doc's shingles appear in the larger — the
+    quote/embedding relationship a Jaccard threshold structurally misses
+    (small⊂big ⇒ Jaccard ≈ |A|/|B| ≈ 0). Same inverted-index candidates
+    + stop-shingle guard as the Jaccard twin; hash-certified (shingle
+    hashing is collision-negligible and the oracle uses string sets)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_containment_pairs(docs, containment_threshold=0.6)
+
+
 def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (operators/sampling.py:
     weighted_sample, Efraimidis–Spirakis keys): 50 docs drawn with
@@ -1198,6 +1210,7 @@ QUERIES = {
     "dedup_documents_exact": dedup_documents_exact,
     "minhash_dedup_pairs": minhash_dedup_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "ngram_containment_pairs": ngram_containment_pairs,
     "simhash_near_dup_pairs": simhash_near_dup_pairs,
     "embedding_norms": embedding_norms,
     "ann_topk_bruteforce": ann_topk_bruteforce,
@@ -2290,4 +2303,42 @@ ORACLE["weighted_sample_docs"] = f"""
     )
     SELECT doc_id, n_tokens, draw_key
     FROM keyed ORDER BY draw_key ASC, doc_id ASC LIMIT 50
+"""
+
+ORACLE["ngram_containment_pairs"] = r"""
+    WITH sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+                 generate_series(1, greatest(len(t) - 2, 1)),
+                 i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingles
+        FROM (SELECT doc_id,
+                     string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                                        '\s+') AS t
+              FROM documents)
+        WHERE len(t) > 0
+    ), inv AS (
+        SELECT doc_id, unnest(shingles) AS g FROM sh
+    ), rare AS (
+        SELECT doc_id, g
+        FROM (SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df FROM inv)
+        WHERE df <= 10 AND df >= 2
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id
+    ), verified AS (
+        SELECT c.id_a, c.id_b,
+               len(sa.shingles) AS na, len(sb.shingles) AS nb,
+               len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+               (len(sa.shingles) < len(sb.shingles)
+                OR (len(sa.shingles) = len(sb.shingles))) AS a_small
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b
+    )
+    SELECT CASE WHEN a_small THEN id_a ELSE id_b END AS id_small,
+           CASE WHEN a_small THEN id_b ELSE id_a END AS id_big,
+           CASE WHEN a_small THEN na ELSE nb END AS n_shingles_small,
+           CASE WHEN a_small THEN nb ELSE na END AS n_shingles_big,
+           ROUND(inter::DOUBLE / LEAST(na, nb), 4) AS containment
+    FROM verified
+    WHERE ROUND(inter::DOUBLE / LEAST(na, nb), 4) >= 0.6
 """

@@ -442,3 +442,23 @@ def test_embedding_cluster_purity_structure_and_determinism(spark):
     for r in rows1:
         assert 1.0 / n_labels <= r.purity <= 1.0
         assert 0 <= r.majority_label < n_labels
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """The containment detector's reason to exist: a short doc quoted
+    wholesale inside a much longer one has containment 1.0 but Jaccard
+    far below any useful threshold — jaccard_pairs misses it, the
+    containment op reports it with the small/big orientation right."""
+    small = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"filler{i} pad{i} word{i}" for i in range(30))
+    rows = [(1, small), (2, f"{filler} {small} {filler}")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    jac = dd.ngram_jaccard_pairs(df, jaccard_threshold=0.5).collect()
+    assert jac == []  # Jaccard ~ |A|/|B| << 0.5
+
+    got = dd.ngram_containment_pairs(df, containment_threshold=0.9).collect()
+    assert len(got) == 1
+    (r,) = got
+    assert (r.id_small, r.id_big, r.containment) == (1, 2, 1.0)
+    assert r.n_shingles_small < r.n_shingles_big
