@@ -362,6 +362,34 @@ def doc_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.perplexity_proxy_scores(docs)
 
 
+def pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The metric sequence packing exists to optimize: per shard, bin
+    count, mean clamped fill fraction, and the waste fraction (padding
+    the trainer would burn). Derived by rolling the certified packing
+    output up per (shard, pack) then per shard — two small shuffles on
+    top of the pack plan. The shard-partitioned packer's contract (every
+    non-final bin ≥ capacity-full on average) shows up here as
+    avg_fill_frac ≈ 1."""
+    from cdc_streaming_pipeline_spark.functions.textfn import token_count
+    from cdc_streaming_pipeline_spark.operators.sampling import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_sequences(sized, capacity=512, n_shards=16)
+    per_pack = packed.groupBy("shard", "pack_id").agg(
+        F.sum(F.least(F.col("n_tokens"), F.lit(512))).alias("_fill")
+    )
+    return per_pack.groupBy("shard").agg(
+        F.count("*").alias("n_packs"),
+        F.round(F.avg(F.col("_fill") / 512.0), 4).alias("avg_fill_frac"),
+        F.round(
+            1.0 - F.sum("_fill") / (F.count("*") * 512.0), 4
+        ).alias("waste_frac"),
+    )
+
+
 def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric subset-duplication detector
     (operators/dedup.py:ngram_containment_pairs): pairs where ≥60% of
@@ -1240,6 +1268,7 @@ QUERIES = {
     "lang_id_confusion": lang_id_confusion,
     "source_quality_report": source_quality_report,
     "pack_documents": pack_documents,
+    "pack_efficiency_report": pack_efficiency_report,
     "ann_topk_ivf": ann_topk_ivf,
     "media_image_pipeline": media_image_pipeline,
     "media_av_chunks": media_av_chunks,
@@ -2342,3 +2371,13 @@ ORACLE["ngram_containment_pairs"] = r"""
     FROM verified
     WHERE ROUND(inter::DOUBLE / LEAST(na, nb), 4) >= 0.6
 """
+
+ORACLE["pack_efficiency_report"] = (
+    "WITH packed AS (" + ORACLE["pack_documents"] + "), "
+    "per_pack AS (SELECT shard, pack_id, SUM(LEAST(n_tokens, 512)) AS fill "
+    "FROM packed GROUP BY 1, 2) "
+    "SELECT shard, COUNT(*) AS n_packs, "
+    "ROUND(AVG(fill / 512.0), 4) AS avg_fill_frac, "
+    "ROUND(1.0 - SUM(fill) / (COUNT(*) * 512.0), 4) AS waste_frac "
+    "FROM per_pack GROUP BY 1"
+)
