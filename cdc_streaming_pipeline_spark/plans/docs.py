@@ -362,6 +362,62 @@ def doc_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.perplexity_proxy_scores(docs)
 
 
+def doc_syllable_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-complexity features via the vowel-run syllable proxy (the
+    computable half of Flesch/SMOG): per doc, total vowel runs, mean
+    syllables per word, and the share of polysyllabic (≥3-run) words —
+    standard readability inputs for quality classifiers. Pure regex/HOF
+    expressions, pinned to behave identically in Java regex and RE2."""
+    docs = load_table(spark, sf_dir, "documents")
+    from cdc_streaming_pipeline_spark.functions.textfn import normalize_ws, tokens
+
+    toks = tokens(normalize_ws(F.lower(F.col("text"))))
+    runs_per_word = F.transform(
+        toks,
+        lambda w: F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0))),
+    )
+    n_words = F.size(toks)
+    n_runs = F.aggregate(runs_per_word, F.lit(0), lambda a, x: a + x)
+    poly = F.size(F.filter(runs_per_word, lambda r: r >= 3))
+    return docs.select(
+        "doc_id",
+        n_runs.alias("n_vowel_runs"),
+        F.round(n_runs / F.greatest(n_words, F.lit(1)), 4).alias("syllables_per_word"),
+        F.round(poly / F.greatest(n_words, F.lit(1)), 4).alias("polysyllable_frac"),
+    )
+
+
+def corpus_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE headline number ('the corpus is X% duplicated'), as one
+    certified row: doc count, exact-duplicate groups and the fraction of
+    docs that are copies (normalized-text fingerprint), the same for the
+    order-insensitive bag-of-words key, and mean chunk-level duplication
+    — three grouped passes unioned into a single-row report."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = tx.with_fingerprint(docs).select("doc_id", "fp_exact", "fp_bow")
+
+    def dup_stats(col, prefix):
+        g = fps.groupBy(col).agg(F.count("*").alias("n"))
+        return g.agg(
+            F.count("*").alias(f"{prefix}_groups"),
+            F.round(
+                (F.sum("n") - F.count("*")) / F.sum("n"), 4
+            ).alias(f"{prefix}_dup_frac"),
+        )
+
+    chunks = tx.chunk_documents(docs, chunk_tokens=64, stride=48)
+    cfreq = chunks.groupBy("chunk_md5").agg(F.count("*").alias("n"))
+    chunk_row = cfreq.agg(
+        F.round((F.sum("n") - F.count("*")) / F.sum("n"), 4).alias("chunk_dup_frac")
+    )
+    return (
+        docs.agg(F.count("*").alias("n_docs"))
+        .crossJoin(F.broadcast(dup_stats("fp_exact", "exact")))
+        .crossJoin(F.broadcast(dup_stats("fp_bow", "bow")))
+        .crossJoin(F.broadcast(chunk_row))
+    )
+
+
 def pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The metric sequence packing exists to optimize: per shard, bin
     count, mean clamped fill fraction, and the waste fraction (padding
@@ -1291,6 +1347,8 @@ QUERIES = {
     "lang_id_confusion": lang_id_confusion,
     "source_quality_report": source_quality_report,
     "pack_documents": pack_documents,
+    "doc_syllable_stats": doc_syllable_stats,
+    "corpus_dedup_summary": corpus_dedup_summary,
     "pack_efficiency_report": pack_efficiency_report,
     "ann_topk_ivf": ann_topk_ivf,
     "media_image_pipeline": media_image_pipeline,
@@ -2409,4 +2467,37 @@ ORACLE["pack_efficiency_report"] = (
     "ROUND(AVG(fill / 512.0), 4) AS avg_fill_frac, "
     "ROUND(1.0 - SUM(fill) / (COUNT(*) * 512.0), 4) AS waste_frac "
     "FROM per_pack GROUP BY 1"
+)
+
+ORACLE["doc_syllable_stats"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_transform(
+                   string_split_regex(trim(regexp_replace(lower(lower(text)), '\\s+', ' ', 'g')), '\\s+'),
+                   w -> len(regexp_extract_all(w, '[aeiouy]+'))) AS runs
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_sum(runs) AS BIGINT) AS n_vowel_runs,
+           ROUND(list_sum(runs)::DOUBLE / GREATEST(len(runs), 1), 4) AS syllables_per_word,
+           ROUND(len(list_filter(runs, r -> r >= 3))::DOUBLE / GREATEST(len(runs), 1), 4)
+               AS polysyllable_frac
+    FROM t
+"""
+
+ORACLE["corpus_dedup_summary"] = (
+    f"WITH fps AS (SELECT doc_id, md5({_NORM}) AS fp_exact, "
+    f"md5(array_to_string(list_sort(list_distinct({_NORM_TOKS})), ' ')) AS fp_bow "
+    "FROM documents), "
+    "e AS (SELECT COUNT(*) AS exact_groups, "
+    "  ROUND((SUM(n) - COUNT(*))::DOUBLE / SUM(n), 4) AS exact_dup_frac "
+    "  FROM (SELECT fp_exact, COUNT(*) AS n FROM fps GROUP BY 1)), "
+    "b AS (SELECT COUNT(*) AS bow_groups, "
+    "  ROUND((SUM(n) - COUNT(*))::DOUBLE / SUM(n), 4) AS bow_dup_frac "
+    "  FROM (SELECT fp_bow, COUNT(*) AS n FROM fps GROUP BY 1)), "
+    "c AS (SELECT ROUND((SUM(n) - COUNT(*))::DOUBLE / SUM(n), 4) AS chunk_dup_frac "
+    "  FROM (SELECT chunk_md5, COUNT(*) AS n FROM (" + ORACLE["doc_chunks"] + ") GROUP BY 1)) "
+    "SELECT (SELECT COUNT(*) FROM documents) AS n_docs, "
+    "e.exact_groups, e.exact_dup_frac, b.bow_groups, b.bow_dup_frac, c.chunk_dup_frac "
+    "FROM e CROSS JOIN b CROSS JOIN c"
 )
