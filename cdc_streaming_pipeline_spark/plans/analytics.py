@@ -807,6 +807,58 @@ def join_cardinality_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFr
     return join_cardinality(orders, "o_orderkey", li, "l_orderkey")
 
 
+def shipping_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship SLA report per priority: mean/max latency in days
+    and the share of line items blowing a 30-day SLA — the operational
+    latency rollup (exact-decimal mean keeps it order-insensitive). One
+    join + one aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            davg(days.cast("double"), 4).alias("avg_days"),
+            F.max(days).alias("max_days"),
+            F.round(
+                F.sum((days > 30).cast("long")) / F.count("*"), 4
+            ).alias("sla_breach_frac"),
+        )
+    )
+
+
+def first_touch_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: for each user's FIRST event type
+    (ts order, event_id tiebreak), how many users start there and what
+    fraction go on to purchase — the entry-point conversion table behind
+    acquisition analysis. One window shuffle on the user + a distinct
+    purchase semi-join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    first = (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_type"))
+    )
+    buyers = (
+        ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+        .withColumn("_bought", F.lit(1))
+    )
+    return (
+        first.join(buyers, "user_id", "left")
+        .groupBy("first_type")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.coalesce(F.col("_bought"), F.lit(0))).alias("n_converted"),
+            F.round(
+                F.sum(F.coalesce(F.col("_bought"), F.lit(0))) / F.count("*"), 4
+            ).alias("conversion_rate"),
+        )
+    )
+
+
 def benford_deviation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit over order totals — the forensic
     data-quality screen for fabricated/truncated monetary columns: the
@@ -1022,6 +1074,8 @@ QUERIES = {
     "jdbc_federated_enrich": jdbc_federated_enrich,
     "salted_revenue_by_priority": salted_revenue_by_priority,
     "heavy_hitter_keys": heavy_hitter_keys,
+    "shipping_latency_stats": shipping_latency_stats,
+    "first_touch_conversion": first_touch_conversion,
     "benford_deviation_orders": benford_deviation_orders,
     "subject_access_report": subject_access_report,
     "orders_fully_returned": orders_fully_returned,
@@ -1594,4 +1648,33 @@ ORACLE["benford_deviation_orders"] = """
            ROUND(POW(n_orders / n_total - log10(1.0 + 1.0 / digit), 2)
                  / log10(1.0 + 1.0 / digit) * n_total, 2) AS chi2_contrib
     FROM counts CROSS JOIN tot
+"""
+
+ORACLE["shipping_latency_stats"] = f"""
+    SELECT o.o_orderpriority, COUNT(*) AS n_lineitems,
+           {sql_davg("date_diff('day', o.o_orderdate, l.l_shipdate)", 4)} AS avg_days,
+           MAX(date_diff('day', o.o_orderdate, l.l_shipdate)) AS max_days,
+           ROUND(SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 30
+                          THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 4) AS sla_breach_frac
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+"""
+
+ORACLE["first_touch_conversion"] = """
+    WITH first AS (
+        SELECT user_id, event_type AS first_type
+        FROM (SELECT user_id, event_type,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events)
+        WHERE rn = 1
+    ), buyers AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.first_type, COUNT(*) AS n_users,
+           SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_converted,
+           ROUND(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 4) AS conversion_rate
+    FROM first f LEFT JOIN buyers b ON f.user_id = b.user_id
+    GROUP BY 1
 """
