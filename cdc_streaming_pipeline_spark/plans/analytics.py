@@ -807,6 +807,58 @@ def join_cardinality_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFr
     return join_cardinality(orders, "o_orderkey", li, "l_orderkey")
 
 
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value partitioning: per
+    customer, Recency (days from last order to the corpus's max date),
+    Frequency (orders), Monetary (exact-decimal spend), each cut into
+    quartiles with ntile (ties broken by custkey for determinism), and
+    the rolled-up count per (r,f,m) segment cell. Two shuffles: the
+    per-customer aggregate and the three ntile windows sharing one
+    sort each."""
+    orders = load_table(spark, sf_dir, "orders")
+    ref = orders.agg(F.max("o_orderdate").alias("_ref"))
+    per_cust = (
+        orders.crossJoin(F.broadcast(ref))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.datediff(F.col("_ref"), F.col("o_orderdate"))).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            dsum(F.col("o_totalprice")).alias("monetary"),
+        )
+    )
+    wr = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
+    wm = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc())
+    scored = (
+        per_cust.withColumn("r_quartile", F.ntile(4).over(wr))
+        .withColumn("f_quartile", F.ntile(4).over(wf))
+        .withColumn("m_quartile", F.ntile(4).over(wm))
+    )
+    return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
+        F.count("*").alias("n_customers"),
+        dsum(F.col("monetary")).alias("segment_revenue"),
+    )
+
+
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: aggregate to the monthly series,
+    then LAG over the aggregate — the windows-over-aggregates BI shape
+    (a tiny frame after the rollup, so the unpartitioned window is one
+    bounded task). Growth is NULL for the first month, rounded ratio
+    otherwise."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(dsum(F.col("o_totalprice")).alias("revenue"))
+    w = Window.orderBy(F.col("month").asc())
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev, 4).alias("mom_growth"),
+    )
+
+
 def shipping_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-to-ship SLA report per priority: mean/max latency in days
     and the share of line items blowing a 30-day SLA — the operational
@@ -1074,6 +1126,8 @@ QUERIES = {
     "jdbc_federated_enrich": jdbc_federated_enrich,
     "salted_revenue_by_priority": salted_revenue_by_priority,
     "heavy_hitter_keys": heavy_hitter_keys,
+    "customer_rfm_segments": customer_rfm_segments,
+    "monthly_revenue_growth": monthly_revenue_growth,
     "shipping_latency_stats": shipping_latency_stats,
     "first_touch_conversion": first_touch_conversion,
     "benford_deviation_orders": benford_deviation_orders,
@@ -1677,4 +1731,36 @@ ORACLE["first_touch_conversion"] = """
                  / COUNT(*), 4) AS conversion_rate
     FROM first f LEFT JOIN buyers b ON f.user_id = b.user_id
     GROUP BY 1
+"""
+
+ORACLE["customer_rfm_segments"] = f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               MIN(date_diff('day', o_orderdate,
+                   (SELECT MAX(o_orderdate) FROM orders))) AS recency_days,
+               COUNT(*) AS frequency,
+               {sql_dsum("o_totalprice")} AS monetary
+        FROM orders GROUP BY 1
+    ), scored AS (
+        SELECT *,
+               NTILE(4) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r_quartile,
+               NTILE(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_quartile,
+               NTILE(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_quartile
+        FROM per_cust
+    )
+    SELECT r_quartile, f_quartile, m_quartile, COUNT(*) AS n_customers,
+           {sql_dsum("monetary")} AS segment_revenue
+    FROM scored GROUP BY 1, 2, 3
+"""
+
+ORACLE["monthly_revenue_growth"] = f"""
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               {sql_dsum("o_totalprice")} AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           ROUND((revenue - LAG(revenue) OVER (ORDER BY month))
+                 / LAG(revenue) OVER (ORDER BY month), 4) AS mom_growth
+    FROM monthly
 """
