@@ -807,6 +807,76 @@ def join_cardinality_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFr
     return join_cardinality(orders, "o_orderkey", li, "l_orderkey")
 
 
+def supplier_pareto_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: rank suppliers by revenue and report, at
+    each decile of the supplier population, the cumulative share of
+    total revenue — the 80/20 readout that drives key-account and skew
+    decisions. Window cumsum over the per-supplier aggregate (tiny
+    frame), deciles via ntile, exact-decimal sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")).alias("_r")
+    )
+    w = Window.orderBy(F.col("_r").desc(), F.col("l_suppkey").asc())
+    total = rev.agg(F.sum("_r").alias("_t"))
+    ranked = (
+        rev.withColumn("decile", F.ntile(10).over(w))
+        .withColumn(
+            "_cum",
+            F.sum("_r").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+    )
+    return (
+        ranked.groupBy("decile")
+        .agg(F.count("*").alias("n_suppliers"), F.max("_cum").alias("_cum_max"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_suppliers",
+            F.round((F.col("_cum_max") / F.col("_t")).cast("double"), 4).alias(
+                "cum_revenue_share"
+            ),
+        )
+    )
+
+
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit as in-engine OLS: regress ln(freq) on ln(rank) over
+    the word rank-frequency curve and report the slope (a healthy
+    natural-language corpus sits near −1; flat word soup doesn't) plus
+    R². The regression is pure aggregate composition — five sums — so
+    the whole fit is one extra reduce over the frequency table; no
+    driver math beyond the final expression."""
+    docs = load_table(spark, sf_dir, "documents")
+    from cdc_streaming_pipeline_spark.functions.textfn import normalize_ws, tokens
+
+    words = docs.select(
+        F.explode(tokens(normalize_ws(F.lower(F.col("text"))))).alias("w")
+    )
+    freq = words.groupBy("w").agg(F.count("*").alias("f"))
+    ranked = freq.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("f").desc(), F.col("w").asc()))
+    )
+    x, y = F.log(F.col("r").cast("double")), F.log(F.col("f").cast("double"))
+    stats = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / n
+    return stats.select(
+        F.col("n").alias("n_terms"),
+        F.round(cov / varx, 4).alias("zipf_slope"),
+        F.round((cov * cov) / (varx * vary), 4).alias("r2"),
+    )
+
+
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation — the classic customer-value partitioning: per
     customer, Recency (days from last order to the corpus's max date),
@@ -1126,6 +1196,8 @@ QUERIES = {
     "jdbc_federated_enrich": jdbc_federated_enrich,
     "salted_revenue_by_priority": salted_revenue_by_priority,
     "heavy_hitter_keys": heavy_hitter_keys,
+    "supplier_pareto_analysis": supplier_pareto_analysis,
+    "corpus_zipf_slope": corpus_zipf_slope,
     "customer_rfm_segments": customer_rfm_segments,
     "monthly_revenue_growth": monthly_revenue_growth,
     "shipping_latency_stats": shipping_latency_stats,
@@ -1763,4 +1835,43 @@ ORACLE["monthly_revenue_growth"] = f"""
            ROUND((revenue - LAG(revenue) OVER (ORDER BY month))
                  / LAG(revenue) OVER (ORDER BY month), 4) AS mom_growth
     FROM monthly
+"""
+
+ORACLE["supplier_pareto_analysis"] = """
+    WITH rev AS (
+        SELECT l_suppkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS r
+        FROM lineitem GROUP BY 1
+    ), ranked AS (
+        SELECT l_suppkey, r,
+               NTILE(10) OVER (ORDER BY r DESC, l_suppkey ASC) AS decile,
+               SUM(r) OVER (ORDER BY r DESC, l_suppkey ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM rev
+    )
+    SELECT decile, COUNT(*) AS n_suppliers,
+           ROUND(CAST(MAX(cum) / (SELECT SUM(r) FROM rev) AS DOUBLE), 4)
+               AS cum_revenue_share
+    FROM ranked GROUP BY 1
+"""
+
+ORACLE["corpus_zipf_slope"] = r"""
+    WITH words AS (
+        SELECT unnest(string_split_regex(trim(regexp_replace(lower(lower(text)), '\s+', ' ', 'g')), '\s+')) AS w
+        FROM documents
+    ), freq AS (
+        SELECT w, COUNT(*) AS f FROM words GROUP BY 1
+    ), ranked AS (
+        SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, w ASC) AS r FROM freq
+    ), s AS (
+        SELECT COUNT(*) AS n, SUM(ln(r)) AS sx, SUM(ln(f)) AS sy,
+               SUM(ln(r) * ln(r)) AS sxx, SUM(ln(f) * ln(f)) AS syy,
+               SUM(ln(r) * ln(f)) AS sxy
+        FROM ranked
+    )
+    SELECT n AS n_terms,
+           ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 4) AS zipf_slope,
+           ROUND(POW(sxy - sx * sy / n, 2)
+                 / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 4) AS r2
+    FROM s
 """
