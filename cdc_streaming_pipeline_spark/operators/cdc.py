@@ -261,18 +261,24 @@ def snapshot_diff(
     o = old.select(
         *[F.col(k).alias(f"_o_{k}") for k in key_cols],
         *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+        F.lit(1).alias("_o_present"),
     )
     n = new.select(
         *[F.col(k).alias(f"_n_{k}") for k in key_cols],
         *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+        F.lit(1).alias("_n_present"),
     )
+    # eqNullSafe + explicit presence markers: key-column nullity is NOT a
+    # reliable presence signal under a plain equi-join (a NULL key never
+    # matches, and an old-only row with a NULL key would read as "in new
+    # only" and emit 'c' with an all-null image instead of 'd')
     cond = None
     for k in key_cols:
-        c = o[f"_o_{k}"] == n[f"_n_{k}"]
+        c = o[f"_o_{k}"].eqNullSafe(n[f"_n_{k}"])
         cond = c if cond is None else (cond & c)
     joined = o.join(n, cond, "full_outer")
-    in_old = F.col(f"_o_{key_cols[0]}").isNotNull()
-    in_new = F.col(f"_n_{key_cols[0]}").isNotNull()
+    in_old = F.col("_o_present").isNotNull()
+    in_new = F.col("_n_present").isNotNull()
     changed = None
     for c in compare_cols:
         d = ~F.col(f"_n_{c}").eqNullSafe(F.col(f"_o_{c}"))

@@ -214,24 +214,32 @@ def propagate_deletions(
     # a sibling directory and run the overwrite from the staged copy; the
     # extra write is proportional to the touched buckets, never the snapshot.
     staging = f"{path.rstrip('/')}._erasure_staging"
-    kept.write.mode("overwrite").parquet(staging)
-    staged = spark.read.parquet(staging)
-    # dynamic overwrite only replaces partitions PRESENT in the output —
-    # a bucket whose every row was erased emits nothing and would keep its
-    # old files, silently failing the erasure. Find fully-emptied buckets
-    # (a tiny per-bucket count) and remove their directories explicitly.
-    surviving = {
-        r[BUCKET_COL] for r in staged.select(BUCKET_COL).distinct().collect()
-    }
-    if surviving:
-        (
-            staged.repartition(F.col(BUCKET_COL))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(BUCKET_COL)
-            .parquet(path)
-        )
+    # a failed prior run may have left a stale staging dir — clear it so
+    # mode("overwrite") semantics never mix two runs' survivor sets
     shutil.rmtree(staging, ignore_errors=True)
+    try:
+        kept.write.mode("overwrite").parquet(staging)
+        staged = spark.read.parquet(staging)
+        # dynamic overwrite only replaces partitions PRESENT in the output —
+        # a bucket whose every row was erased emits nothing and would keep
+        # its old files, silently failing the erasure. Find fully-emptied
+        # buckets (a tiny per-bucket count) and remove their directories
+        # explicitly.
+        surviving = {
+            r[BUCKET_COL] for r in staged.select(BUCKET_COL).distinct().collect()
+        }
+        if surviving:
+            (
+                staged.repartition(F.col(BUCKET_COL))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(BUCKET_COL)
+                .parquet(path)
+            )
+    finally:
+        # unconditional: a failure between the staged write and the
+        # overwrite must not strand the staging directory on disk
+        shutil.rmtree(staging, ignore_errors=True)
     for b in touched:
         if b not in surviving:
             shutil.rmtree(os.path.join(path, f"{BUCKET_COL}={b}"), ignore_errors=True)

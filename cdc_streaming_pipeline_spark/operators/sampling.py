@@ -405,10 +405,20 @@ def weighted_sample(
     so the SAME sample falls out of any engine, any partitioning, any
     rerun — the engine-portability contract of the md5-bucket samplers,
     extended to weighted draws. Zero-weight rows never win (key = +inf
-    behavior via filter). Returns winners with their draw key."""
-    u = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10).cast(
-        "double"
-    ) / F.lit(float(16**13))
+    behavior via filter). Returns winners with their draw key.
+
+    The uniform is (h+1)/(16^13+1) rather than h/16^13: an all-zero hash
+    prefix would give u=0, where Spark's ln(0) yields NULL (which sorts
+    FIRST under asc and would silently steal a sample slot) while DuckDB
+    errors — the +1 shift keeps u in (0, 1] and both engines finite and
+    identical (16^13 = 2^52, so numerator and denominator stay exactly
+    representable as doubles and the division is bit-identical)."""
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10).cast(
+            "double"
+        )
+        + F.lit(1.0)
+    ) / F.lit(float(16**13 + 1))
     key = -F.log(u) / F.col(weight_col)
     return (
         df.filter(F.col(weight_col) > 0)

@@ -59,9 +59,13 @@ def fk_orphan_report(
 ) -> DataFrame:
     """Referential-integrity audit: for each (name, child, child_key,
     parent, parent_key), count non-null child keys with no matching
-    parent row. One left OUTER join per FK (parent side reduced to its
-    distinct key column — tiny, so it broadcasts): orphans are the
-    unmatched rows, and the same pass counts the audited child rows, so
+    parent row. One left OUTER join per FK, parent side reduced to its
+    distinct key column. No broadcast hint: a dimension parent's key set
+    is tiny and AQE broadcasts it automatically, but a fact parent
+    (orders under lineitem) has billions of distinct keys at 100 TB —
+    past the 8 GB broadcast hard limit — and must be allowed to fall
+    back to a shuffled join. Orphans are the unmatched rows, and the
+    same pass counts the audited child rows, so
     the report carries (check_name, violations, n_rows, passed) like
     ``check_constraints`` at the cost of the anti-join it replaces. All
     edges union into a single plan so the whole audit is one job.
@@ -76,7 +80,7 @@ def fk_orphan_report(
         orphans = (
             child.select(F.col(ckey).alias("_k"))
             .filter(F.col("_k").isNotNull())
-            .join(F.broadcast(hits), "_k", "left")
+            .join(hits, "_k", "left")
             .agg(
                 F.coalesce(
                     F.sum(F.col("_hit").isNull().cast("long")), F.lit(0)

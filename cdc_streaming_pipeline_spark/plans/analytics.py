@@ -59,7 +59,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
@@ -68,7 +68,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """6-table star join, grouped by nation (TPC-H Q5 shape).
 
-    customer and supplier must be co-national; dims broadcast.
+    customer and supplier must be co-national. Only the fixed-size dims
+    (nation: 25 rows, region: 5) carry broadcast hints; customer and
+    supplier scale with sf, so their join strategy is left to AQE —
+    broadcast at small scale, shuffle at 100 TB.
     """
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = load_table(spark, sf_dir, "nation")
@@ -78,7 +81,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(cust, (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == supp.s_nationkey))
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -127,7 +130,7 @@ def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .withColumn("rank_in_segment", F.row_number().over(w))
         .filter(F.col("rank_in_segment") <= 3)
         .select("c_mktsegment", "rank_in_segment", "o_orderkey", "o_totalprice")
@@ -232,7 +235,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(n1, F.col("s_nationkey") == F.col("sn_key"))
         .join(n2, F.col("c_nationkey") == F.col("cn_key"))
@@ -267,7 +270,7 @@ def q14_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     agg = joined.agg(
         dsum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0.0))).alias("economy_rev"),
         dsum(rev).alias("total_rev"),
@@ -282,16 +285,17 @@ def q14_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape (correlated agg → join): yearly revenue forfeited if
     small orders (< 20% of the part's average quantity) for one brand were
-    dropped. The per-part average is its own aggregate joined back —
-    Catalyst broadcasts it (it is ≤ |part| rows)."""
+    dropped. The per-part average is its own aggregate joined back;
+    it is ≤ |part| rows (sf-scaling), so the join strategy is AQE's
+    call — no manual hint."""
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
     li = load_table(spark, sf_dir, "lineitem")
-    branded = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    branded = li.join(part, li.l_partkey == part.p_partkey)
     avg_qty = branded.groupBy(F.col("p_partkey").alias("ap_key")).agg(
         davg(F.col("l_quantity")).alias("avg_qty")
     )
     return (
-        branded.join(F.broadcast(avg_qty), F.col("p_partkey") == F.col("ap_key"))
+        branded.join(avg_qty, F.col("p_partkey") == F.col("ap_key"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(28,6)")) / 7.0, 2)
              .cast("double").alias("avg_yearly"))
@@ -321,7 +325,7 @@ def q19_or_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranges — exercises OR pushdown through a broadcast join."""
     part = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15)) & (F.col("l_quantity").between(1, 11)))
         | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 25)) & (F.col("l_quantity").between(10, 20)))
@@ -446,8 +450,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_price_e4", F.min("unit_price_e4").over(Window.partitionBy("l_partkey"))
     ).filter(F.col("unit_price_e4") == F.col("min_price_e4"))
     return (
-        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        best.join(part, best.l_partkey == part.p_partkey)
+        .join(supp, best.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select("p_partkey", "p_brand", "s_name", "n_name", "unit_price_e4")
     )
@@ -476,7 +480,9 @@ def q4_late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape (two-level conditional aggregate over a 5-way join):
     NATION_3 suppliers' share of EUROPE-customer revenue per order year.
-    Dimensions all broadcast; lineitem⋈orders is the only big shuffle."""
+    Fixed-size dims (nation, region) broadcast by hint; the sf-scaling
+    supplier map is left to AQE. lineitem⋈orders is the only
+    guaranteed big shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -501,7 +507,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(euro_custs, orders.o_custkey == euro_custs.c_custkey, "left_semi")
-        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("sn_suppkey"))
+        .join(supp_nation, li.l_suppkey == F.col("sn_suppkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
@@ -530,9 +536,9 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(dsum(profit).alias("sum_profit"))
@@ -572,7 +578,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(top))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(supp), revenue.l_suppkey == supp.s_suppkey)
+        .join(supp, revenue.l_suppkey == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -589,7 +595,7 @@ def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad_supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
     return (
         li.join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -626,7 +632,7 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
     ).select("l_orderkey", "l_suppkey").dropDuplicates()
     return (
-        culprit.join(F.broadcast(supp), culprit.l_suppkey == supp.s_suppkey)
+        culprit.join(supp, culprit.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
@@ -647,7 +653,7 @@ def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey")
     value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     per_part = (
-        li.join(F.broadcast(n1_supp), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        li.join(n1_supp, li.l_suppkey == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey")
         .agg(dsum(value).alias("part_value"))
     )
@@ -700,7 +706,7 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     heavy = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        li.join(part, li.l_partkey == part.p_partkey, "left_semi")
         .groupBy("l_suppkey")
         .agg(dsum(F.col("l_quantity"), 2).alias("blue_qty"))
         .filter(F.col("blue_qty") > 100)
@@ -767,8 +773,11 @@ def validate_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFram
     """Warehouse-wide foreign-key audit: orphaned child keys across every
     FK edge of the schema, one anti-join per edge unioned into a single
     job (operators/validate.py:fk_orphan_report). Parent key sets are
-    distinct-projected first, so at 100 TB every parent side is a tiny
-    broadcast and each edge costs one scan of the child key column."""
+    distinct-projected first; the join strategy is left to Catalyst/AQE —
+    dimension parents (nation, region) broadcast automatically, while
+    fact-sized parents (orders at 100 TB is billions of distinct keys,
+    past any broadcast limit) fall back to a shuffled join instead of
+    failing."""
     from cdc_streaming_pipeline_spark.operators.validate import fk_orphan_report
 
     t = {n: load_table(spark, sf_dir, n) for n in
@@ -1019,16 +1028,18 @@ def subject_access_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GDPR Article-15 subject access: for each requested subject, how
     many rows each table holds about them — customer profile, orders,
     and order lines (reached through the order join). The read-side twin
-    of the erasure op: the request set drives broadcast semi-joins, so
-    cost tracks the subjects' data volume, never warehouse size. One row
-    per (subject, table) with the subject's data footprint."""
+    of the erasure op: a real request batch is small and bounded, so AQE
+    broadcasts the subject set automatically and cost tracks the
+    subjects' data volume, never warehouse size. No explicit broadcast
+    hint: the demo derives subjects from the customer table itself (so
+    the frame scales with sf), and a hard hint on an sf-scaling side is
+    exactly the 100 TB failure mode this repo avoids. One row per
+    (subject, table) with the subject's data footprint."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    subjects = F.broadcast(
-        cust.filter(F.col("c_custkey") % 97 == 0).select(
-            F.col("c_custkey").alias("subject_id")
-        )
+    subjects = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        F.col("c_custkey").alias("subject_id")
     )
     c_rows = (
         cust.join(subjects, cust.c_custkey == subjects.subject_id)

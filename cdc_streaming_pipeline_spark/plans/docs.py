@@ -1192,9 +1192,12 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5) and bag-of-words (order-insensitive) both reported. This is the
     check that actually blocks a training run: a dedup pass that ran
     BEFORE splitting can still leak near-copies ACROSS the split. One
-    fingerprint projection, then three broadcast semi-joins per type
-    unioned into a single job (distinct fingerprint sets are tiny next
-    to the corpus)."""
+    fingerprint projection, then a left-semi join per (boundary, type)
+    unioned into a single job. No broadcast hint on the seen-set: the
+    earlier split is ~80% of the corpus, so its distinct fingerprint set
+    scales with the corpus (billions of rows at 100 TB, far past the
+    broadcast limit) — AQE broadcasts when the side is genuinely small
+    and shuffles otherwise."""
     docs = load_table(spark, sf_dir, "documents")
     b = sp.md5_bucket(F.col("doc_id"), 100)
     split = (
@@ -1212,7 +1215,7 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 fps.filter(F.col("split") == earlier).select(col).distinct()
             )
             n = (
-                late.join(F.broadcast(seen), col, "left_semi")
+                late.join(seen, col, "left_semi")
                 .agg(F.count("*").alias(f"n_{col.removeprefix('fp_')}_leaks"))
             )
             leaks = n if leaks is None else leaks.crossJoin(n)
@@ -1291,7 +1294,7 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
     ).filter(F.col("word") != "")
     return (
-        words.join(F.broadcast(vocab), "word")
+        words.join(vocab, "word")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_ws_tokens"),
@@ -2413,8 +2416,8 @@ ORACLE["weighted_sample_docs"] = f"""
         FROM documents
     ), keyed AS (
         SELECT doc_id, n_tokens,
-               ROUND(-ln(CAST(CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 13)) AS UBIGINT) AS DOUBLE)
-                         / 4503599627370496.0) / n_tokens, 10) AS draw_key
+               ROUND(-ln((CAST(CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 13)) AS UBIGINT) AS DOUBLE) + 1)
+                         / 4503599627370497.0) / n_tokens, 10) AS draw_key
         FROM weighted WHERE n_tokens > 0
     )
     SELECT doc_id, n_tokens, draw_key

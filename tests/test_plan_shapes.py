@@ -394,15 +394,24 @@ def test_snapshot_diff_joins_on_key_no_cartesian(spark):
     assert "FullOuter" in plan  # the diff IS a keyed full-outer join
 
 
-def test_split_leakage_semi_joins_broadcast(spark):
-    """Each boundary check must be a broadcast LEFT-SEMI on the distinct
-    fingerprint set — a shuffled semi here means the tiny side stopped
-    broadcasting and the corpus re-shuffles per boundary at 100 TB."""
+def test_split_leakage_semi_joins_unhinted(spark):
+    """Each boundary check must be a LEFT-SEMI join on the fingerprint
+    column with NO manual broadcast hint: the earlier split's distinct
+    fingerprint set is ~80% of the corpus, so a hard F.broadcast() there
+    exceeds the broadcast limit and fails outright at 100 TB. The join
+    TYPE is the contract; the strategy (broadcast vs shuffle) is AQE's
+    runtime call based on the actual side size."""
+    import inspect
+
+    from cdc_streaming_pipeline_spark.plans import docs as docs_mod
     from cdc_streaming_pipeline_spark.plans.docs import split_leakage_report
 
     plan = _plan(split_leakage_report(spark, SF_DIR))
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+    # the scale-killer regression guard: no hint in the source
+    src = inspect.getsource(docs_mod.split_leakage_report)
+    assert "F.broadcast" not in src
 
 
 def test_salted_join_no_cartesian_and_salt_in_keys(spark):
