@@ -1,0 +1,265 @@
+"""Exact global ranks, cumulative sums, and NTILE without a global sort.
+
+``Window.orderBy(...)`` with no ``partitionBy`` funnels the ENTIRE frame
+through one task (Spark warns ``WindowExec: No Partition Defined``) —
+fine for a 12-row monthly series, serial death for a 10^9-entity frame.
+This module provides the scale path with UNCHANGED semantics:
+
+1. One pass computes ``percentile_approx`` cutoffs over each ranking
+   key (a mergeable sketch; all keys share ONE aggregate, ≤ ``n_buckets``
+   values per key in one broadcastable row).
+2. Every row is assigned a range bucket per key by comparing the key
+   against its cutoffs — a pure JVM higher-order function, no shuffle.
+   Sketch error only skews bucket SIZES, never correctness: all rows of
+   bucket b sort strictly before bucket b+1 (boundary ties are confined
+   to one bucket because the comparison is strict).
+3. Per-bucket windows (max task = rows/n_buckets) produce local
+   row_numbers / prefix sums; a ≤ n_buckets-row aggregate per key
+   produces exclusive cross-bucket offsets via a bounded self-crossJoin
+   conditional aggregate (≤ n_buckets² pairs — bounded by the PARAMETER,
+   never the data, and deliberately not an unpartitioned window so
+   "WindowExec: No Partition Defined" stays a true scale lint).
+   local + offset = exact global rank / cumsum, identical to the
+   single-task result.
+
+Multiple ranking keys over the same frame (e.g. RFM's three quartiles)
+go through ONE call: the shared cutoff row and shared bucketed frame
+keep every branch's subplan identical below the input's last shuffle,
+so Spark's exchange reuse scans and aggregates the input once —
+separate calls would prune columns differently per pass, defeat reuse,
+and recompute the input lineage per key (measured 11x at sf0.1).
+
+NTILE(k) falls out arithmetically: the SQL-standard NTILE over n rows
+puts rank r in bucket ``(r-1)*k div n + 1`` (larger buckets first) —
+integer arithmetic, bit-identical to any engine's NTILE, which is why
+the DuckDB oracles of the queries built on this module keep their plain
+``ntile(...) OVER (ORDER BY ...)`` formulation and stay hash-green.
+
+Skew note: a single key value repeated ≫ n/n_buckets times bottlenecks
+its one bucket. The tiebreak column does not help (cutoffs are over the
+leading key only); the escape hatch for a known-degenerate key is to
+raise ``n_buckets`` or pre-aggregate. For spend/revenue/recency frames
+keyed by unique entities, ties are incidental and buckets stay balanced.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_RANK = "_g_rank"
+_CUM = "_g_cum"
+_N = "_g_n"
+_TOT = "_g_total"
+
+
+@dataclass(frozen=True)
+class RankSpec:
+    """One ranking over the frame: order by (key asc/desc, tiebreak asc);
+    ``rank_col`` receives the exact global row_number. ``value_col``
+    additionally emits the exact running sum of that column in the same
+    order into ``cum_col`` (and the grand total into ``total_col``)."""
+
+    key: str
+    ascending: bool = True
+    rank_col: str = _RANK
+    value_col: str | None = None
+    cum_col: str = _CUM
+    total_col: str = _TOT
+
+
+def with_global_ranks(
+    df: DataFrame,
+    specs: list[RankSpec],
+    tiebreak: str,
+    n_buckets: int = 64,
+    n_col: str = _N,
+) -> DataFrame:
+    """Add every spec's exact global rank (and optional running sum) to
+    ``df``, plus the frame's total row count in ``n_col`` — distributed
+    per the module docstring; no unpartitioned window anywhere.
+
+    ``tiebreak`` must be unique per row (the usual entity key) so each
+    order — and therefore every rank — is total and deterministic.
+    Every ``spec.key`` must be non-null: a NULL key would fall in bucket
+    0 under either direction (the cutoff comparison is null), which
+    matches Spark's NULLS FIRST only for ascending order. The callers
+    here rank aggregate outputs (sums/counts), non-null by construction.
+    """
+    # Materialize the input ONCE (lazy localCheckpoint — distributed,
+    # spills to disk; the same bounded pattern as the CC label-propagation
+    # and BPE loops): the cutoff aggregate, the size-table job, and the
+    # main chain all read the materialization instead of re-executing the
+    # input lineage per branch (exchange reuse cannot dedup them — the
+    # branches prune to different columns; measured 4-11x recompute at
+    # sf0.1 without this). The bucket expressions themselves are cheap
+    # projections recomputed per consumer over materialized rows.
+    df = df.localCheckpoint(eager=False)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.agg(
+        *[
+            F.percentile_approx(F.col(s.key).cast("double"), qs, 1_000).alias(
+                f"_cuts_{i}"
+            )
+            for i, s in enumerate(specs)
+        ]
+    )
+    bucketed = df.crossJoin(F.broadcast(cuts))
+    for i, s in enumerate(specs):
+        keyd = F.col(s.key).cast("double")
+        # strict comparison ⇒ boundary-valued rows all land in ONE bucket
+        in_bucket = (
+            F.size(F.filter(F.col(f"_cuts_{i}"), lambda c: keyd > c))
+            if s.ascending
+            else F.size(F.filter(F.col(f"_cuts_{i}"), lambda c: keyd < c))
+        )
+        bucketed = bucketed.withColumn(f"_bkt_{i}", in_bucket)
+    bucketed = bucketed.drop(*[f"_cuts_{i}" for i in range(len(specs))])
+
+    # ONE bounded job computes every spec's per-bucket size table: each
+    # row contributes one (spec, bucket[, value]) struct per spec, and
+    # the aggregate collapses to ≤ len(specs) * n_buckets rows — bounded
+    # by PARAMETERS, so collecting it to the driver is the same bounded
+    # pattern as the k-means partials and BPE argmax. The driver turns
+    # the size tables into exclusive prefix offsets (exact integer /
+    # Decimal arithmetic) and ships them back as broadcastable
+    # ≤ n_buckets-row frames. Per-spec in-plan size tables would instead
+    # re-read the frame once per spec and cost a half-dozen scheduling
+    # rounds each — measured ~4x on a 3-key ranking at sf0.1.
+    spark = df.sparkSession
+    structs = []
+    for i, s in enumerate(specs):
+        fields = [F.lit(i).alias("_spec"), F.col(f"_bkt_{i}").alias("_bkt")]
+        for j, sj in enumerate(specs):
+            if sj.value_col is None:
+                continue
+            v = F.col(sj.value_col) if j == i else F.lit(None).cast(
+                bucketed.schema[sj.value_col].dataType
+            )
+            fields.append(v.alias(f"_val_{j}"))
+        structs.append(F.struct(*fields))
+    size_aggs = [F.count("*").alias("_c")] + [
+        F.sum(f"_val_{j}").alias(f"_s_{j}")
+        for j, sj in enumerate(specs)
+        if sj.value_col is not None
+    ]
+    sizes = (
+        bucketed.select(F.explode(F.array(*structs)).alias("_x"))
+        .select("_x.*")
+        .groupBy("_spec", "_bkt")
+        .agg(*size_aggs)
+    )
+    sum_types = {f.name: f.dataType for f in sizes.schema.fields}
+    size_rows = sizes.collect()
+
+    out = bucketed
+    for i, s in enumerate(specs):
+        mine = sorted(
+            (r for r in size_rows if r["_spec"] == i), key=lambda r: r["_bkt"]
+        )
+        n_total = sum(r["_c"] for r in mine)
+        off_rows, rn_off = [], 0
+        if s.value_col is not None:
+            # exact driver arithmetic: counts are ints; value sums arrive
+            # as Python Decimal/int for exact-typed columns (the
+            # determinism contract — float value_cols would make the
+            # offset depend on partial-agg order in EITHER formulation)
+            cum_off = None
+            v_total = None
+            for r in mine:
+                sv = r[f"_s_{i}"]
+                v_total = sv if v_total is None else v_total + sv
+            for r in mine:
+                sv = r[f"_s_{i}"]
+                zero = sv - sv  # typed zero (Decimal/int)
+                off_rows.append((r["_bkt"], rn_off, n_total, cum_off if cum_off is not None else zero, v_total))
+                cum_off = sv if cum_off is None else cum_off + sv
+                rn_off += r["_c"]
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            schema = StructType(
+                [
+                    StructField(f"_bkt_{i}", sizes.schema["_bkt"].dataType),
+                    StructField(f"_rn_off_{i}", LongType()),
+                    StructField(n_col, LongType()),
+                    StructField(f"_cum_off_{i}", sum_types[f"_s_{i}"]),
+                    StructField(s.total_col, sum_types[f"_s_{i}"]),
+                ]
+            )
+        else:
+            for r in mine:
+                off_rows.append((r["_bkt"], rn_off, n_total))
+                rn_off += r["_c"]
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            schema = StructType(
+                [
+                    StructField(f"_bkt_{i}", sizes.schema["_bkt"].dataType),
+                    StructField(f"_rn_off_{i}", LongType()),
+                    StructField(n_col, LongType()),
+                ]
+            )
+        offs = spark.createDataFrame(off_rows, schema)
+        if i > 0:
+            offs = offs.withColumnRenamed(n_col, f"_n_{i}")
+
+        lead = F.col(s.key).asc() if s.ascending else F.col(s.key).desc()
+        bkt = f"_bkt_{i}"
+        wl = Window.partitionBy(bkt).orderBy(lead, F.col(tiebreak).asc())
+        out = out.join(F.broadcast(offs), bkt).withColumn(
+            s.rank_col, F.row_number().over(wl) + F.col(f"_rn_off_{i}")
+        )
+        if s.value_col is not None:
+            wcum = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            out = out.withColumn(
+                s.cum_col, F.sum(s.value_col).over(wcum) + F.col(f"_cum_off_{i}")
+            )
+        drop = [bkt, f"_rn_off_{i}"]
+        if s.value_col is not None:
+            drop.append(f"_cum_off_{i}")
+        if i > 0:
+            drop.append(f"_n_{i}")
+        out = out.drop(*drop)
+    return out
+
+
+def with_global_rank(
+    df: DataFrame,
+    key: str,
+    tiebreak: str,
+    ascending: bool = True,
+    value_col: str | None = None,
+    n_buckets: int = 64,
+    rank_col: str = _RANK,
+    cum_col: str = _CUM,
+    n_col: str = _N,
+    total_col: str = _TOT,
+) -> DataFrame:
+    """Single-key convenience wrapper over ``with_global_ranks``."""
+    return with_global_ranks(
+        df,
+        [
+            RankSpec(
+                key=key,
+                ascending=ascending,
+                rank_col=rank_col,
+                value_col=value_col,
+                cum_col=cum_col,
+                total_col=total_col,
+            )
+        ],
+        tiebreak=tiebreak,
+        n_buckets=n_buckets,
+        n_col=n_col,
+    )
+
+
+def exact_ntile(rank_col: str, n_col: str, k: int) -> Column:
+    """SQL-standard NTILE(k) from an exact global rank: bucket
+    ``(rank-1)*k div n + 1`` — the first ``n mod k`` buckets take the
+    extra row, matching Spark's and DuckDB's NTILE bit-for-bit. Integer
+    ``div`` (never float division + floor: a last-bit rounding of the
+    quotient at a bucket boundary would misassign the boundary row)."""
+    return F.expr(f"(({rank_col} - 1) * {k}) div {n_col} + 1")

@@ -750,17 +750,24 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     NTILE order carries a unique key tiebreak so bucket boundaries are
     deterministic cross-engine.
 
-    Scale note: exact global NTILE needs a total order (one-partition
-    window over the per-customer aggregate — millions of small rows, the
-    bounded-but-not-free case). Past ~10^8 customers the designated path
-    is approx boundaries + range bucketing: percentile_approx(spend,
-    [0.1..0.9]) broadcast as cutoffs, then a codegen'd CASE bucket —
-    one aggregate, no global sort, deciles exact to the sketch error."""
+    Scale path (operators/rank.py): percentile-sketch range buckets +
+    per-bucket windows + broadcast offsets give the EXACT global rank
+    with no unpartitioned window — max task is rows/n_buckets, so the
+    plan survives 10^9+ customers where a global NTILE sort serializes.
+    The decile is then (rank-1)*10 div n + 1, bit-identical to NTILE
+    (larger buckets first), so the DuckDB ntile oracle is unchanged."""
+    from cdc_streaming_pipeline_spark.operators.rank import (
+        exact_ntile,
+        with_global_rank,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(dsum(F.col("o_totalprice")).alias("spend"))
-    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey").asc())
+    ranked = with_global_rank(
+        spend, key="spend", tiebreak="o_custkey", ascending=False
+    )
     return (
-        spend.withColumn("decile", F.ntile(10).over(w))
+        ranked.withColumn("decile", exact_ntile("_g_rank", "_g_n", 10))
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_customers"),
@@ -820,25 +827,31 @@ def supplier_pareto_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto concentration: rank suppliers by revenue and report, at
     each decile of the supplier population, the cumulative share of
     total revenue — the 80/20 readout that drives key-account and skew
-    decisions. Window cumsum over the per-supplier aggregate (tiny
-    frame), deciles via ntile, exact-decimal sums."""
+    decisions. Rank AND running revenue come from the exact distributed
+    rank/cumsum operator (operators/rank.py) — percentile range buckets,
+    per-bucket windows, broadcast offsets — so no unpartitioned window
+    touches the per-supplier frame; deciles via the NTILE-equivalent
+    integer formula, exact-decimal sums, oracle unchanged."""
+    from cdc_streaming_pipeline_spark.operators.rank import (
+        exact_ntile,
+        with_global_rank,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_suppkey").agg(
         F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")).alias("_r")
     )
-    w = Window.orderBy(F.col("_r").desc(), F.col("l_suppkey").asc())
-    total = rev.agg(F.sum("_r").alias("_t"))
-    ranked = (
-        rev.withColumn("decile", F.ntile(10).over(w))
-        .withColumn(
-            "_cum",
-            F.sum("_r").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-        )
+    ranked = with_global_rank(
+        rev, key="_r", tiebreak="l_suppkey", ascending=False, value_col="_r"
     )
     return (
-        ranked.groupBy("decile")
-        .agg(F.count("*").alias("n_suppliers"), F.max("_cum").alias("_cum_max"))
-        .crossJoin(F.broadcast(total))
+        ranked.withColumn("decile", exact_ntile("_g_rank", "_g_n", 10))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.max("_g_cum").alias("_cum_max"),
+            F.max("_g_total").alias("_t"),
+        )
         .select(
             "decile",
             "n_suppliers",
@@ -855,7 +868,12 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     natural-language corpus sits near −1; flat word soup doesn't) plus
     R². The regression is pure aggregate composition — five sums — so
     the whole fit is one extra reduce over the frequency table; no
-    driver math beyond the final expression."""
+    driver math beyond the final expression. The rank over the word
+    vocabulary (which SCALES with the corpus — 10^7+ distinct tokens at
+    100 TB) comes from the exact distributed rank operator
+    (operators/rank.py), not a single-task global window."""
+    from cdc_streaming_pipeline_spark.operators.rank import with_global_rank
+
     docs = load_table(spark, sf_dir, "documents")
     from cdc_streaming_pipeline_spark.functions.textfn import normalize_ws, tokens
 
@@ -863,9 +881,9 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(tokens(normalize_ws(F.lower(F.col("text"))))).alias("w")
     )
     freq = words.groupBy("w").agg(F.count("*").alias("f"))
-    ranked = freq.withColumn(
-        "r", F.row_number().over(Window.orderBy(F.col("f").desc(), F.col("w").asc()))
-    )
+    ranked = with_global_rank(
+        freq, key="f", tiebreak="w", ascending=False
+    ).withColumnRenamed("_g_rank", "r")
     x, y = F.log(F.col("r").cast("double")), F.log(F.col("f").cast("double"))
     stats = ranked.agg(
         F.count("*").alias("n"),
@@ -890,10 +908,19 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation — the classic customer-value partitioning: per
     customer, Recency (days from last order to the corpus's max date),
     Frequency (orders), Monetary (exact-decimal spend), each cut into
-    quartiles with ntile (ties broken by custkey for determinism), and
-    the rolled-up count per (r,f,m) segment cell. Two shuffles: the
-    per-customer aggregate and the three ntile windows sharing one
-    sort each."""
+    quartiles with exact NTILE semantics (ties broken by custkey for
+    determinism), and the rolled-up count per (r,f,m) segment cell.
+    Each quartile comes from the exact distributed rank operator
+    (operators/rank.py) — three rank passes, each a bounded-task
+    per-bucket window instead of a single-task global NTILE sort, with
+    the NTILE-equivalent integer bucket formula keeping the DuckDB
+    ntile oracle hash-green unchanged."""
+    from cdc_streaming_pipeline_spark.operators.rank import (
+        RankSpec,
+        exact_ntile,
+        with_global_ranks,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
     ref = orders.agg(F.max("o_orderdate").alias("_ref"))
     per_cust = (
@@ -905,13 +932,24 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice")).alias("monetary"),
         )
     )
-    wr = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
-    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
-    wm = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc())
+    # ONE multi-key call: the three rankings share a single cutoff
+    # aggregate and a single bucketed frame, so every branch's subplan is
+    # identical below per_cust's shuffle and Spark reuses that exchange —
+    # separate per-key passes would prune columns differently, defeat
+    # reuse, and recompute the orders lineage per key (measured 11x)
+    scored = with_global_ranks(
+        per_cust,
+        [
+            RankSpec("recency_days", ascending=True, rank_col="_rk_r"),
+            RankSpec("frequency", ascending=False, rank_col="_rk_f"),
+            RankSpec("monetary", ascending=False, rank_col="_rk_m"),
+        ],
+        tiebreak="o_custkey",
+    )
     scored = (
-        per_cust.withColumn("r_quartile", F.ntile(4).over(wr))
-        .withColumn("f_quartile", F.ntile(4).over(wf))
-        .withColumn("m_quartile", F.ntile(4).over(wm))
+        scored.withColumn("r_quartile", exact_ntile("_rk_r", "_g_n", 4))
+        .withColumn("f_quartile", exact_ntile("_rk_f", "_g_n", 4))
+        .withColumn("m_quartile", exact_ntile("_rk_m", "_g_n", 4))
     )
     return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
         F.count("*").alias("n_customers"),
