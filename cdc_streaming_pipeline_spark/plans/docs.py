@@ -1079,8 +1079,9 @@ def minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deflate compression-ratio quality signal
     (operators/text.py:compression_ratio_scores) — repetitive/templated
-    docs score low. No SQL zlib -> rows-only; kernel pinned against
-    direct zlib in tests/test_corpus_selection.py."""
+    docs score low. No SQL zlib — certified by the Spark-independent
+    zlib oracle in tools/py_oracles.py (byte-exact deflate counts);
+    kernel also pinned in tests/test_corpus_selection.py."""
     docs = load_table(spark, sf_dir, "documents")
     return tx.compression_ratio_scores(docs)
 
@@ -1259,8 +1260,10 @@ def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode+shuffle); the merge loop then iterates on that compressed
     table with a 1-row collect per round. Returns the learned merge table
     — a pure function of the corpus given the pinned (freq DESC, left,
-    right) tie-break. No SQL oracle (iterative); certified by the exact
-    pure-Python parity test in tests/test_bpe.py."""
+    right) tie-break. No SQL oracle (iterative) — certified instead by a
+    Spark-independent pure-Python oracle in the local gate
+    (tools/py_oracles.py, exact merge-table equality) plus the parity
+    test in tests/test_bpe.py."""
     merges = _trained_merges(spark, sf_dir)
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_freq long"
@@ -1275,9 +1278,10 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the word-frequency table (bounded: distinct words, not corpus rows)
     and BROADCAST-joined to the exploded corpus. A 100 TB corpus pays
     one explode + one broadcast join; the fold only ever runs over the
-    compressed vocabulary. Rows-only (depends on the trained merges);
-    exact-parity of training and application is pinned in
-    tests/test_bpe.py."""
+    compressed vocabulary. No SQL oracle (depends on the trained
+    merges) — certified by the pure-Python oracle in tools/py_oracles.py
+    (exact per-doc counts under the same pinned training + application
+    semantics); parity also pinned in tests/test_bpe.py."""
     from cdc_streaming_pipeline_spark.operators.bpe import (
         segment_with_merges,
         word_frequency_table,

@@ -33,6 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from cdc_streaming_pipeline_spark.session import get_spark
 from cdc_streaming_pipeline_spark.sources.tables import TABLE_NAMES
+from tools.py_oracles import PY_ORACLES
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -139,7 +140,8 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             continue
         t_spark = time.time() - t0
-        if name not in oracles:
+        py_oracle = PY_ORACLES.get(name) if name not in oracles else None
+        if name not in oracles and py_oracle is None:
             rows_only.append(name)
             records[name] = {
                 "rows_match": None, "schema_match": None, "hash_match": None,
@@ -149,7 +151,14 @@ def main() -> int:
             print(f"ROWS-ONLY {name}: {len(spark_pdf)} rows ({t_spark:.1f}s)")
             continue
         try:
-            oracle_pdf = con.execute(oracles[name]).df()
+            # SQL-inexpressible exact kernels (zlib, iterative BPE) get a
+            # Spark-independent pure-Python oracle (tools/py_oracles.py)
+            # through the SAME value compare as the DuckDB twins
+            oracle_pdf = (
+                con.execute(oracles[name]).df()
+                if name in oracles
+                else py_oracle(sf_dir)
+            )
         except Exception as e:  # noqa: BLE001
             failed.append(name)
             records[name] = {
@@ -167,6 +176,8 @@ def main() -> int:
             "spark_rows": len(spark_pdf), "oracle_rows": len(oracle_pdf),
             "err": "; ".join(problems)[:300] or None, "sec": round(t_spark, 2),
         }
+        if py_oracle is not None:
+            records[name]["oracle_kind"] = "python"
         if problems:
             failed.append(name)
             print(f"FAIL {name} ({len(spark_pdf)} rows, {t_spark:.1f}s)")

@@ -1,0 +1,147 @@
+"""Spark-independent Python oracles for queries no SQL engine can state.
+
+The driver's gate compares against ``oracle_sql()`` (DuckDB); queries
+whose kernel has no SQL expression (zlib deflate, iterative BPE) were
+rows-only in every artifact. These oracles close that gap for the LOCAL
+full-surface record (tools/oracle_check.py): each is an exact
+re-implementation of the query contract in pure Python over the parquet
+inputs — no Spark, no DuckDB — and runs through the same
+rowcount/schema/value compare as the SQL oracles. They certify only
+EXACT kernels (byte-identical zlib output, the pinned BPE tie-break and
+greedy merge-application semantics); float-summation kernels (PCA,
+sketches) stay rows-only because a last-bit difference under rounding
+would be a spurious FAIL, not a certification.
+
+Registered in ``PY_ORACLES``: name -> fn(sf_dir) -> pandas.DataFrame
+with the query's exact output columns.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from collections import Counter
+from decimal import ROUND_HALF_UP, Decimal
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+END_OF_WORD = "</w>"  # operators/bpe.py pins the Sennrich marker
+_WS = re.compile(r"\s+")
+
+
+def _round4(x: float) -> float:
+    """Spark's F.round on DOUBLE = BigDecimal.valueOf(x).setScale(4,
+    HALF_UP): shortest decimal repr, then half-UP — NOT Python round()'s
+    banker's rounding (3.03125 -> 3.0313 vs 3.0312; hit 6 times on the
+    sf0.01 corpus). repr() is Python's shortest roundtrip, matching
+    Double.toString."""
+    return float(Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+
+def _docs(sf_dir: str) -> pd.DataFrame:
+    return pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+
+
+def _words(text: str) -> list[str]:
+    # word_frequency_table / bpe_token_counts tokenization:
+    # split(trim(lower(text)), '\\s+'), drop empties. Java and Python \s
+    # agree on the ASCII whitespace this corpus contains.
+    return [w for w in _WS.split((text or "").strip().lower()) if w]
+
+
+def doc_compression_ratio(sf_dir: str) -> pd.DataFrame:
+    """operators/text.py:compression_ratio_scores — deflate level 6 over
+    the raw utf-8 bytes; zlib output is byte-deterministic for a given
+    level, so the counts match the Spark kernel exactly."""
+    docs = _docs(sf_dir)
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        b = (text or "").encode()
+        c = len(zlib.compress(b, 6))
+        rows.append(
+            (int(doc_id), len(b), c, round(c / len(b), 4) if b else 0.0)
+        )
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_bytes", "n_compressed", "compression_ratio"]
+    )
+
+
+def _word_freq(sf_dir: str) -> Counter:
+    freq: Counter = Counter()
+    for text in _docs(sf_dir)["text"]:
+        freq.update(_words(text))
+    return freq
+
+
+def _initial(word: str) -> tuple[str, ...]:
+    chars = list(word)
+    chars[-1] = chars[-1] + END_OF_WORD
+    return tuple(chars)
+
+
+def _apply(toks: tuple[str, ...], left: str, right: str) -> tuple[str, ...]:
+    # the pinned single-pass greedy left-to-right merge application
+    acc: list[str] = []
+    for x in toks:
+        if acc and acc[-1] == left and x == right:
+            acc[-1] = left + right
+        else:
+            acc.append(x)
+    return tuple(acc)
+
+
+def _train(word_freq: Counter, n_merges: int, min_pair_freq: int = 2):
+    """operators/bpe.py:train_bpe contract: pair-frequency argmax with
+    (freq DESC, left ASC, right ASC) tie-break, stop below min_pair_freq."""
+    seg = {w: _initial(w) for w in word_freq}
+    merges = []
+    for rank in range(n_merges):
+        pairs: Counter = Counter()
+        for w, toks in seg.items():
+            f = word_freq[w]
+            for a, b in zip(toks, toks[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        (left, right), pf = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if pf < min_pair_freq:
+            break
+        merges.append((rank, left, right, left + right, pf))
+        seg = {w: _apply(t, left, right) for w, t in seg.items()}
+    return merges, seg
+
+
+def bpe_vocab_merges(sf_dir: str) -> pd.DataFrame:
+    """plans/docs.py:bpe_vocab_merges — the 24-round merge table."""
+    merges, _ = _train(_word_freq(sf_dir), n_merges=24)
+    return pd.DataFrame(
+        merges, columns=["rank", "left", "right", "merged", "pair_freq"]
+    )
+
+
+def bpe_token_counts(sf_dir: str) -> pd.DataFrame:
+    """plans/docs.py:bpe_token_counts — per-doc whitespace vs BPE token
+    counts under the learned merge table, applied per distinct word."""
+    freq = _word_freq(sf_dir)
+    _, seg = _train(freq, n_merges=24)
+    n_sub = {w: len(t) for w, t in seg.items()}
+    rows = []
+    for doc_id, text in zip(_docs(sf_dir)["doc_id"], _docs(sf_dir)["text"]):
+        ws = _words(text)
+        if not ws:
+            continue  # the Spark query inner-joins words, so empty docs drop
+        nb = sum(n_sub[w] for w in ws)
+        rows.append((int(doc_id), len(ws), nb, _round4(nb / len(ws))))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_ws_tokens", "n_bpe_tokens", "subtokens_per_word"]
+    )
+
+
+PY_ORACLES = {
+    "doc_compression_ratio": doc_compression_ratio,
+    "bpe_vocab_merges": bpe_vocab_merges,
+    "bpe_token_counts": bpe_token_counts,
+}
