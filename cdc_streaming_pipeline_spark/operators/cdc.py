@@ -341,3 +341,39 @@ def ivm_group_aggregate(
         )
         .filter(F.col("n_rows") != 0)
     )
+
+
+def status_transition_stats(
+    flat: DataFrame,
+    key_cols: list[str],
+    status_col: str,
+    order_col: str = LSN_COL,
+) -> DataFrame:
+    """Key-churn audit over a CDC version history: per (n_versions,
+    n_status_changes) cell, how many keys show that lifecycle shape —
+    the report that surfaces flip-flopping keys (status oscillation =
+    upstream bugs or update storms that bloat SCD2 history and IVM
+    deltas out of proportion to real state change).
+
+    One window partitioned BY KEY ordered by the event order (max task =
+    one key's history, never the table — the scale contract every
+    per-key CDC window here shares), then two bounded aggregates: the
+    per-key rollup shuffles one row per key, the cell rollup a handful.
+    A status change is counted between CONSECUTIVE versions (delete
+    rewrites carry the last image, so a 'd' row never counts as a
+    change by itself)."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).asc())
+    prev = F.lag(F.col(status_col)).over(w)
+    changed = (prev.isNotNull() & (F.col(status_col) != prev)).cast("long")
+    per_key = (
+        flat.withColumn("_chg", changed)
+        .groupBy(*key_cols)
+        .agg(
+            F.count("*").alias("n_versions"),
+            F.sum("_chg").alias("n_status_changes"),
+        )
+    )
+    return (
+        per_key.groupBy("n_versions", "n_status_changes")
+        .agg(F.count("*").alias("n_keys"))
+    )

@@ -165,6 +165,33 @@ def _shingle_hash_frame(
     )
 
 
+def _banded_buckets(base: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(_id, band, bucket) LSH projection of the signature frame — ids +
+    keys only, so the bucket join's shuffle payload is 3 longs/row."""
+    return base.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -201,28 +228,7 @@ def minhash_lsh_pairs(
             "sig", minhash_signature_from_hashes(F.col("sh_h"), num_hashes)
         ),
     )
-    banded = base.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _banded_buckets(base, bands, rows_per_band)
 
     cand_ids = (
         banded.alias("a")
@@ -328,6 +334,70 @@ def ngram_jaccard_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     return _verify_jaccard(cand_ids, base.select("_id", "sh_h"), jaccard_threshold)
+
+
+def minhash_lsh_incremental(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Fuzzy BATCH-vs-CORPUS near-dup detection — the daily-ingest shape
+    (the MinHash twin of ``incremental_exact_dedup``): which incoming
+    documents near-duplicate something already landed? Candidates come
+    from joining the batch's banded buckets against the CORPUS's banded
+    buckets only — never corpus x corpus, so cost tracks |batch| x
+    collision rate while the corpus side contributes one signature scan
+    (at steady state the corpus buckets are a persisted index; here they
+    are recomputed per call, same plan shape). Verification is the exact
+    count-based Jaccard over both sides' shingle sets. Emits
+    (batch_id, corpus_id, jaccard); a batch doc may match several landed
+    docs — dedup policy (drop/link) is the caller's.
+    """
+    rows_per_band = num_hashes // bands
+
+    def sig_frame(df: DataFrame, kind: str) -> DataFrame:
+        return _memo_frame(
+            df,
+            f"minhash_{kind}",
+            (text_col, id_col, shingle_size, num_hashes),
+            lambda: _shingle_hash_frame(df, text_col, id_col, shingle_size).withColumn(
+                "sig", minhash_signature_from_hashes(F.col("sh_h"), num_hashes)
+            ),
+        )
+
+    b_base = sig_frame(batch, "inc_batch")
+    c_base = sig_frame(corpus, "inc_corpus")
+    cand_ids = (
+        _banded_buckets(b_base, bands, rows_per_band)
+        .withColumnRenamed("_id", "id_a")
+        .join(
+            _banded_buckets(c_base, bands, rows_per_band).withColumnRenamed(
+                "_id", "id_b"
+            ),
+            ["band", "bucket"],
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    both = b_base.select("_id", "sh_h").unionByName(c_base.select("_id", "sh_h"))
+    pairs = _pair_intersections(cand_ids, both)
+    union = F.col("na") + F.col("nb") - F.col("n_int")
+    return (
+        pairs.withColumn(
+            "jaccard", F.round(F.col("n_int").cast("double") / union, 4)
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select(
+            F.col("id_a").alias("batch_id"),
+            F.col("id_b").alias("corpus_id"),
+            "jaccard",
+        )
+    )
 
 
 # -------------------------------------------------------------- simhash --

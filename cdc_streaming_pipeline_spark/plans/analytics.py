@@ -1166,6 +1166,43 @@ def salted_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DERBY_MEMO: dict[tuple[str, str], str] = {}
 
 
+def lineitem_price_equidepth_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram over a FACT-scale column: 20 equal-count
+    price bands of lineitem extendedprice with per-band bounds — the
+    optimizer-statistics / pricing-analytics shape that needs a global
+    rank over the fact table itself, not a per-entity aggregate. Runs on
+    the exact distributed rank operator (operators/rank.py: percentile
+    range buckets + per-bucket windows + broadcast offsets), so the
+    600M-row-at-scale sort never serializes into one task; the band is
+    the NTILE-equivalent integer formula, bit-identical to the DuckDB
+    ntile oracle. Tiebreak = the (orderkey, linenumber) composite packed
+    into one long (linenumber < 10), making the total order unique and
+    engine-independent."""
+    from cdc_streaming_pipeline_spark.operators.rank import (
+        exact_ntile,
+        with_global_rank,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice",
+        "l_quantity",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("_rid"),
+    )
+    ranked = with_global_rank(
+        li, key="l_extendedprice", tiebreak="_rid", ascending=True
+    )
+    return (
+        ranked.withColumn("band", exact_ntile("_g_rank", "_g_n", 20))
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.min("l_extendedprice").alias("price_lo"),
+            F.max("l_extendedprice").alias("price_hi"),
+            dsum(F.col("l_quantity"), 2).alias("band_qty"),
+        )
+    )
+
+
 def _derby_nation_url(spark: SparkSession, sf_dir: str) -> str:
     """Seed — once per (session, sf_dir) — an embedded Derby database with
     the parquet `nation` table and return its JDBC url. Derby ships inside
@@ -1280,6 +1317,7 @@ QUERIES = {
     "q20_excess_shippers": q20_excess_shippers,
     "daily_revenue_7d_ma": daily_revenue_7d_ma,
     "customer_value_deciles": customer_value_deciles,
+    "lineitem_price_equidepth_bands": lineitem_price_equidepth_bands,
 }
 
 ORACLE = {
@@ -1923,4 +1961,17 @@ ORACLE["corpus_zipf_slope"] = r"""
            ROUND(POW(sxy - sx * sy / n, 2)
                  / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 4) AS r2
     FROM s
+"""
+ORACLE["lineitem_price_equidepth_bands"] = """
+    WITH ranked AS (
+        SELECT l_extendedprice, l_quantity,
+               NTILE(20) OVER (ORDER BY l_extendedprice,
+                               l_orderkey * 10 + l_linenumber) AS band
+        FROM lineitem
+    )
+    SELECT band, COUNT(*) AS n_items,
+           MIN(l_extendedprice) AS price_lo,
+           MAX(l_extendedprice) AS price_hi,
+           ROUND(SUM(CAST(l_quantity AS DECIMAL(28,6))), 2)::DOUBLE AS band_qty
+    FROM ranked GROUP BY 1
 """

@@ -471,6 +471,23 @@ def cdc_scd2_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_transition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-churn audit (operators/cdc.py:status_transition_stats): how
+    many keys show each (n_versions, n_status_changes) lifecycle shape
+    over the CDC fixture — the flip-flop report that catches update
+    storms and status oscillation before they bloat SCD2 history.
+    Per-key window + two bounded rollups; the oracle states the cell
+    counts in closed form from the fixture arithmetic (delete rewrites
+    carry the last image, so 'd' rows never count as changes)."""
+    from cdc_streaming_pipeline_spark.operators.cdc import (
+        status_transition_stats,
+    )
+
+    log = _order_event_log(_orders(spark, sf_dir))
+    flat = filter_tombstones(log).select("value.*")
+    return status_transition_stats(flat, key_cols=["id"], status_col="status")
+
+
 def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reverse CDC (operators/cdc.py:snapshot_diff): reconstruct the change
     batch between two snapshot exports — the reconciliation move when log
@@ -509,6 +526,7 @@ QUERIES = {
     "cdc_compliance_erasure": cdc_compliance_erasure,
     "cdc_snapshot_diff": cdc_snapshot_diff,
     "cdc_scd2_merge_incremental": cdc_scd2_merge_incremental,
+    "cdc_transition_audit": cdc_transition_audit,
     "cdc_ivm_status_totals": cdc_ivm_status_totals,
 }
 
@@ -673,4 +691,22 @@ ORACLE["cdc_ivm_status_totals"] = """
     SELECT status, COUNT(*) AS n_rows,
            CAST(ROUND(SUM(CAST(amt AS DECIMAL(28,6))), 2) AS DOUBLE) AS total_amount
     FROM state GROUP BY 1
+"""
+ORACLE["cdc_transition_audit"] = """
+    WITH per_key AS (
+        SELECT o_orderkey AS id,
+               1 + CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END
+                 + CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END
+                 + CASE WHEN o_orderkey % 15 = 0 THEN 1 ELSE 0 END AS n_versions,
+               CASE WHEN o_orderkey % 3 = 0 AND o_orderstatus <> 'pending'
+                    THEN 1 ELSE 0 END
+             + CASE WHEN o_orderkey % 15 = 0 AND 'reinstated' <>
+                         (CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus
+                               ELSE 'pending' END)
+                    THEN 1 ELSE 0 END AS n_status_changes
+        FROM orders
+    )
+    SELECT n_versions, CAST(n_status_changes AS BIGINT) AS n_status_changes,
+           COUNT(*) AS n_keys
+    FROM per_key GROUP BY 1, 2
 """

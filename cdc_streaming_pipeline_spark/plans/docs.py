@@ -1233,6 +1233,21 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def minhash_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy daily-ingest dedup (operators/dedup.py:
+    minhash_lsh_incremental): which incoming batch docs (doc_id%5==0)
+    near-duplicate the already-landed corpus (the rest)? Batch-banded x
+    corpus-banded bucket join — never corpus x corpus — with exact
+    count-based Jaccard verification; the MinHash twin of
+    dedup_incremental_batch. Rows-only (xxhash-seeded); parity vs the
+    full pair generator restricted to cross pairs is pytest-gated in
+    tests/test_dedup_incremental.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return dd.minhash_lsh_incremental(batch, corpus)
+
+
 _BPE_MEMO: dict[tuple[str, str], list] = {}
 
 
@@ -1397,6 +1412,7 @@ QUERIES = {
     "embedding_cluster_purity": embedding_cluster_purity,
     "weighted_sample_docs": weighted_sample_docs,
     "training_shard_manifest": training_shard_manifest,
+    "minhash_incremental_batch": minhash_incremental_batch,
 }
 
 # DuckDB-side replicas. Shared fragments:

@@ -668,6 +668,36 @@ def incremental_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_debounce_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once ingestion cleanup: suppress events landing within 60s
+    of the previous event of the same (user, type) — the debounce dedup
+    every clickstream pipeline runs before sessionization (retransmits
+    and double-fires arrive as near-simultaneous repeats). One window
+    partitioned by (user_id, event_type) ordered by (ts, event_id) — max
+    task is one user-type stream, never the table — then a per-type
+    rollup. The suppression predicate compares raw timestamps (ts <
+    prev + 60s interval), exact at microsecond precision in both
+    engines; no epoch truncation."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    prev = F.lag("ts").over(w)
+    suppressed = (
+        prev.isNotNull() & (F.col("ts") < prev + F.expr("INTERVAL 60 SECONDS"))
+    ).cast("long")
+    return (
+        ev.withColumn("_sup", suppressed)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(1 - F.col("_sup")).alias("n_kept"),
+            F.sum("_sup").alias("n_suppressed"),
+            F.round(F.sum("_sup") / F.count("*"), 4).alias("suppressed_frac"),
+        )
+    )
+
+
 QUERIES = {
     "count_star_events": count_star_events,
     "first_events": first_events,
@@ -698,6 +728,7 @@ QUERIES = {
     "theta_user_overlap": theta_user_overlap,
     "kll_value_rollup": kll_value_rollup,
     "incremental_hourly_rollup": incremental_hourly_rollup,
+    "event_debounce_dedup": event_debounce_dedup,
 }
 
 ORACLE = {
@@ -977,4 +1008,19 @@ ORACLE["event_disorder_stats"] = """
                AS regression_frac,
            ROUND(MAX(backstep_s), 1) AS max_backstep_s
     FROM steps GROUP BY 1
+"""
+ORACLE["event_debounce_dedup"] = """
+    WITH marked AS (
+        SELECT event_type,
+               CASE WHEN LAG(ts) OVER w IS NOT NULL
+                         AND ts < LAG(ts) OVER w + INTERVAL 60 SECOND
+                    THEN 1 ELSE 0 END AS sup
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(1 - sup) AS BIGINT) AS n_kept,
+           CAST(SUM(sup) AS BIGINT) AS n_suppressed,
+           ROUND(SUM(sup)::DOUBLE / COUNT(*), 4) AS suppressed_frac
+    FROM marked GROUP BY 1
 """
