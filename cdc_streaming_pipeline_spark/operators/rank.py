@@ -76,6 +76,7 @@ def with_global_ranks(
     tiebreak: str,
     n_buckets: int = 64,
     n_col: str = _N,
+    materialize_input: bool = True,
 ) -> DataFrame:
     """Add every spec's exact global rank (and optional running sum) to
     ``df``, plus the frame's total row count in ``n_col`` — distributed
@@ -88,15 +89,19 @@ def with_global_ranks(
     matches Spark's NULLS FIRST only for ascending order. The callers
     here rank aggregate outputs (sums/counts), non-null by construction.
     """
-    # Materialize the input ONCE (lazy localCheckpoint — distributed,
-    # spills to disk; the same bounded pattern as the CC label-propagation
-    # and BPE loops): the cutoff aggregate, the size-table job, and the
-    # main chain all read the materialization instead of re-executing the
-    # input lineage per branch (exchange reuse cannot dedup them — the
-    # branches prune to different columns; measured 4-11x recompute at
-    # sf0.1 without this). The bucket expressions themselves are cheap
-    # projections recomputed per consumer over materialized rows.
-    df = df.localCheckpoint(eager=False)
+    # The cutoff aggregate, the size-table job, and the main chain each
+    # consume ``df``; exchange reuse cannot dedup them (the branches
+    # prune to different columns), so left as lineage the input recomputes
+    # per branch — measured 4-11x at sf0.1 on aggregate inputs. For a
+    # DERIVED input (a groupBy/join result — the deciles/RFM/pareto
+    # shape) the fix is a lazy localCheckpoint: materialize once,
+    # distributed, spills to disk (the CC/BPE bounded pattern). For a
+    # RAW SCAN input (the equi-depth-over-the-fact-table shape) pass
+    # materialize_input=False: re-reading a column-pruned parquet scan
+    # 3x is far cheaper at 100 TB than writing the whole fact frame to
+    # executor storage once.
+    if materialize_input:
+        df = df.localCheckpoint(eager=False)
     qs = [i / n_buckets for i in range(1, n_buckets)]
     cuts = df.agg(
         *[
@@ -236,6 +241,7 @@ def with_global_rank(
     cum_col: str = _CUM,
     n_col: str = _N,
     total_col: str = _TOT,
+    materialize_input: bool = True,
 ) -> DataFrame:
     """Single-key convenience wrapper over ``with_global_ranks``."""
     return with_global_ranks(
@@ -253,6 +259,7 @@ def with_global_rank(
         tiebreak=tiebreak,
         n_buckets=n_buckets,
         n_col=n_col,
+        materialize_input=materialize_input,
     )
 
 

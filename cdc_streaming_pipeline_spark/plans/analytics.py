@@ -1188,8 +1188,11 @@ def lineitem_price_equidepth_bands(spark: SparkSession, sf_dir: str) -> DataFram
         "l_quantity",
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("_rid"),
     )
+    # materialize_input=False: the input is a pruned fact SCAN — three
+    # re-reads beat materializing the whole fact frame to executor disk
     ranked = with_global_rank(
-        li, key="l_extendedprice", tiebreak="_rid", ascending=True
+        li, key="l_extendedprice", tiebreak="_rid", ascending=True,
+        materialize_input=False,
     )
     return (
         ranked.withColumn("band", exact_ntile("_g_rank", "_g_n", 20))

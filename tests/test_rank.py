@@ -94,6 +94,7 @@ def test_trio_plans_have_no_unpartitioned_window(spark):
         corpus_zipf_slope,
         customer_rfm_segments,
         customer_value_deciles,
+        lineitem_price_equidepth_bands,
         supplier_pareto_analysis,
     )
 
@@ -102,6 +103,7 @@ def test_trio_plans_have_no_unpartitioned_window(spark):
         supplier_pareto_analysis,
         customer_rfm_segments,
         corpus_zipf_slope,
+        lineitem_price_equidepth_bands,
     ):
         df = q(spark, SF_DIR)
         nodes = _window_nodes(df)
@@ -114,3 +116,37 @@ def test_trio_plans_have_no_unpartitioned_window(spark):
         from cdc_streaming_pipeline_spark.plans import analytics
 
         assert "F.ntile" not in inspect.getsource(q)
+
+
+def test_rank_property_random_frames(spark):
+    """Hypothesis-style randomized parity: many small random frames with
+    heavy ties, tiny bucket counts, and both directions must reproduce
+    the single-task window's ranks exactly."""
+    import random
+
+    from pyspark.sql import Window
+
+    for seed in range(6):
+        rng = random.Random(100 + seed)
+        n = rng.randint(1, 120)
+        n_buckets = rng.choice([2, 3, 5, 16])
+        ascending = rng.choice([True, False])
+        rows = [(i, float(rng.randint(0, 6))) for i in range(n)]
+        df = spark.createDataFrame(rows, "id bigint, v double")
+        order = [
+            F.col("v").asc() if ascending else F.col("v").desc(),
+            F.col("id").asc(),
+        ]
+        truth = {
+            r["id"]: r["t"]
+            for r in df.select(
+                "id", F.row_number().over(Window.orderBy(*order)).alias("t")
+            ).collect()
+        }
+        got = {
+            r["id"]: r["_g_rank"]
+            for r in with_global_rank(
+                df, key="v", tiebreak="id", ascending=ascending, n_buckets=n_buckets
+            ).collect()
+        }
+        assert got == truth, (seed, n, n_buckets, ascending)
