@@ -1206,6 +1206,67 @@ def lineitem_price_equidepth_bands(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def daily_revenue_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily revenue series: every calendar day between the
+    first and last order date appears, zero-filled where no orders
+    landed — the resampling step every downstream forecaster assumes.
+    The calendar spine is F.sequence over the min/max 1-row aggregate
+    exploded (bounded by the calendar span, not the data), left-joined
+    to the daily rollup; the cumulative sum runs over the same bounded
+    day spine (documented-bounded window, same class as the monthly
+    series)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        dsum(F.col("o_totalprice")).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    span = orders.agg(
+        F.min("o_orderdate").alias("_lo"), F.max("o_orderdate").alias("_hi")
+    )
+    spine = span.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("day")
+    )
+    w = Window.orderBy(F.col("day").asc())
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("revenue"), F.lit(0.0)).alias("revenue"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            F.col("revenue").isNull().alias("is_gap"),
+        )
+        .withColumn(
+            "cum_revenue",
+            F.round(
+                F.sum("revenue").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+                2,
+            ),
+        )
+    )
+
+
+def daily_new_users_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-growth curve from the event stream: per day, users seen for
+    the FIRST time, and the running total — exact (first-seen date per
+    user via one groupBy, then a rollup over the bounded day spine; the
+    cumsum window runs over days, not users)."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    per_day = first_seen.groupBy("day").agg(F.count("*").alias("n_new_users"))
+    w = Window.orderBy(F.col("day").asc())
+    return per_day.select(
+        "day",
+        "n_new_users",
+        F.sum("n_new_users")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_users"),
+    )
+
+
 def _derby_nation_url(spark: SparkSession, sf_dir: str) -> str:
     """Seed — once per (session, sf_dir) — an embedded Derby database with
     the parquet `nation` table and return its JDBC url. Derby ships inside
@@ -1321,6 +1382,8 @@ QUERIES = {
     "daily_revenue_7d_ma": daily_revenue_7d_ma,
     "customer_value_deciles": customer_value_deciles,
     "lineitem_price_equidepth_bands": lineitem_price_equidepth_bands,
+    "daily_revenue_gapfilled": daily_revenue_gapfilled,
+    "daily_new_users_cumulative": daily_new_users_cumulative,
 }
 
 ORACLE = {
@@ -1977,4 +2040,38 @@ ORACLE["lineitem_price_equidepth_bands"] = """
            MAX(l_extendedprice) AS price_hi,
            ROUND(SUM(CAST(l_quantity AS DECIMAL(28,6))), 2)::DOUBLE AS band_qty
     FROM ranked GROUP BY 1
+"""
+ORACLE["daily_revenue_gapfilled"] = """
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2)::DOUBLE AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    ), spine AS (
+        SELECT UNNEST(generate_series(MIN(o_orderdate), MAX(o_orderdate),
+                                      INTERVAL 1 DAY))::DATE AS day
+        FROM orders
+    ), filled AS (
+        SELECT s.day,
+               COALESCE(d.revenue, 0.0) AS revenue,
+               COALESCE(d.n_orders, 0) AS n_orders,
+               d.revenue IS NULL AS is_gap
+        FROM spine s LEFT JOIN daily d USING (day)
+    )
+    SELECT day, revenue, n_orders, is_gap,
+           ROUND(SUM(revenue) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_revenue
+    FROM filled
+"""
+
+ORACLE["daily_new_users_cumulative"] = """
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY 1
+    ), per_day AS (
+        SELECT day, COUNT(*) AS n_new_users FROM first_seen GROUP BY 1
+    )
+    SELECT day, n_new_users,
+           SUM(n_new_users) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+    FROM per_day
 """
