@@ -92,8 +92,12 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
 
 _SHINGLE_CACHE: deque[DataFrame] = deque()
 # distinct persisted frames a full registry pass touches (minhash + ngram
-# + simhash + contamination); each is ids + hash arrays — MBs at sf0.1.
-_SHINGLE_CACHE_MAX = 8
+# + simhash + contamination + the incremental batch/corpus pair); each is
+# ids + hash arrays — MBs at sf0.1. Sized ABOVE the per-pass count: if a
+# pass creates more frames than the cap, the oldest evicts before its
+# second bench pass and both passes run cold (the r8 +3s shingle
+# regression).
+_SHINGLE_CACHE_MAX = 12
 _FRAME_MEMO: dict[tuple, DataFrame] = {}
 
 

@@ -114,11 +114,18 @@ def with_global_ranks(
     bucketed = df.crossJoin(F.broadcast(cuts))
     for i, s in enumerate(specs):
         keyd = F.col(s.key).cast("double")
-        # strict comparison ⇒ boundary-valued rows all land in ONE bucket
-        in_bucket = (
-            F.size(F.filter(F.col(f"_cuts_{i}"), lambda c: keyd > c))
-            if s.ascending
-            else F.size(F.filter(F.col(f"_cuts_{i}"), lambda c: keyd < c))
+        # strict comparison ⇒ boundary-valued rows all land in ONE bucket.
+        # aggregate-fold, not size(filter(...)): the fold counts without
+        # materializing a filtered copy of the cutoff array per row —
+        # this expression runs once per row per consuming branch, so
+        # allocation here is the hot spot on fact-scale frames.
+        def counter(cmp):
+            return F.aggregate(
+                F.col(f"_cuts_{i}"), F.lit(0), lambda acc, c: acc + cmp(c).cast("int")
+            )
+
+        in_bucket = counter(lambda c: keyd > c) if s.ascending else counter(
+            lambda c: keyd < c
         )
         bucketed = bucketed.withColumn(f"_bkt_{i}", in_bucket)
     bucketed = bucketed.drop(*[f"_cuts_{i}" for i in range(len(specs))])

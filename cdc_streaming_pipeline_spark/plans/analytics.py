@@ -1190,9 +1190,12 @@ def lineitem_price_equidepth_bands(spark: SparkSession, sf_dir: str) -> DataFram
     )
     # materialize_input=False: the input is a pruned fact SCAN — three
     # re-reads beat materializing the whole fact frame to executor disk
+    # n_buckets=32: the bucket expression costs O(n_buckets) per fact
+    # row per consuming branch; 32 halves that constant while max task
+    # stays rows/32 — retune upward at real scale
     ranked = with_global_rank(
         li, key="l_extendedprice", tiebreak="_rid", ascending=True,
-        materialize_input=False,
+        materialize_input=False, n_buckets=32,
     )
     return (
         ranked.withColumn("band", exact_ntile("_g_rank", "_g_n", 20))
