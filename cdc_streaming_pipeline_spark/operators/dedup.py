@@ -248,47 +248,36 @@ def minhash_lsh_pairs(
     return _verify_jaccard(cand_ids, base.select("_id", "sh_h"), jaccard_threshold)
 
 
-def _pair_intersections(cand_ids: DataFrame, shingle_df: DataFrame) -> DataFrame:
-    """Exact |A∩B| and both set sizes per candidate pair, shipping only
-    (id, shingle-hash) longs through the shuffles — never the full
-    shingle arrays. The array formulation (join both docs' sh_h arrays
-    onto each pair, array_intersect per pair) replicates each document's
-    whole array once per candidate pair it appears in; on the 10x
-    dup-heavy stress corpus (36x pairs) that is 51s vs 5.7s for this
-    count-based verify, identical output (recorded in
-    .benchmarks/PAIR_VERIFY_r8.md). At sf0.1's sparse pair volume the
-    array form wins by ~1s of fixed stage overhead — the count form is
-    chosen because verify cost must track PAIR volume at scale.
-
-    Exactness: the intersection is counted over the FULL inverted index
-    (id, sh) — including stop-shingles excluded from candidate
-    GENERATION — restricted to candidate pairs by the equi-joins, so no
-    frequent-shingle m² blowup re-enters. Returns
-    (id_a, id_b, n_int, na, nb)."""
-    inv = shingle_df.select("_id", F.explode("sh_h").alias("sh"))
-    inter = (
-        cand_ids.join(inv.select(F.col("_id").alias("id_a"), "sh"), "id_a")
-        .join(inv.select(F.col("_id").alias("id_b"), "sh"), ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_int"))
-    )
-    sizes = shingle_df.select("_id", F.size("sh_h").alias("n"))
-    return inter.join(
-        sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("na")), "id_a"
-    ).join(sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
-
-
 def _verify_jaccard(cand_ids: DataFrame, shingle_df: DataFrame, threshold: float) -> DataFrame:
-    """Exact-verify candidate pairs: |A∩B|/|A∪B| over the full (hashed)
-    shingle sets — identical to the string-set Jaccard modulo 64-bit
-    collisions. Ids-and-counts only through the shuffle
-    (see ``_pair_intersections``)."""
-    pairs = _pair_intersections(cand_ids, shingle_df)
-    union = F.col("na") + F.col("nb") - F.col("n_int")
+    """Re-attach (hashed) shingle sets to deduped candidate id pairs and
+    exact-verify: |A∩B|/|A∪B| over the full sets — identical to the
+    string-set Jaccard modulo 64-bit collisions.
+
+    Array-attach, not an explode-and-count reformulation — MEASURED, not
+    assumed (.benchmarks/PAIR_VERIFY_r8.md): with the base frame warm and
+    identical candidates, joining both docs' hash arrays onto each pair
+    and running array_intersect beats shipping per-(pair, shingle) rows
+    through a (doc, shingle) shuffle in BOTH the sparse regime (sf0.1,
+    436k candidates: 2.7s vs 6.3s) and the dup-heavy regime (10x corpus:
+    2.3s vs 4.1s). Both formulations are output-proportional — Σ over
+    candidate pairs of the docs' shingle counts — the array form just
+    packs that volume into one wide row per pair (tight codegen
+    array_intersect) instead of narrow rows through an extra exchange.
+    An earlier round-8 capture concluded the opposite because the array
+    run paid the cold shingle-frame build (~48s at 10x) inside its
+    timing; controlled re-measurement reversed the verdict."""
+    sh_a = shingle_df.select(F.col("_id").alias("id_a"), F.col("sh_h").alias("sh_a"))
+    sh_b = shingle_df.select(F.col("_id").alias("id_b"), F.col("sh_h").alias("sh_b"))
+    cand = cand_ids.join(sh_a, "id_a").join(sh_b, "id_b")
+    # |A∪B| = |A| + |B| - |A∩B| — never array_union: building the deduped
+    # union ARRAY per candidate pair is pure allocation (the sizes are
+    # all we need) and measured 3-4x the whole verify stage at 436k
+    # candidates (5-7s -> ~2s)
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union.cast("double")
     return (
-        pairs.withColumn(
-            "jaccard", F.round(F.col("n_int").cast("double") / union, 4)
-        )
+        cand.withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -389,18 +378,10 @@ def minhash_lsh_incremental(
         .dropDuplicates(["id_a", "id_b"])
     )
     both = b_base.select("_id", "sh_h").unionByName(c_base.select("_id", "sh_h"))
-    pairs = _pair_intersections(cand_ids, both)
-    union = F.col("na") + F.col("nb") - F.col("n_int")
-    return (
-        pairs.withColumn(
-            "jaccard", F.round(F.col("n_int").cast("double") / union, 4)
-        )
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select(
-            F.col("id_a").alias("batch_id"),
-            F.col("id_b").alias("corpus_id"),
-            "jaccard",
-        )
+    return _verify_jaccard(cand_ids, both, jaccard_threshold).select(
+        F.col("id_a").alias("batch_id"),
+        F.col("id_b").alias("corpus_id"),
+        "jaccard",
     )
 
 
@@ -654,16 +635,17 @@ def ngram_containment_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    pairs = _pair_intersections(cand_ids, base)
-    na, nb = F.col("na"), F.col("nb")
+    sh_a = base.select(F.col("_id").alias("id_a"), F.col("sh_h").alias("sh_a"))
+    sh_b = base.select(F.col("_id").alias("id_b"), F.col("sh_h").alias("sh_b"))
+    cand = cand_ids.join(sh_a, "id_a").join(sh_b, "id_b")
+    na, nb = F.size("sh_a"), F.size("sh_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     a_small = (na < nb) | ((na == nb) & (F.col("id_a") < F.col("id_b")))
-    out = pairs.select(
+    out = cand.select(
         F.when(a_small, F.col("id_a")).otherwise(F.col("id_b")).alias("id_small"),
         F.when(a_small, F.col("id_b")).otherwise(F.col("id_a")).alias("id_big"),
         F.when(a_small, na).otherwise(nb).alias("n_shingles_small"),
         F.when(a_small, nb).otherwise(na).alias("n_shingles_big"),
-        F.round(F.col("n_int").cast("double") / F.least(na, nb), 4).alias(
-            "containment"
-        ),
+        F.round(inter.cast("double") / F.least(na, nb), 4).alias("containment"),
     )
     return out.filter(F.col("containment") >= containment_threshold)

@@ -106,3 +106,26 @@ def test_query_callables_take_spark_and_sf_dir():
         if len(required) != 2:
             bad.append(name)
     assert not bad, bad
+
+
+def test_no_duplicate_toplevel_defs_in_package():
+    """A duplicated top-level `def` silently shadows the earlier one —
+    the round-8 incident: a botched edit left two minhash_lsh_pairs /
+    _verify_jaccard definitions in operators/dedup.py and the STALE
+    second copies won at import, reverting a measured optimization while
+    every test stayed green. AST-scan the whole package."""
+    import pathlib
+
+    import cdc_streaming_pipeline_spark as pkg
+
+    root = pathlib.Path(pkg.__file__).parent
+    offenders = []
+    for py in root.rglob("*.py"):
+        tree = ast.parse(py.read_text())
+        seen: dict[str, int] = {}
+        for node in tree.body:  # top level only — nested/overload-free
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                if node.name in seen:
+                    offenders.append(f"{py.name}:{node.lineno} redefines {node.name} (first at {seen[node.name]})")
+                seen[node.name] = node.lineno
+    assert not offenders, offenders
