@@ -515,3 +515,89 @@ def embedding_outliers(
             ).alias("outlier_z"),
         )
     )
+
+
+# ----------------------------------------------------- persisted IVF index --
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index: the corpus written cell-PARTITIONED (one
+    parquet partition per k-means cell) plus the centroid table alongside
+    it. This turns ``ivf_topk``'s compute saving (score only probed
+    cells) into an I/O saving — a serving query reads ONLY its probed
+    cells' files via partition pruning, so at 100 TB the scan cost is
+    ~n_probe/n_clusters of the corpus, not all of it. Fit the centroids
+    once (``kmeans_fit``), write once, serve many."""
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            pdf = pdf[[id_col, vec_col]].copy()
+            pdf["cell"] = np.argmax(mat @ cent.T, axis=1).astype("int32")
+            yield pdf
+
+    assigned = corpus.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, {vec_col} array<double>, cell int"
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    cent_rows = [(int(i), [float(v) for v in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(cent_rows, "cell int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path.rstrip('/')}._centroids")
+
+
+def load_ivf_centroids(spark, path: str) -> np.ndarray:
+    """Load the centroid table written by ``write_ivf_index`` back into
+    the (n_clusters, dim) matrix, row order = cell id."""
+    rows = spark.read.parquet(f"{path.rstrip('/')}._centroids").collect()
+    rows.sort(key=lambda r: r["cell"])
+    return np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Serve IVF top-k from a persisted index: compute each query's probe
+    cells against the stored centroids, read ONLY those cells' partitions
+    (``cell IN (...)`` is a partition filter — pruned at planning time,
+    non-probed files never open), and run the same masked scoring as the
+    in-memory path. Output-identical to ``ivf_topk`` with the same
+    centroids: rows outside the probed cells can never score for any
+    query, so pruning them from the SCAN changes bytes read, not results
+    (pinned in tests/test_ivf_index.py)."""
+    centroids = load_ivf_centroids(spark, path)
+    _, q_mat = _collect_matrix(queries, id_col, vec_col)
+    q_mat = _normalize(q_mat)
+    n_probe = min(n_probe, len(centroids))
+    probed = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :n_probe]
+    cells = sorted({int(c) for row in probed for c in row})
+    pruned = spark.read.parquet(path).filter(F.col("cell").isin(cells)).select(
+        id_col, vec_col
+    )
+    return ivf_topk(
+        pruned,
+        queries,
+        k=k,
+        n_clusters=len(centroids),
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+        exclude_self=exclude_self,
+        centroids=centroids,
+    )

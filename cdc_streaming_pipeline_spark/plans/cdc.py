@@ -488,6 +488,61 @@ def cdc_transition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return status_transition_stats(flat, key_cols=["id"], status_col="status")
 
 
+def cdc_consistent_as_of_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-TABLE transactional consistency at a point in time: rebuild
+    BOTH the order and customer entity states as of the SAME global LSN
+    cutoff (the logs share one LSN domain — the single-sequence
+    guarantee a CDC source like Debezium inherits from the database
+    WAL), join child to parent, and report per order status how many
+    orders reference a customer whose insert is still in the future at
+    that LSN. This is the audit that catches the classic multi-topic
+    hazard: per-table as-of views that are each internally consistent
+    but mutually skewed. One filter + window dedup per entity log, one
+    key join, one bounded rollup; the oracle states the result in closed
+    form from the fixture arithmetic (an order/customer is visible iff
+    its key ≤ the cutoff key)."""
+    cut = _cutoff_key(spark, sf_dir)
+    asof = f"{cut * 10 + 2:012d}"
+    o = _orders(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer")
+    orders_state = latest_state(
+        _order_entity_events(o).filter(F.col(LSN_COL) <= F.lit(asof)),
+        key_cols=["id"],
+        order_col=LSN_COL,
+    ).select(
+        F.col("id").alias("order_id"),
+        "customer_id",
+        F.col("status").alias("order_status"),
+        "total_amount",
+    )
+    cust_state = latest_state(
+        _customer_entity_events(c).filter(F.col(LSN_COL) <= F.lit(asof)),
+        key_cols=["id"],
+        order_col=LSN_COL,
+    ).select(F.col("id").alias("customer_id"), F.lit(1).alias("_cust_visible"))
+    joined = orders_state.join(cust_state, "customer_id", "left")
+    return (
+        joined.groupBy(F.col("order_status").alias("status"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.coalesce(F.col("_cust_visible"), F.lit(0))).alias(
+                "n_with_customer"
+            ),
+            F.sum((F.col("_cust_visible").isNull()).cast("long")).alias(
+                "n_dangling"
+            ),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("_cust_visible").isNotNull(), F.col("total_amount")
+                    ).otherwise(F.lit(0.0)).cast("decimal(28,6)")
+                ),
+                2,
+            ).cast("double").alias("consistent_total"),
+        )
+    )
+
+
 def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reverse CDC (operators/cdc.py:snapshot_diff): reconstruct the change
     batch between two snapshot exports — the reconciliation move when log
@@ -527,6 +582,7 @@ QUERIES = {
     "cdc_snapshot_diff": cdc_snapshot_diff,
     "cdc_scd2_merge_incremental": cdc_scd2_merge_incremental,
     "cdc_transition_audit": cdc_transition_audit,
+    "cdc_consistent_as_of_join": cdc_consistent_as_of_join,
     "cdc_ivm_status_totals": cdc_ivm_status_totals,
 }
 
@@ -709,4 +765,20 @@ ORACLE["cdc_transition_audit"] = """
     SELECT n_versions, CAST(n_status_changes AS BIGINT) AS n_status_changes,
            COUNT(*) AS n_keys
     FROM per_key GROUP BY 1, 2
+"""
+ORACLE["cdc_consistent_as_of_join"] = """
+    WITH cut AS (SELECT (MAX(o_orderkey) // 2) AS ck FROM orders)
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN o_custkey <= ck THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_customer,
+           CAST(SUM(CASE WHEN o_custkey <= ck THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_dangling,
+           ROUND(SUM(CASE WHEN o_custkey <= ck
+                          THEN CAST(o_totalprice AS DECIMAL(28,6))
+                          ELSE CAST(0 AS DECIMAL(28,6)) END), 2)::DOUBLE
+               AS consistent_total
+    FROM orders, cut
+    WHERE o_orderkey <= ck
+    GROUP BY 1
 """

@@ -1248,6 +1248,39 @@ def minhash_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_incremental(batch, corpus)
 
 
+_IVF_INDEX_MEMO: dict[tuple[str, str], tuple] = {}
+
+
+def ann_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving from a PERSISTED IVF index
+    (operators/cluster.py:write_ivf_index / ivf_topk_from_index): the
+    corpus is written cell-partitioned once per session (fit + write
+    memoized, the merge-snapshot pattern), and each query batch reads
+    ONLY its probed cells' partitions — partition pruning turns the
+    n_probe/n_clusters compute saving into an I/O saving, the 100 TB
+    serving path. Output-identical to the in-memory IVF with the same
+    centroids (pinned in tests/test_ivf_index.py). Rows-only
+    (k-means-seeded); recall gates live with the other ANN variants."""
+    import hashlib
+    import os
+    import tempfile
+
+    from cdc_streaming_pipeline_spark.operators import cluster as cl
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVF_INDEX_MEMO:
+        digest = hashlib.md5(f"{key}:ivf".encode()).hexdigest()[:8]
+        path = os.path.join(tempfile.gettempdir(), f"ivf_index_{digest}")
+        emb = load_table(spark, sf_dir, "embeddings")
+        cent = cl.kmeans_fit(emb, k=16, seed=42)
+        cl.write_ivf_index(emb, path, cent)
+        _IVF_INDEX_MEMO[key] = (path,)
+    (path,) = _IVF_INDEX_MEMO[key]
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return cl.ivf_topk_from_index(spark, path, queries, k=5, n_probe=8)
+
+
 _BPE_MEMO: dict[tuple[str, str], list] = {}
 
 
@@ -1413,6 +1446,7 @@ QUERIES = {
     "weighted_sample_docs": weighted_sample_docs,
     "training_shard_manifest": training_shard_manifest,
     "minhash_incremental_batch": minhash_incremental_batch,
+    "ann_topk_ivf_persisted": ann_topk_ivf_persisted,
 }
 
 # DuckDB-side replicas. Shared fragments:
