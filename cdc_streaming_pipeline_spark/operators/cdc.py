@@ -377,3 +377,80 @@ def status_transition_stats(
         per_key.groupBy("n_versions", "n_status_changes")
         .agg(F.count("*").alias("n_keys"))
     )
+
+
+def ivm_join_group_aggregate(
+    env_fact: DataFrame,
+    env_dim: DataFrame,
+    join_field: str,
+    group_field: str,
+    value_field: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """Incremental view maintenance of an AGGREGATE OVER A JOIN — the
+    bilinear extension of ``ivm_group_aggregate`` (the DBSP/Materialize
+    delta rule Δ(A⋈B) = ΔA⋈B + A⋈ΔB + ΔA⋈ΔB, collapsed for a full-log
+    replay): each stream reduces independently to a signed per-join-key
+    state — the fact side to (net row count, exact-decimal net value),
+    the dimension side to a net indicator per (key, group attribute) that
+    telescopes to 1 for the current attribute and 0 for every superseded
+    one — and ONE compact join of the two states followed by a grouped
+    sum of products lands exactly on the final-state join aggregate.
+
+    No per-event join, no latest-state window, no state store: two
+    linear aggregations over the logs plus a join whose both sides are
+    |live keys|, order-insensitive because the ± cancellation is exact
+    in decimal and the indicator algebra is integral. At 100 TB each log
+    shuffles once on the join key — the same lower bound the final-state
+    recompute pays, but this plan never materializes either table.
+
+    ``env_fact``/``env_dim``: Debezium-envelope frames (struct
+    ``{before, after, op, table, lsn}``); fact images carry
+    ``join_field`` + ``value_field``, dim images ``join_field`` +
+    ``group_field``.
+    """
+    from cdc_streaming_pipeline_spark.functions.precision import _DEC
+
+    v = F.col(value_col)
+    f_after = env_fact.filter(v["after"].isNotNull()).select(
+        v["after"][join_field].alias("_k"),
+        F.lit(1).alias("_s"),
+        v["after"][value_field].cast(_DEC).alias("_v"),
+    )
+    f_before = env_fact.filter(v["before"].isNotNull()).select(
+        v["before"][join_field].alias("_k"),
+        F.lit(-1).alias("_s"),
+        (-v["before"][value_field]).cast(_DEC).alias("_v"),
+    )
+    fact = (
+        f_after.unionByName(f_before)
+        .groupBy("_k")
+        .agg(F.sum("_s").alias("_n_f"), F.sum("_v").alias("_v_f"))
+        .filter(F.col("_n_f") != 0)
+    )
+    d_after = env_dim.filter(v["after"].isNotNull()).select(
+        v["after"][join_field].alias("_k"),
+        v["after"][group_field].alias("_g"),
+        F.lit(1).alias("_s"),
+    )
+    d_before = env_dim.filter(v["before"].isNotNull()).select(
+        v["before"][join_field].alias("_k"),
+        v["before"][group_field].alias("_g"),
+        F.lit(-1).alias("_s"),
+    )
+    dim = (
+        d_after.unionByName(d_before)
+        .groupBy("_k", "_g")
+        .agg(F.sum("_s").alias("_n_d"))
+        .filter(F.col("_n_d") != 0)
+    )
+    return (
+        fact.join(dim, "_k")
+        .groupBy(F.col("_g").alias(group_field))
+        .agg(
+            F.sum(F.col("_n_f") * F.col("_n_d")).cast("long").alias("n_rows"),
+            F.round(F.sum(F.col("_v_f") * F.col("_n_d")), 2)
+            .cast("double")
+            .alias("total_amount"),
+        )
+    )

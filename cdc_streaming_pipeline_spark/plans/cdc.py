@@ -543,6 +543,70 @@ def cdc_consistent_as_of_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_ivm_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-IVM (operators/cdc.py:ivm_join_group_aggregate): maintain
+    per-nation live revenue across orders⋈customer straight from BOTH
+    envelope streams — order inserts/updates/deletes AND customers
+    moving nation mid-log (id%4 cohort relocates (+7)%25 after their
+    orders exist, so the debit/credit must move every already-seen order
+    between groups). Two linear signed aggregations + one compact join;
+    certified against the closed-form final-state join."""
+    from cdc_streaming_pipeline_spark.operators.cdc import (
+        ivm_join_group_aggregate,
+    )
+
+    o = _orders(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("o_orderkey")
+    null_f = F.lit(None).cast(
+        "struct<id:bigint,customer_id:bigint,total_amount:double>"
+    )
+
+    def f_img(total: Column) -> Column:
+        return F.struct(
+            k.alias("id"),
+            F.col("o_custkey").alias("customer_id"),
+            total.alias("total_amount"),
+        )
+
+    def f_env(before: Column, after: Column, op: str, off: int) -> Column:
+        return F.struct(
+            before.alias("before"), after.alias("after"), F.lit(op).alias("op"),
+            F.lit("orders").alias("table"), _lsn(k, off).alias("lsn"),
+        )
+
+    init = f_img(F.col("o_totalprice"))
+    upd = f_img(F.col("o_totalprice") + 100.0)
+    last = F.when(k % 3 == 0, upd).otherwise(init)
+    fact_env = (
+        o.select(f_env(null_f, init, "r", 1).alias("value"))
+        .union(o.filter(k % 3 == 0).select(f_env(init, upd, "u", 2).alias("value")))
+        .union(o.filter(k % 5 == 0).select(f_env(last, null_f, "d", 3).alias("value")))
+    )
+
+    ck = F.col("c_custkey")
+    null_d = F.lit(None).cast("struct<customer_id:bigint,nation_id:bigint>")
+
+    def d_img(nation: Column) -> Column:
+        return F.struct(ck.alias("customer_id"), nation.alias("nation_id"))
+
+    def d_env(before: Column, after: Column, op: str, off: int) -> Column:
+        return F.struct(
+            before.alias("before"), after.alias("after"), F.lit(op).alias("op"),
+            F.lit("customer").alias("table"), _lsn(ck, off).alias("lsn"),
+        )
+
+    home = d_img(F.col("c_nationkey").cast("bigint"))
+    moved = d_img(((F.col("c_nationkey") + 7) % 25).cast("bigint"))
+    dim_env = c.select(d_env(null_d, home, "r", 1).alias("value")).union(
+        c.filter(ck % 4 == 0).select(d_env(home, moved, "u", 2).alias("value"))
+    )
+
+    return ivm_join_group_aggregate(
+        fact_env, dim_env, "customer_id", "nation_id", "total_amount"
+    )
+
+
 def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reverse CDC (operators/cdc.py:snapshot_diff): reconstruct the change
     batch between two snapshot exports — the reconciliation move when log
@@ -583,6 +647,7 @@ QUERIES = {
     "cdc_scd2_merge_incremental": cdc_scd2_merge_incremental,
     "cdc_transition_audit": cdc_transition_audit,
     "cdc_consistent_as_of_join": cdc_consistent_as_of_join,
+    "cdc_ivm_join_revenue": cdc_ivm_join_revenue,
     "cdc_ivm_status_totals": cdc_ivm_status_totals,
 }
 
@@ -780,5 +845,22 @@ ORACLE["cdc_consistent_as_of_join"] = """
                AS consistent_total
     FROM orders, cut
     WHERE o_orderkey <= ck
+    GROUP BY 1
+"""
+ORACLE["cdc_ivm_join_revenue"] = """
+    WITH cust AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 4 = 0 THEN (c_nationkey + 7) % 25
+                    ELSE c_nationkey END AS nation_id
+        FROM customer
+    ), live AS (
+        SELECT o_custkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+                    ELSE o_totalprice END AS total
+        FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT nation_id, COUNT(*) AS n_rows,
+           ROUND(SUM(CAST(total AS DECIMAL(28,6))), 2)::DOUBLE AS total_amount
+    FROM live JOIN cust ON o_custkey = c_custkey
     GROUP BY 1
 """
