@@ -454,3 +454,131 @@ def ivm_join_group_aggregate(
             .alias("total_amount"),
         )
     )
+
+
+def offset_gap_audit(
+    stream: DataFrame,
+    partition_col: str,
+    offset_col: str,
+    step: int = 1,
+) -> DataFrame:
+    """Per-source-partition offset-sequence completeness audit — the
+    replication-loss detector a CDC consumer runs over its landed log
+    (Kafka offsets / Postgres LSNs are per-partition monotone sequences;
+    a hole means records were lost or skipped; reference: the connector's
+    offset tracking in airflow/dags/cdc_pipeline_dag.py register/offset
+    bookkeeping).
+
+    Scale design: NO per-partition sort window — a single Kafka
+    partition's offset history is billions of rows at the 100 TB design
+    point, and ``Window.partitionBy(partition).orderBy(offset)`` would
+    pull each partition through one task. Instead a gap START is an
+    offset ``o`` whose successor ``o+step`` is absent, found with one
+    self-anti-join on ``(partition, offset)`` — shuffle-bound, fully
+    parallel — and the total missing count comes from the closed form
+    ``(max-min)/step + 1 - n_records`` per partition. The per-partition
+    stats frame is bounded by the SOURCE PARTITION COUNT (a config
+    constant, not a data-scaled quantity), so broadcasting it back for
+    the max-offset exclusion is bounded by construction.
+    """
+    p, o = F.col(partition_col), F.col(offset_col)
+    base = stream.select(p.alias("_p"), o.alias("_o"))
+    stats = base.groupBy("_p").agg(
+        F.count("*").alias("n_records"),
+        F.min("_o").alias("first_offset"),
+        F.max("_o").alias("last_offset"),
+    )
+    succ = base.select("_p", (F.col("_o") + step).alias("_o"))
+    # offsets whose PREDECESSOR is absent — each one is the record right
+    # after a gap run (or the partition's min, which always qualifies and
+    # is excluded against the bounded stats frame).
+    run_starts = base.join(succ, ["_p", "_o"], "left_anti")
+    gap_runs = (
+        run_starts.join(F.broadcast(stats.select("_p", "first_offset")), "_p")
+        .filter(F.col("_o") > F.col("first_offset"))
+        .groupBy("_p")
+        .agg(F.count("*").alias("n_gap_runs"))
+    )
+    expected = ((F.col("last_offset") - F.col("first_offset")) / step + 1).cast("long")
+    return (
+        stats.join(gap_runs, "_p", "left")
+        .select(
+            F.col("_p").alias(partition_col),
+            "n_records",
+            "first_offset",
+            "last_offset",
+            (expected - F.col("n_records")).alias("missing_n"),
+            F.coalesce("n_gap_runs", F.lit(0)).alias("n_gap_runs"),
+        )
+    )
+
+
+def transaction_boundary_audit(
+    events: DataFrame,
+    markers: DataFrame,
+    tx_col: str = "tx_id",
+    declared_col: str = "declared_n",
+) -> DataFrame:
+    """Debezium transaction-metadata accounting (``provide.transaction.
+    metadata=true``): data events carry a transaction id; a separate
+    marker stream declares each committed transaction's event count. A
+    consumer that applies transactions ATOMICALLY must hold events until
+    the marker arrives and the received count matches. This audit
+    classifies every transaction seen on either stream:
+
+    - ``complete``:  marker present, received == declared
+    - ``partial``:   marker present, 0 < received < declared (loss)
+    - ``lost``:      marker present, no events at all
+    - ``in_flight``: events present, no marker yet (uncommitted tail)
+
+    One count-aggregate per stream + one full-outer join on tx id — both
+    sides shuffle once on the transaction id and the join carries one
+    row per transaction, not per event. Returns the per-status rollup
+    (n_txs, declared/received event totals)."""
+    recv = events.groupBy(F.col(tx_col).alias("_tx")).agg(
+        F.count("*").alias("_received")
+    )
+    decl = markers.select(F.col(tx_col).alias("_tx"), F.col(declared_col).alias("_declared"))
+    both = decl.join(recv, "_tx", "full_outer")
+    received = F.coalesce("_received", F.lit(0))
+    status = (
+        F.when(F.col("_declared").isNull(), F.lit("in_flight"))
+        .when(received == 0, F.lit("lost"))
+        .when(received == F.col("_declared"), F.lit("complete"))
+        .otherwise(F.lit("partial"))
+    )
+    return (
+        both.withColumn("tx_status", status)
+        .groupBy("tx_status")
+        .agg(
+            F.count("*").alias("n_txs"),
+            F.sum(F.coalesce("_declared", F.lit(0))).alias("events_declared"),
+            F.sum(received).alias("events_received"),
+        )
+    )
+
+
+def transaction_atomic_apply(
+    events: DataFrame,
+    markers: DataFrame,
+    tx_col: str = "tx_id",
+    declared_col: str = "declared_n",
+) -> DataFrame:
+    """Commit-atomic event gate: keep only events of transactions whose
+    marker arrived AND whose declared count matches the received count
+    (the all-or-nothing rule — applying a partial transaction exposes a
+    state no upstream database ever held). Left-semi join against the
+    complete-transaction id set; AQE broadcasts it when small, shuffles
+    when not — no hint, the set scales with the open-transaction window."""
+    recv = events.groupBy(F.col(tx_col).alias("_tx")).agg(
+        F.count("*").alias("_received")
+    )
+    complete = (
+        markers.select(F.col(tx_col).alias("_tx"), F.col(declared_col).alias("_declared"))
+        .join(recv, "_tx")
+        .filter(F.col("_received") == F.col("_declared"))
+        .select("_tx")
+    )
+    return events.join(
+        complete.withColumnRenamed("_tx", tx_col), tx_col, "left_semi"
+    )

@@ -632,6 +632,78 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, ["id"], ["status", "total_amount"])
 
 
+def cdc_offset_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-sequence completeness audit
+    (operators/cdc.py:offset_gap_audit): per source partition, how many
+    records landed, the offset range, how many offsets are missing, and
+    how many contiguous gap runs exist. Fixture: orders keys sharded
+    into 4 source partitions (k % 4) with offset = k and step 4 — TPC-H's
+    naturally sparse orderkey space plus a simulated-loss cohort
+    (k % 97 == 0 dropped) give a deterministic gap structure the DuckDB
+    oracle states in closed form. No per-partition sort window: gap
+    starts come from a self-anti-join (see the operator docstring)."""
+    from cdc_streaming_pipeline_spark.operators.cdc import offset_gap_audit
+
+    o = _orders(spark, sf_dir)
+    k = F.col("o_orderkey")
+    stream = o.filter(k % 97 != 0).select(
+        (k % 4).alias("partition_id"), k.alias("offset")
+    )
+    return offset_gap_audit(stream, "partition_id", "offset", step=4)
+
+
+def _txn_streams(spark: SparkSession, sf_dir: str):
+    """Transaction fixture: tx_id = k div 20 groups neighbouring orders;
+    markers declare the FULL per-tx event count; the event stream drops
+    the k%101 cohort (partial txs) and markers for tx_id%13 are withheld
+    (in-flight txs)."""
+    o = _orders(spark, sf_dir)
+    k = F.col("o_orderkey")
+    tx = F.expr("o_orderkey div 20")
+    events = o.filter(k % 101 != 0).select(
+        tx.alias("tx_id"), k.alias("id"), F.col("o_totalprice").alias("total_amount")
+    )
+    markers = (
+        o.select(tx.alias("tx_id"))
+        .groupBy("tx_id")
+        .agg(F.count("*").alias("declared_n"))
+        .filter(F.col("tx_id") % 13 != 0)
+    )
+    return events, markers
+
+
+def cdc_txn_boundary_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium transaction-metadata accounting
+    (operators/cdc.py:transaction_boundary_audit): classify every
+    transaction seen on the data or marker stream as complete / partial
+    / lost / in_flight and roll up counts — the report an atomic-apply
+    consumer needs before deciding what is safe to commit downstream."""
+    from cdc_streaming_pipeline_spark.operators.cdc import transaction_boundary_audit
+
+    events, markers = _txn_streams(spark, sf_dir)
+    return transaction_boundary_audit(events, markers)
+
+
+def cdc_txn_atomic_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-atomic gate (operators/cdc.py:transaction_atomic_apply):
+    apply ONLY transactions whose marker arrived and whose declared
+    count matches received — partial and in-flight transactions are held
+    back entirely (all-or-nothing). Output is the applied-state rollup
+    the downstream would commit: tx count, event count, exact-decimal
+    value total."""
+    from cdc_streaming_pipeline_spark.operators.cdc import transaction_atomic_apply
+
+    events, markers = _txn_streams(spark, sf_dir)
+    applied = transaction_atomic_apply(events, markers)
+    return applied.agg(
+        F.count_distinct("tx_id").alias("n_txs"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("total_amount").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("applied_total"),
+    )
+
+
 QUERIES = {
     "cdc_latest_state": cdc_latest_state,
     "cdc_merge_partitioned": cdc_merge_partitioned,
@@ -649,6 +721,9 @@ QUERIES = {
     "cdc_consistent_as_of_join": cdc_consistent_as_of_join,
     "cdc_ivm_join_revenue": cdc_ivm_join_revenue,
     "cdc_ivm_status_totals": cdc_ivm_status_totals,
+    "cdc_offset_gap_audit": cdc_offset_gap_audit,
+    "cdc_txn_boundary_audit": cdc_txn_boundary_audit,
+    "cdc_txn_atomic_apply": cdc_txn_atomic_apply,
 }
 
 ORACLE = {
@@ -863,4 +938,70 @@ ORACLE["cdc_ivm_join_revenue"] = """
            ROUND(SUM(CAST(total AS DECIMAL(28,6))), 2)::DOUBLE AS total_amount
     FROM live JOIN cust ON o_custkey = c_custkey
     GROUP BY 1
+"""
+ORACLE["cdc_offset_gap_audit"] = """
+    WITH s AS (
+        SELECT o_orderkey % 4 AS partition_id, o_orderkey AS off
+        FROM orders WHERE o_orderkey % 97 <> 0
+    ), stats AS (
+        SELECT partition_id, COUNT(*) AS n_records,
+               MIN(off) AS first_offset, MAX(off) AS last_offset
+        FROM s GROUP BY partition_id
+    ), gaps AS (
+        SELECT a.partition_id, COUNT(*) AS n_gap_runs
+        FROM s a JOIN stats st USING (partition_id)
+        WHERE a.off < st.last_offset
+          AND NOT EXISTS (
+              SELECT 1 FROM s b
+              WHERE b.partition_id = a.partition_id AND b.off = a.off + 4)
+        GROUP BY a.partition_id
+    )
+    SELECT st.partition_id, st.n_records, st.first_offset, st.last_offset,
+           CAST((st.last_offset - st.first_offset) / 4 + 1 AS BIGINT)
+               - st.n_records AS missing_n,
+           COALESCE(g.n_gap_runs, 0) AS n_gap_runs
+    FROM stats st LEFT JOIN gaps g USING (partition_id)
+"""
+ORACLE["cdc_txn_boundary_audit"] = """
+    WITH ev AS (
+        SELECT o_orderkey // 20 AS tx_id FROM orders WHERE o_orderkey % 101 <> 0
+    ), mk AS (
+        SELECT tx_id, declared_n FROM (
+            SELECT o_orderkey // 20 AS tx_id, COUNT(*) AS declared_n
+            FROM orders GROUP BY 1
+        ) WHERE tx_id % 13 <> 0
+    ), recv AS (
+        SELECT tx_id, COUNT(*) AS received FROM ev GROUP BY 1
+    ), j AS (
+        SELECT declared_n, COALESCE(received, 0) AS received,
+               CASE WHEN declared_n IS NULL THEN 'in_flight'
+                    WHEN COALESCE(received, 0) = 0 THEN 'lost'
+                    WHEN received = declared_n THEN 'complete'
+                    ELSE 'partial' END AS tx_status
+        FROM mk FULL OUTER JOIN recv USING (tx_id)
+    )
+    SELECT tx_status, COUNT(*) AS n_txs,
+           CAST(SUM(COALESCE(declared_n, 0)) AS BIGINT) AS events_declared,
+           CAST(SUM(received) AS BIGINT) AS events_received
+    FROM j GROUP BY tx_status
+"""
+ORACLE["cdc_txn_atomic_apply"] = """
+    WITH ev AS (
+        SELECT o_orderkey // 20 AS tx_id, o_orderkey AS id, o_totalprice
+        FROM orders WHERE o_orderkey % 101 <> 0
+    ), mk AS (
+        SELECT tx_id, declared_n FROM (
+            SELECT o_orderkey // 20 AS tx_id, COUNT(*) AS declared_n
+            FROM orders GROUP BY 1
+        ) WHERE tx_id % 13 <> 0
+    ), complete AS (
+        SELECT mk.tx_id
+        FROM mk JOIN (SELECT tx_id, COUNT(*) AS received FROM ev GROUP BY 1) r
+          USING (tx_id)
+        WHERE r.received = mk.declared_n
+    )
+    SELECT COUNT(DISTINCT tx_id) AS n_txs, COUNT(*) AS n_events,
+           ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)::DOUBLE
+               AS applied_total
+    FROM ev SEMI JOIN complete USING (tx_id)
 """
