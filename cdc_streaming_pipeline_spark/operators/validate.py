@@ -99,3 +99,67 @@ def fk_orphan_report(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def population_stability(
+    df: DataFrame,
+    split_col: str,
+    split_a: str,
+    split_b: str,
+    features: list[tuple[str, Column]],
+    round_to: int = 4,
+) -> DataFrame:
+    """Population Stability Index per feature between two cohorts — the
+    standard train/val (or last-month/this-month) distribution-drift
+    gate: PSI = sum_b (p_b - q_b) * ln(p_b / q_b) over a feature's
+    bucketed distribution, with add-one (Laplace) smoothing so buckets
+    present in only one cohort contribute a finite, identical value in
+    every engine (p_b = (c_b + 1) / (N + K), K = buckets observed across
+    both cohorts). Rule of thumb: <0.1 stable, 0.1-0.25 drifting, >0.25
+    broken.
+
+    ``features`` maps feature name -> an already-BUCKETED string column
+    (callers choose fixed bin edges; unbounded-cardinality raw values
+    would make the PSI itself degenerate).
+
+    Scale shape: one pass explodes each row into |features| (name,
+    bucket) pairs — a bounded constant multiplier — then ONE shuffle to
+    (feature, bucket) counts. Everything downstream operates on the
+    bucket vocabulary (|features| x buckets-per-feature rows), which is
+    design-bounded, not data-scaled; the totals join is a tiny-frame
+    join AQE broadcasts on its own."""
+    s = F.col("_s")
+    tidy = (
+        df.filter(F.col(split_col).isin(split_a, split_b))
+        .select(
+            F.col(split_col).alias("_s"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("_f"), expr.cast("string").alias("_b")
+                        )
+                        for name, expr in features
+                    ]
+                )
+            ).alias("_fb"),
+        )
+        .select("_s", "_fb._f", "_fb._b")
+    )
+    counts = tidy.groupBy("_f", "_b").agg(
+        F.sum((s == split_a).cast("long")).alias("_ca"),
+        F.sum((s == split_b).cast("long")).alias("_cb"),
+    )
+    totals = counts.groupBy("_f").agg(
+        F.sum("_ca").alias("_na"),
+        F.sum("_cb").alias("_nb"),
+        F.count("*").alias("n_buckets"),
+    )
+    j = counts.join(totals, "_f")
+    p = (F.col("_ca") + 1.0) / (F.col("_na") + F.col("n_buckets"))
+    q = (F.col("_cb") + 1.0) / (F.col("_nb") + F.col("n_buckets"))
+    return (
+        j.groupBy(F.col("_f").alias("feature"), "n_buckets")
+        .agg(F.round(F.sum((p - q) * F.log(p / q)), round_to).alias("psi"))
+        .select("feature", "n_buckets", "psi")
+    )

@@ -1363,6 +1363,30 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def split_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val distribution-drift gate
+    (operators/validate.py:population_stability): PSI per audited
+    feature between the train and val cohorts of the engine-portable
+    md5 split — the check that catches a skewed split (or upstream
+    distribution shift between ingestion waves) BEFORE a model trains
+    on it. Features are fixed-bin bucketed: length decile-bins (500-char
+    fixed edges, capped), language, and source; add-one smoothing keeps
+    single-cohort buckets finite and engine-identical."""
+    from cdc_streaming_pipeline_spark.operators.validate import population_stability
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = sp.md5_bucket(F.col("doc_id"), 100)
+    cohort = docs.filter(b < 90).withColumn(
+        "split", F.when(b < 80, F.lit("train")).otherwise(F.lit("val"))
+    )
+    features = [
+        ("len_bin", F.least(F.floor(F.col("n_chars") / 500), F.lit(9))),
+        ("lang", F.col("lang")),
+        ("source", F.col("source")),
+    ]
+    return population_stability(cohort, "split", "train", "val", features)
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_quality_scores": doc_quality_scores,
@@ -1447,6 +1471,7 @@ QUERIES = {
     "training_shard_manifest": training_shard_manifest,
     "minhash_incremental_batch": minhash_incremental_batch,
     "ann_topk_ivf_persisted": ann_topk_ivf_persisted,
+    "split_drift_psi": split_drift_psi,
 }
 
 # DuckDB-side replicas. Shared fragments:
@@ -2558,3 +2583,31 @@ ORACLE["corpus_dedup_summary"] = (
     "e.exact_groups, e.exact_dup_frac, b.bow_groups, b.bow_dup_frac, c.chunk_dup_frac "
     "FROM e CROSS JOIN b CROSS JOIN c"
 )
+
+ORACLE["split_drift_psi"] = f"""
+    WITH base AS (
+        SELECT CASE WHEN {_MD5_BUCKET} < 80 THEN 'train' ELSE 'val' END AS s,
+               CAST(LEAST(n_chars // 500, 9) AS VARCHAR) AS len_bin,
+               lang, source
+        FROM documents WHERE {_MD5_BUCKET} < 90
+    ), tidy AS (
+        SELECT s, 'len_bin' AS f, len_bin AS b FROM base
+        UNION ALL SELECT s, 'lang', lang FROM base
+        UNION ALL SELECT s, 'source', source FROM base
+    ), counts AS (
+        SELECT f, b,
+               COUNT(*) FILTER (WHERE s = 'train') AS ca,
+               COUNT(*) FILTER (WHERE s = 'val') AS cb
+        FROM tidy GROUP BY f, b
+    ), tot AS (
+        SELECT f, CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+               COUNT(*) AS k
+        FROM counts GROUP BY f
+    )
+    SELECT f AS feature, k AS n_buckets,
+           ROUND(SUM(((ca + 1.0) / (na + k) - (cb + 1.0) / (nb + k))
+                     * LN(((ca + 1.0) / (na + k)) / ((cb + 1.0) / (nb + k)))), 4)
+               AS psi
+    FROM counts JOIN tot USING (f)
+    GROUP BY f, k
+"""
