@@ -1331,6 +1331,35 @@ def jdbc_federated_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bloom_prefiltered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join (operators/bloom.py:bloom_semi_join): revenue
+    of lineitems belonging to urgent-priority orders, with the probe
+    side (lineitem — THE 100 TB table) pruned at the scan by a
+    config-constant-sized Bloom filter built from the urgent order keys,
+    then exactness restored by the un-hinted semi join of survivors.
+    Broadcasting the key set itself would scale with orders and die at
+    the broadcast limit (the round-7 verdict family); the Bloom bit
+    array stays 128 KiB-1 MiB whatever the build cardinality, and false
+    positives cost shuffle bytes, never wrong rows. Same answer as the
+    plain semi join — certified by the SQL oracle."""
+    from cdc_streaming_pipeline_spark.operators.bloom import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    hits = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey", m_bits=1 << 20)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return hits.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        dsum(rev).alias("revenue"),
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1387,6 +1416,7 @@ QUERIES = {
     "lineitem_price_equidepth_bands": lineitem_price_equidepth_bands,
     "daily_revenue_gapfilled": daily_revenue_gapfilled,
     "daily_new_users_cumulative": daily_new_users_cumulative,
+    "bloom_prefiltered_revenue": bloom_prefiltered_revenue,
 }
 
 ORACLE = {
@@ -2077,4 +2107,13 @@ ORACLE["daily_new_users_cumulative"] = """
            SUM(n_new_users) OVER (ORDER BY day
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
     FROM per_day
+"""
+ORACLE["bloom_prefiltered_revenue"] = f"""
+    SELECT l_returnflag, COUNT(*) AS n_items,
+           {sql_dsum("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM lineitem
+    SEMI JOIN (SELECT o_orderkey FROM orders
+               WHERE o_orderpriority = '1-URGENT') u
+      ON l_orderkey = o_orderkey
+    GROUP BY l_returnflag
 """
