@@ -654,3 +654,141 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "adc_dist")
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 8,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-PQ — the production ANN composition (FAISS ``IVFx,PQy``):
+    IVF routing bounds WHICH rows each query scores (n_probe/n_clusters
+    of the corpus on balanced cells) while PQ codes bound WHAT a scored
+    row costs (m one-byte lookups, never a raw vector load). The two
+    strategies exist separately here (``cluster.ivf_topk``,
+    ``pq_topk``); composed, the serving scan touches neither raw floats
+    nor non-probed rows — at 100 TB the coded corpus is 32× smaller
+    than the embeddings AND cell-partition-prunable (pair with
+    ``cluster.write_ivf_index`` to skip non-probed bytes entirely).
+
+    Everything lives in normalized space: spherical-k-means centroids,
+    codebooks fit on unit vectors, ADC = squared L2 on unit vectors
+    (monotone with cosine: d² = 2 − 2·cos). Index build is ONE corpus
+    scan emitting (id, cell, m-byte codes); serving is one coded scan
+    with the same sparse/dense gather crossover as ``ivf_topk``."""
+    from cdc_streaming_pipeline_spark.functions.vector import l2_norm
+    from cdc_streaming_pipeline_spark.operators.cluster import kmeans_fit
+
+    spark = corpus.sparkSession
+    centroids = kmeans_fit(
+        corpus, k=n_clusters, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    # JVM-side normalization with the norm BOUND to a column first (the
+    # HOF re-eval trap: a lambda referencing l2_norm(col) recomputes the
+    # norm per element).
+    staged = corpus.select(
+        id_col,
+        vec_col,
+        F.greatest(l2_norm(F.col(vec_col)), F.lit(1e-12)).alias("_nrm"),
+    )
+    normed = staged.select(
+        id_col,
+        F.transform(vec_col, lambda x: x.cast("double") / F.col("_nrm")).alias(
+            vec_col
+        ),
+    )
+    codebooks = pq_fit(normed, m=m, ks=ks, vec_col=vec_col, id_col=id_col, seed=seed)
+    bc_index = spark.sparkContext.broadcast((centroids, codebooks))
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent, books = bc_index.value
+        m_, _ks, sub = books.shape
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(np.int64)
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cells = np.argmax(mat @ cent.T, axis=1).astype(np.int32)
+            codes = np.empty((len(ids), m_), dtype=np.int32)
+            for j in range(m_):
+                x = mat[:, j * sub : (j + 1) * sub]
+                d = ((x[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+                codes[:, j] = d.argmin(1)
+            yield pd.DataFrame({id_col: ids, "cell": cells, "codes": list(codes)})
+
+    index = normed.mapInPandas(encode, f"{id_col} long, cell int, codes array<int>")
+
+    q_ids, q_mat = _normalized_matrix(queries.select(id_col, vec_col).collect())
+    n_probe = min(n_probe, n_clusters)
+    probed = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :n_probe]
+    mm, ks_, sub = codebooks.shape
+    tables = np.stack(
+        [
+            (
+                (codebooks[j][None, :, :] - q_mat[:, None, j * sub : (j + 1) * sub])
+                ** 2
+            ).sum(-1)
+            for j in range(mm)
+        ],
+        axis=1,
+    )  # (nq, m, ks)
+    bc_q = spark.sparkContext.broadcast((q_ids, probed, tables))
+    take = k + (1 if exclude_self else 0)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, probed_, tabs = bc_q.value
+        nq, m_, _ = tabs.shape[0], tabs.shape[1], tabs.shape[2]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids_c = pdf[id_col].to_numpy(np.int64)
+            cells = pdf["cell"].to_numpy(np.int64)
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (n, m)
+            cand = (cells[:, None, None] == probed_[None, :, :]).any(-1)  # (n, nq)
+            if not cand.any():
+                continue
+            d = np.full((nq, len(ids_c)), np.inf)
+            if cand.mean() > 0.25:
+                full = np.zeros((nq, len(ids_c)))
+                for j in range(m_):
+                    full += tabs[:, j, :][:, codes[:, j]]
+                d[cand.T] = full[cand.T]
+            else:
+                ci, qi = np.nonzero(cand)
+                d[qi, ci] = tabs[
+                    qi[:, None], np.arange(m_)[None, :], codes[ci]
+                ].sum(1)
+            d = np.round(d, 6)
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(ids_q):
+                valid = np.nonzero(cand[:, j])[0]
+                if valid.size == 0:
+                    continue
+                row = d[j]
+                order = valid[np.lexsort((ids_c[valid], row[valid]))[:take]]
+                out_q.extend([qid] * len(order))
+                out_n.extend(ids_c[order])
+                out_s.extend(row[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "adc_dist": out_s}
+            )
+
+    cand = index.mapInPandas(score, "query_id long, neighbor_id long, adc_dist double")
+    if exclude_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adc_dist")
+    )

@@ -1363,6 +1363,22 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (operators/similarity.py:ivf_pq_topk) — the
+    production serving shape: IVF routing bounds WHICH rows score
+    (n_probe/n_clusters of the corpus), PQ/ADC bounds WHAT each costs
+    (m byte-lookups, no raw floats). Seeded k-means + codebooks →
+    rows-only; recall-vs-exact gated in
+    tests/test_similarity_recall.py."""
+    from cdc_streaming_pipeline_spark.operators.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < ANN_QUERY_IDS)
+    # m=16/ks=64: 16-byte codes (16x vs float32) hold recall ~0.55 on
+    # the near-orthogonal driver vectors — the quantization worst case.
+    return ivf_pq_topk(emb, qs, k=ANN_K, m=16, ks=64)
+
+
 def split_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val distribution-drift gate
     (operators/validate.py:population_stability): PSI per audited
@@ -1472,6 +1488,7 @@ QUERIES = {
     "minhash_incremental_batch": minhash_incremental_batch,
     "ann_topk_ivf_persisted": ann_topk_ivf_persisted,
     "split_drift_psi": split_drift_psi,
+    "ann_topk_ivf_pq": ann_topk_ivf_pq,
 }
 
 # DuckDB-side replicas. Shared fragments:
