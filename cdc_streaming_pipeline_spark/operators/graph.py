@@ -1,0 +1,77 @@
+"""Iterative graph algorithms over edge DataFrames.
+
+PageRank joins the pointer-jumping connected components
+(operators/cluster.py:connected_components) as the second iterative
+graph op: fixed-iteration power method, expressed as per-round
+(join + groupBy) pairs that shuffle on the node id — the standard
+Pregel-on-DataFrames shape. Nothing is collected; rank state stays a
+DataFrame keyed by node, so the plan scales with the edge count per
+round and the iteration count is the only serial dimension.
+
+Lineage control: every few rounds the rank frame is localCheckpointed
+(same policy as connected_components and the BPE merge loop) — without
+it the plan tree doubles per iteration and the driver, not the data,
+becomes the bottleneck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_CHECKPOINT_EVERY = 4
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    damping: float = 0.85,
+    directed: bool = False,
+) -> DataFrame:
+    """Fixed-iteration PageRank. Returns DataFrame[node, rank] with
+    ranks summing to ~1 (teleport mass keeps isolated/dangling-free
+    graphs exact; with ``directed=False`` every edge is mirrored, so no
+    node dangles by construction — the right model for co-occurrence
+    graphs like supplier↔part).
+
+    Per round: ranks ⋈ out-degree (key: node) → edge join (key: src) →
+    groupBy dst. Three hash shuffles on node ids, no sort, no window;
+    the out-degree frame is computed once. A node with no inbound edges
+    keeps exactly the teleport mass via the left join against the full
+    node set."""
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    if not directed:
+        e = e.unionByName(e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")))
+    e = e.distinct()
+
+    nodes = (
+        e.select(F.col("_s").alias("node")).unionByName(e.select(F.col("_d").alias("node"))).distinct()
+    )
+    n = nodes.count()  # scalar driver value: the graph's node count
+    deg = e.groupBy(F.col("_s").alias("node")).agg(F.count("*").alias("_deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    teleport = (1.0 - damping) / n
+
+    for i in range(iters):
+        contrib = (
+            e.join(
+                ranks.join(deg, "node").select(
+                    F.col("node").alias("_s"), (F.col("rank") / F.col("_deg")).alias("_share")
+                ),
+                "_s",
+            )
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.sum("_share").alias("_in"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(teleport) + damping * F.coalesce("_in", F.lit(0.0))).alias("rank"),
+            )
+        )
+        if (i + 1) % _CHECKPOINT_EVERY == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks

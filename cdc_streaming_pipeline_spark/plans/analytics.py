@@ -1360,6 +1360,43 @@ def bloom_prefiltered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def supplier_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier↔part co-occurrence graph
+    (operators/graph.py:pagerank): which suppliers/parts sit at the
+    center of the supply network, weighted by who they transact with —
+    the iterative-algorithm representative next to connected components.
+    Undirected bipartite edges from lineitem (supplier, part) pairs, 8
+    power-method rounds; top 20 by rank with the rank rounded so the
+    report's ordering is stable across partial-aggregation orders.
+    Rows-only by design (iterative float fixpoint is not
+    SQL-expressible); numpy dense-power-iteration parity is pinned in
+    tests/test_graph_pagerank.py."""
+    from cdc_streaming_pipeline_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    part_offset = 1_000_000_000
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + part_offset).alias("dst"),
+    )
+    ranks = pagerank(edges, iters=8)
+    return (
+        ranks.select(
+            F.when(F.col("node") >= part_offset, F.lit("part"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.when(
+                F.col("node") >= part_offset, F.col("node") - part_offset
+            )
+            .otherwise(F.col("node"))
+            .alias("node_id"),
+            F.round(F.col("rank") * 1e4, 6).alias("rank_bp"),
+        )
+        .orderBy(F.col("rank_bp").desc(), "node_type", "node_id")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1417,6 +1454,7 @@ QUERIES = {
     "daily_revenue_gapfilled": daily_revenue_gapfilled,
     "daily_new_users_cumulative": daily_new_users_cumulative,
     "bloom_prefiltered_revenue": bloom_prefiltered_revenue,
+    "supplier_part_pagerank": supplier_part_pagerank,
 }
 
 ORACLE = {

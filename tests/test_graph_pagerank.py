@@ -1,0 +1,69 @@
+"""pagerank (operators/graph.py) vs dense numpy power iteration with
+identical damping/teleport/iterations, plus structural invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from cdc_streaming_pipeline_spark.operators.graph import pagerank
+
+
+def _numpy_pagerank(edge_list, n, iters, damping, directed):
+    pairs = set()
+    for s, d in edge_list:
+        pairs.add((s, d))
+        if not directed:
+            pairs.add((d, s))
+    deg = np.zeros(n)
+    for s, _ in pairs:
+        deg[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1.0 - damping) / n)
+        for s, d in pairs:
+            nxt[d] += damping * r[s] / deg[s]
+        r = nxt
+    return r
+
+
+def _run(spark, edge_list, iters=10, damping=0.85, directed=False):
+    edges = spark.createDataFrame(edge_list, "src bigint, dst bigint")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, iters=iters, damping=damping, directed=directed).collect()
+    }
+    return got
+
+
+def test_matches_numpy_power_iteration(spark):
+    rng = np.random.default_rng(7)
+    n = 30
+    edge_list = [
+        (int(a), int(b))
+        for a, b in zip(rng.integers(0, n, 120), rng.integers(0, n, 120))
+        if a != b
+    ]
+    nodes = sorted({x for e in edge_list for x in e})
+    want = _numpy_pagerank(edge_list, n, iters=10, damping=0.85, directed=False)
+    got = _run(spark, edge_list)
+    for node in nodes:
+        assert abs(got[node] - want[node]) < 1e-9, node
+
+
+def test_ranks_sum_to_one_and_star_center_dominates(spark):
+    # star: center 0 <-> leaves 1..8; undirected, no dangling nodes
+    edge_list = [(0, i) for i in range(1, 9)]
+    got = _run(spark, edge_list)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got[0] > max(v for k, v in got.items() if k != 0) * 3
+    leaf_ranks = [v for k, v in got.items() if k != 0]
+    assert max(leaf_ranks) - min(leaf_ranks) < 1e-12  # symmetry
+
+
+def test_directed_chain_accumulates_downstream(spark):
+    # 0 -> 1 -> 2: in a directed chain rank grows downstream,
+    # and dangling node 2 simply keeps teleport + inflow (mass not
+    # renormalized — documented fixed-iteration behavior)
+    got = _run(spark, [(0, 1), (1, 2)], directed=True)
+    assert got[0] < got[1] < got[2]
