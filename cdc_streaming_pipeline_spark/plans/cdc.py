@@ -704,6 +704,68 @@ def cdc_txn_atomic_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TXLOG_MEMO: dict = {}
+
+
+def _timetravel_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build — once per (session, sf_dir) — a three-version TxLogTable
+    from the orders fixture: v0 = initial cohort (k%3==1), v1 = append
+    second cohort (k%3==2), v2 = overwrite that erases the k%5 cohort
+    (the GDPR-compaction shape). Memoized like _merged_snapshot_path."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _TXLOG_MEMO:
+        return _TXLOG_MEMO[key]
+    import os
+    import tempfile
+
+    from cdc_streaming_pipeline_spark.sources.txlog import TxLogTable
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"txlog-{spark.sparkContext.applicationId}-{abs(hash(sf_dir)) % 10**8}",
+    )
+    o = _orders(spark, sf_dir)
+    k = F.col("o_orderkey")
+    img = o.select(
+        k.alias("id"), F.col("o_totalprice").alias("total_amount")
+    )
+    t = TxLogTable(spark, path)
+    if t.latest_version() is None:
+        t.commit(img.filter(k % 3 == 1))
+        t.commit(img.filter(k % 3 == 2))
+        survivors = t.read(1).filter(F.col("id") % 5 != 0)
+        t.commit(survivors, mode="overwrite", base=1)
+    _TXLOG_MEMO[key] = path
+    return path
+
+
+def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACID table-format reads (sources/txlog.py:TxLogTable): per-version
+    rowcount + exact-decimal total across the table's committed history
+    — append, append, erasure-overwrite — via time-travel reads against
+    the transaction log's immutable snapshots. The closed-form DuckDB
+    oracle states each version's content from the fixture arithmetic."""
+    from cdc_streaming_pipeline_spark.functions.precision import dsum
+
+    path = _timetravel_table(spark, sf_dir)
+    from cdc_streaming_pipeline_spark.sources.txlog import TxLogTable
+
+    t = TxLogTable(spark, path)
+    parts = []
+    for v in (0, 1, 2):
+        parts.append(
+            t.read(v).agg(
+                F.lit(v).alias("version"),
+                F.count("*").alias("n_rows"),
+                dsum(F.col("total_amount")).alias("total_amount"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 QUERIES = {
     "cdc_latest_state": cdc_latest_state,
     "cdc_merge_partitioned": cdc_merge_partitioned,
@@ -724,6 +786,7 @@ QUERIES = {
     "cdc_offset_gap_audit": cdc_offset_gap_audit,
     "cdc_txn_boundary_audit": cdc_txn_boundary_audit,
     "cdc_txn_atomic_apply": cdc_txn_atomic_apply,
+    "table_time_travel": table_time_travel,
 }
 
 ORACLE = {
@@ -1004,4 +1067,18 @@ ORACLE["cdc_txn_atomic_apply"] = """
            ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)::DOUBLE
                AS applied_total
     FROM ev SEMI JOIN complete USING (tx_id)
+"""
+ORACLE["table_time_travel"] = """
+    SELECT 0 AS version, COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+               AS total_amount
+    FROM orders WHERE o_orderkey % 3 = 1
+    UNION ALL
+    SELECT 1, COUNT(*),
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+    FROM orders WHERE o_orderkey % 3 IN (1, 2)
+    UNION ALL
+    SELECT 2, COUNT(*),
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+    FROM orders WHERE o_orderkey % 3 IN (1, 2) AND o_orderkey % 5 <> 0
 """

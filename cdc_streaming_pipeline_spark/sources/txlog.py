@@ -1,0 +1,182 @@
+"""Transaction-log table format: ACID snapshot reads over parquet.
+
+The reference lands CDC output as bare parquet directories (reference:
+the Hive external-table DDL in airflow/dags/cdc_pipeline_dag.py); bare
+directories give readers no consistency point — a reader that lists
+files while a writer lands sees half a commit. This module adds the
+minimal log-structured protocol that fixes it (the core idea of Delta
+Lake / Iceberg, reduced to what the engine needs):
+
+- ``<path>/_txlog/<8-digit version>.json`` — ONE file per committed
+  version, created with ``O_EXCL``: the filesystem's atomic
+  create-if-absent is the commit point (putIfAbsent on an object
+  store). The entry lists the data files the commit ADDS and logically
+  REMOVES. Data files are immutable once written and never physically
+  deleted by commits — removal is a log fact.
+- Readers resolve a snapshot = replay adds/removes up to a pinned
+  version. Snapshot isolation costs nothing: the resolved file list
+  keeps reading that exact state while writers commit past it, and
+  TIME TRAVEL is just pinning an older version.
+- Writers stage parquet under ``<path>/data/`` first, then attempt the
+  log create. On collision (a concurrent commit won the version): an
+  ``append`` re-resolves and retries with the SAME staged files —
+  blind appends never conflict logically; an ``overwrite`` aborts with
+  ``ConcurrentWriteError`` because its read-set (the snapshot it
+  replaces) changed — the Delta conflict matrix's two essential rows.
+- ``compact()`` rewrites the current snapshot into one staged dir and
+  commits it as remove-all+add — a logical no-op that fixes the
+  small-files problem while EVERY prior version stays readable.
+
+Scale notes: the log is one tiny JSON per commit (not per file); the
+replay cost is O(commits), independent of data size; reads hand Spark
+an explicit immutable file list, so partition pruning and pushdown work
+unchanged. At real scale the missing pieces are checkpoint compaction
+of the log itself and object-store putIfAbsent — both orthogonal to
+the protocol demonstrated here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from glob import glob
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ConcurrentWriteError(RuntimeError):
+    """An overwrite lost the race: its base snapshot is stale."""
+
+
+class TxLogTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.log_dir = os.path.join(path, "_txlog")
+        self.data_dir = os.path.join(path, "data")
+        os.makedirs(self.log_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # ---- log primitives -------------------------------------------------
+
+    def _entry_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:08d}.json")
+
+    def latest_version(self) -> int | None:
+        versions = self._versions()
+        return versions[-1] if versions else None
+
+    def _versions(self) -> list[int]:
+        return sorted(
+            int(os.path.basename(p)[:-5]) for p in glob(os.path.join(self.log_dir, "*.json"))
+        )
+
+    def _read_entry(self, version: int) -> dict:
+        with open(self._entry_path(version)) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict]:
+        return [self._read_entry(v) for v in self._versions()]
+
+    def _snapshot_files(self, version: int | None = None) -> list[str]:
+        files: list[str] = []
+        for v in self._versions():
+            if version is not None and v > version:
+                break
+            e = self._read_entry(v)
+            removed = set(e.get("removes", []))
+            files = [f for f in files if f not in removed]
+            files.extend(e.get("adds", []))
+        return files
+
+    # ---- write path -----------------------------------------------------
+
+    def _stage(self, df: DataFrame) -> list[str]:
+        staged = os.path.join(self.data_dir, f"stage-{uuid.uuid4().hex[:12]}")
+        df.write.mode("errorifexists").parquet(staged)
+        return sorted(glob(os.path.join(staged, "*.parquet")))
+
+    def _try_commit(self, version: int, entry: dict) -> bool:
+        """Atomic create-if-absent: True iff this writer won ``version``."""
+        try:
+            fd = os.open(self._entry_path(version), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            json.dump(entry, f)
+        return True
+
+    def commit(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        base: int | None = None,
+        max_retries: int = 20,
+    ) -> int:
+        """Stage ``df``'s files once, then race for the next version.
+
+        ``append``: retries on collision (a blind append has no read
+        set, so no logical conflict is possible).
+        ``overwrite``: replaces the snapshot at ``base`` — the version
+        the writer READ to derive ``df`` (optimistic concurrency's
+        declared read-set; default: resolved now). If any other commit
+        lands on top of ``base`` first, the derivation is stale ->
+        ConcurrentWriteError, never silent lost-update.
+        """
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        adds = self._stage(df)
+        base = self.latest_version() if base is None else base
+        removes = self._snapshot_files(base) if mode == "overwrite" else []
+        for _ in range(max_retries):
+            version = (base if base is not None else -1) + 1
+            entry = {
+                "version": version,
+                "mode": mode,
+                "adds": adds,
+                "removes": removes,
+                "n_files": len(adds),
+            }
+            if self._try_commit(version, entry):
+                return version
+            new_base = self.latest_version()
+            if mode == "overwrite":
+                raise ConcurrentWriteError(
+                    f"overwrite of version {base} lost to a commit at {new_base}"
+                )
+            base = new_base
+        raise ConcurrentWriteError(f"append gave up after {max_retries} retries")
+
+    # ---- read path -------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """The table AS OF ``version`` (default: latest). The returned
+        DataFrame is pinned to the resolved immutable file list —
+        snapshot isolation against any later commit."""
+        files = self._snapshot_files(version)
+        if not files:
+            raise FileNotFoundError(f"no committed data at version {version}")
+        return self.spark.read.option("mergeSchema", "true").parquet(*files)
+
+    # ---- maintenance -----------------------------------------------------
+
+    def compact(self, target_partitions: int = 1) -> int:
+        """Rewrite the current snapshot into ``target_partitions`` files
+        and commit remove-all+add. Logical content is unchanged; every
+        earlier version remains readable (old files stay on disk)."""
+        current = self.latest_version()
+        snap = self.read(current).coalesce(target_partitions)
+        adds = self._stage(snap)
+        removes = self._snapshot_files(current)
+        version = current + 1
+        entry = {
+            "version": version,
+            "mode": "compact",
+            "adds": adds,
+            "removes": removes,
+            "n_files": len(adds),
+        }
+        if not self._try_commit(version, entry):
+            raise ConcurrentWriteError(f"compaction of version {current} lost the race")
+        return version

@@ -1,0 +1,95 @@
+"""TxLogTable (sources/txlog.py): commit/read roundtrip, time travel,
+snapshot isolation, optimistic-concurrency conflict rules, compaction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_streaming_pipeline_spark.sources.txlog import ConcurrentWriteError, TxLogTable
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).withColumnRenamed("id", "k")
+
+
+def _vals(df):
+    return sorted(r["k"] for r in df.collect())
+
+
+def test_append_read_roundtrip_and_versions(spark, tmp_path):
+    t = TxLogTable(spark, str(tmp_path / "t"))
+    assert t.latest_version() is None
+    v0 = t.commit(_df(spark, 0, 5))
+    v1 = t.commit(_df(spark, 5, 8))
+    assert (v0, v1) == (0, 1)
+    assert _vals(t.read()) == list(range(8))
+    assert [e["mode"] for e in t.history()] == ["append", "append"]
+
+
+def test_time_travel_pins_old_versions(spark, tmp_path):
+    t = TxLogTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 5))
+    t.commit(_df(spark, 5, 8))
+    t.commit(_df(spark, 100, 103), mode="overwrite")
+    assert _vals(t.read(0)) == list(range(5))
+    assert _vals(t.read(1)) == list(range(8))
+    assert _vals(t.read()) == [100, 101, 102]
+
+
+def test_snapshot_isolation_across_concurrent_commit(spark, tmp_path):
+    t = TxLogTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 5))
+    reader = t.read()  # resolved file list = version 0
+    t.commit(_df(spark, 100, 200), mode="overwrite")
+    # the pinned reader still sees version 0's rows, post-overwrite
+    assert _vals(reader) == list(range(5))
+
+
+def test_append_retries_past_lost_race(spark, tmp_path):
+    t = TxLogTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 3))
+    # simulate a concurrent writer landing version 1 between resolve+commit
+    steal = t._entry_path(1)
+    with open(steal, "w") as f:
+        f.write('{"version": 1, "mode": "append", "adds": [], "removes": []}')
+    v = t.commit(_df(spark, 3, 6))
+    assert v == 2  # blind append re-resolves and wins the next slot
+    assert _vals(t.read()) == list(range(6))
+
+
+def test_overwrite_conflict_raises(spark, tmp_path):
+    t = TxLogTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 3))
+    # this writer derived its overwrite FROM version 0; a concurrent
+    # append lands first, so the declared base is stale
+    with open(t._entry_path(1), "w") as f:
+        f.write('{"version": 1, "mode": "append", "adds": [], "removes": []}')
+    with pytest.raises(ConcurrentWriteError):
+        t.commit(_df(spark, 60, 63), mode="overwrite", base=0)
+    # the same race is SAFE for a blind append (retries to slot 2)
+    assert t.commit(_df(spark, 3, 6)) == 2
+
+
+def test_compact_shrinks_files_keeps_content_and_history(spark, tmp_path):
+    t = TxLogTable(spark, str(tmp_path / "t"))
+    for i in range(4):
+        t.commit(_df(spark, i * 10, i * 10 + 3).repartition(3))
+    pre_files = len(t._snapshot_files())
+    pre_vals = _vals(t.read())
+    v = t.compact()
+    assert len(t._snapshot_files()) == 1 < pre_files
+    assert _vals(t.read()) == pre_vals  # logical no-op
+    assert _vals(t.read(v - 1)) == pre_vals  # pre-compaction still readable
+    assert _vals(t.read(0)) == [0, 1, 2]  # deep history intact
+    assert t.history()[-1]["mode"] == "compact"
+
+
+def test_schema_evolution_merges_on_read(spark, tmp_path):
+    t = TxLogTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 2))
+    t.commit(_df(spark, 2, 4).withColumn("extra", F.lit(7)))
+    df = t.read()
+    assert set(df.columns) == {"k", "extra"}
+    vals = {r["k"]: r["extra"] for r in df.collect()}
+    assert vals[0] is None and vals[3] == 7
