@@ -84,3 +84,26 @@ def test_txn_atomic_apply_gates_all_or_nothing(spark):
     # only tx 1 commits: partial tx 2 must NOT leak its one received event
     assert sorted(r["tx_id"] for r in rows) == [1, 1]
     assert applied.columns == events.columns  # gate preserves the event schema
+
+
+def test_gap_audit_word_boundaries(spark):
+    """The bitmap strategy packs 64 slots per long; gaps and adjacency
+    straddling the 64-slot word boundary must be recovered by the
+    boundary join."""
+    from cdc_streaming_pipeline_spark.operators.cdc import offset_gap_audit
+
+    # contiguous 0..199 spans four words: zero runs, boundary pairs
+    # (63,64) and (127,128) must be counted
+    rows = [(1, s) for s in range(200)]
+    r = offset_gap_audit(_stream(spark, rows), "p", "o", step=1).collect()[0]
+    assert r["n_gap_runs"] == 0 and r["missing_n"] == 0
+
+    # gap run {63, 64} straddles the word boundary: ONE run, 2 missing
+    rows = [(0, s) for s in range(130) if s not in (63, 64)]
+    r = offset_gap_audit(_stream(spark, rows), "p", "o", step=1).collect()[0]
+    assert r["n_gap_runs"] == 1 and r["missing_n"] == 2
+
+    # last slot of word 0 missing only: one run at the boundary
+    rows = [(2, s) for s in range(130) if s != 63]
+    r = offset_gap_audit(_stream(spark, rows), "p", "o", step=1).collect()[0]
+    assert r["n_gap_runs"] == 1 and r["missing_n"] == 1
