@@ -107,11 +107,21 @@ class TxLogTable:
             json.dump(entry, f)
         return True
 
+    def txn_version(self, txn: tuple[str, int]) -> int | None:
+        """The version a (writer_id, epoch) transaction committed as, or
+        None — the idempotence lookup for exactly-once streaming sinks."""
+        writer, epoch = txn
+        for e in self.history():
+            if e.get("txn") == [writer, epoch]:
+                return e["version"]
+        return None
+
     def commit(
         self,
         df: DataFrame,
         mode: str = "append",
         base: int | None = None,
+        txn: tuple[str, int] | None = None,
         max_retries: int = 20,
     ) -> int:
         """Stage ``df``'s files once, then race for the next version.
@@ -123,9 +133,17 @@ class TxLogTable:
         declared read-set; default: resolved now). If any other commit
         lands on top of ``base`` first, the derivation is stale ->
         ConcurrentWriteError, never silent lost-update.
+        ``txn``: optional (writer_id, epoch) idempotence tag (Delta's
+        txn action): if some version already carries the tag, return it
+        WITHOUT writing — a micro-batch replayed after a streaming
+        restart lands zero duplicate rows.
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        if txn is not None:
+            done = self.txn_version(txn)
+            if done is not None:
+                return done
         adds = self._stage(df)
         base = self.latest_version() if base is None else base
         removes = self._snapshot_files(base) if mode == "overwrite" else []
@@ -138,6 +156,8 @@ class TxLogTable:
                 "removes": removes,
                 "n_files": len(adds),
             }
+            if txn is not None:
+                entry["txn"] = [txn[0], txn[1]]
             if self._try_commit(version, entry):
                 return version
             new_base = self.latest_version()
@@ -145,6 +165,10 @@ class TxLogTable:
                 raise ConcurrentWriteError(
                     f"overwrite of version {base} lost to a commit at {new_base}"
                 )
+            if txn is not None:
+                done = self.txn_version(txn)
+                if done is not None:
+                    return done
             base = new_base
         raise ConcurrentWriteError(f"append gave up after {max_retries} retries")
 

@@ -402,3 +402,37 @@ def read_rollup(
         F.sum("n_events").alias("n_events"),
         F.round(F.sum("sum_partial"), 2).cast("double").alias("sum_value"),
     )
+
+
+def txlog_stream_sink(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+    writer_id: str = "txlog_sink",
+):
+    """Exactly-once streaming landing into a TxLogTable
+    (sources/txlog.py): a ``foreachBatch`` writer that commits each
+    micro-batch as ONE atomic log version tagged with
+    (writer_id, batch_id).
+
+    ``foreachBatch`` alone is at-least-once — after a crash between the
+    batch write and the checkpoint advance, Structured Streaming
+    REPLAYS the last batch, and a plain parquet append would duplicate
+    it. The txn tag closes that window: the replayed commit finds its
+    (writer_id, batch_id) already in the log and becomes a no-op, so
+    readers see each batch exactly once — and never see a batch
+    half-landed, because the log entry (not the file write) is the
+    commit point.
+
+    Returns the DataStreamWriter (caller picks trigger and starts)."""
+    from cdc_streaming_pipeline_spark.sources.txlog import TxLogTable
+
+    def _land(batch_df: DataFrame, batch_id: int) -> None:
+        table = TxLogTable(batch_df.sparkSession, table_path)
+        table.commit(batch_df, mode="append", txn=(writer_id, int(batch_id)))
+
+    return (
+        stream_df.writeStream.foreachBatch(_land)
+        .queryName(writer_id)
+        .option("checkpointLocation", checkpoint_path)
+    )

@@ -93,3 +93,56 @@ def test_schema_evolution_merges_on_read(spark, tmp_path):
     assert set(df.columns) == {"k", "extra"}
     vals = {r["k"]: r["extra"] for r in df.collect()}
     assert vals[0] is None and vals[3] == 7
+
+
+def test_txn_tag_makes_commits_idempotent(spark, tmp_path):
+    t = TxLogTable(spark, str(tmp_path / "t"))
+    v1 = t.commit(_df(spark, 0, 5), txn=("writer", 7))
+    v2 = t.commit(_df(spark, 0, 5), txn=("writer", 7))  # replay
+    assert v1 == v2 and t.latest_version() == v1
+    assert _vals(t.read()) == list(range(5))  # landed once
+    # a different epoch is a genuinely new commit
+    v3 = t.commit(_df(spark, 5, 8), txn=("writer", 8))
+    assert v3 == v1 + 1
+    assert t.txn_version(("writer", 7)) == v1
+    assert t.txn_version(("writer", 99)) is None
+
+
+def test_streaming_sink_exactly_once_through_restart(spark, tmp_path):
+    """File-source stream -> txlog sink; a second run with the same
+    checkpoint must land only new input, and a manually replayed batch
+    commit is a no-op."""
+    import json as _json
+
+    from cdc_streaming_pipeline_spark.streaming.pipeline import txlog_stream_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    table_path = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    def put(name, lo, hi):
+        with open(src / name, "w") as f:
+            for i in range(lo, hi):
+                f.write(_json.dumps({"k": i}) + "\n")
+
+    def run():
+        stream = spark.readStream.schema("k bigint").json(str(src))
+        q = txlog_stream_sink(stream, table_path, ckpt).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    put("a.json", 0, 10)
+    run()
+    t = TxLogTable(spark, table_path)
+    assert _vals(t.read()) == list(range(10))
+
+    put("b.json", 10, 15)
+    run()  # same checkpoint: only the new file lands
+    assert _vals(t.read()) == list(range(15))
+
+    # simulate the crash-replay: re-commit an already-landed batch id
+    last = t.history()[-1]
+    writer, epoch = last["txn"]
+    v = t.commit(_df(spark, 10, 15), txn=(writer, epoch))
+    assert v == last["version"]
+    assert _vals(t.read()) == list(range(15))  # still exactly once
