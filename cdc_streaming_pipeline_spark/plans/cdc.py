@@ -766,6 +766,44 @@ def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def cdc_txlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse CDC landing (sources/txlog.py:merge_cdc_batch_txlog):
+    seed a TxLogTable from the snapshot wave (op='r'), then MERGE the
+    change wave (updates / delete-rewrites / re-inserts) as ONE
+    copy-on-write commit that declares its base version — readers flip
+    atomically from pre-merge to post-merge state and a racing writer
+    would get ConcurrentWriteError, not a lost update. Final state must
+    equal the closed-form latest-state oracle; the pre-merge version
+    stays readable (asserted in tests/test_txlog.py)."""
+    import os
+    import tempfile
+
+    from cdc_streaming_pipeline_spark.sources.txlog import (
+        TxLogTable,
+        merge_cdc_batch_txlog,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "cdc_merge")
+    path = _TXLOG_MEMO.get(key)
+    if path is None:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"txlog-merge-{spark.sparkContext.applicationId}-{abs(hash(sf_dir)) % 10**8}",
+        )
+        log = _order_event_log(_orders(spark, sf_dir))
+        flat = filter_tombstones(log).select("value.*")
+        off = F.substring(F.col(LSN_COL), -1, 1).cast("int")
+        t = TxLogTable(spark, path)
+        if t.latest_version() is None:
+            seed = flat.filter(off == 1).select("id", "status", "total_amount")
+            t.commit(seed)
+            merge_cdc_batch_txlog(t, flat.filter(off > 1), key_cols=["id"])
+        _TXLOG_MEMO[key] = path
+    from cdc_streaming_pipeline_spark.sources.txlog import TxLogTable as _T
+
+    return _T(spark, path).read().select("id", "status", "total_amount")
+
+
 QUERIES = {
     "cdc_latest_state": cdc_latest_state,
     "cdc_merge_partitioned": cdc_merge_partitioned,
@@ -787,6 +825,7 @@ QUERIES = {
     "cdc_txn_boundary_audit": cdc_txn_boundary_audit,
     "cdc_txn_atomic_apply": cdc_txn_atomic_apply,
     "table_time_travel": table_time_travel,
+    "cdc_txlog_merge": cdc_txlog_merge,
 }
 
 ORACLE = {
@@ -1082,3 +1121,8 @@ ORACLE["table_time_travel"] = """
            CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE)
     FROM orders WHERE o_orderkey % 3 IN (1, 2) AND o_orderkey % 5 <> 0
 """
+# Same final state as cdc_latest_state, minus the _op audit column (the
+# table stores data columns only).
+ORACLE["cdc_txlog_merge"] = (
+    "SELECT id, status, total_amount FROM (" + ORACLE["cdc_latest_state"] + ")"
+)

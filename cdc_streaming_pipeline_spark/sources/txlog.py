@@ -204,3 +204,50 @@ class TxLogTable:
         if not self._try_commit(version, entry):
             raise ConcurrentWriteError(f"compaction of version {current} lost the race")
         return version
+
+
+def merge_cdc_batch_txlog(
+    table: TxLogTable,
+    batch: DataFrame,
+    key_cols: list[str],
+    order_col: str = "_lsn",
+) -> int:
+    """Copy-on-write CDC MERGE into a TxLogTable — the lakehouse landing
+    pattern: read a PINNED snapshot, apply latest-row-wins upsert/delete
+    semantics against it, and commit the new state as an overwrite that
+    DECLARES the pinned version as its base. A concurrent commit between
+    read and log create surfaces as ConcurrentWriteError instead of a
+    silent lost update, and readers flip atomically from the old state
+    to the new (never a mix).
+
+    The snapshot's rows re-enter the merge ranked BELOW every batch
+    event (empty-string order key; the LSN contract is zero-padded
+    numeric strings, so '' sorts first) — a key untouched by the batch
+    keeps its image, a touched key takes the batch's latest image, and
+    a final 'd' removes the key. Returns the committed version.
+
+    At scale this is the naive full-rewrite MERGE; the bucket-pruned
+    incremental variant (operators/merge.py:merge_cdc_batch) writes
+    only touched buckets and would slot in here by committing per-bucket
+    file replacements instead of a whole-table overwrite.
+    """
+    from pyspark.sql import functions as F
+
+    from cdc_streaming_pipeline_spark.operators.cdc import latest_state
+    from cdc_streaming_pipeline_spark.schemas import DELETED_COL, OP_COL
+
+    base = table.latest_version()
+    current = table.read(base)
+    data_cols = [c for c in current.columns]
+    cur = (
+        current.withColumn(OP_COL, F.lit("r"))
+        .withColumn(order_col, F.lit(""))
+        .withColumn(DELETED_COL, F.lit(None).cast("string"))
+    )
+    combined = cur.unionByName(
+        batch.select(*data_cols, OP_COL, order_col, DELETED_COL)
+    )
+    new_state = latest_state(combined, key_cols=key_cols, order_col=order_col).select(
+        *data_cols
+    )
+    return table.commit(new_state, mode="overwrite", base=base)

@@ -146,3 +146,32 @@ def test_streaming_sink_exactly_once_through_restart(spark, tmp_path):
     v = t.commit(_df(spark, 10, 15), txn=(writer, epoch))
     assert v == last["version"]
     assert _vals(t.read()) == list(range(15))  # still exactly once
+
+
+def test_merge_cdc_batch_copy_on_write(spark, tmp_path):
+    """Upsert + delete semantics land as one atomic version; the
+    pre-merge snapshot stays readable; a stale concurrent merge fails."""
+    from cdc_streaming_pipeline_spark.sources.txlog import merge_cdc_batch_txlog
+
+    t = TxLogTable(spark, str(tmp_path / "t"))
+    seed = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id bigint, status string"
+    )
+    t.commit(seed)
+    batch = spark.createDataFrame(
+        [
+            (2, "B", "u", "0001", None),          # update key 2
+            (3, "c", "d", "0002", "true"),        # delete key 3
+            (4, "d", "c", "0003", None),          # insert key 4
+        ],
+        "id bigint, status string, _op string, _lsn string, _deleted string",
+    )
+    v = merge_cdc_batch_txlog(t, batch, key_cols=["id"])
+    got = {r["id"]: r["status"] for r in t.read().collect()}
+    assert got == {1: "a", 2: "B", 4: "d"}
+    # pre-merge state intact under the previous version
+    pre = {r["id"]: r["status"] for r in t.read(v - 1).collect()}
+    assert pre == {1: "a", 2: "b", 3: "c"}
+    # a second writer merging against the now-stale base conflicts
+    with pytest.raises(ConcurrentWriteError):
+        t.commit(seed, mode="overwrite", base=v - 1)
