@@ -1397,6 +1397,22 @@ def supplier_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlations between the fact table's numeric measures —
+    the quick feature-redundancy screen before any modeling work. One
+    aggregate pass (corr composes from the same five running sums the
+    Zipf OLS uses, all map-side combinable); correlations are
+    scale-free in [-1,1], so round-4 is far above the cross-engine
+    double-summation noise floor (~1e-12 relative at this row count)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.corr("l_discount", "l_extendedprice"), 4).alias("corr_disc_price"),
+        F.round(F.corr("l_quantity", "l_discount"), 4).alias("corr_qty_disc"),
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1455,6 +1471,7 @@ QUERIES = {
     "daily_new_users_cumulative": daily_new_users_cumulative,
     "bloom_prefiltered_revenue": bloom_prefiltered_revenue,
     "supplier_part_pagerank": supplier_part_pagerank,
+    "lineitem_correlations": lineitem_correlations,
 }
 
 ORACLE = {
@@ -2154,4 +2171,11 @@ ORACLE["bloom_prefiltered_revenue"] = f"""
                WHERE o_orderpriority = '1-URGENT') u
       ON l_orderkey = o_orderkey
     GROUP BY l_returnflag
+"""
+ORACLE["lineitem_correlations"] = """
+    SELECT COUNT(*) AS n_rows,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(corr(l_discount, l_extendedprice), 4) AS corr_disc_price,
+           ROUND(corr(l_quantity, l_discount), 4) AS corr_qty_disc
+    FROM lineitem
 """
