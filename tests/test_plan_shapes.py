@@ -434,3 +434,49 @@ def test_heavy_hitters_shortlist_broadcasts_no_full_distinct_shuffle(spark):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "MapInPandas" in plan  # the bounded-memory candidate pass
     assert "CartesianProduct" not in plan
+
+
+def test_offset_gap_audit_no_window_no_python(spark):
+    """The bitmap-word gap audit must stay pure JVM aggregation: no
+    per-partition sort window (single-task at scale) and no Python eval
+    (the hot path is whole-stage-codegen integer ops)."""
+    from cdc_streaming_pipeline_spark.plans.cdc import cdc_offset_gap_audit
+
+    plan = _plan(cdc_offset_gap_audit(spark, SF_DIR))
+    assert "Window" not in plan
+    assert "EvalPython" not in plan  # Batch- and Arrow- both
+
+
+def test_bloom_query_prunes_then_joins_exact(spark):
+    """The bloom query's contract: an Arrow-batched membership filter
+    BEFORE an exact (un-hinted) semi join — and no broadcast hint on the
+    build side (AQE picks the strategy; the hinted form dies at scale)."""
+    import inspect
+
+    from cdc_streaming_pipeline_spark.plans.analytics import bloom_prefiltered_revenue
+
+    plan = _plan(bloom_prefiltered_revenue(spark, SF_DIR))
+    assert "ArrowEvalPython" in plan  # vectorized bitset membership
+    assert "LeftSemi" in plan
+    from cdc_streaming_pipeline_spark.operators import bloom as bloom_mod
+
+    assert "F.broadcast" not in inspect.getsource(bloom_mod)
+
+
+def test_pagerank_no_window_no_python(spark):
+    """Rank state stays a joined/aggregated DataFrame: no global window
+    (the ordering happens only in the bounded top-20 report) and no
+    Python eval anywhere in the iteration."""
+    from cdc_streaming_pipeline_spark.plans.analytics import supplier_part_pagerank
+
+    plan = _plan(supplier_part_pagerank(spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert "Window" not in plan  # top-20 compiles to TakeOrderedAndProject
+
+
+def test_split_drift_psi_pure_jvm(spark):
+    from cdc_streaming_pipeline_spark.plans.docs import split_drift_psi
+
+    plan = _plan(split_drift_psi(spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
