@@ -68,9 +68,8 @@ class TxLogTable:
         return versions[-1] if versions else None
 
     def _versions(self) -> list[int]:
-        return sorted(
-            int(os.path.basename(p)[:-5]) for p in glob(os.path.join(self.log_dir, "*.json"))
-        )
+        names = (os.path.basename(p)[:-5] for p in glob(os.path.join(self.log_dir, "*.json")))
+        return sorted(int(n) for n in names if n.isdigit())  # skips checkpoints
 
     def _read_entry(self, version: int) -> dict:
         with open(self._entry_path(version)) as f:
@@ -251,3 +250,75 @@ def merge_cdc_batch_txlog(
         *data_cols
     )
     return table.commit(new_state, mode="overwrite", base=base)
+
+
+def _checkpoint_path(table: TxLogTable, version: int) -> str:
+    return os.path.join(table.log_dir, f"{version:08d}.checkpoint.json")
+
+
+def write_checkpoint(table: TxLogTable, version: int | None = None) -> int:
+    """Materialize the snapshot FILE LIST at ``version`` (default
+    latest) next to the log. Readers then replay only the entries AFTER
+    the newest checkpoint instead of the whole history — the move that
+    keeps snapshot resolution O(commits-since-checkpoint) when a table
+    has accumulated thousands of commits (Delta's _last_checkpoint).
+    Idempotent and crash-safe: the checkpoint is derived state; a torn
+    write is simply ignored by the reader's try/except and replay falls
+    back to the previous checkpoint or the full log."""
+    v = table.latest_version() if version is None else version
+    files = table._snapshot_files(v)
+    tmp = _checkpoint_path(table, v) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"version": v, "files": files}, f)
+    os.replace(tmp, _checkpoint_path(table, v))
+    return v
+
+
+def resolve_with_checkpoint(table: TxLogTable, version: int | None = None) -> list[str]:
+    """Snapshot file list using the newest usable checkpoint <= version."""
+    target = table.latest_version() if version is None else version
+    if target is None:
+        return []
+    best: tuple[int, list[str]] | None = None
+    for p in glob(os.path.join(table.log_dir, "*.checkpoint.json")):
+        try:
+            with open(p) as f:
+                ck = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue  # torn/unreadable checkpoint: derived state, skip
+        if ck["version"] <= target and (best is None or ck["version"] > best[0]):
+            best = (ck["version"], ck["files"])
+    files = list(best[1]) if best else []
+    start = best[0] + 1 if best else 0
+    for v in table._versions():
+        if v < start:
+            continue
+        if v > target:
+            break
+        e = table._read_entry(v)
+        removed = set(e.get("removes", []))
+        files = [f for f in files if f not in removed]
+        files.extend(e.get("adds", []))
+    return files
+
+
+def vacuum(table: TxLogTable, retain_versions: int = 2) -> list[str]:
+    """Physically delete data files referenced by NO version newer than
+    ``latest - retain_versions`` — the storage-reclaim step that
+    compact()/overwrite make necessary (commits only ever remove files
+    LOGICALLY). Time travel to versions older than the horizon stops
+    working, by contract; every retained version keeps reading
+    byte-identical files. Returns the deleted paths."""
+    latest = table.latest_version()
+    if latest is None:
+        return []
+    horizon = max(latest - retain_versions + 1, 0)
+    live: set[str] = set()
+    for v in range(horizon, latest + 1):
+        live.update(table._snapshot_files(v))
+    deleted = []
+    for path in glob(os.path.join(table.data_dir, "stage-*", "*.parquet")):
+        if path not in live:
+            os.remove(path)
+            deleted.append(path)
+    return sorted(deleted)
