@@ -176,11 +176,37 @@ class TxLogTable:
     def read(self, version: int | None = None) -> DataFrame:
         """The table AS OF ``version`` (default: latest). The returned
         DataFrame is pinned to the resolved immutable file list —
-        snapshot isolation against any later commit."""
-        files = self._snapshot_files(version)
+        snapshot isolation against any later commit. Resolution uses
+        the newest usable checkpoint (falls back to full log replay)."""
+        files = resolve_with_checkpoint(self, version)
         if not files:
             raise FileNotFoundError(f"no committed data at version {version}")
         return self.spark.read.option("mergeSchema", "true").parquet(*files)
+
+    def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Incremental consumption: the rows APPENDED in versions
+        (from_version, to_version] — the change-feed a downstream
+        consumer tails instead of re-reading the table (a streaming
+        source over the log: poll latest_version(), read_changes(last),
+        advance the cursor). Overwrite/compact versions are rejected —
+        their adds re-state existing rows, so an append-only cursor
+        would double-count; consumers of rewriting tables should diff
+        snapshots (operators/cdc.py:snapshot_diff) instead."""
+        to_v = self.latest_version() if to_version is None else to_version
+        adds: list[str] = []
+        for v in self._versions():
+            if v <= from_version or v > to_v:
+                continue
+            e = self._read_entry(v)
+            if e.get("mode") != "append":
+                raise ValueError(
+                    f"version {v} is mode={e.get('mode')!r}: the append-only "
+                    "change cursor cannot represent rewrites"
+                )
+            adds.extend(e.get("adds", []))
+        if not adds:
+            return None  # nothing new; caller keeps its cursor
+        return self.spark.read.option("mergeSchema", "true").parquet(*adds)
 
     # ---- maintenance -----------------------------------------------------
 

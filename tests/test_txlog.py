@@ -218,3 +218,19 @@ def test_vacuum_reclaims_only_unreachable_files(spark, tmp_path):
 
     with _pytest.raises(Exception):
         t.read(0).collect()
+
+
+def test_read_changes_tails_appends_only(spark, tmp_path):
+    t = TxLogTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 5))        # v0
+    t.commit(_df(spark, 5, 8))        # v1
+    cursor = t.latest_version()
+    assert t.read_changes(cursor) is None  # caught up
+    t.commit(_df(spark, 8, 12))       # v2
+    t.commit(_df(spark, 12, 14))      # v3
+    got = t.read_changes(cursor)
+    assert sorted(r["k"] for r in got.collect()) == list(range(8, 14))
+    # a rewrite poisons the append-only cursor loudly, not silently
+    t.commit(_df(spark, 0, 2), mode="overwrite")
+    with pytest.raises(ValueError, match="rewrites"):
+        t.read_changes(cursor)
