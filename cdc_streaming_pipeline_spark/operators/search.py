@@ -1,0 +1,112 @@
+"""Persisted inverted index + partition-pruned keyword search.
+
+The retrieval-side counterpart of the dedup/ANN family: build once —
+tokenize the corpus, aggregate per-(token, doc) term frequencies, and
+write the postings PARTITIONED BY TOKEN HASH-BUCKET with the document
+frequencies alongside — then serve many: a query for a handful of terms
+reads ONLY those terms' bucket partitions (partition pruning on the
+bucket column), so at 100 TB the serving scan is n_query_buckets /
+n_buckets of the postings, not the corpus and not even the full index.
+Scoring is classic tf-idf (``tf · ln(N/df)``), fully SQL-replicable so
+the whole serve path is oracle-certifiable.
+
+Build cost: one corpus scan + one shuffle to (doc, token) counts + one
+to per-token document frequencies — the same shape as doc_tfidf. The
+postings write is append-friendly: a new corpus batch unions its
+per-batch postings into the same bucket layout (df re-aggregation is a
+bucket-local merge).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_streaming_pipeline_spark.functions.textfn import normalize_ws, tokens
+
+
+def build_postings(
+    docs: DataFrame,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(token, bucket, doc_id, tf, df) — df denormalized onto each
+    posting so serving needs no second lookup; the duplication is
+    bounded by the posting count itself."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(normalize_ws(F.col(text_col)))).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    # df via groupBy+join, NOT a per-token window: a stop-word's window
+    # partition is df rows in ONE task (10^9 for "the" at corpus scale);
+    # the aggregate is map-side combinable and AQE splits a skewed join.
+    df_tbl = tf.groupBy("token").agg(F.count("*").alias("df"))
+    return tf.join(df_tbl, "token").select(
+        "token",
+        F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int").alias("bucket"),
+        "doc_id",
+        "tf",
+        "df",
+    )
+
+
+def write_inverted_index(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Write the bucket-partitioned postings plus the corpus size (the
+    one scalar tf-idf needs). Returns the corpus document count."""
+    spark = docs.sparkSession
+    postings = build_postings(docs, n_buckets, id_col, text_col)
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    n_docs = docs.select(id_col).distinct().count()
+    spark.createDataFrame([(n_docs,)], "n_docs long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path.rstrip('/')}._stats")
+    return n_docs
+
+
+def search_topk(
+    spark: SparkSession,
+    path: str,
+    terms: list[str],
+    k: int = 10,
+    mode: str = "any",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Top-k documents for ``terms`` by summed tf-idf, reading only the
+    query terms' bucket partitions. ``mode='all'`` keeps only documents
+    matching EVERY term (AND semantics); ``'any'`` is the OR query.
+    Ties break on doc_id for a fully deterministic ranking."""
+    if mode not in ("any", "all"):
+        raise ValueError(f"mode must be any|all, got {mode!r}")
+    n_docs = spark.read.parquet(f"{path.rstrip('/')}._stats").collect()[0]["n_docs"]
+    # bucket ids for the query terms: same hash expression as the build,
+    # evaluated over the bounded term list
+    term_rows = spark.createDataFrame([(t,) for t in terms], "token string").select(
+        "token", F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int").alias("bucket")
+    ).collect()
+    buckets = sorted({r["bucket"] for r in term_rows})
+    postings = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(buckets))  # -> PartitionFilters
+        .filter(F.col("token").isin(terms))
+    )
+    scored = postings.groupBy("doc_id").agg(
+        F.count("*").alias("n_terms_matched"),
+        F.round(
+            F.sum(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))), 4
+        ).alias("score"),
+    )
+    if mode == "all":
+        scored = scored.filter(F.col("n_terms_matched") == len(set(terms)))
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "n_terms_matched", "score")
+    )

@@ -1379,6 +1379,44 @@ def ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(emb, qs, k=ANN_K, m=16, ks=64)
 
 
+_SEARCH_INDEX_MEMO: dict = {}
+SEARCH_TERMS = ["merge", "scan", "filter"]
+
+
+def _search_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build — once per (session, sf_dir) — the bucket-partitioned
+    inverted index over documents (operators/search.py)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _SEARCH_INDEX_MEMO:
+        return _SEARCH_INDEX_MEMO[key]
+    import os
+    import tempfile
+
+    from cdc_streaming_pipeline_spark.operators.search import write_inverted_index
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"invidx-{spark.sparkContext.applicationId}-{abs(hash(sf_dir)) % 10**8}",
+    )
+    write_inverted_index(load_table(spark, sf_dir, "documents"), path)
+    _SEARCH_INDEX_MEMO[key] = path
+    return path
+
+
+def keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned keyword search (operators/search.py): top-10
+    documents by summed tf-idf for a 3-term OR query, served from the
+    persisted bucket-partitioned postings — the read touches only the
+    query terms' bucket partitions (PartitionFilters, pinned in
+    tests/test_search.py), so serving cost scales with the terms'
+    postings, not the corpus. Index built once per session; the DuckDB
+    oracle recomputes the same tf-idf ranking from the raw corpus."""
+    from cdc_streaming_pipeline_spark.operators.search import search_topk
+
+    path = _search_index_path(spark, sf_dir)
+    return search_topk(spark, path, SEARCH_TERMS, k=10)
+
+
 def split_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val distribution-drift gate
     (operators/validate.py:population_stability): PSI per audited
@@ -1489,6 +1527,7 @@ QUERIES = {
     "ann_topk_ivf_persisted": ann_topk_ivf_persisted,
     "split_drift_psi": split_drift_psi,
     "ann_topk_ivf_pq": ann_topk_ivf_pq,
+    "keyword_search_topk": keyword_search_topk,
 }
 
 # DuckDB-side replicas. Shared fragments:
@@ -2627,4 +2666,26 @@ ORACLE["split_drift_psi"] = f"""
                AS psi
     FROM counts JOIN tot USING (f)
     GROUP BY f, k
+"""
+
+ORACLE["keyword_search_topk"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_NORM_TOKS}) AS token FROM documents
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM toks WHERE token <> '' GROUP BY 1, 2
+    ), dft AS (
+        SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+    ), n AS (
+        SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+    ), scored AS (
+        SELECT doc_id, COUNT(*) AS n_terms_matched,
+               ROUND(SUM(tf * LN((SELECT n_docs FROM n)::DOUBLE / df)), 4)
+                   AS score
+        FROM tf JOIN dft USING (token)
+        WHERE token IN ('merge', 'scan', 'filter')
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms_matched, score FROM scored
+    ORDER BY score DESC, doc_id ASC LIMIT 10
 """
