@@ -1413,6 +1413,42 @@ def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality decomposition over the order stream: per ISO weekday,
+    the mean daily revenue and the single most anomalous date (largest
+    absolute deviation from that weekday's mean — the day an on-call
+    analyst gets paged about). The window ranking runs on the DAILY
+    frame — calendar-bounded (one row per date), so the per-weekday
+    sort never scales with the fact table; daily totals are
+    exact-decimal so both engines agree bit-for-bit before the final
+    rounded statistics."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        dsum(F.col("o_totalprice")).alias("rev")
+    )
+    wd = daily.withColumn("weekday", F.expr("weekday(day) + 1"))
+    stats = wd.groupBy("weekday").agg(
+        F.count("*").alias("n_days"),
+        F.round(F.avg("rev"), 2).alias("avg_daily_rev"),
+    )
+    dev = (
+        wd.join(stats, "weekday")
+        .withColumn("abs_dev", F.round(F.abs(F.col("rev") - F.col("avg_daily_rev")), 2))
+    )
+    w = Window.partitionBy("weekday").orderBy(F.col("abs_dev").desc(), F.col("day").asc())
+    return (
+        dev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "weekday",
+            "n_days",
+            "avg_daily_rev",
+            F.col("day").alias("anomaly_day"),
+            F.col("abs_dev").alias("anomaly_abs_dev"),
+        )
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1472,6 +1508,7 @@ QUERIES = {
     "bloom_prefiltered_revenue": bloom_prefiltered_revenue,
     "supplier_part_pagerank": supplier_part_pagerank,
     "lineitem_correlations": lineitem_correlations,
+    "weekday_seasonality": weekday_seasonality,
 }
 
 ORACLE = {
@@ -2178,4 +2215,27 @@ ORACLE["lineitem_correlations"] = """
            ROUND(corr(l_discount, l_extendedprice), 4) AS corr_disc_price,
            ROUND(corr(l_quantity, l_discount), 4) AS corr_qty_disc
     FROM lineitem
+"""
+ORACLE["weekday_seasonality"] = """
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+                   AS rev
+        FROM orders GROUP BY 1
+    ), wd AS (
+        SELECT day, rev, isodow(day) AS weekday FROM daily
+    ), stats AS (
+        SELECT weekday, COUNT(*) AS n_days, ROUND(AVG(rev), 2) AS avg_daily_rev
+        FROM wd GROUP BY 1
+    ), dev AS (
+        SELECT wd.weekday, stats.n_days, stats.avg_daily_rev, wd.day,
+               ROUND(ABS(wd.rev - stats.avg_daily_rev), 2) AS abs_dev,
+               ROW_NUMBER() OVER (PARTITION BY wd.weekday
+                   ORDER BY ROUND(ABS(wd.rev - stats.avg_daily_rev), 2) DESC,
+                            wd.day ASC) AS rn
+        FROM wd JOIN stats USING (weekday)
+    )
+    SELECT weekday, n_days, avg_daily_rev, day AS anomaly_day,
+           abs_dev AS anomaly_abs_dev
+    FROM dev WHERE rn = 1
 """
