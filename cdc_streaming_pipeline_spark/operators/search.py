@@ -39,16 +39,23 @@ def build_postings(
         F.explode(tokens(normalize_ws(F.col(text_col)))).alias("token"),
     ).filter(F.col("token") != "")
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    # df via groupBy+join, NOT a per-token window: a stop-word's window
-    # partition is df rows in ONE task (10^9 for "the" at corpus scale);
-    # the aggregate is map-side combinable and AQE splits a skewed join.
+    # df (and doc length) via groupBy+join, NOT a per-token window: a
+    # stop-word's window partition is df rows in ONE task (10^9 for
+    # "the" at corpus scale); the aggregates are map-side combinable
+    # and AQE splits a skewed join.
     df_tbl = tf.groupBy("token").agg(F.count("*").alias("df"))
-    return tf.join(df_tbl, "token").select(
-        "token",
-        F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int").alias("bucket"),
-        "doc_id",
-        "tf",
-        "df",
+    len_tbl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    return (
+        tf.join(df_tbl, "token")
+        .join(len_tbl, "doc_id")
+        .select(
+            "token",
+            F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int").alias("bucket"),
+            "doc_id",
+            "tf",
+            "df",
+            "doc_len",
+        )
     )
 
 
@@ -65,9 +72,16 @@ def write_inverted_index(
     postings = build_postings(docs, n_buckets, id_col, text_col)
     postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
     n_docs = docs.select(id_col).distinct().count()
-    spark.createDataFrame([(n_docs,)], "n_docs long").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{path.rstrip('/')}._stats")
+    avgdl = (
+        spark.read.parquet(path)
+        .select("doc_id", "doc_len")
+        .distinct()
+        .agg(F.avg("doc_len"))
+        .collect()[0][0]
+    )
+    spark.createDataFrame(
+        [(n_docs, float(avgdl))], "n_docs long, avgdl double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path.rstrip('/')}._stats")
     return n_docs
 
 
@@ -77,15 +91,24 @@ def search_topk(
     terms: list[str],
     k: int = 10,
     mode: str = "any",
+    ranking: str = "tfidf",
     n_buckets: int = 64,
+    k1: float = 1.2,
+    b: float = 0.75,
 ) -> DataFrame:
-    """Top-k documents for ``terms`` by summed tf-idf, reading only the
-    query terms' bucket partitions. ``mode='all'`` keeps only documents
-    matching EVERY term (AND semantics); ``'any'`` is the OR query.
-    Ties break on doc_id for a fully deterministic ranking."""
+    """Top-k documents for ``terms``, reading only the query terms'
+    bucket partitions. ``mode='all'`` keeps only documents matching
+    EVERY term (AND semantics); ``'any'`` is the OR query.
+    ``ranking='tfidf'`` sums ``tf·ln(N/df)``; ``'bm25'`` is
+    Okapi BM25 (idf ``ln(1+(N-df+0.5)/(df+0.5))``, tf saturation k1,
+    length normalization b against the corpus avgdl stored in the
+    index). Ties break on doc_id for a fully deterministic ranking."""
     if mode not in ("any", "all"):
         raise ValueError(f"mode must be any|all, got {mode!r}")
-    n_docs = spark.read.parquet(f"{path.rstrip('/')}._stats").collect()[0]["n_docs"]
+    if ranking not in ("tfidf", "bm25"):
+        raise ValueError(f"ranking must be tfidf|bm25, got {ranking!r}")
+    stats = spark.read.parquet(f"{path.rstrip('/')}._stats").collect()[0]
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     # bucket ids for the query terms: same hash expression as the build,
     # evaluated over the bounded term list
     term_rows = spark.createDataFrame([(t,) for t in terms], "token string").select(
@@ -97,11 +120,16 @@ def search_topk(
         .filter(F.col("bucket").isin(buckets))  # -> PartitionFilters
         .filter(F.col("token").isin(terms))
     )
+    tf, df = F.col("tf").cast("double"), F.col("df").cast("double")
+    if ranking == "tfidf":
+        contrib = tf * F.log(F.lit(float(n_docs)) / df)
+    else:
+        idf = F.log(1.0 + (F.lit(float(n_docs)) - df + 0.5) / (df + 0.5))
+        norm = tf + k1 * (1.0 - b + b * F.col("doc_len").cast("double") / avgdl)
+        contrib = idf * (tf * (k1 + 1.0)) / norm
     scored = postings.groupBy("doc_id").agg(
         F.count("*").alias("n_terms_matched"),
-        F.round(
-            F.sum(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))), 4
-        ).alias("score"),
+        F.round(F.sum(contrib), 4).alias("score"),
     )
     if mode == "all":
         scored = scored.filter(F.col("n_terms_matched") == len(set(terms)))

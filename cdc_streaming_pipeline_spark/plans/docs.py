@@ -1417,6 +1417,19 @@ def keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_topk(spark, path, SEARCH_TERMS, k=10)
 
 
+def keyword_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranking over the same persisted postings — the IR
+    default the tf-idf query upgrades to: saturating term frequency
+    (k1) and document-length normalization (b) against the corpus
+    avgdl stored with the index. Same partition-pruned serve path;
+    the DuckDB oracle recomputes BM25 from the raw corpus with the
+    identical constants."""
+    from cdc_streaming_pipeline_spark.operators.search import search_topk
+
+    path = _search_index_path(spark, sf_dir)
+    return search_topk(spark, path, SEARCH_TERMS, k=10, ranking="bm25")
+
+
 def split_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val distribution-drift gate
     (operators/validate.py:population_stability): PSI per audited
@@ -1528,6 +1541,7 @@ QUERIES = {
     "split_drift_psi": split_drift_psi,
     "ann_topk_ivf_pq": ann_topk_ivf_pq,
     "keyword_search_topk": keyword_search_topk,
+    "keyword_search_bm25": keyword_search_bm25,
 }
 
 # DuckDB-side replicas. Shared fragments:
@@ -2685,6 +2699,36 @@ ORACLE["keyword_search_topk"] = f"""
         FROM tf JOIN dft USING (token)
         WHERE token IN ('merge', 'scan', 'filter')
         GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms_matched, score FROM scored
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+ORACLE["keyword_search_bm25"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_NORM_TOKS}) AS token FROM documents
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM toks WHERE token <> '' GROUP BY 1, 2
+    ), dft AS (
+        SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+    ), dl AS (
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS doc_len FROM tf GROUP BY 1
+    ), n AS (
+        SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+    ), ad AS (
+        SELECT AVG(doc_len) AS avgdl FROM dl
+    ), scored AS (
+        SELECT tf.doc_id, COUNT(*) AS n_terms_matched,
+               ROUND(SUM(
+                   LN(1.0 + ((SELECT n_docs FROM n) - df + 0.5) / (df + 0.5))
+                   * (tf * (1.2 + 1.0))
+                   / (tf + 1.2 * (1.0 - 0.75
+                       + 0.75 * doc_len / (SELECT avgdl FROM ad)))
+               ), 4) AS score
+        FROM tf JOIN dft USING (token) JOIN dl USING (doc_id)
+        WHERE token IN ('merge', 'scan', 'filter')
+        GROUP BY 1
     )
     SELECT doc_id, n_terms_matched, score FROM scored
     ORDER BY score DESC, doc_id ASC LIMIT 10

@@ -61,3 +61,30 @@ def test_unknown_terms_empty_and_mode_validation(spark, index):
     assert search_topk(spark, index, ["zzzz"], k=5).count() == 0
     with pytest.raises(ValueError, match="any|all"):
         search_topk(spark, index, ["merge"], mode="phrase")
+
+
+def test_bm25_scoring_and_length_normalization(spark, tmp_path):
+    """BM25 hand-check: same tf, shorter doc scores higher (length
+    normalization) and repeated terms saturate instead of scaling
+    linearly."""
+    docs = spark.createDataFrame(
+        [
+            (1, "merge alpha"),                      # short doc, tf=1
+            (2, "merge alpha beta gamma delta eps"), # long doc, tf=1
+            (3, "merge merge merge merge alpha"),    # tf=4
+            (4, "other words"),
+        ],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "idx")
+    write_inverted_index(docs, path)
+    rows = search_topk(spark, path, ["merge"], ranking="bm25").collect()
+    got = {r["doc_id"]: r["score"] for r in rows}
+    assert set(got) == {1, 2, 3}
+    assert got[1] > got[2]  # shorter doc wins at equal tf
+    # saturation: tf=4 must score less than 4x the tf=1 short doc
+    assert got[3] < 4 * got[1]
+    assert got[3] > got[1]  # but still more than tf=1
+
+    with pytest.raises(ValueError, match="tfidf|bm25"):
+        search_topk(spark, path, ["merge"], ranking="cosine")
