@@ -36,9 +36,15 @@ def build_postings(
     bounded by the posting count itself."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(tokens(normalize_ws(F.col(text_col)))).alias("token"),
+        F.posexplode(tokens(normalize_ws(F.col(text_col)))).alias("pos", "token"),
     ).filter(F.col("token") != "")
-    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    # positions make the index POSITIONAL (phrase queries); the
+    # collect_list is bounded per (doc, token) by the document's own
+    # length — a per-doc bound, never a corpus-scaled one.
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count("*").alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+    )
     # df (and doc length) via groupBy+join, NOT a per-token window: a
     # stop-word's window partition is df rows in ONE task (10^9 for
     # "the" at corpus scale); the aggregates are map-side combinable
@@ -55,6 +61,7 @@ def build_postings(
             "tf",
             "df",
             "doc_len",
+            "positions",
         )
     )
 
@@ -138,3 +145,55 @@ def search_topk(
         .limit(k)
         .select("doc_id", "n_terms_matched", "score")
     )
+
+
+def phrase_search(
+    spark: SparkSession,
+    path: str,
+    phrase: list[str],
+    k: int = 10,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact phrase matching from the positional postings: a document
+    contains the phrase at position p iff term_i appears at p+i for
+    every i, so the occurrence set is the intersection of each term's
+    position list shifted left by its phrase offset. One pruned read of
+    the phrase terms' buckets, then |phrase| bounded joins on doc_id
+    with JVM ``array_intersect`` folds — the candidate set shrinks
+    monotonically (docs must contain EVERY term), and position payloads
+    are per-doc bounded. Returns (doc_id, n_occurrences), top-k by
+    occurrence count with deterministic tie-break."""
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    term_rows = spark.createDataFrame(
+        [(t,) for t in set(phrase)], "token string"
+    ).select(
+        "token",
+        F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int").alias("bucket"),
+    ).collect()
+    buckets = sorted({r["bucket"] for r in term_rows})
+    postings = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("token").isin(list(set(phrase))))
+        .select("token", "doc_id", "positions")
+    )
+    acc = None
+    for i, term in enumerate(phrase):
+        shifted = postings.filter(F.col("token") == term).select(
+            "doc_id",
+            F.transform("positions", lambda x: x - i).alias(f"_p{i}"),
+        )
+        if acc is None:
+            acc = shifted.withColumnRenamed("_p0", "_hits")
+        else:
+            acc = acc.join(shifted, "doc_id").select(
+                "doc_id",
+                F.array_intersect("_hits", f"_p{i}").alias("_hits"),
+            )
+    matched = acc.select("doc_id", F.size("_hits").alias("n_occurrences")).filter(
+        F.col("n_occurrences") > 0
+    )
+    return matched.orderBy(
+        F.col("n_occurrences").desc(), F.col("doc_id").asc()
+    ).limit(k)

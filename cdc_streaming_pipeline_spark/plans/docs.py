@@ -1430,6 +1430,19 @@ def keyword_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_topk(spark, path, SEARCH_TERMS, k=10, ranking="bm25")
 
 
+def phrase_search_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search (operators/search.py:phrase_search) from the
+    POSITIONAL postings: intersect each term's position list shifted by
+    its phrase offset — same pruned-bucket read as the ranked queries,
+    |phrase| bounded array_intersect joins, per-doc-bounded payloads.
+    The DuckDB oracle recomputes occurrences from adjacent token
+    ordinals over the raw corpus."""
+    from cdc_streaming_pipeline_spark.operators.search import phrase_search
+
+    path = _search_index_path(spark, sf_dir)
+    return phrase_search(spark, path, ["hash", "join"], k=10)
+
+
 def split_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val distribution-drift gate
     (operators/validate.py:population_stability): PSI per audited
@@ -1542,6 +1555,7 @@ QUERIES = {
     "ann_topk_ivf_pq": ann_topk_ivf_pq,
     "keyword_search_topk": keyword_search_topk,
     "keyword_search_bm25": keyword_search_bm25,
+    "phrase_search_hits": phrase_search_hits,
 }
 
 # DuckDB-side replicas. Shared fragments:
@@ -2732,4 +2746,18 @@ ORACLE["keyword_search_bm25"] = f"""
     )
     SELECT doc_id, n_terms_matched, score FROM scored
     ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+ORACLE["phrase_search_hits"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(l) AS token, unnest(range(1, len(l) + 1)) AS ord
+        FROM (SELECT doc_id, {_NORM_TOKS} AS l FROM documents)
+    ), hits AS (
+        SELECT a.doc_id
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+        WHERE a.token = 'hash' AND b.token = 'join'
+    )
+    SELECT doc_id, COUNT(*) AS n_occurrences FROM hits GROUP BY doc_id
+    ORDER BY n_occurrences DESC, doc_id ASC LIMIT 10
 """

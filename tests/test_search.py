@@ -88,3 +88,33 @@ def test_bm25_scoring_and_length_normalization(spark, tmp_path):
 
     with pytest.raises(ValueError, match="tfidf|bm25"):
         search_topk(spark, path, ["merge"], ranking="cosine")
+
+
+def test_phrase_search_positions(spark, tmp_path):
+    from cdc_streaming_pipeline_spark.operators.search import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join wins hash join"),   # 2 occurrences
+            (2, "join hash"),                  # reversed: no match
+            (3, "hash x join"),                # gap: no match
+            (4, "hash join"),                  # 1 occurrence
+            (5, "a a a"),                      # repeated-term phrase fodder
+        ],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "idx")
+    write_inverted_index(docs, path)
+    rows = phrase_search(spark, path, ["hash", "join"]).collect()
+    got = {r["doc_id"]: r["n_occurrences"] for r in rows}
+    assert got == {1: 2, 4: 1}
+    # ranking: occurrences desc, doc_id asc
+    assert [r["doc_id"] for r in rows] == [1, 4]
+    # repeated-term phrase: "a a" occurs twice in "a a a"
+    got2 = {r["doc_id"]: r["n_occurrences"]
+            for r in phrase_search(spark, path, ["a", "a"]).collect()}
+    assert got2 == {5: 2}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        phrase_search(spark, path, [])
