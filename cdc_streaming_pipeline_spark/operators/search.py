@@ -45,25 +45,36 @@ def build_postings(
         F.count("*").alias("tf"),
         F.sort_array(F.collect_list("pos")).alias("positions"),
     )
-    # df (and doc length) via groupBy+join, NOT a per-token window: a
-    # stop-word's window partition is df rows in ONE task (10^9 for
-    # "the" at corpus scale); the aggregates are map-side combinable
-    # and AQE splits a skewed join.
-    df_tbl = tf.groupBy("token").agg(F.count("*").alias("df"))
+    # doc length via groupBy+join (map-side combinable, AQE-skew-safe).
+    # DOCUMENT FREQUENCY IS NOT STORED: a term's postings all live in
+    # its own bucket, so the serving read can recount df exactly from
+    # the pruned postings — and a denormalized df would go stale the
+    # moment a batch is appended.
     len_tbl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
-    return (
-        tf.join(df_tbl, "token")
-        .join(len_tbl, "doc_id")
-        .select(
-            "token",
-            F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int").alias("bucket"),
-            "doc_id",
-            "tf",
-            "df",
-            "doc_len",
-            "positions",
-        )
+    return tf.join(len_tbl, "doc_id").select(
+        "token",
+        F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int").alias("bucket"),
+        "doc_id",
+        "tf",
+        "doc_len",
+        "positions",
     )
+
+
+def _write_stats(spark: SparkSession, path: str, n_docs: int, total_len: int) -> None:
+    spark.createDataFrame(
+        [(n_docs, total_len)], "n_docs long, total_len long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path.rstrip('/')}._stats")
+
+
+def _batch_stats(spark: SparkSession, path: str, postings_written: int = 0):
+    """(n_docs, total_len) of the batch just written, read back from the
+    index itself so stats and postings can never disagree."""
+    dl = spark.read.parquet(path).select("doc_id", "doc_len").distinct()
+    row = dl.agg(
+        F.count("*").alias("n"), F.sum("doc_len").alias("t")
+    ).collect()[0]
+    return row["n"], int(row["t"] or 0)
 
 
 def write_inverted_index(
@@ -73,22 +84,41 @@ def write_inverted_index(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> int:
-    """Write the bucket-partitioned postings plus the corpus size (the
-    one scalar tf-idf needs). Returns the corpus document count."""
+    """Write the bucket-partitioned positional postings plus the two
+    corpus scalars ranking needs (document count, total token count —
+    avgdl derives). Returns the indexed document count."""
     spark = docs.sparkSession
     postings = build_postings(docs, n_buckets, id_col, text_col)
     postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
-    n_docs = docs.select(id_col).distinct().count()
-    avgdl = (
-        spark.read.parquet(path)
-        .select("doc_id", "doc_len")
-        .distinct()
-        .agg(F.avg("doc_len"))
-        .collect()[0][0]
-    )
-    spark.createDataFrame(
-        [(n_docs, float(avgdl))], "n_docs long, avgdl double"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path.rstrip('/')}._stats")
+    n_docs, total_len = _batch_stats(spark, path)
+    _write_stats(spark, path, n_docs, total_len)
+    return n_docs
+
+
+def append_to_index(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Incremental ingest: append a NEW batch's postings into the same
+    bucket layout and bump the corpus scalars additively. Contract: the
+    batch's doc ids are disjoint from the indexed corpus (documents
+    arrive whole — re-indexing a changed doc needs a rebuild or a
+    tombstone layer). Possible because nothing per-token is
+    denormalized: serving recounts df from the pruned postings, so a
+    term's score reflects the full corpus the moment the batch lands.
+    Returns the new total document count."""
+    spark = docs.sparkSession
+    old = spark.read.parquet(f"{path.rstrip('/')}._stats").collect()[0]
+    batch = build_postings(docs, n_buckets, id_col, text_col)
+    batch.write.mode("append").partitionBy("bucket").parquet(path)
+    dl = batch.select("doc_id", "doc_len").distinct()
+    row = dl.agg(F.count("*").alias("n"), F.sum("doc_len").alias("t")).collect()[0]
+    n_docs = old["n_docs"] + row["n"]
+    total_len = old["total_len"] + int(row["t"] or 0)
+    _write_stats(spark, path, n_docs, total_len)
     return n_docs
 
 
@@ -115,7 +145,8 @@ def search_topk(
     if ranking not in ("tfidf", "bm25"):
         raise ValueError(f"ranking must be tfidf|bm25, got {ranking!r}")
     stats = spark.read.parquet(f"{path.rstrip('/')}._stats").collect()[0]
-    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    n_docs = stats["n_docs"]
+    avgdl = stats["total_len"] / n_docs
     # bucket ids for the query terms: same hash expression as the build,
     # evaluated over the bounded term list
     term_rows = spark.createDataFrame([(t,) for t in terms], "token string").select(
@@ -127,6 +158,10 @@ def search_topk(
         .filter(F.col("bucket").isin(buckets))  # -> PartitionFilters
         .filter(F.col("token").isin(terms))
     )
+    # df recounted EXACTLY from the pruned read (a term's postings all
+    # live in its bucket) — this is what keeps the index append-able
+    df_tbl = postings.groupBy("token").agg(F.count("*").alias("df"))
+    postings = postings.join(df_tbl, "token")
     tf, df = F.col("tf").cast("double"), F.col("df").cast("double")
     if ranking == "tfidf":
         contrib = tf * F.log(F.lit(float(n_docs)) / df)

@@ -2705,7 +2705,7 @@ ORACLE["keyword_search_topk"] = f"""
     ), dft AS (
         SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
     ), n AS (
-        SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+        SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf
     ), scored AS (
         SELECT doc_id, COUNT(*) AS n_terms_matched,
                ROUND(SUM(tf * LN((SELECT n_docs FROM n)::DOUBLE / df)), 4)
@@ -2729,7 +2729,7 @@ ORACLE["keyword_search_bm25"] = f"""
     ), dl AS (
         SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS doc_len FROM tf GROUP BY 1
     ), n AS (
-        SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+        SELECT COUNT(*) AS n_docs FROM dl
     ), ad AS (
         SELECT AVG(doc_len) AS avgdl FROM dl
     ), scored AS (

@@ -118,3 +118,40 @@ def test_phrase_search_positions(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="non-empty"):
         phrase_search(spark, path, [])
+
+
+def test_append_equals_full_rebuild(spark, tmp_path):
+    """The append-ability certification: index half the corpus, append
+    the other half -> every ranking (tf-idf, BM25, phrase) must equal
+    the from-scratch full build, because df/N/avgdl are all recounted
+    or additively maintained rather than frozen into the postings."""
+    from cdc_streaming_pipeline_spark.operators.search import (
+        append_to_index,
+        phrase_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "merge scan merge filter"),
+            (2, "scan filter hash join"),
+            (3, "window sort hash join hash join"),
+            (4, "merge filter scan scan"),
+            (5, "merge hash join"),
+            (6, "sort scan"),
+        ],
+        "doc_id bigint, text string",
+    )
+    full = str(tmp_path / "full")
+    incr = str(tmp_path / "incr")
+    write_inverted_index(docs, full)
+    write_inverted_index(docs.filter("doc_id <= 3"), incr)
+    n = append_to_index(docs.filter("doc_id > 3"), incr)
+    assert n == 6
+
+    for kwargs in ({"ranking": "tfidf"}, {"ranking": "bm25"}, {"mode": "all"}):
+        a = search_topk(spark, full, ["merge", "scan"], **kwargs).collect()
+        b = search_topk(spark, incr, ["merge", "scan"], **kwargs).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b], kwargs
+    pa = phrase_search(spark, full, ["hash", "join"]).collect()
+    pb = phrase_search(spark, incr, ["hash", "join"]).collect()
+    assert [tuple(r) for r in pa] == [tuple(r) for r in pb]
