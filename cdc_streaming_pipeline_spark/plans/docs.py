@@ -1443,6 +1443,46 @@ def phrase_search_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(spark, path, ["hash", "join"], k=10)
 
 
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the modern serving default: a sparse BM25
+    keyword ranking and a dense cosine ranking fused with Reciprocal
+    Rank Fusion (RRF, k=60: score = Σ 1/(60+rank_i)), which needs no
+    score calibration between the two spaces. Keyword side: the
+    persisted positional index, partition-pruned; dense side: exact
+    cosine top-50 for doc 0's embedding (vec_id == doc_id in the driver
+    corpus). Both candidate lists are top-50 (bounded), so the fusion
+    join is trivially small whatever the corpus size — the scale cost
+    lives entirely in the two retrievers, each already scale-shaped.
+    Fully hash-green: DuckDB recomputes both rankings and the fusion."""
+    from cdc_streaming_pipeline_spark.operators.search import search_topk
+    from cdc_streaming_pipeline_spark.operators.similarity import brute_force_topk
+
+    from pyspark.sql import Window
+
+    path = _search_index_path(spark, sf_dir)
+    kw = search_topk(spark, path, SEARCH_TERMS, k=50, ranking="bm25")
+    # global window over a LIMIT-50 frame — bounded by construction
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    kw_rank = kw.select("doc_id", F.row_number().over(w).alias("kw_rank"))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=50)
+    vec_rank = vec.select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("vec_rank")
+    )
+    rrf = F.round(
+        F.coalesce(1.0 / (60.0 + F.col("kw_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (60.0 + F.col("vec_rank")), F.lit(0.0)),
+        6,
+    )
+    return (
+        kw_rank.join(vec_rank, "doc_id", "full_outer")
+        .select("doc_id", "kw_rank", "vec_rank", rrf.alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
 def split_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val distribution-drift gate
     (operators/validate.py:population_stability): PSI per audited
@@ -1556,6 +1596,7 @@ QUERIES = {
     "keyword_search_topk": keyword_search_topk,
     "keyword_search_bm25": keyword_search_bm25,
     "phrase_search_hits": phrase_search_hits,
+    "hybrid_search_rrf": hybrid_search_rrf,
 }
 
 # DuckDB-side replicas. Shared fragments:
@@ -2760,4 +2801,55 @@ ORACLE["phrase_search_hits"] = f"""
     )
     SELECT doc_id, COUNT(*) AS n_occurrences FROM hits GROUP BY doc_id
     ORDER BY n_occurrences DESC, doc_id ASC LIMIT 10
+"""
+
+ORACLE["hybrid_search_rrf"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_NORM_TOKS}) AS token FROM documents
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM toks WHERE token <> '' GROUP BY 1, 2
+    ), dft AS (
+        SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+    ), dl AS (
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS doc_len FROM tf GROUP BY 1
+    ), n AS (
+        SELECT COUNT(*) AS n_docs FROM dl
+    ), ad AS (
+        SELECT AVG(doc_len) AS avgdl FROM dl
+    ), bm AS (
+        SELECT tf.doc_id,
+               ROUND(SUM(
+                   LN(1.0 + ((SELECT n_docs FROM n) - df + 0.5) / (df + 0.5))
+                   * (tf * (1.2 + 1.0))
+                   / (tf + 1.2 * (1.0 - 0.75
+                       + 0.75 * doc_len / (SELECT avgdl FROM ad)))
+               ), 4) AS score
+        FROM tf JOIN dft USING (token) JOIN dl USING (doc_id)
+        WHERE token IN ('merge', 'scan', 'filter')
+        GROUP BY 1
+    ), kw AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+                   AS kw_rank
+        FROM bm ORDER BY score DESC, doc_id ASC LIMIT 50
+    ), q AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), sims AS (
+        SELECT c.vec_id AS doc_id,
+               ROUND(list_dot_product((SELECT qv FROM q), c.ev)
+                     / (sqrt(list_sum(list_transform((SELECT qv FROM q), x -> x*x)))
+                        * sqrt(list_sum(list_transform(c.ev, x -> x*x)))), 4)
+                   AS cosine
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings) c
+        WHERE c.vec_id <> 0
+    ), vec AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id ASC)
+                   AS vec_rank
+        FROM sims ORDER BY cosine DESC, doc_id ASC LIMIT 50
+    )
+    SELECT COALESCE(kw.doc_id, vec.doc_id) AS doc_id, kw_rank, vec_rank,
+           ROUND(COALESCE(1.0 / (60.0 + kw_rank), 0.0)
+                 + COALESCE(1.0 / (60.0 + vec_rank), 0.0), 6) AS rrf_score
+    FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id
+    ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
 """
