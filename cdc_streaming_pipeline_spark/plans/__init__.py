@@ -45,7 +45,15 @@ _PRIORITY: list[str] = [
     "doc_fingerprints",
     "doc_repetition_stats",
     "dedup_documents_exact",
-    "minhash_dedup_pairs",
+    # (round-8 swap: minhash_dedup_pairs -> tail. Its gate row was the
+    # last rows-only-by-design entry inside the cap — the tail's
+    # ORACLE_LOCAL record + the recall/containment pytest gates carry
+    # identical information, and ngram_jaccard_pairs stays as the
+    # hash-certified fuzzy-dedup representative — while cdc_txlog_merge
+    # is HASH-certified and extends the gate's CDC core with the
+    # ACID-table landing (copy-on-write merge + optimistic concurrency),
+    # making the driver gate 50/50 hash-green.)
+    "cdc_txlog_merge",
     "ngram_jaccard_pairs",
     # (round-7 swap: simhash_near_dup_pairs -> tail. Its gate row was
     # rows-only by design — the tail's ORACLE_LOCAL record + the numpy
