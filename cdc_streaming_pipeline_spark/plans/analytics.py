@@ -1449,6 +1449,52 @@ def weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def revenue_estimate_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing — the answer-before-the-scan-ends
+    move at 100 TB: estimate total order revenue from a deterministic
+    2% md5-bucket sample (engine-portable, so the estimate itself is
+    oracle-certifiable) with the CLT standard error and a 95% interval.
+    The sample predicate evaluates AT THE SCAN (one cheap pass over 2%
+    of the data); the full-scan truth costs 50x more I/O. Exact at this
+    SF (oracle recomputes the identical sample): estimate, stderr, and
+    the true value side by side with the relative error."""
+    from cdc_streaming_pipeline_spark.operators.sampling import md5_bucket
+
+    orders = load_table(spark, sf_dir, "orders")
+    rate = 2  # percent
+    # exact integer-cents moments: both engines accumulate identical
+    # integers, so every downstream double expression is deterministic
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    sample = orders.filter(md5_bucket(F.col("o_orderkey"), 100) < rate)
+    scale = 100.0 / rate
+    s = sample.agg(
+        F.count("*").alias("n"),
+        F.sum(cents.cast("decimal(38,0)")).alias("s1c"),
+        F.sum(cents.cast("decimal(38,0)") * cents).alias("s2c"),
+    )
+    truth = orders.agg(
+        (F.sum(cents.cast("decimal(38,0)")).cast("double") / 100.0).alias(
+            "true_total"
+        )
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1c").cast("double") / 100.0
+    s2 = F.col("s2c").cast("double") / 10000.0
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    est = s1 * scale
+    stderr = F.sqrt(var * n) * scale  # se of the scaled sum
+    return s.crossJoin(truth).select(
+        F.col("n").alias("sample_n"),
+        F.round(est, 2).alias("est_total"),
+        F.round(stderr, 2).alias("stderr"),
+        F.round(F.col("true_total"), 2).alias("true_total"),
+        F.round(F.abs(est - F.col("true_total")) / F.col("true_total"), 4).alias(
+            "rel_error"
+        ),
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1509,6 +1555,7 @@ QUERIES = {
     "supplier_part_pagerank": supplier_part_pagerank,
     "lineitem_correlations": lineitem_correlations,
     "weekday_seasonality": weekday_seasonality,
+    "revenue_estimate_sampled": revenue_estimate_sampled,
 }
 
 ORACLE = {
@@ -2238,4 +2285,29 @@ ORACLE["weekday_seasonality"] = """
     SELECT weekday, n_days, avg_daily_rev, day AS anomaly_day,
            abs_dev AS anomaly_abs_dev
     FROM dev WHERE rn = 1
+"""
+ORACLE["revenue_estimate_sampled"] = """
+    WITH c AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS s1,
+               CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS DOUBLE)
+                   / 10000.0 AS s2
+        FROM c
+        WHERE CAST(CAST(('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))
+                   AS UBIGINT) % 100 AS BIGINT) < 2
+    ), t AS (
+        SELECT CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) / 100.0
+                   AS true_total
+        FROM c
+    )
+    SELECT n AS sample_n,
+           ROUND(s1 * 50.0, 2) AS est_total,
+           ROUND(SQRT((s2 / n - (s1 / n) * (s1 / n)) * n) * 50.0, 2) AS stderr,
+           ROUND(true_total, 2) AS true_total,
+           ROUND(ABS(s1 * 50.0 - true_total) / true_total, 4) AS rel_error
+    FROM s CROSS JOIN t
 """
