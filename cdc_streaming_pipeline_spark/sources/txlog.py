@@ -115,12 +115,43 @@ class TxLogTable:
                 return e["version"]
         return None
 
+    def _file_stats(self, files: list[str], stats_cols: list[str]) -> dict:
+        """Per-file min/max for ``stats_cols`` — ONE small aggregate job
+        over the freshly staged files (grouped by input_file_name), the
+        data-skipping statistics Delta/Iceberg keep per file."""
+        from pyspark.sql import functions as F
+
+        aggs = []
+        for c in stats_cols:
+            aggs.append(F.min(c).alias(f"_min_{c}"))
+            aggs.append(F.max(c).alias(f"_max_{c}"))
+        rows = (
+            self.spark.read.parquet(*files)
+            .groupBy(F.input_file_name().alias("_f"))
+            .agg(*aggs)
+            .collect()  # bounded: one row per staged file
+        )
+        def py(v):
+            return v if isinstance(v, (int, float, str, bool, type(None))) else str(v)
+
+        from urllib.parse import unquote, urlparse
+
+        out = {}
+        for r in rows:
+            # input_file_name returns a URI (file:///...); normalize to
+            # the filesystem path the log stores
+            p = r["_f"]
+            p = unquote(urlparse(p).path) if "://" in p or p.startswith("file:") else p
+            out[p] = {c: [py(r[f"_min_{c}"]), py(r[f"_max_{c}"])] for c in stats_cols}
+        return out
+
     def commit(
         self,
         df: DataFrame,
         mode: str = "append",
         base: int | None = None,
         txn: tuple[str, int] | None = None,
+        stats_cols: list[str] | None = None,
         max_retries: int = 20,
     ) -> int:
         """Stage ``df``'s files once, then race for the next version.
@@ -144,6 +175,7 @@ class TxLogTable:
             if done is not None:
                 return done
         adds = self._stage(df)
+        file_stats = self._file_stats(adds, stats_cols) if stats_cols else None
         base = self.latest_version() if base is None else base
         removes = self._snapshot_files(base) if mode == "overwrite" else []
         for _ in range(max_retries):
@@ -155,6 +187,8 @@ class TxLogTable:
                 "removes": removes,
                 "n_files": len(adds),
             }
+            if file_stats:
+                entry["file_stats"] = file_stats
             if txn is not None:
                 entry["txn"] = [txn[0], txn[1]]
             if self._try_commit(version, entry):
@@ -207,6 +241,49 @@ class TxLogTable:
         if not adds:
             return None  # nothing new; caller keeps its cursor
         return self.spark.read.option("mergeSchema", "true").parquet(*adds)
+
+    def read_where(
+        self,
+        col: str,
+        lo,
+        hi,
+        version: int | None = None,
+    ) -> tuple[DataFrame, int, int]:
+        """Data-skipping read: resolve the snapshot, then SKIP every
+        file whose logged [min, max] for ``col`` cannot intersect
+        [lo, hi] — the Delta/Iceberg stats-pruning move that turns a
+        selective predicate into proportional I/O instead of a full
+        scan. Files without stats are conservatively read; the residual
+        filter is still applied, so the result is exact regardless of
+        how coarse the stats are. Returns (df, files_read,
+        files_total) so callers/tests can see the pruning."""
+        files = resolve_with_checkpoint(self, version)
+        if not files:
+            raise FileNotFoundError(f"no committed data at version {version}")
+        target = self.latest_version() if version is None else version
+        stats: dict = {}
+        for v in self._versions():
+            if v > target:
+                break
+            stats.update(self._read_entry(v).get("file_stats", {}))
+        keep = []
+        for f in files:
+            st = stats.get(f, {}).get(col)
+            if st is None or st[0] is None or st[1] is None:
+                keep.append(f)  # no stats: must read
+            elif not (st[1] < lo or st[0] > hi):
+                keep.append(f)
+        from pyspark.sql import functions as F
+
+        if not keep:
+            empty = self.read(version).filter(F.lit(False))
+            return empty.filter(F.col(col).between(lo, hi)), 0, len(files)
+        df = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*keep)
+            .filter(F.col(col).between(lo, hi))
+        )
+        return df, len(keep), len(files)
 
     # ---- maintenance -----------------------------------------------------
 

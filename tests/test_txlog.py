@@ -234,3 +234,30 @@ def test_read_changes_tails_appends_only(spark, tmp_path):
     t.commit(_df(spark, 0, 2), mode="overwrite")
     with pytest.raises(ValueError, match="rewrites"):
         t.read_changes(cursor)
+
+
+def test_data_skipping_prunes_files_and_stays_exact(spark, tmp_path):
+    """Per-file min/max stats in the log: a range read must skip
+    non-intersecting files, read conservatively where stats are absent,
+    and return exactly the full-scan answer either way."""
+    t = TxLogTable(spark, str(tmp_path / "t"))
+    # four single-file commits over disjoint key ranges, stats on k
+    for lo in (0, 100, 200, 300):
+        t.commit(_df(spark, lo, lo + 50).coalesce(1), stats_cols=["k"])
+    df, read, total = t.read_where("k", 120, 130)
+    assert (read, total) == (1, 4)  # only the [100,150) file
+    assert _vals(df) == list(range(120, 131))
+
+    df, read, total = t.read_where("k", 140, 210)  # straddles two files
+    assert (read, total) == (2, 4)
+    assert _vals(df) == list(range(140, 150)) + list(range(200, 211))
+
+    df, read, total = t.read_where("k", 5000, 6000)  # nothing intersects
+    assert (read, total) == (0, 4)
+    assert df.count() == 0
+
+    # a commit WITHOUT stats is conservatively read
+    t.commit(_df(spark, 1000, 1010).coalesce(1))
+    df, read, total = t.read_where("k", 120, 130)
+    assert (read, total) == (2, 5)  # stats file + the statless one
+    assert _vals(df) == list(range(120, 131))
