@@ -804,6 +804,51 @@ def cdc_txlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _T(spark, path).read().select("id", "status", "total_amount")
 
 
+def table_pruned_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping read (sources/txlog.py:read_where): land orders in
+    four key-range commits with per-file min/max stats, then answer a
+    selective range predicate reading ONLY the intersecting files —
+    proportional I/O instead of a snapshot scan. Output proves both the
+    pruning (files_read < files_total) and exactness (count + exact-
+    decimal total equal the closed-form oracle)."""
+    import os
+    import tempfile
+
+    from cdc_streaming_pipeline_spark.functions.precision import dsum
+    from cdc_streaming_pipeline_spark.sources.txlog import TxLogTable
+
+    key = (spark.sparkContext.applicationId, sf_dir, "skipping")
+    path = _TXLOG_MEMO.get(key)
+    o = _orders(spark, sf_dir)
+    k = F.col("o_orderkey")
+    if path is None:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"txlog-skip-{spark.sparkContext.applicationId}-{abs(hash(sf_dir)) % 10**8}",
+        )
+        t = TxLogTable(spark, path)
+        if t.latest_version() is None:
+            mx = o.agg(F.max(k)).collect()[0][0]
+            img = o.select(k.alias("id"), F.col("o_totalprice").alias("total_amount"))
+            for q in range(4):
+                lo_b, hi_b = q * (mx + 1) // 4, (q + 1) * (mx + 1) // 4
+                t.commit(
+                    img.filter((F.col("id") >= lo_b) & (F.col("id") < hi_b)).coalesce(1),
+                    stats_cols=["id"],
+                )
+        _TXLOG_MEMO[key] = path
+    t = TxLogTable(spark, path)
+    mx = o.agg(F.max(k)).collect()[0][0]
+    lo, hi = mx // 2, mx // 2 + mx // 8  # inside quartiles 2-3
+    df, files_read, files_total = t.read_where("id", lo, hi)
+    return df.agg(
+        F.lit(files_read).alias("files_read"),
+        F.lit(files_total).alias("files_total"),
+        F.count("*").alias("n_rows"),
+        dsum(F.col("total_amount")).alias("total_amount"),
+    )
+
+
 QUERIES = {
     "cdc_latest_state": cdc_latest_state,
     "cdc_merge_partitioned": cdc_merge_partitioned,
@@ -826,6 +871,7 @@ QUERIES = {
     "cdc_txn_atomic_apply": cdc_txn_atomic_apply,
     "table_time_travel": table_time_travel,
     "cdc_txlog_merge": cdc_txlog_merge,
+    "table_pruned_range_read": table_pruned_range_read,
 }
 
 ORACLE = {
@@ -1126,3 +1172,25 @@ ORACLE["table_time_travel"] = """
 ORACLE["cdc_txlog_merge"] = (
     "SELECT id, status, total_amount FROM (" + ORACLE["cdc_latest_state"] + ")"
 )
+ORACLE["table_pruned_range_read"] = """
+    WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+    p AS (SELECT mx, mx // 2 AS lo, mx // 2 + mx // 8 AS hi FROM m),
+    quart AS (
+        SELECT q, (q * (mx + 1)) // 4 AS qlo, ((q + 1) * (mx + 1)) // 4 AS qhi
+        FROM m, (VALUES (0), (1), (2), (3)) t(q)
+    ), fstats AS (
+        SELECT q, MIN(o_orderkey) AS fmin, MAX(o_orderkey) AS fmax
+        FROM orders JOIN quart ON o_orderkey >= qlo AND o_orderkey < qhi
+        GROUP BY q
+    ), fr AS (
+        SELECT COUNT(*) AS files_read
+        FROM fstats, p WHERE NOT (fmax < p.lo OR fmin > p.hi)
+    )
+    SELECT fr.files_read, 4 AS files_total,
+           COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+               AS total_amount
+    FROM orders, p, fr
+    WHERE o_orderkey BETWEEN p.lo AND p.hi
+    GROUP BY fr.files_read
+"""
