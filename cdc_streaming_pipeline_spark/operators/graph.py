@@ -84,3 +84,74 @@ def pagerank(
         nodes.unpersist()
         e_deg.unpersist()
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact triangle count + global clustering coefficient over an
+    undirected edge list, with the DEGREE-ORDERED ORIENTATION that makes
+    distributed triangle counting tractable: direct every edge from its
+    lower-(degree, id) endpoint to the higher one. The orientation is a
+    total order, so each triangle has exactly one apex (the least node)
+    and is found exactly once as wedge (a→b, a→c), b≺c, closed by edge
+    b→c — and out-degrees are bounded by O(√m), so the wedge explosion
+    is Σ C(outdeg, 2) ≤ O(m^1.5) instead of the Σ C(deg, 2) a naive
+    apex choice pays on hub nodes (the power-law killer).
+
+    Plan: canonical-edge distinct → degree aggregate → orientation join
+    → wedge self-join on the apex → left-semi close against the
+    oriented edges. All hash shuffles on node ids; no windows, no
+    collect. Returns one row: n_nodes, n_edges, n_triangles,
+    clustering_coeff (3·triangles / wedges of the UNDIRECTED graph,
+    rounded 4)."""
+    a, b = F.col(src), F.col(dst)
+    canon = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("_u"), F.greatest(a, b).alias("_v"))
+        .distinct()
+    )
+    both = canon.unionByName(
+        canon.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
+    )
+    deg = both.groupBy(F.col("_u").alias("node")).agg(F.count("*").alias("_deg"))
+    # orientation: keep (u,v) iff (deg_u, u) < (deg_v, v)
+    du = deg.select(F.col("node").alias("_u"), F.col("_deg").alias("_du"))
+    dv = deg.select(F.col("node").alias("_v"), F.col("_deg").alias("_dv"))
+    oriented = (
+        both.join(du, "_u")
+        .join(dv, "_v")
+        .filter(
+            (F.col("_du") < F.col("_dv"))
+            | ((F.col("_du") == F.col("_dv")) & (F.col("_u") < F.col("_v")))
+        )
+        .select("_u", "_v", "_du", "_dv")
+    )
+    e1 = oriented.select(F.col("_u").alias("_a"), F.col("_v").alias("_b"),
+                         F.col("_dv").alias("_db"))
+    e2 = oriented.select(F.col("_u").alias("_a"), F.col("_v").alias("_c"),
+                         F.col("_dv").alias("_dc"))
+    # wedge (a→b, a→c) with b ≺ c in the SAME orientation order
+    wedges = e1.join(e2, "_a").filter(
+        (F.col("_db") < F.col("_dc"))
+        | ((F.col("_db") == F.col("_dc")) & (F.col("_b") < F.col("_c")))
+    )
+    closing = oriented.select(F.col("_u").alias("_b"), F.col("_v").alias("_c"))
+    tri = wedges.join(closing, ["_b", "_c"], "left_semi").count()
+    stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        (F.sum("_deg") / 2).cast("long").alias("n_edges"),
+        F.sum(F.col("_deg") * (F.col("_deg") - 1) / 2).cast("long").alias("_wedges"),
+    ).collect()[0]
+    spark = edges.sparkSession
+    # F.round (HALF_UP), not Python round() (banker's) — the documented
+    # cross-engine rounding landmine
+    return spark.createDataFrame(
+        [(stats["n_nodes"], stats["n_edges"], tri, stats["_wedges"])],
+        "n_nodes long, n_edges long, n_triangles long, _wedges long",
+    ).select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        F.when(F.col("_wedges") > 0, F.round(3.0 * F.col("n_triangles") / F.col("_wedges"), 4))
+        .otherwise(F.lit(0.0))
+        .alias("clustering_coeff"),
+    )

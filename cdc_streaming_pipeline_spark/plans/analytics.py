@@ -1495,6 +1495,34 @@ def revenue_estimate_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph
+    (operators/graph.py:triangle_count): parts are linked when they
+    appear in the same order; triangles (and the global clustering
+    coefficient) measure how clique-ish the catalog's co-purchase
+    structure is — the classic graph analytic whose naive all-wedges
+    plan dies on hub nodes and whose degree-ordered orientation fixes
+    it (O(m^1.5) bound). The graph is restricted to the partkey%4
+    cohort: a deterministic 1/4 catalog sample that keeps the
+    co-purchase density meaningful while bounding the wedge volume the
+    bench pays. Fully hash-green: DuckDB recounts triangles with the
+    canonical a<b<c three-way join."""
+    from cdc_streaming_pipeline_spark.operators.graph import triangle_count
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_partkey") % 4 == 0)
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    return triangle_count(edges)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1556,6 +1584,7 @@ QUERIES = {
     "lineitem_correlations": lineitem_correlations,
     "weekday_seasonality": weekday_seasonality,
     "revenue_estimate_sampled": revenue_estimate_sampled,
+    "part_copurchase_triangles": part_copurchase_triangles,
 }
 
 ORACLE = {
@@ -2310,4 +2339,31 @@ ORACLE["revenue_estimate_sampled"] = """
            ROUND(true_total, 2) AS true_total,
            ROUND(ABS(s1 * 50.0 - true_total) / true_total, 4) AS rel_error
     FROM s CROSS JOIN t
+"""
+ORACLE["part_copurchase_triangles"] = """
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0
+    ), deg AS (
+        SELECT node, COUNT(*) AS d
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        GROUP BY node
+    ), tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM e xy
+        JOIN e yz ON xy.v = yz.u
+        JOIN e xz ON xz.u = xy.u AND xz.v = yz.v
+    ), s AS (
+        SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+               (SELECT COUNT(*) FROM e) AS n_edges,
+               (SELECT n_triangles FROM tri) AS n_triangles,
+               (SELECT CAST(SUM((d * (d - 1)) // 2) AS BIGINT) FROM deg) AS w
+    )
+    SELECT n_nodes, n_edges, n_triangles,
+           CASE WHEN w > 0 THEN ROUND(3.0 * n_triangles / w, 4) ELSE 0.0 END
+               AS clustering_coeff
+    FROM s
 """

@@ -67,3 +67,28 @@ def test_directed_chain_accumulates_downstream(spark):
     # renormalized — documented fixed-iteration behavior)
     got = _run(spark, [(0, 1), (1, 2)], directed=True)
     assert got[0] < got[1] < got[2]
+
+
+def test_triangle_count_known_graphs(spark):
+    from cdc_streaming_pipeline_spark.operators.graph import triangle_count
+
+    def run(edge_list):
+        e = spark.createDataFrame(edge_list, "src bigint, dst bigint")
+        return triangle_count(e).collect()[0]
+
+    # K4: 4 triangles, clustering coefficient exactly 1
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    r = run(k4)
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+    assert r["clustering_coeff"] == 1.0
+
+    # star: hub + 5 leaves — wedges galore, zero triangles
+    r = run([(0, i) for i in range(1, 6)])
+    assert r["n_triangles"] == 0 and r["clustering_coeff"] == 0.0
+
+    # triangle + pendant edge; duplicate/reversed/self edges must not
+    # inflate the canonical edge set
+    r = run([(1, 2), (2, 1), (2, 3), (1, 3), (3, 4), (4, 4), (1, 2)])
+    assert (r["n_edges"], r["n_triangles"]) == (4, 1)
+    # cc = 3*1 / (C(2,2 deg... ) wedges: degs 2,2,3,1 -> 1+1+3+0 = 5
+    assert r["clustering_coeff"] == 0.6
