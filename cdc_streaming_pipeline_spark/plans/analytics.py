@@ -1523,6 +1523,38 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+def daily_revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint screen over the daily revenue series: running
+    sum of standardized residuals; a drifting mean walks the statistic
+    away from zero long before any single day trips a z-score alarm
+    (the classic sequential-detection complement to
+    event_rate_anomaly's pointwise z-scores). The cumulative window
+    runs on the calendar-bounded daily frame (one row per date — the
+    same accepted shape as daily_new_users_cumulative); daily totals
+    are exact-decimal so the standardization inputs are deterministic,
+    and the output reports the 10 most extreme |CUSUM| days."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        dsum(F.col("o_totalprice")).alias("rev")
+    )
+    stats = daily.agg(
+        F.avg("rev").alias("_mu"),
+        F.count("*").alias("_n"),
+        F.sum(F.col("rev") * F.col("rev")).alias("_s2"),
+    )
+    j = daily.crossJoin(F.broadcast(stats))
+    sd = F.sqrt(F.col("_s2") / F.col("_n") - F.col("_mu") * F.col("_mu"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    scored = j.withColumn(
+        "cusum", F.round(F.sum((F.col("rev") - F.col("_mu")) / sd).over(w), 4)
+    )
+    return (
+        scored.select("day", "rev", "cusum")
+        .orderBy(F.abs(F.col("cusum")).desc(), F.col("day").asc())
+        .limit(10)
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1585,6 +1617,7 @@ QUERIES = {
     "weekday_seasonality": weekday_seasonality,
     "revenue_estimate_sampled": revenue_estimate_sampled,
     "part_copurchase_triangles": part_copurchase_triangles,
+    "daily_revenue_cusum": daily_revenue_cusum,
 }
 
 ORACLE = {
@@ -2366,4 +2399,23 @@ ORACLE["part_copurchase_triangles"] = """
            CASE WHEN w > 0 THEN ROUND(3.0 * n_triangles / w, 4) ELSE 0.0 END
                AS clustering_coeff
     FROM s
+"""
+ORACLE["daily_revenue_cusum"] = """
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+                   AS rev
+        FROM orders GROUP BY 1
+    ), s AS (
+        SELECT AVG(rev) AS mu, COUNT(*) AS n, SUM(rev * rev) AS s2 FROM daily
+    ), sc AS (
+        SELECT day, rev,
+               ROUND(SUM((rev - mu) / SQRT(s2 / n - mu * mu))
+                         OVER (ORDER BY day
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW), 4) AS cusum
+        FROM daily, s
+    )
+    SELECT day, rev, cusum FROM sc
+    ORDER BY ABS(cusum) DESC, day ASC LIMIT 10
 """
