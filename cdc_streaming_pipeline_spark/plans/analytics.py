@@ -1555,6 +1555,55 @@ def daily_revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def part_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining over order baskets: for part
+    pairs co-purchased in ≥2 orders (TPC-H baskets are uniform-random,
+    so repeat co-occurrence tops out near 5 even at sf0.1 — on a real
+    catalog this threshold is the scaled min-support knob), support,
+    confidence, and lift
+    (P(A∧B)/(P(A)·P(B)) — >1 means genuinely bought together, not just
+    both popular). One pair-generation self-join per basket (bounded by
+    basket size²) → integer count aggregates; all ratios derive from
+    exact integers and round at the end, so the ranking is
+    engine-deterministic. Top 10 by lift with id tiebreaks."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.select("l_orderkey").distinct().count()
+    item = li.groupBy(F.col("l_partkey").alias("pk")).agg(F.count("*").alias("n_item"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    ia = item.select(F.col("pk").alias("part_a"), F.col("n_item").alias("_na"))
+    ib = item.select(F.col("pk").alias("part_b"), F.col("n_item").alias("_nb"))
+    n = float(n_orders)
+    scored = (
+        pairs.join(ia, "part_a")
+        .join(ib, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            F.round(F.col("n_both") / n, 6).alias("support"),
+            F.round(F.col("n_both") / F.col("_na"), 4).alias("confidence"),
+            F.round(
+                F.col("n_both") * n / (F.col("_na") * F.col("_nb")), 4
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    ).limit(10)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1618,6 +1667,7 @@ QUERIES = {
     "revenue_estimate_sampled": revenue_estimate_sampled,
     "part_copurchase_triangles": part_copurchase_triangles,
     "daily_revenue_cusum": daily_revenue_cusum,
+    "part_association_lift": part_association_lift,
 }
 
 ORACLE = {
@@ -2418,4 +2468,28 @@ ORACLE["daily_revenue_cusum"] = """
     )
     SELECT day, rev, cusum FROM sc
     ORDER BY ABS(cusum) DESC, day ASC LIMIT 10
+"""
+ORACLE["part_association_lift"] = """
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+        SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li
+    ), item AS (
+        SELECT l_partkey AS pk, COUNT(*) AS n_item FROM li GROUP BY 1
+    ), pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS n_both
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT part_a, part_b, n_both,
+           ROUND(n_both / (SELECT n_orders FROM n)::DOUBLE, 6) AS support,
+           ROUND(n_both::DOUBLE / ia.n_item, 4) AS confidence,
+           ROUND(n_both * (SELECT n_orders FROM n)::DOUBLE
+                 / (ia.n_item * ib.n_item), 4) AS lift
+    FROM pairs
+    JOIN item ia ON ia.pk = part_a
+    JOIN item ib ON ib.pk = part_b
+    ORDER BY lift DESC, part_a ASC, part_b ASC LIMIT 10
 """
