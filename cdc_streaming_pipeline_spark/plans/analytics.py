@@ -1604,6 +1604,49 @@ def part_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(10)
 
 
+def revenue_trend_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment revenue trend: OLS slope of monthly revenue against
+    the month index, one slope per market segment — the grouped
+    regression shape (same five-sums algebra as the Zipf fit, but
+    grouped, so every segment's fit happens in ONE aggregation pass
+    with no per-group iteration). Monthly totals are exact-decimal; the
+    slope is a deterministic double expression over those exact sums,
+    reported in K$/month alongside the fit's R²."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    monthly = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.months_between(
+                F.trunc("o_orderdate", "month"), F.lit("1992-01-01")
+            )
+            .cast("long")
+            .alias("m"),
+        )
+        .agg(dsum(F.col("o_totalprice")).alias("rev"))
+    )
+    x, y = F.col("m").cast("double"), F.col("rev") / 1000.0
+    stats = monthly.groupBy("segment").agg(
+        F.count("*").alias("n_months"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n_months").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / n
+    return stats.select(
+        "segment",
+        "n_months",
+        F.round(cov / varx, 4).alias("slope_kusd_per_month"),
+        F.round((cov * cov) / (varx * vary), 4).alias("r2"),
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1668,6 +1711,7 @@ QUERIES = {
     "part_copurchase_triangles": part_copurchase_triangles,
     "daily_revenue_cusum": daily_revenue_cusum,
     "part_association_lift": part_association_lift,
+    "revenue_trend_by_segment": revenue_trend_by_segment,
 }
 
 ORACLE = {
@@ -2492,4 +2536,28 @@ ORACLE["part_association_lift"] = """
     JOIN item ia ON ia.pk = part_a
     JOIN item ib ON ib.pk = part_b
     ORDER BY lift DESC, part_a ASC, part_b ASC LIMIT 10
+"""
+ORACLE["revenue_trend_by_segment"] = """
+    WITH monthly AS (
+        SELECT c_mktsegment AS segment,
+               datediff('month', DATE '1992-01-01',
+                        date_trunc('month', o_orderdate)) AS m,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2)
+                    AS DOUBLE) / 1000.0 AS y
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    ), s AS (
+        SELECT segment, COUNT(*) AS n_months,
+               SUM(m::DOUBLE) AS sx, SUM(y) AS sy,
+               SUM(m::DOUBLE * m::DOUBLE) AS sxx, SUM(y * y) AS syy,
+               SUM(m::DOUBLE * y) AS sxy
+        FROM monthly GROUP BY 1
+    )
+    SELECT segment, n_months,
+           ROUND((sxy - sx * sy / n_months)
+                 / (sxx - sx * sx / n_months), 4) AS slope_kusd_per_month,
+           ROUND((sxy - sx * sy / n_months) * (sxy - sx * sy / n_months)
+                 / ((sxx - sx * sx / n_months) * (syy - sy * sy / n_months)), 4)
+               AS r2
+    FROM s
 """
