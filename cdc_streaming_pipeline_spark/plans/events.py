@@ -698,6 +698,33 @@ def event_debounce_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival distribution — the traffic-model input for
+    capacity planning and anomaly thresholds: gaps between a user's
+    consecutive events of the same type (per-entity lag window — the
+    bounded shape every per-key window here shares), rolled up per type
+    to count, mean, and exact interpolated p50/p90. Gaps stay exact
+    long microseconds until the final per-type statistics, so both
+    engines interpolate identical integer sequences."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn(
+            "gap_us",
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.sum("gap_us").cast("double") / F.count("*") / 1e6, 3).alias(
+            "mean_gap_s"
+        ),
+        F.round(F.percentile("gap_us", F.lit(0.5)) / 1e6, 3).alias("p50_gap_s"),
+        F.round(F.percentile("gap_us", F.lit(0.9)) / 1e6, 3).alias("p90_gap_s"),
+    )
+
+
 QUERIES = {
     "count_star_events": count_star_events,
     "first_events": first_events,
@@ -729,6 +756,7 @@ QUERIES = {
     "kll_value_rollup": kll_value_rollup,
     "incremental_hourly_rollup": incremental_hourly_rollup,
     "event_debounce_dedup": event_debounce_dedup,
+    "event_interarrival_stats": event_interarrival_stats,
 }
 
 ORACLE = {
@@ -1023,4 +1051,19 @@ ORACLE["event_debounce_dedup"] = """
            CAST(SUM(sup) AS BIGINT) AS n_suppressed,
            ROUND(SUM(sup)::DOUBLE / COUNT(*), 4) AS suppressed_frac
     FROM marked GROUP BY 1
+"""
+ORACLE["event_interarrival_stats"] = """
+    WITH g AS (
+        SELECT event_type,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) AS gap_us
+        FROM events
+    )
+    SELECT event_type, COUNT(*) AS n_gaps,
+           ROUND(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1e6, 3) AS mean_gap_s,
+           ROUND(quantile_cont(gap_us, 0.5) / 1e6, 3) AS p50_gap_s,
+           ROUND(quantile_cont(gap_us, 0.9) / 1e6, 3) AS p90_gap_s
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY event_type
 """
