@@ -1647,6 +1647,36 @@ def revenue_trend_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the single-number
+    inequality/concentration measure next to supplier_pareto_analysis's
+    curve: G = 2·Σ(rank·x)/(n·Σx) − (n+1)/n over spend sorted
+    ascending. The global rank comes from the exact distributed rank
+    operator (operators/rank.py) — customer cardinality scales with the
+    corpus, so a single-task ORDER BY window is the r7 trap this
+    operator exists to avoid. Spend totals are exact-decimal; ties
+    break on custkey in both engines."""
+    from cdc_streaming_pipeline_spark.operators.rank import with_global_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        dsum(F.col("o_totalprice")).alias("spend")
+    )
+    ranked = with_global_rank(spend, key="spend", tiebreak="custkey", ascending=True)
+    stats = ranked.agg(
+        F.count("*").alias("n_customers"),
+        F.sum("spend").alias("_sx"),
+        F.sum(F.col("_g_rank") * F.col("spend")).alias("_srx"),
+    )
+    n = F.col("n_customers").cast("double")
+    gini = 2.0 * F.col("_srx") / (n * F.col("_sx")) - (n + 1.0) / n
+    return stats.select(
+        "n_customers",
+        F.round(F.col("_sx"), 2).alias("total_spend"),
+        F.round(gini, 4).alias("gini"),
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1712,6 +1742,7 @@ QUERIES = {
     "daily_revenue_cusum": daily_revenue_cusum,
     "part_association_lift": part_association_lift,
     "revenue_trend_by_segment": revenue_trend_by_segment,
+    "customer_spend_gini": customer_spend_gini,
 }
 
 ORACLE = {
@@ -2559,5 +2590,24 @@ ORACLE["revenue_trend_by_segment"] = """
            ROUND((sxy - sx * sy / n_months) * (sxy - sx * sy / n_months)
                  / ((sxx - sx * sx / n_months) * (syy - sy * sy / n_months)), 4)
                AS r2
+    FROM s
+"""
+ORACLE["customer_spend_gini"] = """
+    WITH spend AS (
+        SELECT o_custkey AS custkey,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+                   AS spend
+        FROM orders GROUP BY 1
+    ), ranked AS (
+        SELECT spend,
+               ROW_NUMBER() OVER (ORDER BY spend ASC, custkey ASC) AS r
+        FROM spend
+    ), s AS (
+        SELECT COUNT(*) AS n_customers, SUM(spend) AS sx, SUM(r * spend) AS srx
+        FROM ranked
+    )
+    SELECT n_customers, ROUND(sx, 2) AS total_spend,
+           ROUND(2.0 * srx / (n_customers * sx)
+                 - (n_customers + 1.0) / n_customers, 4) AS gini
     FROM s
 """
