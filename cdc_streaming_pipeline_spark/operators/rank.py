@@ -6,8 +6,12 @@ fine for a 12-row monthly series, serial death for a 10^9-entity frame.
 This module provides the scale path with UNCHANGED semantics:
 
 1. One pass computes ``percentile_approx`` cutoffs over each ranking
-   key (a mergeable sketch; all keys share ONE aggregate, ≤ ``n_buckets``
-   values per key in one broadcastable row).
+   key (a mergeable sketch; all keys share ONE aggregate). The cutoff
+   row is collected ONCE on the driver — bounded by
+   ``len(specs)·(n_buckets-1)`` doubles — and inlined as literal
+   arrays, so every consuming job buckets against identical values
+   (the sketch's merge result is shuffle-order-dependent; left as
+   lineage, two jobs could disagree on boundary buckets).
 2. Every row is assigned a range bucket per key by comparing the key
    against its cutoffs — a pure JVM higher-order function, no shuffle.
    Sketch error only skews bucket SIZES, never correctness: all rows of
@@ -103,17 +107,29 @@ def with_global_ranks(
     if materialize_input:
         df = df.localCheckpoint(eager=False)
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts = df.agg(
+    # The cutoffs are collected ONCE and inlined as literal arrays —
+    # bounded by len(specs) * (n_buckets - 1) doubles, a parameter bound.
+    # Leaving them as lineage (a broadcast crossJoin of the aggregate)
+    # would let the size-table job and the final output job re-evaluate
+    # percentile_approx independently; the sketch's merge result depends
+    # on shuffle-fetch order, so the two jobs could bucket boundary rows
+    # differently and the offset join would silently shift ranks.
+    cut_row = df.agg(
         *[
             F.percentile_approx(F.col(s.key).cast("double"), qs, 1_000).alias(
                 f"_cuts_{i}"
             )
             for i, s in enumerate(specs)
         ]
-    )
-    bucketed = df.crossJoin(F.broadcast(cuts))
+    ).first()
+    bucketed = df
     for i, s in enumerate(specs):
+        vals = cut_row[f"_cuts_{i}"]
+        if not vals:  # empty input frame: every (zero) row in bucket 0
+            bucketed = bucketed.withColumn(f"_bkt_{i}", F.lit(0))
+            continue
         keyd = F.col(s.key).cast("double")
+        arr = F.array(*[F.lit(float(v)) for v in vals])
         # strict comparison ⇒ boundary-valued rows all land in ONE bucket.
         # aggregate-fold, not size(filter(...)): the fold counts without
         # materializing a filtered copy of the cutoff array per row —
@@ -121,14 +137,13 @@ def with_global_ranks(
         # allocation here is the hot spot on fact-scale frames.
         def counter(cmp):
             return F.aggregate(
-                F.col(f"_cuts_{i}"), F.lit(0), lambda acc, c: acc + cmp(c).cast("int")
+                arr, F.lit(0), lambda acc, c: acc + cmp(c).cast("int")
             )
 
         in_bucket = counter(lambda c: keyd > c) if s.ascending else counter(
             lambda c: keyd < c
         )
         bucketed = bucketed.withColumn(f"_bkt_{i}", in_bucket)
-    bucketed = bucketed.drop(*[f"_cuts_{i}" for i in range(len(specs))])
 
     # ONE bounded job computes every spec's per-bucket size table: each
     # row contributes one (spec, bucket[, value]) struct per spec, and

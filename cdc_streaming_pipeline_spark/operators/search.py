@@ -146,6 +146,10 @@ def search_topk(
         raise ValueError(f"ranking must be tfidf|bm25, got {ranking!r}")
     stats = spark.read.parquet(f"{path.rstrip('/')}._stats").collect()[0]
     n_docs = stats["n_docs"]
+    if n_docs == 0:  # empty corpus: no hits, and avgdl would divide by 0
+        return spark.createDataFrame(
+            [], "doc_id long, n_terms_matched long, score double"
+        )
     avgdl = stats["total_len"] / n_docs
     # bucket ids for the query terms: same hash expression as the build,
     # evaluated over the bounded term list

@@ -640,8 +640,11 @@ def cdc_offset_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     into 4 source partitions (k % 4) with offset = k and step 4 — TPC-H's
     naturally sparse orderkey space plus a simulated-loss cohort
     (k % 97 == 0 dropped) give a deterministic gap structure the DuckDB
-    oracle states in closed form. No per-partition sort window: gap
-    starts come from a self-anti-join (see the operator docstring)."""
+    oracle states in closed form. No per-partition sort window AND no
+    self-anti-join (both rejected, measured): offsets fold map-side
+    into 64-slot bitmap words (``bit_or``), and missing counts / gap
+    runs come from ``bit_count`` plus word-adjacency arithmetic — see
+    the operator docstring and .benchmarks/SCALE10_r8b.md."""
     from cdc_streaming_pipeline_spark.operators.cdc import offset_gap_audit
 
     o = _orders(spark, sf_dir)

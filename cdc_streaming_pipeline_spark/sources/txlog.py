@@ -8,9 +8,10 @@ minimal log-structured protocol that fixes it (the core idea of Delta
 Lake / Iceberg, reduced to what the engine needs):
 
 - ``<path>/_txlog/<8-digit version>.json`` — ONE file per committed
-  version, created with ``O_EXCL``: the filesystem's atomic
-  create-if-absent is the commit point (putIfAbsent on an object
-  store). The entry lists the data files the commit ADDS and logically
+  version, published atomically WITH its content (tmp write +
+  ``os.link`` create-if-absent; a pluggable backend slots in an object
+  store's conditional put). The entry lists the data files the commit
+  ADDS and logically
   REMOVES. Data files are immutable once written and never physically
   deleted by commits — removal is a log fact.
 - Readers resolve a snapshot = replay adds/removes up to a pinned
@@ -49,12 +50,47 @@ class ConcurrentWriteError(RuntimeError):
     """An overwrite lost the race: its base snapshot is stale."""
 
 
+def posix_put_if_absent(entry_path: str, payload: str) -> bool:
+    """Default commit backend: atomic create-if-absent WITH full content.
+
+    The payload is written to a sibling tmp file first, then
+    ``os.link`` publishes it under the final name — link(2) fails with
+    EEXIST if the name is taken (losing the race) and otherwise makes
+    the fully-written content appear atomically. Writing through
+    ``O_CREAT|O_EXCL`` and dumping JSON afterwards would make the
+    CREATE the commit point but not the content: a crash (or a
+    concurrent reader) between open and dump leaves/observes a
+    zero-byte "committed" version that bricks every subsequent replay.
+    """
+    tmp = f"{entry_path}.{uuid.uuid4().hex[:12]}.tmp"
+    with open(tmp, "w") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, entry_path)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.remove(tmp)
+
+
 class TxLogTable:
-    def __init__(self, spark: SparkSession, path: str):
+    """``commit_backend`` is the pluggable putIfAbsent primitive
+    (``fn(entry_path, payload) -> bool``, True iff this writer owns the
+    name). The default is POSIX hard-link publication; an object-store
+    deployment injects its conditional-put here (S3 If-None-Match, GCS
+    x-goog-if-generation-match: 0, ABFS ETag create) and NOTHING else
+    in the protocol changes — the log entry content, replay, and
+    conflict rules are backend-independent."""
+
+    def __init__(self, spark: SparkSession, path: str, commit_backend=None):
         self.spark = spark
         self.path = path
         self.log_dir = os.path.join(path, "_txlog")
         self.data_dir = os.path.join(path, "data")
+        self._put_if_absent = commit_backend or posix_put_if_absent
         os.makedirs(self.log_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
 
@@ -97,14 +133,9 @@ class TxLogTable:
         return sorted(glob(os.path.join(staged, "*.parquet")))
 
     def _try_commit(self, version: int, entry: dict) -> bool:
-        """Atomic create-if-absent: True iff this writer won ``version``."""
-        try:
-            fd = os.open(self._entry_path(version), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            return False
-        with os.fdopen(fd, "w") as f:
-            json.dump(entry, f)
-        return True
+        """Atomic create-if-absent with FULL content: True iff this
+        writer won ``version``. Delegates to the injected backend."""
+        return self._put_if_absent(self._entry_path(version), json.dumps(entry))
 
     def txn_version(self, txn: tuple[str, int]) -> int | None:
         """The version a (writer_id, epoch) transaction committed as, or
@@ -239,7 +270,10 @@ class TxLogTable:
                 )
             adds.extend(e.get("adds", []))
         if not adds:
-            return None  # nothing new; caller keeps its cursor
+            # nothing new: an EMPTY frame with the table's schema, so the
+            # caller's pipeline composes without a None check (it keeps
+            # its cursor either way — to_v is what it advances to)
+            return self.read(to_v).limit(0)
         return self.spark.read.option("mergeSchema", "true").parquet(*adds)
 
     def read_where(
@@ -405,13 +439,26 @@ def resolve_with_checkpoint(table: TxLogTable, version: int | None = None) -> li
     return files
 
 
-def vacuum(table: TxLogTable, retain_versions: int = 2) -> list[str]:
+def vacuum(
+    table: TxLogTable, retain_versions: int = 2, min_age_seconds: float = 3600.0
+) -> list[str]:
     """Physically delete data files referenced by NO version newer than
     ``latest - retain_versions`` — the storage-reclaim step that
     compact()/overwrite make necessary (commits only ever remove files
     LOGICALLY). Time travel to versions older than the horizon stops
     working, by contract; every retained version keeps reading
-    byte-identical files. Returns the deleted paths."""
+    byte-identical files. Returns the deleted paths.
+
+    ``min_age_seconds`` is the Delta-style retention guard: a file
+    younger than the window is NEVER deleted, whatever the log says.
+    Unreferenced-by-any-retained-version is not the same as garbage —
+    a concurrent ``commit()`` stages its parquet BEFORE racing for the
+    log entry, so without the age guard vacuum would delete a
+    just-staged file and the winning commit would land referencing
+    deleted data, permanently unreadable. Set 0 only when no writer can
+    be in flight (tests, single-writer maintenance windows)."""
+    import time
+
     latest = table.latest_version()
     if latest is None:
         return []
@@ -420,8 +467,16 @@ def vacuum(table: TxLogTable, retain_versions: int = 2) -> list[str]:
     for v in range(horizon, latest + 1):
         live.update(table._snapshot_files(v))
     deleted = []
+    now = time.time()
     for path in glob(os.path.join(table.data_dir, "stage-*", "*.parquet")):
-        if path not in live:
-            os.remove(path)
-            deleted.append(path)
+        if path in live:
+            continue
+        try:
+            age = now - os.path.getmtime(path)
+        except OSError:
+            continue  # raced with another cleaner
+        if age < min_age_seconds:
+            continue  # possibly staged by an in-flight commit
+        os.remove(path)
+        deleted.append(path)
     return sorted(deleted)

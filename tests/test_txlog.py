@@ -208,7 +208,7 @@ def test_vacuum_reclaims_only_unreachable_files(spark, tmp_path):
     t.commit(_df(spark, 100, 103), mode="overwrite")  # v1: v0 files unreferenced
     t.commit(_df(spark, 103, 106))        # v2
     pre = _vals(t.read())
-    deleted = vacuum(t, retain_versions=2)  # retain v1, v2
+    deleted = vacuum(t, retain_versions=2, min_age_seconds=0)  # retain v1, v2
     assert deleted  # v0's files actually reclaimed
     # every retained version still reads exactly
     assert _vals(t.read()) == pre
@@ -225,7 +225,9 @@ def test_read_changes_tails_appends_only(spark, tmp_path):
     t.commit(_df(spark, 0, 5))        # v0
     t.commit(_df(spark, 5, 8))        # v1
     cursor = t.latest_version()
-    assert t.read_changes(cursor) is None  # caught up
+    caught_up = t.read_changes(cursor)  # caught up: EMPTY frame, table schema
+    assert caught_up.count() == 0
+    assert caught_up.columns == t.read().columns
     t.commit(_df(spark, 8, 12))       # v2
     t.commit(_df(spark, 12, 14))      # v3
     got = t.read_changes(cursor)
@@ -261,3 +263,78 @@ def test_data_skipping_prunes_files_and_stays_exact(spark, tmp_path):
     df, read, total = t.read_where("k", 120, 130)
     assert (read, total) == (2, 5)  # stats file + the statless one
     assert _vals(df) == list(range(120, 131))
+
+
+def test_vacuum_age_guard_spares_fresh_staged_files(spark, tmp_path):
+    """A concurrent commit() stages parquet BEFORE racing for the log
+    entry; vacuum must not reclaim those fresh, not-yet-referenced
+    files (they become live the instant the commit wins)."""
+    import os
+
+    from cdc_streaming_pipeline_spark.sources.txlog import vacuum
+
+    t = TxLogTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 5))
+    t.commit(_df(spark, 100, 103), mode="overwrite")
+    t.commit(_df(spark, 103, 106))
+    # simulate an in-flight writer: staged files, no log entry yet
+    staged = t._stage(_df(spark, 500, 505))
+    assert all(os.path.exists(p) for p in staged)
+    # default window: nothing this young is touched — neither the
+    # in-flight stage nor v0's unreferenced-but-fresh files
+    assert vacuum(t, retain_versions=2) == []
+    assert all(os.path.exists(p) for p in staged)
+    # age the unreferenced v0 files artificially; the in-flight stage
+    # stays fresh and survives even an aggressive retention window
+    old = [p for p in t._snapshot_files(0)]
+    for p in old:
+        os.utime(p, (1, 1))
+    deleted = vacuum(t, retain_versions=2, min_age_seconds=60)
+    assert sorted(deleted) == sorted(old)
+    assert all(os.path.exists(p) for p in staged)
+
+
+def test_injected_commit_backend_lost_race(spark, tmp_path):
+    """The commit primitive is pluggable (object-store putIfAbsent slot).
+    A backend that loses the first race must drive the same append retry
+    path as a real concurrent writer."""
+    import json as _json
+
+    from cdc_streaming_pipeline_spark.sources.txlog import posix_put_if_absent
+
+    calls = {"n": 0}
+
+    def flaky_backend(entry_path, payload):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # another writer wins this name: land a competing entry so
+            # the retry re-resolves against it, then report the loss
+            entry = _json.loads(payload)
+            competing = dict(entry, adds=[], removes=[], n_files=0)
+            assert posix_put_if_absent(entry_path, _json.dumps(competing))
+            return False
+        return posix_put_if_absent(entry_path, payload)
+
+    t = TxLogTable(spark, str(tmp_path / "t"), commit_backend=flaky_backend)
+    v = t.commit(_df(spark, 0, 5))
+    assert v == 1  # lost version 0 to the competitor, won version 1
+    assert calls["n"] == 2
+    assert _vals(t.read()) == list(range(5))  # competitor added nothing
+
+
+def test_commit_entries_publish_atomically_with_content(spark, tmp_path):
+    """Every published log entry parses as complete JSON and no tmp
+    residue survives — the torn-commit class (zero-byte entry bricking
+    replay) cannot occur under tmp-write + link publication."""
+    import json as _json
+    import os
+    from glob import glob as _glob
+
+    t = TxLogTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 5))
+    t.commit(_df(spark, 5, 8), mode="overwrite")
+    for p in _glob(os.path.join(t.log_dir, "*.json")):
+        with open(p) as f:
+            entry = _json.load(f)  # complete, parseable
+        assert entry["adds"]
+    assert _glob(os.path.join(t.log_dir, "*.tmp")) == []
