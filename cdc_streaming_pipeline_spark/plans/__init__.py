@@ -45,15 +45,15 @@ _PRIORITY: list[str] = [
     "doc_fingerprints",
     "doc_repetition_stats",
     "dedup_documents_exact",
-    # (round-8 swap: minhash_dedup_pairs -> tail. Its gate row was the
-    # last rows-only-by-design entry inside the cap — the tail's
-    # ORACLE_LOCAL record + the recall/containment pytest gates carry
-    # identical information, and ngram_jaccard_pairs stays as the
-    # hash-certified fuzzy-dedup representative — while cdc_txlog_merge
-    # is HASH-certified and extends the gate's CDC core with the
-    # ACID-table landing (copy-on-write merge + optimistic concurrency),
-    # making the driver gate 50/50 hash-green.)
-    "cdc_txlog_merge",
+    # (round-8 swap: minhash_dedup_pairs -> tail; cdc_txlog_merge took
+    # the slot as the ACID-table landing representative. Round-9 swap:
+    # cdc_txlog_merge -> tail, replaced by the BUCKET-PRUNED incremental
+    # merge against the SAME oracle — identical certified semantics, but
+    # the scale-correct plan: one log entry replaces only the touched
+    # buckets' files instead of rewriting the table per batch. The
+    # full-rewrite variant stays registered in the tail as a
+    # demonstration.)
+    "cdc_txlog_merge_incremental",
     "ngram_jaccard_pairs",
     # (round-7 swap: simhash_near_dup_pairs -> tail. Its gate row was
     # rows-only by design — the tail's ORACLE_LOCAL record + the numpy

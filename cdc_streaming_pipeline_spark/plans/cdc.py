@@ -807,6 +807,42 @@ def cdc_txlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _T(spark, path).read().select("id", "status", "total_amount")
 
 
+def cdc_txlog_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-pruned lakehouse CDC MERGE
+    (sources/txlog.py:BucketedTxLogTable.merge_cdc_batch): seed the
+    bucket-pure ACID table from the snapshot wave, then land the change
+    wave as ONE log entry that replaces ONLY the touched buckets' files
+    — untouched buckets stay byte-identical under the same paths
+    (tests/test_txlog_bucketed.py pins this), readers flip atomically,
+    and conflicts are detected at file granularity, so disjoint-bucket
+    merges interleave. Merge cost is proportional to the batch's bucket
+    spread, not table size — the scale-correct replacement for the
+    full-rewrite cdc_txlog_merge demonstration. Final state must equal
+    the same closed-form latest-state oracle."""
+    import os
+    import tempfile
+
+    from cdc_streaming_pipeline_spark.sources.txlog import BucketedTxLogTable
+
+    key = (spark.sparkContext.applicationId, sf_dir, "cdc_merge_inc")
+    path = _TXLOG_MEMO.get(key)
+    if path is None:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"txlog-bmerge-{spark.sparkContext.applicationId}-{abs(hash(sf_dir)) % 10**8}",
+        )
+        log = _order_event_log(_orders(spark, sf_dir))
+        flat = filter_tombstones(log).select("value.*")
+        off = F.substring(F.col(LSN_COL), -1, 1).cast("int")
+        t = BucketedTxLogTable(spark, path, key_cols=["id"], n_buckets=16)
+        if t.latest_version() is None:
+            t.init_from_events(flat.filter(off == 1))
+            t.merge_cdc_batch(flat.filter(off > 1))
+        _TXLOG_MEMO[key] = path
+    t = BucketedTxLogTable(spark, path, key_cols=["id"], n_buckets=16)
+    return t.read_state().select("id", "status", "total_amount")
+
+
 def table_pruned_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-skipping read (sources/txlog.py:read_where): land orders in
     four key-range commits with per-file min/max stats, then answer a
@@ -875,6 +911,7 @@ QUERIES = {
     "table_time_travel": table_time_travel,
     "cdc_txlog_merge": cdc_txlog_merge,
     "table_pruned_range_read": table_pruned_range_read,
+    "cdc_txlog_merge_incremental": cdc_txlog_merge_incremental,
 }
 
 ORACLE = {
@@ -1175,6 +1212,8 @@ ORACLE["table_time_travel"] = """
 ORACLE["cdc_txlog_merge"] = (
     "SELECT id, status, total_amount FROM (" + ORACLE["cdc_latest_state"] + ")"
 )
+# The bucket-pruned merge must land the exact same final state.
+ORACLE["cdc_txlog_merge_incremental"] = ORACLE["cdc_txlog_merge"]
 ORACLE["table_pruned_range_read"] = """
     WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders),
     p AS (SELECT mx, mx // 2 AS lo, mx // 2 + mx // 8 AS hi FROM m),
