@@ -465,9 +465,14 @@ def test_containment_catches_subset_jaccard_misses(spark):
 
 
 def test_ivf_pq_recall_vs_bruteforce(spark):
-    """The composed IVF-PQ path must keep useful recall: it compounds
-    two approximations (cell routing + code quantization), so the floor
-    sits below either alone but far above chance (k/n ~ 0.008)."""
+    """The composed IVF-PQ path must keep useful recall. With the exact
+    re-rank stage (n_rerank), the stacked approximations (cell routing
+    + code quantization) only have to surface the true neighbors INTO
+    the shortlist — ranking them is exact — so recall on the
+    near-orthogonal worst-case corpus jumps from the measured 0.54
+    (ADC-only) to 0.84 at n_probe=8 (deterministic: seeded build,
+    fixed corpus; the residual misses are cell-routing misses —
+    n_probe=16 measures 1.00)."""
     emb = _emb(spark)
     queries = emb.filter(F.col("vec_id") < 10)
     exact = {
@@ -481,16 +486,23 @@ def test_ivf_pq_recall_vs_bruteforce(spark):
         ).collect()
     }
     recall = len(exact & approx) / len(exact)
-    # measured 0.54 on the near-orthogonal driver embeddings (the worst
-    # case for quantization: signal differences sit at noise level);
-    # the floor leaves run-to-run margin and still sits ~60x above the
-    # k/n=0.01 chance rate.
-    assert recall >= 0.4, f"IVF-PQ recall@5 {recall:.2f}"
+    assert recall >= 0.8, f"IVF-PQ recall@5 {recall:.2f}"
+    # the ADC-only path (n_rerank=0) keeps its weaker historical floor —
+    # it exists for measuring what the refine stage buys
+    adc_only = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivf_pq_topk(
+            emb, queries, k=5, n_clusters=16, n_probe=8, m=16, ks=64, n_rerank=0
+        ).collect()
+    }
+    adc_recall = len(exact & adc_only) / len(exact)
+    assert adc_recall >= 0.4, f"ADC-only recall@5 {adc_recall:.2f}"
 
 
 def test_ivf_pq_rank_contract(spark):
-    """Shape contract: exactly k neighbors per query, rank 1..k, ADC
-    non-decreasing with rank, never self."""
+    """Shape contract: exactly k neighbors per query, rank 1..k, exact
+    cosine non-increasing with rank (re-ranked path), never self; the
+    ADC-only path keeps its non-decreasing-distance contract."""
     emb = _emb(spark)
     queries = emb.filter(F.col("vec_id") < 4)
     rows = sim.ivf_pq_topk(emb, queries, k=5).collect()
@@ -501,5 +513,14 @@ def test_ivf_pq_rank_contract(spark):
         rs.sort(key=lambda r: r.rank)
         assert [r.rank for r in rs] == list(range(1, 6))
         assert all(r.neighbor_id != qid for r in rs)
+        sims = [r.cosine for r in rs]
+        assert sims == sorted(sims, reverse=True)
+    adc_rows = sim.ivf_pq_topk(emb, queries, k=5, n_rerank=0).collect()
+    by_q = {}
+    for r in adc_rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, 6))
         dists = [r.adc_dist for r in rs]
         assert dists == sorted(dists)
