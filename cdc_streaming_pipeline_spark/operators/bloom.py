@@ -30,6 +30,13 @@ Sizing: false-positive rate ~ (1 - e^{-kn/m})^k; the default
 m=2^23, k=5 holds ~1% FP at n=10^6 build keys. At a larger build
 cardinality raise ``m_bits`` — the broadcast grows with the CONFIG, not
 the data, and the exact join keeps correctness independent of the rate.
+
+WHEN TO USE: only in its winning regime — see ``bloom_regime_wins`` for
+the cost inequality, the local measurements showing it losing
+everywhere a single JVM can measure, and the pointer to Spark's native
+``spark.sql.optimizer.runtime.bloomFilter``. ``bloom_semi_join``
+therefore falls through to the plain semi join unless the caller
+declares that regime.
 """
 
 from __future__ import annotations
@@ -100,6 +107,52 @@ def bloom_prefilter(
     )
 
 
+# Fall-through threshold for the declared match fraction: above this,
+# the probe shuffle the filter could save is too small to beat the
+# filter's own build + per-row test cost in any plausible deployment.
+SELECTIVITY_THRESHOLD = 0.3
+
+
+def bloom_regime_wins(
+    expected_selectivity: float | None,
+    broadcastable_build: bool,
+    force: bool = False,
+) -> bool:
+    """Decision contract: when does the Bloom prefilter beat the plain
+    semi join?
+
+    The filter wins only when the probe-side shuffle it avoids costs
+    more than the filter itself:
+
+        probe_bytes × (1 − selectivity) × network_cost
+            > filter_build_cost + probe_test_cost
+
+    which requires BOTH a low match fraction (most probe rows would be
+    dropped) AND a genuinely remote shuffle (multi-node network, not a
+    single-JVM memory copy) AND a build side too large to broadcast
+    (otherwise AQE's broadcast hash join already prunes for free).
+    Measured locally the filter loses in EVERY regime —
+    .benchmarks/SCALE10_r8b.md: 2.4-6.4s vs 0.55s broadcastable,
+    93.2s vs 42.8s even at 20M non-broadcastable build keys — because
+    local[32]'s "shuffle" is a memory copy, so the inequality's left
+    side is ~0. On a real cluster, prefer Spark's native injection
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``), which
+    applies the same strategy inside the optimizer with a cost model;
+    this operator exists for plans the optimizer cannot see through
+    (e.g. keys derived through a pandas UDF) and for testability.
+
+    Returns True (engage the filter) iff the caller declares the
+    winning regime: selectivity ≤ 0.3 AND a non-broadcastable build —
+    or forces it."""
+    if force:
+        return True
+    return (
+        expected_selectivity is not None
+        and expected_selectivity <= SELECTIVITY_THRESHOLD
+        and not broadcastable_build
+    )
+
+
 def bloom_semi_join(
     probe: DataFrame,
     build: DataFrame,
@@ -107,11 +160,23 @@ def bloom_semi_join(
     build_key: str,
     m_bits: int = 1 << 23,
     k_hashes: int = 5,
+    expected_selectivity: float | None = None,
+    broadcastable_build: bool = True,
+    force: bool = False,
 ) -> DataFrame:
-    """Exact ``probe LEFT SEMI JOIN build`` with a Bloom prefilter: the
-    filter prunes at the scan; the (un-hinted) semi join of survivors
-    restores exactness, so false positives cost shuffle bytes, never
-    wrong rows."""
+    """Exact ``probe LEFT SEMI JOIN build``, with a Bloom prefilter
+    ONLY when the declared regime says the filter wins (see
+    ``bloom_regime_wins`` — low match fraction + non-broadcastable
+    build + remote shuffle, the inequality and local measurements are
+    there). Otherwise falls through to the plain semi join, which is
+    identical in answer and strictly cheaper outside that regime.
+    When the filter engages, it prunes at the scan and the (un-hinted)
+    semi join of survivors restores exactness — false positives cost
+    shuffle bytes, never wrong rows."""
+    if not bloom_regime_wins(expected_selectivity, broadcastable_build, force):
+        return probe.join(
+            build, probe[probe_key] == build[build_key], "left_semi"
+        )
     bits = bloom_build(build.select(build_key), build_key, m_bits, k_hashes)
     pruned = bloom_prefilter(probe, probe_key, bits, m_bits, k_hashes)
     cond = pruned[probe_key] == build[build_key]

@@ -30,10 +30,14 @@ def build_postings(
     n_buckets: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    gen: int = 0,
 ) -> DataFrame:
-    """(token, bucket, doc_id, tf, df) — df denormalized onto each
-    posting so serving needs no second lookup; the duplication is
-    bounded by the posting count itself."""
+    """(token, bucket, doc_id, tf, doc_len, positions, gen) — ``gen`` is
+    the index GENERATION the batch was written under: postings are
+    immutable, so deletes/updates are expressed as a tombstone sidecar
+    (``delete_from_index``) that masks a doc's postings up to a
+    generation, and a re-add writes the new version under a higher one.
+    """
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokens(normalize_ws(F.col(text_col)))).alias("pos", "token"),
@@ -58,23 +62,71 @@ def build_postings(
         "tf",
         "doc_len",
         "positions",
+        F.lit(gen).alias("gen"),
     )
 
 
-def _write_stats(spark: SparkSession, path: str, n_docs: int, total_len: int) -> None:
+def _write_stats(
+    spark: SparkSession, path: str, n_docs: int, total_len: int, generation: int
+) -> None:
     spark.createDataFrame(
-        [(n_docs, total_len)], "n_docs long, total_len long"
+        [(n_docs, total_len, generation)],
+        "n_docs long, total_len long, generation int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path.rstrip('/')}._stats")
 
 
-def _batch_stats(spark: SparkSession, path: str, postings_written: int = 0):
-    """(n_docs, total_len) of the batch just written, read back from the
-    index itself so stats and postings can never disagree."""
-    dl = spark.read.parquet(path).select("doc_id", "doc_len").distinct()
-    row = dl.agg(
-        F.count("*").alias("n"), F.sum("doc_len").alias("t")
-    ).collect()[0]
+def _read_stats(spark: SparkSession, path: str):
+    return spark.read.parquet(f"{path.rstrip('/')}._stats").collect()[0]
+
+
+def _doclens_path(path: str) -> str:
+    return f"{path.rstrip('/')}._doclens"
+
+
+def _tombstones_path(path: str) -> str:
+    return f"{path.rstrip('/')}._tombstones"
+
+
+def _write_doclens(batch_postings: DataFrame, path: str, mode: str) -> tuple[int, int]:
+    """Append the batch's (doc_id, doc_len, gen) rows to the per-doc
+    sidecar — one row per indexed document version, the small table
+    deletes consult so they never need a postings scan. Returns the
+    batch's (n_docs, total_len)."""
+    dl = batch_postings.select("doc_id", "doc_len", "gen").distinct()
+    dl.write.mode(mode).parquet(_doclens_path(path))
+    row = dl.agg(F.count("*").alias("n"), F.sum("doc_len").alias("t")).collect()[0]
     return row["n"], int(row["t"] or 0)
+
+
+def _tombstone_max_gen(spark: SparkSession, path: str) -> DataFrame | None:
+    """Per-doc max tombstoned generation, or None when nothing was ever
+    deleted (the common case pays zero cost)."""
+    import os
+
+    tpath = _tombstones_path(path)
+    if not os.path.exists(tpath):
+        return None
+    return (
+        spark.read.parquet(tpath)
+        .groupBy("doc_id")
+        .agg(F.max("gen").alias("_tomb_gen"))
+    )
+
+
+def _live(spark: SparkSession, path: str, rows: DataFrame) -> DataFrame:
+    """Mask tombstoned versions: a row (doc_id, gen, ...) is live iff no
+    tombstone covers its generation. One left join against the per-doc
+    max-gen aggregate of the tombstone sidecar — proportional to the
+    DELETE history, not the corpus, and skipped entirely when no delete
+    ever happened."""
+    tomb = _tombstone_max_gen(spark, path)
+    if tomb is None:
+        return rows
+    return (
+        rows.join(tomb, "doc_id", "left")
+        .filter(F.col("_tomb_gen").isNull() | (F.col("gen") > F.col("_tomb_gen")))
+        .drop("_tomb_gen")
+    )
 
 
 def write_inverted_index(
@@ -84,14 +136,19 @@ def write_inverted_index(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> int:
-    """Write the bucket-partitioned positional postings plus the two
-    corpus scalars ranking needs (document count, total token count —
-    avgdl derives). Returns the indexed document count."""
+    """Write the bucket-partitioned positional postings plus the corpus
+    scalars ranking needs (document count, total token count — avgdl
+    derives — and the generation counter the delete/update layer keys
+    on). Returns the indexed document count."""
     spark = docs.sparkSession
-    postings = build_postings(docs, n_buckets, id_col, text_col)
+    postings = build_postings(docs, n_buckets, id_col, text_col, gen=0)
     postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
-    n_docs, total_len = _batch_stats(spark, path)
-    _write_stats(spark, path, n_docs, total_len)
+    import shutil
+
+    shutil.rmtree(_tombstones_path(path), ignore_errors=True)  # fresh index
+    written = spark.read.parquet(path)
+    n_docs, total_len = _write_doclens(written, path, mode="overwrite")
+    _write_stats(spark, path, n_docs, total_len, generation=0)
     return n_docs
 
 
@@ -102,24 +159,61 @@ def append_to_index(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> int:
-    """Incremental ingest: append a NEW batch's postings into the same
-    bucket layout and bump the corpus scalars additively. Contract: the
-    batch's doc ids are disjoint from the indexed corpus (documents
-    arrive whole — re-indexing a changed doc needs a rebuild or a
-    tombstone layer). Possible because nothing per-token is
-    denormalized: serving recounts df from the pruned postings, so a
-    term's score reflects the full corpus the moment the batch lands.
-    Returns the new total document count."""
+    """Incremental ingest under the NEXT generation: append the batch's
+    postings into the same bucket layout and bump the corpus scalars
+    additively. Contract: the batch's doc ids are disjoint from the
+    LIVE corpus — re-adding a previously ``delete_from_index``-ed id is
+    the UPDATE path (the new postings carry a generation above the
+    tombstone, so serving sees exactly the new version). Possible
+    because nothing per-token is denormalized: serving recounts df from
+    the pruned postings, so a term's score reflects the full corpus the
+    moment the batch lands. Returns the new live document count."""
     spark = docs.sparkSession
-    old = spark.read.parquet(f"{path.rstrip('/')}._stats").collect()[0]
-    batch = build_postings(docs, n_buckets, id_col, text_col)
+    old = _read_stats(spark, path)
+    gen = old["generation"] + 1
+    batch = build_postings(docs, n_buckets, id_col, text_col, gen=gen)
     batch.write.mode("append").partitionBy("bucket").parquet(path)
-    dl = batch.select("doc_id", "doc_len").distinct()
-    row = dl.agg(F.count("*").alias("n"), F.sum("doc_len").alias("t")).collect()[0]
-    n_docs = old["n_docs"] + row["n"]
-    total_len = old["total_len"] + int(row["t"] or 0)
-    _write_stats(spark, path, n_docs, total_len)
-    return n_docs
+    n, t = _write_doclens(batch, path, mode="append")
+    _write_stats(
+        spark, path, old["n_docs"] + n, old["total_len"] + t, generation=gen
+    )
+    return old["n_docs"] + n
+
+
+def delete_from_index(
+    spark: SparkSession,
+    path: str,
+    doc_ids: list,
+) -> int:
+    """Delete documents WITHOUT touching the immutable postings: append
+    (doc_id, current generation) tombstones that serving consults, and
+    decrement the corpus scalars from the per-doc sidecar — no postings
+    scan (a doc's postings are spread across every token bucket; the
+    sidecar has one row per doc version). Deleting an absent id is a
+    no-op. Returns the number of live documents actually deleted."""
+    stats = _read_stats(spark, path)
+    gen = stats["generation"]
+    ids_df = spark.createDataFrame([(i,) for i in doc_ids], "doc_id long")
+    victims = _live(
+        spark, path, spark.read.parquet(_doclens_path(path))
+    ).join(F.broadcast(ids_df), "doc_id", "left_semi")
+    row = victims.agg(
+        F.count("*").alias("n"), F.sum("doc_len").alias("t")
+    ).collect()[0]
+    n_deleted, len_deleted = row["n"], int(row["t"] or 0)
+    if n_deleted == 0:
+        return 0
+    victims.select("doc_id", F.lit(gen).alias("gen")).write.mode("append").parquet(
+        _tombstones_path(path)
+    )
+    _write_stats(
+        spark,
+        path,
+        stats["n_docs"] - n_deleted,
+        stats["total_len"] - len_deleted,
+        generation=gen,
+    )
+    return n_deleted
 
 
 def search_topk(
@@ -144,7 +238,7 @@ def search_topk(
         raise ValueError(f"mode must be any|all, got {mode!r}")
     if ranking not in ("tfidf", "bm25"):
         raise ValueError(f"ranking must be tfidf|bm25, got {ranking!r}")
-    stats = spark.read.parquet(f"{path.rstrip('/')}._stats").collect()[0]
+    stats = _read_stats(spark, path)
     n_docs = stats["n_docs"]
     if n_docs == 0:  # empty corpus: no hits, and avgdl would divide by 0
         return spark.createDataFrame(
@@ -157,13 +251,16 @@ def search_topk(
         "token", F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int").alias("bucket")
     ).collect()
     buckets = sorted({r["bucket"] for r in term_rows})
-    postings = (
+    postings = _live(
+        spark,
+        path,
         spark.read.parquet(path)
         .filter(F.col("bucket").isin(buckets))  # -> PartitionFilters
-        .filter(F.col("token").isin(terms))
+        .filter(F.col("token").isin(terms)),
     )
-    # df recounted EXACTLY from the pruned read (a term's postings all
-    # live in its bucket) — this is what keeps the index append-able
+    # df recounted EXACTLY from the pruned, tombstone-masked read (a
+    # term's postings all live in its bucket) — this is what keeps the
+    # index append-able AND deletable
     df_tbl = postings.groupBy("token").agg(F.count("*").alias("df"))
     postings = postings.join(df_tbl, "token")
     tf, df = F.col("tf").cast("double"), F.col("df").cast("double")
@@ -211,12 +308,13 @@ def phrase_search(
         F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int").alias("bucket"),
     ).collect()
     buckets = sorted({r["bucket"] for r in term_rows})
-    postings = (
+    postings = _live(
+        spark,
+        path,
         spark.read.parquet(path)
         .filter(F.col("bucket").isin(buckets))
-        .filter(F.col("token").isin(list(set(phrase))))
-        .select("token", "doc_id", "positions")
-    )
+        .filter(F.col("token").isin(list(set(phrase)))),
+    ).select("token", "doc_id", "positions")
     acc = None
     for i, term in enumerate(phrase):
         shifted = postings.filter(F.col("token") == term).select(

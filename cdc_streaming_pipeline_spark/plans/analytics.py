@@ -1341,7 +1341,15 @@ def bloom_prefiltered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the broadcast limit (the round-7 verdict family); the Bloom bit
     array stays 128 KiB-1 MiB whatever the build cardinality, and false
     positives cost shuffle bytes, never wrong rows. Same answer as the
-    plain semi join — certified by the SQL oracle."""
+    plain semi join — certified by the SQL oracle.
+
+    The call DECLARES the operator's winning regime (match fraction
+    ~0.2 — urgent is one of five priorities — and a build side that is
+    not broadcastable at the design point); without that declaration
+    ``bloom_semi_join`` falls through to the plain semi join, which
+    wins every locally-measurable regime (the decision contract and
+    measurements live in operators/bloom.py:bloom_regime_wins and
+    .benchmarks/SCALE10_r8b.md)."""
     from cdc_streaming_pipeline_spark.operators.bloom import bloom_semi_join
 
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -1352,7 +1360,15 @@ def bloom_prefiltered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_orderkey")
     )
-    hits = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey", m_bits=1 << 20)
+    hits = bloom_semi_join(
+        li,
+        urgent,
+        "l_orderkey",
+        "o_orderkey",
+        m_bits=1 << 20,
+        expected_selectivity=0.2,
+        broadcastable_build=False,
+    )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return hits.groupBy("l_returnflag").agg(
         F.count("*").alias("n_items"),
@@ -1368,9 +1384,11 @@ def supplier_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Undirected bipartite edges from lineitem (supplier, part) pairs, 8
     power-method rounds; top 20 by rank with the rank rounded so the
     report's ordering is stable across partial-aggregation orders.
-    Rows-only by design (iterative float fixpoint is not
-    SQL-expressible); numpy dense-power-iteration parity is pinned in
-    tests/test_graph_pagerank.py."""
+    Not SQL-expressible (iterative float fixpoint), but certified by a
+    pure-Python oracle (tools/py_oracles.py:supplier_part_pagerank —
+    vectorized power iteration; measured cross-engine divergence is
+    ulp-level, 7 orders below the rank_bp rounding). Operator semantics
+    additionally pinned in tests/test_graph_pagerank.py."""
     from cdc_streaming_pipeline_spark.operators.graph import pagerank
 
     li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")

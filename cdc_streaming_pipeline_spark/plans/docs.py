@@ -1448,6 +1448,52 @@ def phrase_search_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(spark, path, ["hash", "join"], k=10)
 
 
+_SEARCH_DELETE_MEMO: dict = {}
+
+
+def search_after_delete_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete/update layer of the inverted index, end-to-end
+    (operators/search.py:delete_from_index): index the corpus, DELETE
+    the doc_id%97==3 cohort (tombstone sidecar — postings are immutable,
+    no index rewrite), RE-ADD the same ids with ' merge merge' appended
+    to their text (the update path: new postings land under a higher
+    generation than the tombstone), then serve the standard 3-term
+    tf-idf query. Serving masks tombstoned generations with one join
+    against the per-doc max-gen aggregate — proportional to delete
+    history, skipped when empty — and df/N/avgdl are recounted or
+    sidecar-maintained, so the ranking must equal a from-scratch index
+    of the post-update corpus: the DuckDB oracle recomputes exactly
+    that ranking from raw text."""
+    import os
+    import tempfile
+
+    from cdc_streaming_pipeline_spark.operators.search import (
+        append_to_index,
+        delete_from_index,
+        search_topk,
+        write_inverted_index,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _SEARCH_DELETE_MEMO.get(key)
+    if path is None:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"invidx-del-{spark.sparkContext.applicationId}-{abs(hash(sf_dir)) % 10**8}",
+        )
+        docs = load_table(spark, sf_dir, "documents")
+        write_inverted_index(docs, path)
+        cohort = docs.filter(F.col("doc_id") % 97 == 3)
+        ids = [r["doc_id"] for r in cohort.select("doc_id").collect()]
+        delete_from_index(spark, path, ids)
+        updated = cohort.withColumn(
+            "text", F.concat(F.col("text"), F.lit(" merge merge"))
+        )
+        append_to_index(updated, path)
+        _SEARCH_DELETE_MEMO[key] = path
+    return search_topk(spark, path, SEARCH_TERMS, k=10)
+
+
 def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval — the modern serving default: a sparse BM25
     keyword ranking and a dense cosine ranking fused with Reciprocal
@@ -1602,6 +1648,7 @@ QUERIES = {
     "keyword_search_bm25": keyword_search_bm25,
     "phrase_search_hits": phrase_search_hits,
     "hybrid_search_rrf": hybrid_search_rrf,
+    "search_after_delete_reindex": search_after_delete_reindex,
 }
 
 # DuckDB-side replicas. Shared fragments:
@@ -2806,6 +2853,33 @@ ORACLE["phrase_search_hits"] = f"""
     )
     SELECT doc_id, COUNT(*) AS n_occurrences FROM hits GROUP BY doc_id
     ORDER BY n_occurrences DESC, doc_id ASC LIMIT 10
+"""
+
+ORACLE["search_after_delete_reindex"] = f"""
+    WITH corpus AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 97 = 3 THEN text || ' merge merge'
+                    ELSE text END AS text
+        FROM documents
+    ), toks AS (
+        SELECT doc_id, unnest({_NORM_TOKS}) AS token FROM corpus
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM toks WHERE token <> '' GROUP BY 1, 2
+    ), dft AS (
+        SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+    ), n AS (
+        SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf
+    ), scored AS (
+        SELECT doc_id, COUNT(*) AS n_terms_matched,
+               ROUND(SUM(tf * LN((SELECT n_docs FROM n)::DOUBLE / df)), 4)
+                   AS score
+        FROM tf JOIN dft USING (token)
+        WHERE token IN ('merge', 'scan', 'filter')
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms_matched, score FROM scored
+    ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 ORACLE["hybrid_search_rrf"] = f"""

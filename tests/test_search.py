@@ -155,3 +155,56 @@ def test_append_equals_full_rebuild(spark, tmp_path):
     pa = phrase_search(spark, full, ["hash", "join"]).collect()
     pb = phrase_search(spark, incr, ["hash", "join"]).collect()
     assert [tuple(r) for r in pa] == [tuple(r) for r in pb]
+
+
+def test_delete_then_readd_serves_new_version(spark, tmp_path):
+    """The tombstone layer's certification: delete -> the doc vanishes
+    from every ranking AND from df/N/avgdl; re-add under a higher
+    generation -> search serves exactly the NEW version, and the whole
+    end state equals a from-scratch build of the final corpus."""
+    from cdc_streaming_pipeline_spark.operators.search import (
+        append_to_index,
+        delete_from_index,
+        phrase_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "merge scan merge filter"),
+            (2, "scan filter hash join"),
+            (3, "window sort hash join hash join"),
+            (4, "merge filter scan scan"),
+        ],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "idx")
+    write_inverted_index(docs, path)
+
+    # delete doc 2: gone from rankings, df recount excludes it
+    assert delete_from_index(spark, path, [2]) == 1
+    hits = {r["doc_id"] for r in search_topk(spark, path, ["scan", "hash"], k=10).collect()}
+    assert 2 not in hits and 3 in hits
+    # deleting an absent id is a no-op
+    assert delete_from_index(spark, path, [2]) == 0
+    assert delete_from_index(spark, path, [99]) == 0
+
+    # phrase search respects tombstones too
+    ph = {r["doc_id"] for r in phrase_search(spark, path, ["hash", "join"]).collect()}
+    assert ph == {3}
+
+    # re-add doc 2 with NEW text (the update path)
+    new2 = spark.createDataFrame([(2, "merge merge merge")], "doc_id bigint, text string")
+    assert append_to_index(new2, path) == 4
+
+    # end state must equal a from-scratch index of the final corpus —
+    # scores included (df/N/avgdl all reflect the post-update corpus)
+    final_docs = docs.filter("doc_id <> 2").unionByName(new2)
+    fresh = str(tmp_path / "fresh")
+    write_inverted_index(final_docs, fresh)
+    for kwargs in ({"ranking": "tfidf"}, {"ranking": "bm25"}, {"mode": "all"}):
+        a = search_topk(spark, fresh, ["merge", "scan"], **kwargs).collect()
+        b = search_topk(spark, path, ["merge", "scan"], **kwargs).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b], kwargs
+    pa = phrase_search(spark, fresh, ["hash", "join"]).collect()
+    pb = phrase_search(spark, path, ["hash", "join"]).collect()
+    assert [tuple(r) for r in pa] == [tuple(r) for r in pb]
