@@ -155,3 +155,66 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .otherwise(F.lit(0.0))
         .alias("clustering_coeff"),
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 100,
+) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph where
+    every node has degree >= k — the standard peeling fixpoint (remove
+    all nodes of degree < k, recompute, repeat until stable). Exact
+    integer computation, deterministic regardless of execution order
+    (the k-core is unique). Returns DataFrame[node, core_degree] for
+    the surviving nodes, core_degree = degree INSIDE the core.
+
+    Distributed shape: each round is one degree aggregate + two
+    semi-joins on the node id — no windows, nothing collected except a
+    one-long survivor count per round (the loop's driver-side fixpoint
+    check, the same bounded pattern as pagerank's node count). Rounds
+    needed = peeling depth, typically tens even on 10^9-edge graphs
+    (each round strips a full shell, and edge/node frames SHRINK
+    monotonically, so per-round cost decays); ``max_iters`` caps the
+    worst case (a path graph peels O(n) rounds) and raises rather than
+    returning a non-fixpoint subgraph. Lineage is cut with a
+    localCheckpoint every few rounds (the pagerank/CC policy — without
+    it the plan tree doubles per round)."""
+    a, b = F.col(src), F.col(dst)
+    canon = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("_u"), F.greatest(a, b).alias("_v"))
+        .distinct()
+    )
+    cur = canon.localCheckpoint(eager=True)
+    n_prev = None
+    for it in range(max_iters):
+        both = cur.unionByName(
+            cur.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
+        )
+        deg = both.groupBy(F.col("_u").alias("node")).agg(
+            F.count("*").alias("_deg")
+        )
+        keep = deg.filter(F.col("_deg") >= k).select("node")
+        nxt = (
+            cur.join(keep.withColumnRenamed("node", "_u"), "_u", "left_semi")
+            .join(keep.withColumnRenamed("node", "_v"), "_v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n = nxt.count()
+        if n_prev is not None and n == n_prev:
+            cur = nxt
+            break
+        cur, n_prev = nxt, n
+        if n == 0:
+            break
+    else:
+        raise RuntimeError(f"k-core did not reach fixpoint in {max_iters} rounds")
+    both = cur.unionByName(
+        cur.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
+    )
+    return both.groupBy(F.col("_u").alias("node")).agg(
+        F.count("*").alias("core_degree")
+    )

@@ -1695,6 +1695,64 @@ def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def supplier_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the supplier↔part co-occurrence graph
+    (operators/graph.py:kcore): the dense trading backbone left after
+    iteratively peeling every node with fewer than 3 distinct partners
+    — the standard graph-density sibling to pagerank (influence) and
+    triangles (closure) over the same edge fixture. Exact integer
+    fixpoint, unique regardless of execution order; certified by a
+    pure-Python peeling oracle (tools/py_oracles.py). Output is the
+    one-row core census: surviving suppliers / parts, core edge count,
+    and the minimum in-core degree (>= 3 by definition — the oracle
+    asserts the invariant too)."""
+    from cdc_streaming_pipeline_spark.operators.graph import kcore
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    off = 1_000_000_000
+    edges = li.select(
+        F.col("l_suppkey").alias("src"), (F.col("l_partkey") + off).alias("dst")
+    )
+    core = kcore(edges, k=3)
+    return core.agg(
+        F.sum((F.col("node") < off).cast("long")).alias("n_core_suppliers"),
+        F.sum((F.col("node") >= off).cast("long")).alias("n_core_parts"),
+        (F.sum("core_degree") / 2).cast("long").alias("n_core_edges"),
+        F.min("core_degree").alias("min_core_degree"),
+    )
+
+
+def part_name_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by edit distance (operators/fuzzyjoin.py):
+    match a corrupted-name cohort (every 193rd part, first two chars
+    dropped — edit distance 2 from its source) back to the part
+    catalog with ``levenshtein <= 2``. The operator is the exact
+    prefix-filtered q-gram join: each side emits only its q·d+1
+    globally-rarest grams as join signatures (complete by the gram
+    count bound + prefix-filter theorem), candidates verify with
+    JVM-side F.levenshtein — no cross join anywhere, candidate volume
+    output-proportional. The DuckDB oracle states the ground truth as
+    the literal cross-join definition, so a hash match certifies the
+    blocking dropped nothing."""
+    from cdc_streaming_pipeline_spark.operators.fuzzyjoin import fuzzy_join
+
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pert = p.filter(F.col("p_partkey") % 193 == 0).select(
+        F.col("p_partkey").alias("query_key"),
+        F.col("p_name").substr(F.lit(3), F.length("p_name")).alias("query_name"),
+    )
+    out = fuzzy_join(
+        pert, p, "query_key", "query_name", "p_partkey", "p_name", max_distance=2
+    )
+    return out.select(
+        F.col("l_id").alias("query_key"),
+        F.col("r_id").alias("match_key"),
+        F.col("l_val").alias("query_name"),
+        F.col("r_val").alias("match_name"),
+        "edit_dist",
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1761,6 +1819,8 @@ QUERIES = {
     "part_association_lift": part_association_lift,
     "revenue_trend_by_segment": revenue_trend_by_segment,
     "customer_spend_gini": customer_spend_gini,
+    "part_name_fuzzy_match": part_name_fuzzy_match,
+    "supplier_part_kcore": supplier_part_kcore,
 }
 
 ORACLE = {
@@ -2628,4 +2688,15 @@ ORACLE["customer_spend_gini"] = """
            ROUND(2.0 * srx / (n_customers * sx)
                  - (n_customers + 1.0) / n_customers, 4) AS gini
     FROM s
+"""
+ORACLE["part_name_fuzzy_match"] = """
+    WITH pert AS (
+        SELECT p_partkey AS query_key, substr(p_name, 3) AS query_name
+        FROM part WHERE p_partkey % 193 = 0
+    )
+    SELECT query_key, p.p_partkey AS match_key, query_name,
+           p.p_name AS match_name,
+           levenshtein(query_name, p.p_name) AS edit_dist
+    FROM pert, part p
+    WHERE levenshtein(query_name, p.p_name) <= 2
 """

@@ -92,3 +92,58 @@ def test_triangle_count_known_graphs(spark):
     assert (r["n_edges"], r["n_triangles"]) == (4, 1)
     # cc = 3*1 / (C(2,2 deg... ) wedges: degs 2,2,3,1 -> 1+1+3+0 = 5
     assert r["clustering_coeff"] == 0.6
+
+
+def _py_kcore(edge_list, k):
+    """Ground-truth peeling: unique maximal subgraph with min degree k."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edge_list:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    return {n: len(ns) for n, ns in adj.items() if ns}
+
+
+def test_kcore_matches_python_peeling(spark):
+    from cdc_streaming_pipeline_spark.operators.graph import kcore
+
+    rng = np.random.default_rng(11)
+    edge_list = [
+        (int(a), int(b))
+        for a, b in zip(rng.integers(0, 40, 200), rng.integers(0, 40, 200))
+        if a != b
+    ]
+    for k in (2, 3, 4, 5):
+        want = _py_kcore(edge_list, k)
+        edges = spark.createDataFrame(edge_list, "src bigint, dst bigint")
+        got = {r["node"]: r["core_degree"] for r in kcore(edges, k).collect()}
+        assert got == want, k
+
+
+def test_kcore_known_structures(spark):
+    from cdc_streaming_pipeline_spark.operators.graph import kcore
+
+    # K5 with a pendant path: 4-core = exactly the K5, path peels away
+    k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    path = [(4, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(k5 + path, "src bigint, dst bigint")
+    got = {r["node"]: r["core_degree"] for r in kcore(edges, 4).collect()}
+    assert got == {n: 4 for n in range(5)}
+    # 5-core of K5 is empty (max degree is 4)
+    assert kcore(edges, 5).count() == 0
+    # duplicate + reversed edges must not inflate degrees
+    noisy = spark.createDataFrame(
+        k5 + [(b, a) for a, b in k5] + k5, "src bigint, dst bigint"
+    )
+    got = {r["node"]: r["core_degree"] for r in kcore(noisy, 4).collect()}
+    assert got == {n: 4 for n in range(5)}

@@ -193,9 +193,46 @@ def supplier_part_pagerank(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows[:20], columns=["node_type", "node_id", "rank_bp"])
 
 
+def supplier_part_kcore(sf_dir: str) -> pd.DataFrame:
+    """plans/analytics.py:supplier_part_kcore — ground-truth 3-core by
+    sequential peeling (exact integers; the k-core is unique, so ANY
+    peeling order gives the same subgraph)."""
+    from collections import defaultdict
+
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+    ).to_pandas()
+    off = 1_000_000_000
+    adj = defaultdict(set)
+    for s, p in zip(li["l_suppkey"], li["l_partkey"]):
+        a, b = int(s), int(p) + off
+        adj[a].add(b)
+        adj[b].add(a)
+    k = 3
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    core = {n: ns for n, ns in adj.items() if ns}
+    assert all(len(ns) >= k for ns in core.values())  # the k-core invariant
+    n_sup = sum(1 for n in core if n < off)
+    n_part = sum(1 for n in core if n >= off)
+    n_edges = sum(len(ns) for ns in core.values()) // 2
+    min_deg = min((len(ns) for ns in core.values()), default=None)
+    return pd.DataFrame(
+        [(n_sup, n_part, n_edges, min_deg)],
+        columns=["n_core_suppliers", "n_core_parts", "n_core_edges", "min_core_degree"],
+    )
+
+
 PY_ORACLES = {
     "doc_compression_ratio": doc_compression_ratio,
     "bpe_vocab_merges": bpe_vocab_merges,
     "bpe_token_counts": bpe_token_counts,
     "supplier_part_pagerank": supplier_part_pagerank,
+    "supplier_part_kcore": supplier_part_kcore,
 }
