@@ -218,3 +218,56 @@ def kcore(
     return both.groupBy(F.col("_u").alias("node")).agg(
         F.count("*").alias("core_degree")
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 50,
+    directed: bool = False,
+) -> DataFrame:
+    """Minimum hop distance from a source node set — level-synchronous
+    BFS, the third Pregel-on-DataFrames op (pagerank: influence, kcore:
+    density, bfs: reachability). Returns DataFrame[node, hop] for every
+    node REACHABLE from ``sources`` (hop 0 = the sources themselves);
+    unreachable nodes are absent, callers left-join if they want nulls.
+
+    Per level: frontier ⋈ edges (hash shuffle on the node id) →
+    distinct neighbors → anti-join against the visited set → new
+    frontier. The visited frame grows monotonically and the frontier is
+    what shuffles, so per-level cost tracks the frontier's edge
+    boundary, not the whole graph; levels needed = graph diameter
+    (small-world graphs: ~O(log n) levels). Only a one-long frontier
+    count is collected per level (the loop's termination check — the
+    same bounded pattern as kcore/pagerank). Frontier and visited are
+    localCheckpointed every level: both are join products of the prior
+    level, and without the cut the plan tree doubles per level.
+    """
+    e = edges.filter(F.col(src) != F.col(dst)).select(
+        F.col(src).alias("_u"), F.col(dst).alias("_v")
+    )
+    if not directed:
+        e = e.unionByName(e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
+    e = e.distinct().persist()
+    frontier = sources.select(F.col(sources.columns[0]).alias("node")).distinct()
+    frontier = frontier.localCheckpoint(eager=True)
+    visited = frontier.withColumn("hop", F.lit(0)).localCheckpoint(eager=True)
+    for hop in range(1, max_hops + 1):
+        nbrs = (
+            frontier.join(e, frontier["node"] == e["_u"])
+            .select(F.col("_v").alias("node"))
+            .distinct()
+        )
+        new = nbrs.join(visited, "node", "left_anti").localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        visited = visited.unionByName(
+            new.withColumn("hop", F.lit(hop))
+        ).localCheckpoint(eager=True)
+        frontier = new
+    else:
+        raise RuntimeError(f"bfs did not exhaust the graph in {max_hops} levels")
+    e.unpersist()
+    return visited

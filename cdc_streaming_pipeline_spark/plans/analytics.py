@@ -1753,6 +1753,90 @@ def part_name_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def part_bargain_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-objective Pareto frontier (operators/skyline.py): the parts
+    no other part beats on ALL of (retail price ↓, total quantity sold ↑,
+    average discount ↑) — the multi-criteria generalization of the
+    reference's single-metric Hive ranking cuts. The operator runs the
+    exact three-phase distributed plan (JVM min-sum prune →
+    partition-local skylines → contract-bounded exact merge); the DuckDB
+    oracle states the ground truth as the literal quadratic NOT-EXISTS
+    definition, so a hash match certifies the pruning dropped nothing.
+    Dominance dims are rounded IDENTICALLY in both engines before the
+    skyline so last-ulp float-avg noise cannot flip a dominance pair."""
+    from cdc_streaming_pipeline_spark.operators.skyline import skyline
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    pv = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_partkey")
+        .agg(
+            F.round(F.first("p_retailprice"), 2).alias("price"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.round(F.avg("l_discount"), 6).alias("disc"),
+        )
+    )
+    return skyline(pv, ["price", "qty", "disc"], maximize=["qty", "disc"]).select(
+        F.col("l_partkey").alias("part_key"), "price", "qty", "disc"
+    )
+
+
+def supplier_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reachability census (operators/graph.py:bfs_hops): minimum hop
+    distance from supplier #min(suppkey) over the supplier↔part
+    co-occurrence graph, reported as a per-level histogram split by node
+    type. Level-synchronous distributed BFS (frontier ⋈ edges →
+    anti-join visited per level); certified by a pure-Python BFS oracle
+    (tools/py_oracles.py). Completes the graph trio's fourth axis:
+    pagerank (influence), triangles (closure), kcore (density),
+    bfs (reachability)."""
+    from cdc_streaming_pipeline_spark.operators.graph import bfs_hops
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    off = 1_000_000_000
+    edges = li.select(
+        F.col("l_suppkey").alias("src"), (F.col("l_partkey") + off).alias("dst")
+    )
+    src = li.select(F.min("l_suppkey").alias("node"))
+    hops = bfs_hops(edges, src)
+    return hops.groupBy("hop").agg(
+        F.sum((F.col("node") < off).cast("long")).alias("n_suppliers"),
+        F.sum((F.col("node") >= off).cast("long")).alias("n_parts"),
+    )
+
+
+def open_order_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-stabbing by sweep line: how many orders are 'open'
+    (orderdate .. last shipment) on each day the count changes. The
+    naive plan is a day-scaffold × interval range join — O(orders ×
+    avg_open_days) rows shuffled; the sweep decomposes each interval
+    into a +1/-1 delta pair, aggregates deltas per day (ONE shuffle on
+    ~thousands of calendar days), and takes a running sum over the
+    day-aggregated frame — a calendar-bounded window (≤ a few thousand
+    rows regardless of order count), the repo's standing policy for
+    global windows. Exact integers; oracle runs the identical sweep in
+    SQL."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    iv = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey")
+        .agg(
+            F.first(F.to_date("o_orderdate")).alias("s"),
+            F.max(F.to_date("l_shipdate")).alias("e"),
+        )
+    )
+    deltas = iv.select(F.col("s").alias("day"), F.lit(1).alias("delta")).unionByName(
+        iv.select(F.date_add("e", 1).alias("day"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("day").agg(F.sum("delta").alias("delta"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select("day", F.sum("delta").over(w).alias("n_open"))
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1821,6 +1905,9 @@ QUERIES = {
     "customer_spend_gini": customer_spend_gini,
     "part_name_fuzzy_match": part_name_fuzzy_match,
     "supplier_part_kcore": supplier_part_kcore,
+    "part_bargain_skyline": part_bargain_skyline,
+    "supplier_reach_hops": supplier_reach_hops,
+    "open_order_concurrency": open_order_concurrency,
 }
 
 ORACLE = {
@@ -2699,4 +2786,40 @@ ORACLE["part_name_fuzzy_match"] = """
            levenshtein(query_name, p.p_name) AS edit_dist
     FROM pert, part p
     WHERE levenshtein(query_name, p.p_name) <= 2
+"""
+ORACLE["part_bargain_skyline"] = """
+    WITH pv AS (
+        SELECT l_partkey AS part_key,
+               round(any_value(p_retailprice), 2) AS price,
+               round(sum(l_quantity), 2) AS qty,
+               round(avg(l_discount), 6) AS disc
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY l_partkey
+    )
+    SELECT part_key, price, qty, disc
+    FROM pv p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pv q
+        WHERE q.price <= p.price AND q.qty >= p.qty AND q.disc >= p.disc
+          AND (q.price < p.price OR q.qty > p.qty OR q.disc > p.disc)
+    )
+"""
+ORACLE["open_order_concurrency"] = """
+    WITH iv AS (
+        SELECT o_orderkey, any_value(CAST(o_orderdate AS DATE)) AS s,
+               max(CAST(l_shipdate AS DATE)) AS e
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderkey
+    ),
+    daily AS (
+        SELECT day, sum(delta) AS delta
+        FROM (
+            SELECT s AS day, 1 AS delta FROM iv
+            UNION ALL
+            SELECT e + 1 AS day, -1 AS delta FROM iv
+        )
+        GROUP BY day
+    )
+    SELECT day, CAST(sum(delta) OVER (ORDER BY day) AS BIGINT) AS n_open
+    FROM daily
 """

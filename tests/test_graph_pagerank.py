@@ -147,3 +147,61 @@ def test_kcore_known_structures(spark):
     )
     got = {r["node"]: r["core_degree"] for r in kcore(noisy, 4).collect()}
     assert got == {n: 4 for n in range(5)}
+
+
+def _py_bfs(edge_list, sources):
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    for a, b in edge_list:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    dist = {s: 0 for s in sources}
+    q = deque(sources)
+    while q:
+        n = q.popleft()
+        for m in adj[n]:
+            if m not in dist:
+                dist[m] = dist[n] + 1
+                q.append(m)
+    return dist
+
+
+def test_bfs_matches_python(spark):
+    from cdc_streaming_pipeline_spark.operators.graph import bfs_hops
+
+    rng = np.random.default_rng(23)
+    edge_list = [
+        (int(a), int(b))
+        for a, b in zip(rng.integers(0, 60, 120), rng.integers(0, 60, 120))
+        if a != b
+    ]
+    for srcs in ([0], [0, 41], [7]):
+        want = _py_bfs(edge_list, srcs)
+        edges = spark.createDataFrame(edge_list, "src bigint, dst bigint")
+        sdf = spark.createDataFrame([(s,) for s in srcs], "node bigint")
+        got = {r["node"]: r["hop"] for r in bfs_hops(edges, sdf).collect()}
+        assert got == want, srcs
+
+
+def test_bfs_structures(spark):
+    from cdc_streaming_pipeline_spark.operators.graph import bfs_hops
+
+    # path 0-1-2-3 plus a disconnected island 10-11
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11)], "src bigint, dst bigint"
+    )
+    sdf = spark.createDataFrame([(0,)], "node bigint")
+    got = {r["node"]: r["hop"] for r in bfs_hops(edges, sdf).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # island absent, not null
+    # directed: 3 is reachable from 0 but 0 not from 3
+    got = {
+        r["node"]: r["hop"]
+        for r in bfs_hops(
+            edges,
+            spark.createDataFrame([(3,)], "node bigint"),
+            directed=True,
+        ).collect()
+    }
+    assert got == {3: 0}

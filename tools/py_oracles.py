@@ -229,10 +229,42 @@ def supplier_part_kcore(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def supplier_reach_hops(sf_dir: str) -> pd.DataFrame:
+    """plans/analytics.py:supplier_reach_hops — ground-truth BFS from
+    min(l_suppkey) over the supplier↔part bipartite graph, histogram of
+    hop → (suppliers, parts)."""
+    from collections import defaultdict, deque
+
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+    ).to_pandas()
+    off = 1_000_000_000
+    adj = defaultdict(set)
+    for s, p in zip(li["l_suppkey"], li["l_partkey"]):
+        a, b = int(s), int(p) + off
+        adj[a].add(b)
+        adj[b].add(a)
+    src = int(li["l_suppkey"].min())
+    dist = {src: 0}
+    q = deque([src])
+    while q:
+        n = q.popleft()
+        for m in adj[n]:
+            if m not in dist:
+                dist[m] = dist[n] + 1
+                q.append(m)
+    hist = defaultdict(lambda: [0, 0])
+    for n, h in dist.items():
+        hist[h][0 if n < off else 1] += 1
+    rows = [(h, s, p) for h, (s, p) in sorted(hist.items())]
+    return pd.DataFrame(rows, columns=["hop", "n_suppliers", "n_parts"])
+
+
 PY_ORACLES = {
     "doc_compression_ratio": doc_compression_ratio,
     "bpe_vocab_merges": bpe_vocab_merges,
     "bpe_token_counts": bpe_token_counts,
     "supplier_part_pagerank": supplier_part_pagerank,
     "supplier_part_kcore": supplier_part_kcore,
+    "supplier_reach_hops": supplier_reach_hops,
 }
