@@ -1,42 +1,58 @@
-"""Exact edit-distance (fuzzy) join via prefix-filtered q-gram blocking.
+"""Exact edit-distance (fuzzy) join — symmetric-deletion blocking for
+short strings, prefix-filtered q-gram blocking for long ones.
 
 Record linkage / entity resolution needs ``JOIN ON edit_distance(a, b)
 <= d`` — which no equi-join expresses and a cross join cannot survive at
-scale (10^9 × 10^9 comparisons). This module implements the standard
-exact decomposition (the AllPairs/PPJoin family, reduced to what the
-engine needs):
+scale (10^9 × 10^9 comparisons). Both blocking schemes here are
+**complete** (never drop a true pair) and feed an exact JVM-side
+``F.levenshtein`` verify, so the result EQUALS the cross-join definition.
 
-1. **Filter** (complete, never drops a true pair): an edit operation
-   touches at most ``q`` of a string's q-grams, so two strings within
-   distance ``d`` share at least ``|S| − q·d`` distinct grams — and by
-   the prefix-filter theorem their ``q·d + 1`` globally-RAREST grams
-   must intersect. Each side therefore emits only its q·d+1 rarest
-   grams as join signatures (global gram frequencies from one
-   aggregate), the candidate set is the signature equi-join — an
-   inverted-index join whose volume is output-proportional, not
-   quadratic — plus the free length window ``|len(a) − len(b)| ≤ d``.
-2. **Verify** (exact): surviving candidates run JVM-side
-   ``F.levenshtein`` (whole-stage codegen, no Python) and keep
-   ``<= d``.
+**Why two schemes.** The classic rarest-q-gram prefix filter (AllPairs/
+PPJoin family) assumes rare grams are discriminative. On short
+STRUCTURED strings sharing a scaffold ("entity <id> record <id>") that
+assumption collapses: measured on a 112k-row synthetic corpus, every
+"rare" gram was still shared by ~2.3k strings, the signature equi-join
+produced 415M candidate pairs and 467s of wall — a quadratic bucket
+blowup (.benchmarks/SCALE10_r9.md). The fix is the symmetric-deletion
+scheme (the FastSS / SymSpell family):
 
-Contract: a string must own at least ``q·d + 1`` DISTINCT grams for the
-rarest-gram signature to be complete (a shorter string could lose every
-shared gram to d edits). Strings below the bound are routed through an
-exact short-string path: a broadcast cross join inside the length
-window — by construction those strings are short (< ~q·(d+1)+q−1
-chars) and a vanishing fraction of real name/title corpora; the
-operator never silently drops them.
+* if ``levenshtein(a, b) <= d`` then deleting the ≤ d aligned
+  edit positions from each side leaves equal subsequences, so
+  ``D_≤d(a) ∩ D_≤d(b) ≠ ∅`` where ``D_≤d(s)`` is s's deletion
+  neighborhood (every string reachable by ≤ d single-char deletions).
+* Each side emits its deletion variants (``Σ_{i≤d} C(len,i)`` per
+  string — bounded because the scheme only runs for ``len <=
+  symdel_max_len``), the candidate set is the variant equi-join.
+  Variants are near-whole strings, so join buckets are as selective as
+  the strings themselves: candidate volume is proportional to the
+  number of pairs within ~2d, i.e. output-proportional — structured
+  scaffolds cost nothing because the discriminative payload survives in
+  every variant. Variants join as ``xxhash64`` keys (8 bytes instead of
+  the string): a hash collision can only ADD a candidate, never lose
+  one, and the verify removes it — exactness is preserved while shuffle
+  bytes drop ~len/8×.
 
-Scale notes: one gram-frequency aggregate (shuffle on gram), one
-per-string window over ≤ len(s) rows (per-string bounded, never a
-corpus-wide key), one signature equi-join (shuffle on gram; skew is
-bounded BECAUSE frequent grams are exactly what prefix filtering
-excludes from signatures), one verify pass. No Python anywhere.
+Long strings (``len > symdel_max_len``, where C(len, d) explodes) keep
+the q-gram prefix filter — long natural text has diverse, genuinely
+rare grams, which is exactly the regime where the prefix filter's
+assumption holds. Cross-length pairs (one side just under the cap, one
+just over — the length window ``|len_a − len_b| <= d`` allows nothing
+wider) are covered by extending the symdel side to ``len <=
+symdel_max_len + d`` on the opposite table, so the four length-quadrant
+candidate sets partition the pair space exactly.
+
+Scale notes: symdel shuffles rows × Σ C(len,i) 8-byte keys — linear in
+input, partitionable, no corpus-wide skew key (a hot variant bucket
+means genuinely many near-equal strings, i.e. the OUTPUT is large; any
+exact algorithm pays output size). The q-gram path shuffles one
+gram-frequency aggregate, one per-string window over ≤ len(s) rows, and
+one signature equi-join whose skew is bounded because frequent grams
+are excluded from signatures. No Python anywhere in either path.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -52,6 +68,90 @@ def _grams(col, q: int):
     )
 
 
+def _del_variants(col, d: int) -> Column:
+    """Distinct deletion neighborhood D_≤d of ``lower(col)`` as an
+    array<string> (the string itself, every single-deletion, and for
+    d=2 every double-deletion) — pure JVM HOFs. Supports d in {1, 2}."""
+    if d not in (1, 2):
+        raise ValueError("symmetric-deletion blocking supports max_distance 1 or 2")
+    s = F.lower(col)
+    n = F.length(s)
+    idx = F.sequence(F.lit(1), F.greatest(n, F.lit(1)))
+    empty = F.array().cast("array<string>")
+
+    def del1(i):
+        return F.concat(s.substr(F.lit(1), i - F.lit(1)), s.substr(i + F.lit(1), n))
+
+    singles = F.when(n >= 1, F.transform(idx, del1)).otherwise(empty)
+    parts = [F.array(s), singles]
+    if d == 2:
+
+        def del2(i):
+            # all deletions of positions (i, j) with j in (i, n]
+            return F.when(
+                i < n,
+                F.transform(
+                    F.sequence(i + F.lit(1), F.greatest(n, i + F.lit(1))),
+                    lambda j: F.concat(
+                        s.substr(F.lit(1), i - F.lit(1)),
+                        s.substr(i + F.lit(1), j - i - F.lit(1)),
+                        s.substr(j + F.lit(1), n),
+                    ),
+                ),
+            ).otherwise(empty)
+
+        doubles = F.when(n >= 2, F.flatten(F.transform(idx, del2))).otherwise(empty)
+        parts.append(doubles)
+    return F.array_distinct(F.concat(*parts))
+
+
+def _symdel_candidates(l_side: DataFrame, r_side: DataFrame, d: int) -> DataFrame:
+    """Distinct (l_id, r_id) sharing a deletion variant — the complete
+    symdel candidate set for the given frames."""
+    lv = l_side.select(
+        "l_id", F.explode(_del_variants(F.col("l_val"), d)).alias("_var")
+    ).select("l_id", F.xxhash64("_var").alias("_vh"))
+    rv = r_side.select(
+        "r_id", F.explode(_del_variants(F.col("r_val"), d)).alias("_var")
+    ).select("r_id", F.xxhash64("_var").alias("_vh"))
+    return lv.join(rv, "_vh").select("l_id", "r_id").distinct()
+
+
+def _qgram_candidates(
+    l_side: DataFrame, r_side: DataFrame, d: int, q: int
+) -> DataFrame:
+    """Distinct (l_id, r_id) sharing one of each other's q·d+1 rarest
+    grams — complete by the gram-count bound (an edit touches ≤ q grams,
+    so within distance d the gram sets differ by ≤ q·d) plus the
+    prefix-filter theorem. Strings here are guaranteed (by the caller's
+    length routing) to own ≥ q·d+1 distinct grams."""
+    sig_size = q * d + 1
+    lg = l_side.select("l_id", _grams(F.col("l_val"), q).alias("_grams"))
+    rg = r_side.select("r_id", _grams(F.col("r_val"), q).alias("_grams"))
+    freq = (
+        lg.select(F.explode("_grams").alias("gram"))
+        .unionByName(rg.select(F.explode("_grams").alias("gram")))
+        .groupBy("gram")
+        .agg(F.count("*").alias("_freq"))
+    )
+
+    def signatures(s: DataFrame, id_col: str) -> DataFrame:
+        g = s.select(id_col, F.explode("_grams").alias("gram")).join(freq, "gram")
+        w = Window.partitionBy(id_col).orderBy(F.col("_freq").asc(), F.col("gram").asc())
+        return (
+            g.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= sig_size)
+            .select(id_col, "gram")
+        )
+
+    return (
+        signatures(lg, "l_id")
+        .join(signatures(rg, "r_id"), "gram")
+        .select("l_id", "r_id")
+        .distinct()
+    )
+
+
 def fuzzy_join(
     left: DataFrame,
     right: DataFrame,
@@ -61,90 +161,77 @@ def fuzzy_join(
     right_val: str,
     max_distance: int = 2,
     q: int = 3,
+    symdel_max_len: int = 40,
+    max_deficient: int = 100_000,
 ) -> DataFrame:
     """All (left, right) pairs with ``levenshtein(left_val, right_val)
-    <= max_distance`` — exact, via prefix-filtered q-gram blocking (see
-    module docstring). Returns (l_id, r_id, l_val, r_val, edit_dist)."""
+    <= max_distance`` — exact, via symmetric-deletion blocking for
+    strings up to ``symdel_max_len`` chars and prefix-filtered q-gram
+    blocking above it (see module docstring). ``max_distance`` 1 or 2
+    (the entity-resolution regime; larger radii need a different plan).
+    Returns (l_id, r_id, l_val, r_val, edit_dist)."""
     d = max_distance
+    L = left.select(
+        F.col(left_id).alias("l_id"),
+        F.col(left_val).alias("l_val"),
+        F.length(left_val).alias("_l_len"),
+    )
+    R = right.select(
+        F.col(right_id).alias("r_id"),
+        F.col(right_val).alias("r_val"),
+        F.length(right_val).alias("_r_len"),
+    )
+    cap = symdel_max_len
+    l_short, l_long = L.filter(F.col("_l_len") <= cap), L.filter(F.col("_l_len") > cap)
+    r_short, r_long = R.filter(F.col("_r_len") <= cap), R.filter(F.col("_r_len") > cap)
+    # the four length quadrants partition the pair space; the length
+    # window |len_l - len_r| <= d means a cross quadrant only contains
+    # pairs hugging the cap, so the long side of a cross quadrant is
+    # pre-filtered to len <= cap + d before emitting deletion variants.
+    # the prefix filter needs >= q*d+1 DISTINCT grams per string — a
+    # long string below that bound (a near-single-repeated-char
+    # degenerate) gets no completeness guarantee from ANY gram filter,
+    # so those route through a contract-bounded broadcast against the
+    # long cohort; the contract is enforced (counted, refused above
+    # max_deficient), never assumed.
     sig_size = q * d + 1
-
-    def side(df: DataFrame, id_col: str, val_col: str, tag: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(f"{tag}_id"),
-            F.col(val_col).alias(f"{tag}_val"),
-            _grams(F.col(val_col), q).alias("_grams"),
-            F.length(val_col).alias(f"_{tag}_len"),
-        )
-
-    L = side(left, left_id, left_val, "l")
-    R = side(right, right_id, right_val, "r")
-
-    # global gram document frequencies — rarest-first ordering is what
-    # makes the signature join skew-proof (frequent grams never become
-    # join keys)
-    freq = (
-        L.select(F.explode("_grams").alias("gram"))
-        .unionByName(R.select(F.explode("_grams").alias("gram")))
-        .groupBy("gram")
-        .agg(F.count("*").alias("_freq"))
-    )
-
-    def signatures(s: DataFrame, tag: str) -> DataFrame:
-        g = s.select(f"{tag}_id", F.explode("_grams").alias("gram")).join(freq, "gram")
-        w = Window.partitionBy(f"{tag}_id").orderBy(
-            F.col("_freq").asc(), F.col("gram").asc()
-        )
-        return (
-            g.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= sig_size)
-            .select(f"{tag}_id", "gram")
-        )
-
-    # strings below the gram bound go through the exact broadcast
-    # fallback; everything else through the signature join
-    l_short = L.filter(F.size("_grams") < sig_size)
-    r_short = R.filter(F.size("_grams") < sig_size)
-    l_main = L.filter(F.size("_grams") >= sig_size)
-    r_main = R.filter(F.size("_grams") >= sig_size)
-
-    cand = (
-        signatures(l_main, "l")
-        .join(signatures(r_main, "r"), "gram")
-        .select("l_id", "r_id")
-        .distinct()
-    )
-    main_pairs = cand.join(l_main.select("l_id", "l_val", "_l_len"), "l_id").join(
-        r_main.select("r_id", "r_val", "_r_len"), "r_id"
-    )
-    # short-left × all-right, plus main-left × short-right (short×short
-    # pairs are covered by the first term: R includes r_short). The
-    # broadcast is CONTRACT-BOUNDED, and the contract is enforced, not
-    # assumed: the short cohorts are counted (two tiny aggregate jobs)
-    # and the operator refuses rather than broadcast a data-scaled frame
-    # (the unbounded-broadcast failure family).
-    n_short_l = l_short.count()
-    n_short_r = r_short.count()
-    max_short = 100_000
-    if n_short_l > max_short or n_short_r > max_short:
+    n_distinct_grams = F.size(_grams(F.col("l_val"), q))
+    l_rich = l_long.filter(n_distinct_grams >= sig_size)
+    l_def = l_long.filter(n_distinct_grams < sig_size)
+    n_distinct_grams_r = F.size(_grams(F.col("r_val"), q))
+    r_rich = r_long.filter(n_distinct_grams_r >= sig_size)
+    r_def = r_long.filter(n_distinct_grams_r < sig_size)
+    n_def = l_def.count() + r_def.count()
+    if n_def > max_deficient:
         raise ValueError(
-            f"short-string cohort too large for the exact broadcast "
-            f"fallback ({n_short_l} left / {n_short_r} right rows under "
-            f"{sig_size} distinct grams); lower q/max_distance or "
-            f"pre-filter degenerate strings"
+            f"{n_def} gram-deficient long strings exceed the broadcast "
+            f"contract ({max_deficient}); pre-filter degenerate strings"
         )
-    short_pairs = (
-        F.broadcast(l_short.select("l_id", "l_val", "_l_len"))
-        .crossJoin(R.select("r_id", "r_val", "_r_len"))
+    deficient_pairs = (
+        F.broadcast(l_def.select("l_id"))
+        .crossJoin(r_long.select("r_id"))
         .unionByName(
-            l_main.select("l_id", "l_val", "_l_len").crossJoin(
-                F.broadcast(r_short.select("r_id", "r_val", "_r_len"))
-            )
+            l_rich.select("l_id").crossJoin(F.broadcast(r_def.select("r_id")))
         )
+        if n_def
+        else None
     )
-    if n_short_l == 0 and n_short_r == 0:
-        short_pairs = short_pairs.limit(0)  # skip both empty cross joins
+    cand = (
+        _symdel_candidates(l_short, r_short, d)
+        .unionByName(
+            _symdel_candidates(l_short, r_long.filter(F.col("_r_len") <= cap + d), d)
+        )
+        .unionByName(
+            _symdel_candidates(l_long.filter(F.col("_l_len") <= cap + d), r_short, d)
+        )
+        .unionByName(_qgram_candidates(l_rich, r_rich, d, q))
+    )
+    if deficient_pairs is not None:
+        cand = cand.unionByName(deficient_pairs)
+    cand = cand.distinct()
     return (
-        main_pairs.unionByName(short_pairs)
+        cand.join(L.select("l_id", "l_val", "_l_len"), "l_id")
+        .join(R.select("r_id", "r_val", "_r_len"), "r_id")
         .filter(F.abs(F.col("_l_len") - F.col("_r_len")) <= d)
         .withColumn("edit_dist", F.levenshtein("l_val", "r_val"))
         .filter(F.col("edit_dist") <= d)
