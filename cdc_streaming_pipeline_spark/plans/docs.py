@@ -1558,9 +1558,84 @@ def split_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return population_stability(cohort, "split", "train", "val", features)
 
 
+def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the heuristic quality score as a predictor of
+    ``lang = 'en'`` — the standard eval primitive for any learned or
+    heuristic filter in a training-data pipeline, computed exactly at
+    corpus scale via the Mann-Whitney U identity:
+    ``AUC = (R_pos − n_pos(n_pos+1)/2) / (n_pos·n_neg)`` with R_pos the
+    sum of the positives' tie-averaged global ranks. The global rank
+    comes from the exact distributed rank operator (operators/rank.py);
+    tie-averaging (scores are round-4, so ties are dense) is a
+    groupBy(score)+join — NOT a partitionBy(score) window, which would
+    funnel a hot score bin through one task at 100 TB. Tie-averaged
+    ranks erase the tiebreak ordering, so both engines agree exactly
+    before the round-6 output."""
+    from cdc_streaming_pipeline_spark.operators.rank import with_global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = tx.with_quality_score(docs).select(
+        "doc_id",
+        "quality_score",
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    ranked = with_global_rank(
+        scored, key="quality_score", tiebreak="doc_id", ascending=True
+    )
+    tie_avg = ranked.groupBy("quality_score").agg(F.avg("_g_rank").alias("ar"))
+    r = ranked.join(tie_avg, "quality_score").select("label", "ar")
+    out = r.agg(
+        F.sum("label").alias("n_pos"),
+        (F.count("*") - F.sum("label")).alias("n_neg"),
+        F.sum(F.when(F.col("label") == 1, F.col("ar"))).alias("_rpos"),
+    )
+    npos = F.col("n_pos").cast("double")
+    nneg = F.col("n_neg").cast("double")
+    auc = (F.col("_rpos") - npos * (npos + 1.0) / 2.0) / (npos * nneg)
+    return out.select("n_pos", "n_neg", F.round(auc, 6).alias("auc"))
+
+
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 of ``quality_score >= t`` predicting
+    ``lang = 'en'`` at 9 operating points — the threshold-sweep
+    companion to quality_score_auc (AUC says IF the score separates;
+    the sweep says WHERE to cut). One scan: each doc emits its 9
+    per-threshold indicator rows (a 9× in-map explode, collapsed by
+    map-side combine before the single 9-row shuffle — never a
+    per-threshold rescan). Precision is NULL at thresholds that
+    predict nothing positive, identically in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = tx.with_quality_score(docs).select(
+        "quality_score", (F.col("lang") == "en").cast("int").alias("label")
+    )
+    thresholds = [round(0.1 * i, 1) for i in range(1, 10)]
+    t = F.explode(F.array(*[F.lit(x) for x in thresholds])).alias("threshold")
+    e = scored.select("quality_score", "label", t)
+    pred = (F.col("quality_score") >= F.col("threshold")).cast("int")
+    agg = e.groupBy("threshold").agg(
+        F.sum(pred * F.col("label")).alias("tp"),
+        F.sum(pred * (1 - F.col("label"))).alias("fp"),
+        F.sum((1 - pred) * F.col("label")).alias("fn"),
+    )
+    prec = F.col("tp") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0))
+    rec = F.col("tp") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0))
+    f1 = 2 * prec * rec / F.nullif(prec + rec, F.lit(0))
+    return agg.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_quality_scores": doc_quality_scores,
+    "quality_score_auc": quality_score_auc,
+    "quality_threshold_sweep": quality_threshold_sweep,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprints": doc_fingerprints,
     "doc_subword_stats": doc_subword_stats,
@@ -2932,3 +3007,44 @@ ORACLE["hybrid_search_rrf"] = f"""
     FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id
     ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
 """
+
+ORACLE["quality_score_auc"] = (
+    "WITH q AS (" + ORACLE["doc_quality_scores"] + "), "
+    "s AS (SELECT q.doc_id, q.quality_score, "
+    "             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS label "
+    "      FROM q JOIN documents d ON d.doc_id = q.doc_id), "
+    "r AS (SELECT label, "
+    "             rank() OVER (ORDER BY quality_score) "
+    "             + (count(*) OVER (PARTITION BY quality_score) - 1) / 2.0 AS ar "
+    "      FROM s) "
+    "SELECT CAST(sum(label) AS BIGINT) AS n_pos, "
+    "       CAST(count(*) - sum(label) AS BIGINT) AS n_neg, "
+    "       round((sum(CASE WHEN label = 1 THEN ar END) "
+    "              - sum(label) * (sum(label) + 1) / 2.0) "
+    "             / (sum(label) * (count(*) - sum(label))), 6) AS auc "
+    "FROM r"
+)
+
+ORACLE["quality_threshold_sweep"] = (
+    "WITH q AS (" + ORACLE["doc_quality_scores"] + "), "
+    "s AS (SELECT q.quality_score, "
+    "             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS label "
+    "      FROM q JOIN documents d ON d.doc_id = q.doc_id), "
+    "e AS (SELECT s.*, t.threshold, "
+    "             CASE WHEN s.quality_score >= t.threshold THEN 1 ELSE 0 END AS pred "
+    "      FROM s CROSS JOIN (SELECT round(x * 0.1, 1) AS threshold "
+    "                         FROM generate_series(1, 9) AS g(x)) t), "
+    "a AS (SELECT threshold, "
+    "             CAST(sum(pred * label) AS BIGINT) AS tp, "
+    "             CAST(sum(pred * (1 - label)) AS BIGINT) AS fp, "
+    "             CAST(sum((1 - pred) * label) AS BIGINT) AS fn "
+    "      FROM e GROUP BY threshold) "
+    "SELECT threshold, tp, fp, fn, "
+    "       round(tp / CAST(nullif(tp + fp, 0) AS DOUBLE), 6) AS precision, "
+    "       round(tp / CAST(nullif(tp + fn, 0) AS DOUBLE), 6) AS recall, "
+    "       round(2.0 * (tp / CAST(nullif(tp + fp, 0) AS DOUBLE)) "
+    "             * (tp / CAST(nullif(tp + fn, 0) AS DOUBLE)) "
+    "             / nullif(tp / CAST(nullif(tp + fp, 0) AS DOUBLE) "
+    "                      + tp / CAST(nullif(tp + fn, 0) AS DOUBLE), 0), 6) AS f1 "
+    "FROM a"
+)
