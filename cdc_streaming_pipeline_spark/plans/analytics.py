@@ -1906,6 +1906,43 @@ def lineitem_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def part_name_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: the part catalog plus a
+    corrupted-name cohort (every 193rd part, first two chars dropped)
+    is resolved into canonical entities by composing TWO custom
+    operators — fuzzy_join (operators/fuzzyjoin.py, symmetric-deletion
+    blocking) finds every name pair within edit distance 2, and
+    connected_components (operators/cluster.py) closes them
+    transitively into entities labeled by their minimum member id.
+    Output is the per-entity census (canonical id, member count,
+    corrupted-member count). The DuckDB oracle re-states the whole
+    pipeline declaratively: a literal cross-join pair definition closed
+    by a recursive-CTE reachability fixpoint — so a hash match
+    certifies blocking completeness AND the clustering in one gate."""
+    from cdc_streaming_pipeline_spark.operators.cluster import connected_components
+    from cdc_streaming_pipeline_spark.operators.fuzzyjoin import fuzzy_join
+
+    off = 10_000_000
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pert = p.filter(F.col("p_partkey") % 193 == 0).select(
+        (F.col("p_partkey") + off).alias("id"),
+        F.col("p_name").substr(F.lit(3), F.length("p_name")).alias("name"),
+    )
+    nodes = (
+        p.select(F.col("p_partkey").alias("id"), F.col("p_name").alias("name"))
+        .unionByName(pert)
+    )
+    pairs = fuzzy_join(nodes, nodes, "id", "name", "id", "name", max_distance=2)
+    edges = pairs.filter(F.col("l_id") < F.col("r_id")).select(
+        F.col("l_id").alias("id_a"), F.col("r_id").alias("id_b")
+    )
+    cc = connected_components(edges, nodes.select("id"), id_col="id")
+    return cc.groupBy(F.col("cluster_id").alias("entity_id")).agg(
+        F.count("*").alias("n_members"),
+        F.sum((F.col("id") >= off).cast("long")).alias("n_corrupted"),
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1978,6 +2015,7 @@ QUERIES = {
     "supplier_reach_hops": supplier_reach_hops,
     "open_order_concurrency": open_order_concurrency,
     "lineitem_spearman": lineitem_spearman,
+    "part_name_entity_resolution": part_name_entity_resolution,
 }
 
 ORACLE = {
@@ -2909,4 +2947,29 @@ ORACLE["lineitem_spearman"] = """
            round(corr(ar_d, ar_p), 4) AS spearman_disc_price,
            round(corr(ar_q, ar_d), 4) AS spearman_qty_disc
     FROM r
+"""
+ORACLE["part_name_entity_resolution"] = """
+    WITH RECURSIVE nodes AS (
+        SELECT p_partkey AS id, p_name AS name FROM part
+        UNION ALL
+        SELECT p_partkey + 10000000 AS id, substr(p_name, 3) AS name
+        FROM part WHERE p_partkey % 193 = 0
+    ),
+    pairs AS (
+        SELECT a.id AS ia, b.id AS ib
+        FROM nodes a, nodes b
+        WHERE a.id <> b.id AND abs(length(a.name) - length(b.name)) <= 2
+          AND levenshtein(a.name, b.name) <= 2
+    ),
+    reach(a, b) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.a, p.ib FROM reach r JOIN pairs p ON r.b = p.ia
+    ),
+    lbl AS (SELECT a AS id, min(b) AS entity_id FROM reach GROUP BY a)
+    SELECT CAST(entity_id AS BIGINT) AS entity_id,
+           count(*) AS n_members,
+           CAST(sum(CASE WHEN id >= 10000000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_corrupted
+    FROM lbl GROUP BY entity_id
 """
