@@ -888,8 +888,44 @@ def table_pruned_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-stream ADDITIVE schema drift — the CDC concern Debezium
+    users hit first (upstream ALTER TABLE ADD COLUMN): wave-1 snapshot
+    events carry the original payload (id, status, total_amount); wave-2
+    updates (k%4==0) arrive with a new ``tier`` column. The engine path
+    is ``to_wide`` (unionByName allowMissingColumns — pre-drift rows get
+    NULL for the new column, operators/cdc.py:119) → latest-row-wins
+    latest_state, so rows last touched before the drift surface
+    tier=NULL while drifted rows carry their value — exactly the
+    mergeSchema-on-read semantics the txlog table serves
+    (sources/txlog.py:249). The oracle states the post-evolution table
+    closed-form from orders."""
+    o = _orders(spark, sf_dir)
+    k = F.col("o_orderkey")
+    old = o.select(
+        k.alias("id"),
+        F.lit("pending").alias("status"),
+        F.col("o_totalprice").alias("total_amount"),
+        F.lit("r").alias(OP_COL),
+        _lsn(k, 1).alias(LSN_COL),
+    )
+    new = o.filter(k % 4 == 0).select(
+        k.alias("id"),
+        F.col("o_orderstatus").alias("status"),
+        (F.col("o_totalprice") + 100.0).alias("total_amount"),
+        F.when(k % 8 == 0, "gold").otherwise("silver").alias("tier"),
+        F.lit("u").alias(OP_COL),
+        _lsn(k, 2).alias(LSN_COL),
+    )
+    evolved = to_wide([old, new])
+    return latest_state(evolved, key_cols=["id"], order_col=LSN_COL).select(
+        "id", "status", "total_amount", "tier", OP_COL
+    )
+
+
 QUERIES = {
     "cdc_latest_state": cdc_latest_state,
+    "cdc_schema_evolution": cdc_schema_evolution,
     "cdc_merge_partitioned": cdc_merge_partitioned,
     "cdc_unwrap": cdc_unwrap,
     "cdc_wide_union_counts": cdc_wide_union_counts,
@@ -1235,4 +1271,16 @@ ORACLE["table_pruned_range_read"] = """
     FROM orders, p, fr
     WHERE o_orderkey BETWEEN p.lo AND p.hi
     GROUP BY fr.files_read
+"""
+ORACLE["cdc_schema_evolution"] = """
+    SELECT o_orderkey AS id,
+           CASE WHEN o_orderkey % 4 = 0 THEN o_orderstatus
+                ELSE 'pending' END AS status,
+           CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 100.0
+                ELSE o_totalprice END AS total_amount,
+           CASE WHEN o_orderkey % 4 = 0 THEN
+                    (CASE WHEN o_orderkey % 8 = 0 THEN 'gold' ELSE 'silver' END)
+                ELSE NULL END AS tier,
+           CASE WHEN o_orderkey % 4 = 0 THEN 'u' ELSE 'r' END AS _op
+    FROM orders
 """
