@@ -288,3 +288,79 @@ def bfs_hops(
         raise RuntimeError(f"bfs did not exhaust the graph in {max_hops} levels")
     e.unpersist()
     return visited
+
+
+def sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    max_iters: int = 100,
+    directed: bool = False,
+) -> DataFrame:
+    """Weighted single-source(-set) shortest paths — frontier-based
+    Bellmann-Ford relaxation, the fifth Pregel-on-DataFrames op
+    (pagerank: influence, triangles: closure, kcore: density, bfs:
+    reachability, sssp: weighted proximity). Non-negative weights.
+    Returns DataFrame[node, dist] for reachable nodes (sources at 0.0).
+
+    Per round only the FRONTIER (nodes improved last round) relaxes:
+    frontier ⋈ edges → min per neighbor → join against current dists →
+    keep strict improvements. Rounds needed = max hop count of any
+    shortest path (≤ graph diameter on uniform weights); every round is
+    two hash shuffles on node ids plus the improvement join, frames
+    localCheckpointed per round (the module's standing lineage policy),
+    and only a one-long improved-count is collected per round.
+
+    Determinism: a path's distance accumulates left-to-right from the
+    source, so every candidate distance is a bit-exact IEEE value
+    identical across engines and execution orders; min over identical
+    value sets is order-free — which is what lets a sequential Dijkstra
+    oracle certify this operator exactly (tools/py_oracles.py).
+    """
+    e = edges.filter(F.col(src) != F.col(dst)).select(
+        F.col(src).alias("_u"), F.col(dst).alias("_v"), F.col(weight).alias("_w")
+    )
+    if not directed:
+        e = e.unionByName(
+            e.select(
+                F.col("_v").alias("_u"), F.col("_u").alias("_v"), F.col("_w")
+            )
+        )
+    # parallel edges: only the lightest can ever matter
+    e = (
+        e.groupBy("_u", "_v")
+        .agg(F.min("_w").alias("_w"))
+        .persist()
+    )
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0.0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(max_iters):
+        cand = (
+            frontier.join(e, frontier["node"] == e["_u"])
+            .groupBy(F.col("_v").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("_w")).alias("_cand"))
+        )
+        joined = cand.join(dist, "node", "left")
+        improved = joined.filter(
+            F.col("dist").isNull() | (F.col("_cand") < F.col("dist"))
+        ).select("node", F.col("_cand").alias("dist"))
+        improved = improved.localCheckpoint(eager=True)
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.join(improved.select(F.col("node").alias("_n")), dist["node"] == F.col("_n"), "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    else:
+        raise RuntimeError(f"sssp did not converge in {max_iters} rounds")
+    e.unpersist()
+    return dist

@@ -1943,6 +1943,31 @@ def part_name_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def supplier_affinity_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rarity-weighted shortest-path distance from supplier
+    #min(suppkey) to every other supplier (operators/graph.py:sssp):
+    edge weight 1/co-occurrence-count, so frequently-trading
+    supplier↔part links are 'close' and the distance ranks suppliers by
+    network affinity to the source. Frontier Bellman-Ford relaxation —
+    two hash shuffles per round, rounds = max hop count of a shortest
+    path. Certified by a sequential Dijkstra oracle
+    (tools/py_oracles.py): every path distance accumulates
+    left-to-right from the source, so candidate values are bit-exact
+    across engines and min is order-free."""
+    from cdc_streaming_pipeline_spark.operators.graph import sssp
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    off = 1_000_000_000
+    edges = li.groupBy(
+        F.col("l_suppkey").alias("src"), (F.col("l_partkey") + off).alias("dst")
+    ).agg((F.lit(1.0) / F.count("*")).alias("weight"))
+    src = li.select(F.min("l_suppkey").alias("node"))
+    dist = sssp(edges, src)
+    return dist.filter(F.col("node") < off).select(
+        F.col("node").alias("suppkey"), F.round("dist", 6).alias("affinity_dist")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -2016,6 +2041,7 @@ QUERIES = {
     "open_order_concurrency": open_order_concurrency,
     "lineitem_spearman": lineitem_spearman,
     "part_name_entity_resolution": part_name_entity_resolution,
+    "supplier_affinity_distance": supplier_affinity_distance,
 }
 
 ORACLE = {

@@ -205,3 +205,75 @@ def test_bfs_structures(spark):
         ).collect()
     }
     assert got == {3: 0}
+
+
+def _py_dijkstra(wedges, sources):
+    import heapq
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for a, b, w in wedges:
+        if a != b:
+            adj[a].append((b, w))
+            adj[b].append((a, w))
+    # parallel edges: keep the lightest, matching the operator
+    best = {}
+    for n, nbrs in adj.items():
+        m = {}
+        for v, w in nbrs:
+            if v not in m or w < m[v]:
+                m[v] = w
+        best[n] = list(m.items())
+    dist = {s: 0.0 for s in sources}
+    heap = [(0.0, s) for s in sources]
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in best.get(u, ()):
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+    return dist
+
+
+def test_sssp_matches_dijkstra(spark):
+    from cdc_streaming_pipeline_spark.operators.graph import sssp
+
+    rng = np.random.default_rng(31)
+    wedges = [
+        (int(a), int(b), float(w))
+        for a, b, w in zip(
+            rng.integers(0, 50, 150),
+            rng.integers(0, 50, 150),
+            rng.integers(1, 20, 150),
+        )
+        if a != b
+    ]
+    for srcs in ([0], [0, 17]):
+        want = _py_dijkstra(wedges, srcs)
+        edges = spark.createDataFrame(wedges, "src bigint, dst bigint, weight double")
+        sdf = spark.createDataFrame([(s,) for s in srcs], "node bigint")
+        got = {r["node"]: r["dist"] for r in sssp(edges, sdf).collect()}
+        assert got == want, srcs
+
+
+def test_sssp_structures(spark):
+    from cdc_streaming_pipeline_spark.operators.graph import sssp
+
+    # weighted path where the 2-hop route beats the direct edge,
+    # plus parallel edges (lightest must win) and an island
+    edges = spark.createDataFrame(
+        [
+            (0, 1, 1.0),
+            (1, 2, 1.0),
+            (0, 2, 5.0),
+            (0, 2, 2.5),  # parallel: lighter than 5.0, heavier than 1+1
+            (7, 8, 1.0),
+        ],
+        "src bigint, dst bigint, weight double",
+    )
+    sdf = spark.createDataFrame([(0,)], "node bigint")
+    got = {r["node"]: r["dist"] for r in sssp(edges, sdf).collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: 2.0}

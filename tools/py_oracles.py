@@ -260,6 +260,47 @@ def supplier_reach_hops(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["hop", "n_suppliers", "n_parts"])
 
 
+def supplier_affinity_distance(sf_dir: str) -> pd.DataFrame:
+    """plans/analytics.py:supplier_affinity_distance — sequential
+    Dijkstra over the 1/count-weighted supplier↔part graph. Candidate
+    path distances accumulate left-to-right with the same IEEE ops the
+    Spark relaxation performs, so the min values match bit-for-bit
+    before the round-6 output (HALF_UP, the _round4 convention at
+    scale 6)."""
+    import heapq
+    from collections import Counter, defaultdict
+
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+    ).to_pandas()
+    off = 1_000_000_000
+    cnt = Counter(
+        (int(s), int(p) + off) for s, p in zip(li["l_suppkey"], li["l_partkey"])
+    )
+    adj = defaultdict(list)
+    for (a, b), c in cnt.items():
+        w = 1.0 / c
+        adj[a].append((b, w))
+        adj[b].append((a, w))
+    src = int(li["l_suppkey"].min())
+    dist = {src: 0.0}
+    heap = [(0.0, src)]
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj[u]:
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+    def r6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    rows = [(n, r6(d)) for n, d in sorted(dist.items()) if n < off]
+    return pd.DataFrame(rows, columns=["suppkey", "affinity_dist"])
+
+
 PY_ORACLES = {
     "doc_compression_ratio": doc_compression_ratio,
     "bpe_vocab_merges": bpe_vocab_merges,
@@ -267,4 +308,5 @@ PY_ORACLES = {
     "supplier_part_pagerank": supplier_part_pagerank,
     "supplier_part_kcore": supplier_part_kcore,
     "supplier_reach_hops": supplier_reach_hops,
+    "supplier_affinity_distance": supplier_affinity_distance,
 }
