@@ -518,6 +518,31 @@ def embedding_outliers(
 
 
 # ----------------------------------------------------- persisted IVF index --
+def _assign_cells(
+    df: DataFrame, centroids: np.ndarray, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, vec, cell) with cell = argmax cosine against the broadcast
+    centroids — the shared assignment kernel of the index write and the
+    incremental append (assignment is a pure function of the frozen
+    centroids, which is what makes append-then-serve == rebuild)."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            pdf = pdf[[id_col, vec_col]].copy()
+            pdf["cell"] = np.argmax(mat @ cent.T, axis=1).astype("int32")
+            yield pdf
+
+    return df.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, {vec_col} array<double>, cell int"
+    )
+
+
 def write_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -533,26 +558,35 @@ def write_ivf_index(
     ~n_probe/n_clusters of the corpus, not all of it. Fit the centroids
     once (``kmeans_fit``), write once, serve many."""
     spark = corpus.sparkSession
-    bc = spark.sparkContext.broadcast(centroids)
-
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cent = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            mat = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
-            pdf = pdf[[id_col, vec_col]].copy()
-            pdf["cell"] = np.argmax(mat @ cent.T, axis=1).astype("int32")
-            yield pdf
-
-    assigned = corpus.select(id_col, vec_col).mapInPandas(
-        assign, f"{id_col} long, {vec_col} array<double>, cell int"
-    )
+    assigned = _assign_cells(corpus, centroids, id_col, vec_col)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
     cent_rows = [(int(i), [float(v) for v in c]) for i, c in enumerate(centroids)]
     spark.createDataFrame(cent_rows, "cell int, centroid array<double>").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{path.rstrip('/')}._centroids")
+
+
+def append_to_ivf_index(
+    new_rows: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally maintain a persisted IVF index: assign ``new_rows``
+    against the index's FROZEN centroids and append them into their
+    cells' partitions — no retrain, no rewrite of existing cells; the
+    write cost is the batch, not the corpus. Because assignment is a
+    pure function of the stored centroids, serving after an append is
+    OUTPUT-IDENTICAL to rebuilding the whole index over old ∪ new with
+    the same centroids (pinned in tests/test_ivf_index.py). Centroid
+    drift under sustained appends degrades cell balance, not
+    correctness — recall gates stay the guard; refit + rewrite is the
+    periodic compaction, exactly the posture of the search index's
+    serve-time df recount (operators/search.py)."""
+    spark = new_rows.sparkSession
+    centroids = load_ivf_centroids(spark, path)
+    assigned = _assign_cells(new_rows, centroids, id_col, vec_col)
+    assigned.write.mode("append").partitionBy("cell").parquet(path)
 
 
 def load_ivf_centroids(spark, path: str) -> np.ndarray:

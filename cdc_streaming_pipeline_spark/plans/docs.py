@@ -1281,6 +1281,42 @@ def ann_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cl.ivf_topk_from_index(spark, path, queries, k=5, n_probe=8)
 
 
+_IVF_APPEND_MEMO: dict[tuple[str, str], tuple] = {}
+
+
+def ann_topk_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving from an INCREMENTALLY MAINTAINED index
+    (operators/cluster.py:append_to_ivf_index): the index is built over
+    half the corpus, the other half arrives later and is appended by
+    assigning against the FROZEN centroids — write cost ∝ the batch,
+    never the corpus, the posture a continuously-ingesting embedding
+    store needs at 100 TB. Serving is output-identical to rebuilding
+    over the union with the same centroids (assignment is a pure
+    function of the stored centroids — pinned byte-for-byte in
+    tests/test_ivf_index.py::test_append_then_serve_equals_rebuild,
+    along with old-file immutability). Rows-only (k-means-seeded);
+    recall gates live with the other ANN variants."""
+    import hashlib
+    import os
+    import tempfile
+
+    from cdc_streaming_pipeline_spark.operators import cluster as cl
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVF_APPEND_MEMO:
+        digest = hashlib.md5(f"{key}:ivf_app".encode()).hexdigest()[:8]
+        path = os.path.join(tempfile.gettempdir(), f"ivf_appended_{digest}")
+        emb = load_table(spark, sf_dir, "embeddings")
+        cent = cl.kmeans_fit(emb, k=16, seed=42)
+        cl.write_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), path, cent)
+        cl.append_to_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), path)
+        _IVF_APPEND_MEMO[key] = (path,)
+    (path,) = _IVF_APPEND_MEMO[key]
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return cl.ivf_topk_from_index(spark, path, queries, k=5, n_probe=8)
+
+
 _BPE_MEMO: dict[tuple[str, str], list] = {}
 
 
@@ -1717,6 +1753,7 @@ QUERIES = {
     "training_shard_manifest": training_shard_manifest,
     "minhash_incremental_batch": minhash_incremental_batch,
     "ann_topk_ivf_persisted": ann_topk_ivf_persisted,
+    "ann_topk_ivf_appended": ann_topk_ivf_appended,
     "split_drift_psi": split_drift_psi,
     "ann_topk_ivf_pq": ann_topk_ivf_pq,
     "keyword_search_topk": keyword_search_topk,

@@ -65,3 +65,42 @@ def test_persisted_ivf_probe_subset_reads_fewer_cells(spark, tmp_path):
     assert len(cells) < 8  # genuinely skips at least one cell
     out = ivf_topk_from_index(spark, path, queries, k=3, n_probe=1)
     assert out.count() > 0
+
+
+def test_append_then_serve_equals_rebuild(spark, tmp_path):
+    """append_to_ivf_index: building on half the corpus and appending
+    the other half must serve IDENTICALLY to one index built over the
+    full corpus with the SAME centroids — assignment is a pure function
+    of the frozen centroids, so append commutes with write. Also pins
+    that the append wrote only into existing cell partitions (no new
+    top-level layout) and never rewrote old files."""
+    import os
+    from glob import glob
+
+    from cdc_streaming_pipeline_spark.operators.cluster import append_to_ivf_index
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cent = kmeans_fit(emb, k=8, seed=42)
+    queries = emb.filter("vec_id % 97 = 0")
+
+    full_path = str(tmp_path / "ivf_full")
+    write_ivf_index(emb, full_path, cent)
+
+    inc_path = str(tmp_path / "ivf_inc")
+    write_ivf_index(emb.filter("vec_id % 2 = 0"), inc_path, cent)
+    before = {
+        p: os.path.getmtime(p)
+        for p in glob(os.path.join(inc_path, "cell=*", "*.parquet"))
+    }
+    append_to_ivf_index(emb.filter("vec_id % 2 = 1"), inc_path)
+    # old files untouched (append = new files only)
+    for p, mt in before.items():
+        assert os.path.exists(p) and os.path.getmtime(p) == mt
+
+    def res(path):
+        rows = ivf_topk_from_index(spark, path, queries, k=5, n_probe=4).collect()
+        return {
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"]) for r in rows
+        }
+
+    assert res(inc_path) == res(full_path)
