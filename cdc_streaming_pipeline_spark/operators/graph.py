@@ -22,6 +22,36 @@ from pyspark.sql import functions as F
 _CHECKPOINT_EVERY = 4
 
 
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` and return it with a CONSTANT-SIZE plan — the
+    per-round state-truncation primitive for long iterative loops.
+
+    ``Dataset.localCheckpoint(eager=True)`` is NOT that primitive on
+    Spark 4.1.2: chained checkpoints retain references to their origin
+    plans, and a loop whose round-k state references two round-(k-1)
+    checkpoints (dist + frontier in sssp) composes them exponentially —
+    measured on a 1M-edge sssp run: rounds 2-17 ≈ 1s, then 5s, 12s,
+    30s, 85s, 226s (×~2.8 per round, 451s total), while count()/
+    collect() on the same frames stayed ~1s (the computation is cheap;
+    the checkpoint call is what explodes) and unrelated probe queries
+    stayed fast (session healthy). Unpersisting stale checkpoints does
+    not help. See .benchmarks/SCALE10_r9.md.
+
+    The fix: checkpoint the JVM ``RDD[Row]`` instead and rebuild the
+    DataFrame over it — ``createDataFrame(rdd, schema)`` yields a plain
+    LogicalRDD with no origin-plan baggage, so every round's plan is
+    three nodes regardless of round number. Same 1M-edge run: every
+    round ~1.0s, 29.5s total (15×). Rows stay JVM-side (RDD[Row] —
+    InternalRow conversion, no Python); the ``_jdf`` hop is the
+    documented cost of working around the Dataset-layer behavior."""
+    spark = df.sparkSession
+    jdf = df._jdf
+    jrdd = jdf.rdd()
+    jrdd.localCheckpoint()
+    jrdd.count()
+    return DataFrame(spark._jsparkSession.createDataFrame(jrdd, jdf.schema()), spark)
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -205,7 +235,7 @@ def kcore(
         .select(F.least(a, b).alias("_u"), F.greatest(a, b).alias("_v"))
         .distinct()
     )
-    cur = canon.localCheckpoint(eager=True)
+    cur = _truncate_lineage(canon)
     n_prev = None
     for it in range(max_iters):
         both = cur.unionByName(
@@ -218,8 +248,20 @@ def kcore(
         nxt = (
             cur.join(keep.withColumnRenamed("node", "_u"), "_u", "left_semi")
             .join(keep.withColumnRenamed("node", "_v"), "_v", "left_semi")
-            .localCheckpoint(eager=True)
         )
+        # kcore's per-round state is EDGE-sized (unlike bfs/sssp's
+        # node-sized frames), so the Row-conversion cost of
+        # _truncate_lineage dominates on big graphs (measured +47% at
+        # 10M edges) while typical peeling depth is < 10 rounds — well
+        # under the Dataset-checkpoint chain's explosion point (~12+,
+        # see _truncate_lineage). Hybrid: cheap Dataset checkpoints
+        # while the origin chain is shallow, hard truncation beyond
+        # (a truncated frame is a plain LogicalRDD, so the chain depth
+        # RESETS there — deep peels stay safe).
+        if it < 8:
+            nxt = nxt.localCheckpoint(eager=True)
+        else:
+            nxt = _truncate_lineage(nxt)
         n = nxt.count()
         if n_prev is not None and n == n_prev:
             cur = nxt
@@ -268,21 +310,22 @@ def bfs_hops(
     if not directed:
         e = e.unionByName(e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
     e = e.distinct().persist()
-    frontier = sources.select(F.col(sources.columns[0]).alias("node")).distinct()
-    frontier = frontier.localCheckpoint(eager=True)
-    visited = frontier.withColumn("hop", F.lit(0)).localCheckpoint(eager=True)
+    frontier = _truncate_lineage(
+        sources.select(F.col(sources.columns[0]).alias("node")).distinct()
+    )
+    visited = _truncate_lineage(frontier.withColumn("hop", F.lit(0)))
     for hop in range(1, max_hops + 1):
         nbrs = (
             frontier.join(e, frontier["node"] == e["_u"])
             .select(F.col("_v").alias("node"))
             .distinct()
         )
-        new = nbrs.join(visited, "node", "left_anti").localCheckpoint(eager=True)
+        new = _truncate_lineage(nbrs.join(visited, "node", "left_anti"))
         if new.isEmpty():
             break
-        visited = visited.unionByName(
-            new.withColumn("hop", F.lit(hop))
-        ).localCheckpoint(eager=True)
+        visited = _truncate_lineage(
+            visited.unionByName(new.withColumn("hop", F.lit(hop)))
+        )
         frontier = new
     else:
         raise RuntimeError(f"bfs did not exhaust the graph in {max_hops} levels")
@@ -334,11 +377,10 @@ def sssp(
         .agg(F.min("_w").alias("_w"))
         .persist()
     )
-    dist = (
+    dist = _truncate_lineage(
         sources.select(F.col(sources.columns[0]).alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0.0))
-        .localCheckpoint(eager=True)
     )
     frontier = dist
     for _ in range(max_iters):
@@ -351,13 +393,15 @@ def sssp(
         improved = joined.filter(
             F.col("dist").isNull() | (F.col("_cand") < F.col("dist"))
         ).select("node", F.col("_cand").alias("dist"))
-        improved = improved.localCheckpoint(eager=True)
+        improved = _truncate_lineage(improved)
         if improved.isEmpty():
             break
-        dist = (
-            dist.join(improved.select(F.col("node").alias("_n")), dist["node"] == F.col("_n"), "left_anti")
-            .unionByName(improved)
-            .localCheckpoint(eager=True)
+        dist = _truncate_lineage(
+            dist.join(
+                improved.select(F.col("node").alias("_n")),
+                dist["node"] == F.col("_n"),
+                "left_anti",
+            ).unionByName(improved)
         )
         frontier = improved
     else:
