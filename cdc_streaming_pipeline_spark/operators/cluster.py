@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from cdc_streaming_pipeline_spark.operators.graph import _truncate_lineage
+
 
 def connected_components(
     edges: DataFrame,
@@ -92,7 +94,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     changed = 0
-    for _ in range(max_iters):
+    for it in range(max_iters):
         prop = sym.join(labels, sym["src"] == labels["node"]).select(
             F.col("dst").alias("node"), "label"
         )
@@ -113,6 +115,16 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # `stepped` references `labels` twice (union + pointer-jump
+        # self-join), so chained Dataset checkpoints compose their
+        # retained origin plans EXPONENTIALLY in round depth — the
+        # Spark 4.1.2 behavior measured in graph.py:_truncate_lineage
+        # (explosion knee ~12 rounds). Pointer jumping needs
+        # O(log2 diameter) rounds, usually < 10, so the cheap Dataset
+        # checkpoint carries the common case; beyond round 8 the state
+        # is hard-truncated, which RESETS the origin-chain depth.
+        if it >= 8:
+            new_labels = _truncate_lineage(new_labels)
         labels = new_labels
         if changed == 0:
             break

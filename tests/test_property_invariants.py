@@ -324,3 +324,26 @@ def test_heavy_hitters_equal_full_groupby_for_any_order(spark, stream, k):
     assert got == want
     # candidate set stays bounded by k x partitions
     assert mg_candidates(df, "key", k=k).count() <= k * 4
+
+
+def test_connected_components_deep_diameter_crosses_truncation_switch(spark):
+    """A 3000-node path graph needs ~log2(3000) ≈ 12 pointer-jumping
+    rounds — past the round-8 hybrid switch where the distributed path
+    hard-truncates lineage (the Dataset-checkpoint-chain explosion,
+    operators/graph.py:_truncate_lineage). Must stay correct AND fast:
+    one component labeled by node 0."""
+    import time
+
+    from cdc_streaming_pipeline_spark.operators.cluster import connected_components
+
+    n = 3000
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    nodes = spark.range(n).withColumnRenamed("id", "vec_id")
+    t0 = time.time()
+    out = connected_components(edges, nodes, driver_threshold_edges=-1)
+    labels = {r.vec_id: r.cluster_id for r in out.collect()}
+    wall = time.time() - t0
+    assert labels == {i: 0 for i in range(n)}
+    assert wall < 120, f"deep pointer jumping took {wall:.0f}s — chain explosion?"
