@@ -480,3 +480,60 @@ def test_split_drift_psi_pure_jvm(spark):
     plan = _plan(split_drift_psi(spark, SF_DIR))
     assert "EvalPython" not in plan
     assert "Window" not in plan
+
+
+def test_graph_iteratives_no_window_no_python(spark):
+    """kcore / bfs / sssp state stays joined-and-aggregated DataFrames:
+    no window anywhere, no Python eval — the per-round shuffles are hash
+    joins/aggregates on node ids only."""
+    from cdc_streaming_pipeline_spark.plans.analytics import (
+        supplier_affinity_distance,
+        supplier_part_kcore,
+        supplier_reach_hops,
+    )
+
+    for q in (supplier_part_kcore, supplier_reach_hops, supplier_affinity_distance):
+        plan = _plan(q(spark, SF_DIR))
+        assert "EvalPython" not in plan, q.__name__
+        assert "Window" not in plan, q.__name__
+
+
+def test_open_order_concurrency_single_calendar_window(spark):
+    """The sweep's only window runs over the day-aggregated frame —
+    calendar-bounded by construction; the interval source never meets a
+    day scaffold (no range join, no cartesian)."""
+    from cdc_streaming_pipeline_spark.plans.analytics import open_order_concurrency
+
+    plan = _plan(open_order_concurrency(spark, SF_DIR))
+    assert plan.count("Window") >= 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_fuzzy_match_pure_jvm_no_cartesian(spark):
+    """Symdel blocking compiles to hash joins on variant hashes plus a
+    JVM levenshtein verify — no Python, no cartesian/BNLJ anywhere (the
+    exact fallback only enters for gram-deficient LONG strings, absent
+    in this corpus)."""
+    from cdc_streaming_pipeline_spark.plans.analytics import part_name_fuzzy_match
+
+    plan = _plan(part_name_fuzzy_match(spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan
+
+
+def test_spearman_tail_no_python_no_cartesian(spark):
+    """The visible (post-checkpoint) spearman tail — tie groupBy, tie
+    join, corr aggregate — stays JVM hash/sort-merge plumbing. The
+    checkpointed head (broadcast freq tables + the bucketed rank
+    operator) is pinned by the rank operator's own plan-shape tests;
+    its only unpartitioned windows run over the two ≤50-row
+    bounded-domain frequency frames, by design."""
+    from cdc_streaming_pipeline_spark.plans.analytics import lineitem_spearman
+
+    plan = _plan(lineitem_spearman(spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
