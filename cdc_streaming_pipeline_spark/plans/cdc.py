@@ -843,6 +843,66 @@ def cdc_txlog_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read_state().select("id", "status", "total_amount")
 
 
+def cdc_stream_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous CDC → queryable current state, exactly once — the
+    reference's end-to-end capability (reference:
+    airflow/dags/cdc_pipeline_dag.py: Debezium stream → Hive-queryable
+    table) on the engine's best storage layer
+    (streaming/pipeline.py:bucketed_merge_stream_sink): the event waves
+    land as THREE separate micro-batches (file source,
+    maxFilesPerTrigger=1) through foreachBatch →
+    BucketedTxLogTable.merge_cdc_batch, each batch one atomic
+    bucket-pruned merge commit tagged (writer_id, batch_id) for
+    replay-idempotence (tests/test_txlog_bucketed.py pins the replay
+    no-op). Wave application order doesn't matter: merges keep the raw
+    max-LSN row per key, so the final state converges to the same
+    latest-row-wins oracle the batch merge is certified against."""
+    import os
+    import tempfile
+
+    from cdc_streaming_pipeline_spark.sources.txlog import BucketedTxLogTable
+    from cdc_streaming_pipeline_spark.streaming.pipeline import (
+        bucketed_merge_stream_sink,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "stream_merge")
+    path = _TXLOG_MEMO.get(key)
+    if path is None:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"txlog-smerge-{spark.sparkContext.applicationId}-{abs(hash(sf_dir)) % 10**8}",
+        )
+        path = os.path.join(root, "table")
+        src, ckpt = os.path.join(root, "src"), os.path.join(root, "ckpt")
+        t = BucketedTxLogTable(spark, path, key_cols=["id"], n_buckets=16)
+        if t.latest_version() is None:
+            log = _order_event_log(_orders(spark, sf_dir))
+            flat = filter_tombstones(log).select("value.*")
+            off = F.substring(F.col(LSN_COL), -1, 1).cast("int")
+            os.makedirs(src, exist_ok=True)
+            for wave in (1, 2, 3):
+                cond = (off == wave) if wave < 3 else (off >= wave)
+                flat.filter(cond).coalesce(1).write.mode("overwrite").json(
+                    os.path.join(src, f"wave{wave}")
+                )
+            stream = (
+                spark.readStream.schema(flat.schema)
+                .option("maxFilesPerTrigger", 1)
+                .json(os.path.join(src, "wave*"))
+            )
+            q = (
+                bucketed_merge_stream_sink(
+                    stream, path, ckpt, key_cols=["id"], n_buckets=16
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        _TXLOG_MEMO[key] = path
+    t = BucketedTxLogTable(spark, path, key_cols=["id"], n_buckets=16)
+    return t.read_state().select("id", "status", "total_amount")
+
+
 def table_pruned_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-skipping read (sources/txlog.py:read_where): land orders in
     four key-range commits with per-file min/max stats, then answer a
@@ -948,6 +1008,7 @@ QUERIES = {
     "cdc_txlog_merge": cdc_txlog_merge,
     "table_pruned_range_read": table_pruned_range_read,
     "cdc_txlog_merge_incremental": cdc_txlog_merge_incremental,
+    "cdc_stream_merge_state": cdc_stream_merge_state,
 }
 
 ORACLE = {
@@ -1250,6 +1311,8 @@ ORACLE["cdc_txlog_merge"] = (
 )
 # The bucket-pruned merge must land the exact same final state.
 ORACLE["cdc_txlog_merge_incremental"] = ORACLE["cdc_txlog_merge"]
+# the streamed merge converges to the SAME final state as the batch merge
+ORACLE["cdc_stream_merge_state"] = ORACLE["cdc_txlog_merge"]
 ORACLE["table_pruned_range_read"] = """
     WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders),
     p AS (SELECT mx, mx // 2 AS lo, mx // 2 + mx // 8 AS hi FROM m),

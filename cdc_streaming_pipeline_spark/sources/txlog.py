@@ -217,6 +217,11 @@ class TxLogTable:
                 "adds": adds,
                 "removes": removes,
                 "n_files": len(adds),
+                # the committed schema: lets readers build a correctly
+                # typed EMPTY frame even when the snapshot resolves to
+                # zero files (never-written table, all-removed state, or
+                # an empty-adds commit) — read_changes' caught-up path
+                "schema": df.schema.jsonValue(),
             }
             if file_stats:
                 entry["file_stats"] = file_stats
@@ -272,9 +277,37 @@ class TxLogTable:
         if not adds:
             # nothing new: an EMPTY frame with the table's schema, so the
             # caller's pipeline composes without a None check (it keeps
-            # its cursor either way — to_v is what it advances to)
-            return self.read(to_v).limit(0)
+            # its cursor either way — to_v is what it advances to). When
+            # the snapshot itself resolves to zero files (never-written
+            # table, or a committed entry with empty adds — e.g. the
+            # lost-race simulations), fall back to the schema recorded in
+            # the newest log entry instead of read()'s FileNotFoundError:
+            # a polling consumer must degrade gracefully on catch-up.
+            if resolve_with_checkpoint(self, to_v):
+                return self.read(to_v).limit(0)
+            return self._empty_frame(to_v)
         return self.spark.read.option("mergeSchema", "true").parquet(*adds)
+
+    def _empty_frame(self, version: int | None = None) -> DataFrame:
+        """A zero-row DataFrame with the table's schema as of
+        ``version``, recovered from (newest first): the schema recorded
+        in a log entry, or any still-on-disk file ever referenced by the
+        log. Raises only when the log carries no schema evidence at all."""
+        from pyspark.sql.types import StructType
+
+        target = self.latest_version() if version is None else version
+        entries = [self._read_entry(v) for v in self._versions() if target is None or v <= target]
+        for e in reversed(entries):
+            if "schema" in e:
+                schema = StructType.fromJson(e["schema"])
+                return self.spark.createDataFrame([], schema)
+        for e in reversed(entries):
+            for f in e.get("adds", []):
+                if os.path.exists(f):
+                    return self.spark.read.parquet(f).limit(0)
+        raise FileNotFoundError(
+            f"no committed data at version {version} and no schema recorded"
+        )
 
     def read_where(
         self,
@@ -430,18 +463,34 @@ class BucketedTxLogTable(TxLogTable):
         n_buckets: int = 64,
         order_col: str = "_lsn",
         commit_backend=None,
+        checkpoint_interval: int = 10,
+        target_file_bytes: int = 32 << 20,
     ):
         super().__init__(spark, path, commit_backend=commit_backend)
         self.key_cols = list(key_cols)
         self.n_buckets = n_buckets
         self.order_col = order_col
+        # Delta's every-10-commits policy: after a successful merge whose
+        # version is a multiple of this, write a checkpoint so the NEXT
+        # merge's metadata resolution replays at most this many entries.
+        self.checkpoint_interval = checkpoint_interval
+        # salted-staging sizing target: a touched bucket whose rewrite
+        # exceeds this is spread over multiple writer tasks/files
+        self.target_file_bytes = target_file_bytes
 
     # ---- bucket-aware staging / log facts --------------------------------
 
-    def _stage_bucketed(self, df: DataFrame) -> tuple[list[str], dict[str, int]]:
+    def _stage_bucketed(
+        self, df: DataFrame, salt_n: int = 1, n_buckets_hint: int | None = None
+    ) -> tuple[list[str], dict[str, int]]:
         """Stage ``df`` partitioned by key bucket; return (files, {file:
-        bucket}). ``repartition(bucket)`` keeps each bucket's rows in one
-        task so each bucket directory gets contiguous well-sized files."""
+        bucket}). ``salt_n=1`` keeps each bucket's rows in one task (one
+        contiguous file per bucket dir); ``salt_n>1`` spreads each bucket
+        over ``salt_n`` deterministic key-hash slices so a LARGE touched
+        bucket's rewrite runs as N parallel tasks producing N files — the
+        log format allows many files per bucket, so only write latency
+        changes. The salt is a hash of the key columns (not a random
+        number), so staging stays deterministic for a given input."""
         from cdc_streaming_pipeline_spark.operators.merge import (
             BUCKET_COL,
             with_key_bucket,
@@ -450,9 +499,22 @@ class BucketedTxLogTable(TxLogTable):
 
         staged = os.path.join(self.data_dir, f"stage-{uuid.uuid4().hex[:12]}")
         out = with_key_bucket(df, self.key_cols, self.n_buckets)
+        if salt_n > 1:
+            salt = F.pmod(
+                F.xxhash64(*[F.col(c) for c in self.key_cols], F.lit("_wsalt")),
+                F.lit(salt_n),
+            )
+            # explicit partition count: AQE would otherwise coalesce the
+            # salted shuffle back into few tasks, re-serializing exactly
+            # the rewrite this exists to parallelize
+            n_parts = salt_n * max(
+                1, out.select(BUCKET_COL).distinct().count() if n_buckets_hint is None else n_buckets_hint
+            )
+            parted = out.repartition(n_parts, F.col(BUCKET_COL), salt)
+        else:
+            parted = out.repartition(F.col(BUCKET_COL))
         (
-            out.repartition(F.col(BUCKET_COL))
-            .write.mode("errorifexists")
+            parted.write.mode("errorifexists")
             .partitionBy(BUCKET_COL)
             .parquet(staged)
         )
@@ -462,27 +524,44 @@ class BucketedTxLogTable(TxLogTable):
             buckets[p] = b
         return sorted(buckets), buckets
 
+    def _merge_salt_n(self, old_files: list[str], n_touched: int) -> int:
+        """Writer tasks per touched bucket for this merge's rewrite.
+
+        One task per bucket (the r9 design) puts a floor under merge
+        latency that GROWS with bucket size (n_buckets is fixed at table
+        creation): a 1-bucket merge measured SLOWER than an 8-bucket one
+        (SCALE10_r9.md). Spread each touched bucket's rewrite over
+        enough tasks that (a) the merge uses the cluster's parallelism
+        and (b) output files stay near ``target_file_bytes`` — small
+        merges keep salt 1 so file counts don't balloon."""
+        if not old_files:
+            return 1
+        try:
+            old_bytes = sum(os.path.getsize(f) for f in old_files)
+        except OSError:
+            old_bytes = None  # non-local backend: size unknown
+        par = self.spark.sparkContext.defaultParallelism
+        cap = max(1, par // max(1, n_touched))
+        if old_bytes is None:
+            return cap
+        want = -(-old_bytes // (max(1, n_touched) * self.target_file_bytes))
+        return int(max(1, min(cap, want)))
+
     def _bucket_map(self, version: int | None = None) -> dict[str, int]:
-        """{data file: bucket} accumulated from the log up to ``version``
-        (stale entries for removed files are harmless — lookups go
-        through the resolved snapshot file list)."""
-        target = self.latest_version() if version is None else version
-        out: dict[str, int] = {}
-        if target is None:
-            return out
-        for v in self._versions():
-            if v > target:
-                break
-            out.update(
-                {f: int(b) for f, b in self._read_entry(v).get("file_buckets", {}).items()}
-            )
-        return out
+        """{data file: bucket} for the SNAPSHOT at ``version``, resolved
+        through the newest checkpoint — O(commits-since-checkpoint), not
+        O(table age)."""
+        return resolve_snapshot_state(self, version)[1]
 
     # ---- lifecycle -------------------------------------------------------
 
-    def init_from_events(self, events: DataFrame) -> int:
+    def init_from_events(self, events: DataFrame, txn: tuple[str, int] | None = None) -> int:
         """Bootstrap version 0 from an event backlog: raw latest rows
-        (delete markers kept), bucket-pure files."""
+        (delete markers kept), bucket-pure files. ``txn`` tags the
+        bootstrap with (writer_id, epoch) so a streaming sink whose
+        FIRST micro-batch initializes the table stays exactly-once: the
+        replayed batch finds its tag in the resolved txn state and
+        no-ops instead of re-applying."""
         from cdc_streaming_pipeline_spark.operators.cdc import latest_state
 
         state = latest_state(
@@ -496,27 +575,53 @@ class BucketedTxLogTable(TxLogTable):
             "removes": [],
             "n_files": len(adds),
             "file_buckets": buckets,
+            "schema": state.schema.jsonValue(),
         }
+        if txn is not None:
+            entry["txn"] = [txn[0], txn[1]]
         if not self._try_commit(0, entry):
             raise ConcurrentWriteError("table already initialized")
         return 0
 
-    def merge_cdc_batch(self, batch: DataFrame, max_retries: int = 20) -> tuple[int, list[int]]:
+    def merge_cdc_batch(
+        self,
+        batch: DataFrame,
+        max_retries: int = 20,
+        txn: tuple[str, int] | None = None,
+    ) -> tuple[int, list[int]]:
         """Merge one CDC batch, rewriting ONLY its touched buckets as one
-        atomic log entry. Returns (committed version, touched buckets)."""
+        atomic log entry. Returns (committed version, touched buckets).
+
+        Metadata cost is O(commits-since-checkpoint): the snapshot,
+        bucket map, and txn state resolve through the newest checkpoint
+        (``resolve_snapshot_state``), and every
+        ``checkpoint_interval``-th merge writes the next checkpoint — so
+        at CDC cadence (a merge per minute for a year ≈ 500k commits)
+        each merge reads a bounded log suffix, not the whole history.
+
+        ``txn=(writer_id, epoch)`` is the exactly-once idempotence tag
+        (Delta's txn action) for streaming foreachBatch sinks: if this
+        writer's recorded epoch is already >= ``epoch`` the replayed
+        batch is a NO-OP returning the recorded commit version — a
+        micro-batch replayed after a streaming restart lands zero
+        duplicate rows. Epochs must be monotonic per writer (Structured
+        Streaming's batchId contract)."""
         from cdc_streaming_pipeline_spark.operators.cdc import latest_state
         from cdc_streaming_pipeline_spark.operators.merge import touched_buckets
 
-        touched = set(
-            touched_buckets(batch, self.key_cols, self.n_buckets)
-        )
         base = self.latest_version()
         if base is None:
             raise FileNotFoundError("merge into an uninitialized table; call init_from_events")
+        snap, bmap, txns = resolve_snapshot_state(self, base)
+        if txn is not None:
+            done = txns.get(txn[0])
+            if done is not None and txn[1] <= done[0]:
+                return done[1], []  # replayed micro-batch: already applied
+        touched = set(
+            touched_buckets(batch, self.key_cols, self.n_buckets)
+        )
         if not touched:
             return base, []
-        snap = self._snapshot_files(base)
-        bmap = self._bucket_map(base)
         untagged = [f for f in snap if f not in bmap]
         if untagged:
             raise ValueError(
@@ -537,7 +642,11 @@ class BucketedTxLogTable(TxLogTable):
         new_state = latest_state(
             merged, key_cols=self.key_cols, order_col=self.order_col, drop_deleted=False
         )
-        adds, buckets = self._stage_bucketed(new_state)
+        adds, buckets = self._stage_bucketed(
+            new_state,
+            salt_n=self._merge_salt_n(old, len(touched)),
+            n_buckets_hint=len(touched),
+        )
         for _ in range(max_retries):
             version = base + 1
             entry = {
@@ -549,20 +658,37 @@ class BucketedTxLogTable(TxLogTable):
                 "file_buckets": buckets,
                 "buckets": sorted(touched),
             }
+            if txn is not None:
+                entry["txn"] = [txn[0], txn[1]]
             if self._try_commit(version, entry):
+                if self.checkpoint_interval and version % self.checkpoint_interval == 0:
+                    write_checkpoint(self, version)
                 return version, sorted(touched)
             # lost the race: file-granular revalidation. The read set
             # (old files of touched buckets) is still valid iff the
             # interleaved commits changed nothing in OUR buckets.
             new_base = self.latest_version()
-            new_snap = set(self._snapshot_files(new_base))
-            new_bmap = self._bucket_map(new_base)
+            new_snap_l, new_bmap, new_txns = resolve_snapshot_state(self, new_base)
+            if txn is not None:
+                done = new_txns.get(txn[0])
+                if done is not None and txn[1] <= done[0]:
+                    return done[1], []  # the interleaved commit WAS this txn
+            new_snap = set(new_snap_l)
             ours = set(old)
             still_there = ours <= new_snap
             others_in_our_buckets = any(
                 f not in ours and new_bmap.get(f) in touched for f in new_snap
             )
-            if still_there and not others_in_our_buckets:
+            # a foreign file with NO bucket tag (a plain commit()/compact
+            # interleaved) may hold rows of ANY bucket including ours —
+            # the same reason the merge-start path refuses untagged
+            # snapshots; the retry path must apply the identical rule or
+            # the merged buckets coexist with the foreign file's rows
+            # and read_state() surfaces duplicate/stale keys.
+            foreign_untagged = any(
+                f not in ours and f not in new_bmap for f in new_snap
+            )
+            if still_there and not others_in_our_buckets and not foreign_untagged:
                 base = new_base  # disjoint-bucket interleave: safe retry
                 continue
             raise ConcurrentWriteError(
@@ -589,39 +715,115 @@ def _checkpoint_path(table: TxLogTable, version: int) -> str:
 
 
 def write_checkpoint(table: TxLogTable, version: int | None = None) -> int:
-    """Materialize the snapshot FILE LIST at ``version`` (default
-    latest) next to the log. Readers then replay only the entries AFTER
-    the newest checkpoint instead of the whole history — the move that
-    keeps snapshot resolution O(commits-since-checkpoint) when a table
-    has accumulated thousands of commits (Delta's _last_checkpoint).
+    """Materialize the snapshot at ``version`` (default latest) next to
+    the log. Readers then replay only the entries AFTER the newest
+    checkpoint instead of the whole history — the move that keeps
+    snapshot resolution O(commits-since-checkpoint) when a table has
+    accumulated thousands of commits (Delta's _last_checkpoint).
+
+    The checkpoint carries everything a writer needs to resolve state
+    without a full replay (Delta checkpoints store the same three):
+    - ``files`` — the live file list,
+    - ``file_buckets`` — the bucket tag of every live file (the fact
+      ``BucketedTxLogTable.merge_cdc_batch`` prunes on),
+    - ``txns`` — per-writer latest (epoch, version) idempotence state.
+
+    Writing a checkpoint is itself incremental (it resolves through the
+    previous checkpoint), so a steady-cadence auto-checkpoint keeps the
+    metadata cost of EVERY operation bounded regardless of table age.
     Idempotent and crash-safe: the checkpoint is derived state; a torn
     write is simply ignored by the reader's try/except and replay falls
     back to the previous checkpoint or the full log."""
     v = table.latest_version() if version is None else version
-    files = table._snapshot_files(v)
+    files, buckets, txns = resolve_snapshot_state(table, v)
     tmp = _checkpoint_path(table, v) + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"version": v, "files": files}, f)
+        json.dump(
+            {"version": v, "files": files, "file_buckets": buckets, "txns": txns}, f
+        )
     os.replace(tmp, _checkpoint_path(table, v))
     return v
 
 
-def resolve_with_checkpoint(table: TxLogTable, version: int | None = None) -> list[str]:
-    """Snapshot file list using the newest usable checkpoint <= version."""
-    target = table.latest_version() if version is None else version
-    if target is None:
-        return []
-    best: tuple[int, list[str]] | None = None
+def _best_checkpoint(table: TxLogTable, target: int) -> dict | None:
+    best: dict | None = None
     for p in glob(os.path.join(table.log_dir, "*.checkpoint.json")):
         try:
             with open(p) as f:
                 ck = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue  # torn/unreadable checkpoint: derived state, skip
-        if ck["version"] <= target and (best is None or ck["version"] > best[0]):
-            best = (ck["version"], ck["files"])
-    files = list(best[1]) if best else []
-    start = best[0] + 1 if best else 0
+        if ck["version"] <= target and (best is None or ck["version"] > best["version"]):
+            best = ck
+    return best
+
+
+def resolve_snapshot_state(
+    table: TxLogTable, version: int | None = None
+) -> tuple[list[str], dict[str, int], dict[str, list[int]]]:
+    """(files, {file: bucket}, {writer: [epoch, commit_version]}) at
+    ``version``, replaying only the log suffix after the newest usable
+    checkpoint — O(commits-since-checkpoint), not O(table age). This is
+    the one resolution path shared by reads, merges, conflict
+    revalidation, and checkpoint writing itself.
+
+    Pre-v2 checkpoints (``files`` only) still bound the FILE replay;
+    bucket/txn state then conservatively replays the full log for just
+    those two maps (correct, slower — self-heals at the next
+    checkpoint, which always writes all three)."""
+    target = table.latest_version() if version is None else version
+    if target is None:
+        return [], {}, {}
+    best = _best_checkpoint(table, target)
+    files = list(best["files"]) if best else []
+    start = best["version"] + 1 if best else 0
+    if best is not None and "file_buckets" not in best:
+        # legacy checkpoint: files are usable, bucket/txn state is not —
+        # those two replay from 0 (entries are cached per resolution pass)
+        buckets: dict[str, int] = {}
+        txns: dict[str, list[int]] = {}
+        bt_start = 0
+    else:
+        buckets = dict(best["file_buckets"]) if best else {}
+        txns = {k: list(v) for k, v in best.get("txns", {}).items()} if best else {}
+        bt_start = start
+    for v in table._versions():
+        if v > target:
+            break
+        if v < min(start, bt_start):
+            continue
+        e = table._read_entry(v)
+        if v >= bt_start:
+            removed = set(e.get("removes", []))
+            if removed:
+                buckets = {f: b for f, b in buckets.items() if f not in removed}
+            buckets.update(
+                {f: int(b) for f, b in e.get("file_buckets", {}).items()}
+            )
+            if e.get("txn"):
+                w, ep = e["txn"]
+                cur = txns.get(w)
+                if cur is None or ep >= cur[0]:
+                    txns[w] = [ep, e["version"]]
+        if v >= start:
+            removed = set(e.get("removes", []))
+            files = [f for f in files if f not in removed]
+            files.extend(e.get("adds", []))
+    return files, buckets, txns
+
+
+def resolve_with_checkpoint(table: TxLogTable, version: int | None = None) -> list[str]:
+    """Snapshot file list using the newest usable checkpoint <= version.
+
+    Files-only fast path: unlike ``resolve_snapshot_state`` it never
+    pays a bucket/txn replay, so a legacy (files-only) checkpoint still
+    bounds the read path at O(commits-since-checkpoint)."""
+    target = table.latest_version() if version is None else version
+    if target is None:
+        return []
+    best = _best_checkpoint(table, target)
+    files = list(best["files"]) if best else []
+    start = best["version"] + 1 if best else 0
     for v in table._versions():
         if v < start:
             continue

@@ -436,3 +436,58 @@ def txlog_stream_sink(
         .queryName(writer_id)
         .option("checkpointLocation", checkpoint_path)
     )
+
+
+def bucketed_merge_stream_sink(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+    key_cols: list[str],
+    n_buckets: int = 64,
+    order_col: str = "_lsn",
+    writer_id: str = "bucketed_merge_sink",
+):
+    """Continuous CDC → queryable current state, exactly once — the
+    reference's actual end-to-end shape (reference:
+    airflow/dags/cdc_pipeline_dag.py lands the Debezium stream into a
+    Hive-queryable table) composed onto the engine's best storage layer:
+    every micro-batch MERGES into a ``BucketedTxLogTable`` via
+    ``merge_cdc_batch``, so each batch
+
+    - rewrites only its touched buckets (cost ∝ batch's bucket spread,
+      never table size — the property a per-batch full-rewrite upsert
+      lacks at CDC cadence),
+    - commits as ONE atomic log version tagged (writer_id, batch_id):
+      a micro-batch replayed after a crash between the merge commit and
+      the streaming checkpoint advance finds its tag in the resolved
+      txn state and NO-OPS — exactly-once, including the bootstrap
+      batch (``init_from_events`` carries the same tag),
+    - keeps merge metadata cost O(commits-since-checkpoint): the sink
+      inherits the table's auto-checkpoint policy, which matters
+      precisely here, where commits arrive at stream cadence forever.
+
+    ``stream_df`` must be CDC-shaped (key_cols + ``_op``/``order_col``/
+    ``_deleted``). Readers query ``BucketedTxLogTable.read_state()`` —
+    always a complete committed snapshot, never a half-landed batch.
+    Returns the DataStreamWriter (caller picks trigger and starts)."""
+    from cdc_streaming_pipeline_spark.sources.txlog import BucketedTxLogTable
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        table = BucketedTxLogTable(
+            batch_df.sparkSession,
+            table_path,
+            key_cols=key_cols,
+            n_buckets=n_buckets,
+            order_col=order_col,
+        )
+        tag = (writer_id, int(batch_id))
+        if table.latest_version() is None:
+            table.init_from_events(batch_df, txn=tag)
+        else:
+            table.merge_cdc_batch(batch_df, txn=tag)
+
+    return (
+        stream_df.writeStream.foreachBatch(_merge)
+        .queryName(writer_id)
+        .option("checkpointLocation", checkpoint_path)
+    )

@@ -208,3 +208,212 @@ def test_vacuum_reclaims_replaced_bucket_files(spark, tmp_path):
     deleted = vacuum(t, retain_versions=2, min_age_seconds=0)
     assert deleted  # replaced touched-bucket files reclaimed
     assert _state(t) == pre  # retained versions read exactly
+
+
+def test_merge_metadata_cost_bounded_by_checkpoint(spark, tmp_path):
+    """The r9 verdict's scale defect: merge resolved snapshot + bucket
+    map by FULL log replay — O(table age) entry reads per merge. Now
+    resolution routes through resolve_snapshot_state and every
+    checkpoint_interval-th merge auto-checkpoints, so a merge reads only
+    the log suffix after the newest checkpoint. Pinned with an injected
+    _read_entry counter: the reads must all land AFTER the last
+    checkpoint and be bounded by the interval, not the commit count."""
+    t = BucketedTxLogTable(
+        spark,
+        str(tmp_path / "ck"),
+        key_cols=["id"],
+        n_buckets=N_BUCKETS,
+        checkpoint_interval=5,
+    )
+    t.init_from_events(_seed(spark, n=20))
+    for i in range(1, 13):  # versions 1..12; auto-checkpoints at 5 and 10
+        t.merge_cdc_batch(_events(spark, [(1, f"v{i}", "u", f"{i:04d}", None)]))
+    assert t.latest_version() == 12
+    import glob as _g
+    cks = sorted(_g.glob(str(tmp_path / "ck" / "_txlog" / "*.checkpoint.json")))
+    assert [int(os.path.basename(p)[:8]) for p in cks] == [5, 10]
+
+    reads: list[int] = []
+    orig = t._read_entry
+
+    def counting(v):
+        reads.append(v)
+        return orig(v)
+
+    t._read_entry = counting
+    v, _ = t.merge_cdc_batch(_events(spark, [(1, "final", "u", "0099", None)]))
+    t._read_entry = orig
+    assert v == 13
+    # every entry read is in the post-checkpoint suffix (11, 12) — the
+    # 13 pre-checkpoint entries are never opened
+    assert reads and all(r > 10 for r in reads)
+    assert len(set(reads)) <= t.checkpoint_interval
+    assert _state(t)[1] == "final"
+    # time travel through checkpoints still exact
+    assert _state(t, 3)[1] == "v3"
+
+
+def test_retry_conflicts_on_interleaved_untagged_commit(spark, tmp_path):
+    """ADVICE r9 (medium): the lost-race revalidation treated
+    bucket-UNTAGGED files (a plain commit()/compact interleaving) as
+    non-conflicting — new_bmap.get(f) is None, None not in touched —
+    so the merge retried and its rewritten buckets coexisted with the
+    foreign file's rows: read_state() would surface duplicate/stale
+    keys. The retry path must apply the same rule as merge-start: an
+    untagged snapshot file is a conflict."""
+    t = _table(spark, tmp_path)
+    t.init_from_events(_seed(spark))
+
+    plain = _table(spark, tmp_path)  # same table, used for a RAW commit
+
+    def racing_backend(entry_path, payload):
+        # an interleaved PLAIN append (no file_buckets tag) wins first
+        plain.commit(
+            _events(spark, [(0, "FOREIGN", "u", "0009", None)]), mode="append"
+        )
+        return False  # and this writer loses the version race
+
+    racer = _table(spark, tmp_path, backend=racing_backend)
+    with pytest.raises(ConcurrentWriteError, match="conflicts"):
+        racer.merge_cdc_batch(_events(spark, [(0, "MINE", "u", "0002", None)]))
+
+
+def test_salted_staging_spreads_large_bucket_over_files(spark, tmp_path):
+    """The r9 verdict's #2: repartition(bucket) = ONE writer task per
+    touched bucket, so a 1-bucket merge is single-task bound on that
+    bucket's full rewrite (measured: 1 bucket 20.3s > 8 buckets 12.2s).
+    With target_file_bytes forced tiny, the rewrite must spread the
+    touched bucket over multiple deterministic key-hash slices (multiple
+    files per bucket), while untouched buckets stay byte-identical and
+    semantics are unchanged."""
+    t = BucketedTxLogTable(
+        spark,
+        str(tmp_path / "salt"),
+        key_cols=["id"],
+        n_buckets=N_BUCKETS,
+        target_file_bytes=1,  # every byte over budget -> max salting
+    )
+    t.init_from_events(_seed(spark, n=200))
+    bmap0 = t._bucket_map(0)
+    pre = {p: _sha(p) for p in t._snapshot_files(0)}
+    (tb,) = _buckets_of(spark, [7]).values()
+
+    v, touched = t.merge_cdc_batch(_events(spark, [(7, "UPD", "u", "0002", None)]))
+    assert touched == [tb]
+    bmap1 = t._bucket_map(v)
+    new_touched = [p for p in t._snapshot_files(v) if bmap1[p] == tb]
+    assert len(new_touched) >= 2  # rewrite parallelized across tasks/files
+    # untouched buckets byte-identical under the same paths
+    for p, b in bmap0.items():
+        if b != tb:
+            assert _sha(p) == pre[p]
+    got = _state(t)
+    assert got[7] == "UPD" and got[8] == "s8" and len(got) == 201 - 1 + 0
+
+
+def test_merge_txn_tag_is_exactly_once(spark, tmp_path):
+    """txn=(writer, epoch) on merge_cdc_batch: a replayed micro-batch
+    (same epoch) is a NO-OP returning the recorded version; an OLDER
+    epoch is also a no-op; the next epoch applies. The txn state rides
+    the checkpoint, so the lookup never replays the full log."""
+    t = BucketedTxLogTable(
+        spark,
+        str(tmp_path / "txn"),
+        key_cols=["id"],
+        n_buckets=N_BUCKETS,
+        checkpoint_interval=2,
+    )
+    t.init_from_events(_seed(spark, n=10))
+    v1, touched = t.merge_cdc_batch(
+        _events(spark, [(1, "e1", "u", "0002", None)]), txn=("job", 1)
+    )
+    assert touched
+    # replay of epoch 1: no new version, no state change
+    v_replay, touched_replay = t.merge_cdc_batch(
+        _events(spark, [(1, "e1-DUP", "u", "0003", None)]), txn=("job", 1)
+    )
+    assert (v_replay, touched_replay) == (v1, [])
+    assert t.latest_version() == v1
+    assert _state(t)[1] == "e1"
+    # epoch 2 applies (and auto-checkpoints at v2)
+    v2, _ = t.merge_cdc_batch(
+        _events(spark, [(1, "e2", "u", "0004", None)]), txn=("job", 2)
+    )
+    assert v2 == v1 + 1 and _state(t)[1] == "e2"
+    # epoch 1 replayed AFTER the checkpoint: still detected through it
+    v_old, touched_old = t.merge_cdc_batch(
+        _events(spark, [(1, "stale", "u", "0005", None)]), txn=("job", 1)
+    )
+    assert touched_old == [] and _state(t)[1] == "e2"
+
+
+def test_bucketed_merge_stream_sink_exactly_once(spark, tmp_path):
+    """Streaming CDC → bucketed merge (streaming/pipeline.py:
+    bucketed_merge_stream_sink) — the reference's end-to-end shape
+    (continuous CDC → queryable current state) on the engine's best
+    storage layer. Pins: (1) each micro-batch lands as ONE merge commit
+    whose cost is bucket-pruned, (2) a REPLAYED micro-batch (crash
+    between merge commit and streaming checkpoint advance) is a no-op —
+    including the bootstrap batch, (3) read_state() equals batch
+    latest-state semantics across restarts."""
+    import json as _json
+
+    from cdc_streaming_pipeline_spark.streaming.pipeline import (
+        bucketed_merge_stream_sink,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    table_path = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id bigint, status string, _op string, _lsn string, _deleted string"
+
+    def put(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(
+                    _json.dumps(
+                        dict(zip(("id", "status", "_op", "_lsn", "_deleted"), r))
+                    )
+                    + "\n"
+                )
+
+    def run():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            bucketed_merge_stream_sink(
+                stream, table_path, ckpt, key_cols=["id"], n_buckets=N_BUCKETS
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    put("a.json", [(i, f"s{i}", "r", "0001", None) for i in range(20)])
+    run()  # bootstrap micro-batch initializes the table
+    t = _table(spark, tmp_path, name="table")
+    assert _state(t) == {i: f"s{i}" for i in range(20)}
+
+    put("b.json", [(2, "UPD", "u", "0002", None), (3, None, "d", "0003", "true")])
+    run()  # same checkpoint: only the new file lands, as ONE merge commit
+    expect = {i: f"s{i}" for i in range(20) if i != 3}
+    expect[2] = "UPD"
+    assert _state(t) == expect
+    last = t._read_entry(t.latest_version())
+    assert last["mode"] == "merge" and len(last["buckets"]) <= 2
+
+    # crash-replay: re-apply the last batch under its recorded txn tag —
+    # exactly-once means no new version and unchanged state
+    writer, epoch = last["txn"]
+    pre_v = t.latest_version()
+    v, touched = t.merge_cdc_batch(
+        _events(spark, [(2, "DUP", "u", "0004", None)]), txn=(writer, epoch)
+    )
+    assert (v, touched) == (pre_v, []) and t.latest_version() == pre_v
+    assert _state(t) == expect
+
+    # bootstrap replay: batch 0's tag is recorded on version 0 too
+    v0, touched0 = t.merge_cdc_batch(
+        _events(spark, [(0, "ZOMBIE", "u", "0005", None)]), txn=(writer, 0)
+    )
+    assert touched0 == [] and _state(t)[0] == "s0"
