@@ -201,7 +201,22 @@ def fuzzy_join(
     n_distinct_grams_r = F.size(_grams(F.col("r_val"), q))
     r_rich = r_long.filter(n_distinct_grams_r >= sig_size)
     r_def = r_long.filter(n_distinct_grams_r < sig_size)
-    n_def = l_def.count() + r_def.count()
+    # the broadcast contract needs the deficient-cohort size BEFORE the
+    # plan is final — one probe job over the UNION of both sides (not
+    # one count() per side), with the gram expansion guarded behind the
+    # length test so the common all-short corpus pays a plain length
+    # scan and never materializes a gram array
+    _is_def = F.when(
+        F.col("_len") > cap,
+        F.when(F.size(_grams(F.col("_val"), q)) < sig_size, 1).otherwise(0),
+    ).otherwise(0)
+    probe = (
+        L.select(F.col("_l_len").alias("_len"), F.col("l_val").alias("_val"))
+        .unionAll(R.select(F.col("_r_len").alias("_len"), F.col("r_val").alias("_val")))
+        .agg(F.coalesce(F.sum(_is_def), F.lit(0)).alias("n_def"))
+        .collect()[0]
+    )
+    n_def = int(probe["n_def"])
     if n_def > max_deficient:
         raise ValueError(
             f"{n_def} gram-deficient long strings exceed the broadcast "

@@ -43,13 +43,39 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
     three nodes regardless of round number. Same 1M-edge run: every
     round ~1.0s, 29.5s total (15×). Rows stay JVM-side (RDD[Row] —
     InternalRow conversion, no Python); the ``_jdf`` hop is the
-    documented cost of working around the Dataset-layer behavior."""
+    documented cost of working around the Dataset-layer behavior.
+
+    The ``_jdf``/``_jsparkSession`` hop is PRIVATE API — absent under
+    Spark Connect and unguaranteed across Spark versions. Because four
+    iterative operators (cc, kcore, bfs, sssp) plus cluster.py are
+    load-bearing on this primitive, the access is capability-checked:
+    an environment without classic py4j handles falls back to
+    ``Dataset.localCheckpoint(eager=True)`` — correct, with the
+    documented plan-composition cost beyond ~12 rounds (the fallback
+    trades the r9 wall-clock fix for portability, never correctness).
+    tests/test_graph_pagerank.py pins both paths: constant plan size on
+    the fast path, and result parity + bounded-round usability on the
+    fallback."""
     spark = df.sparkSession
-    jdf = df._jdf
+    handles = _classic_handles(df)
+    if handles is None:  # Spark Connect / future-version guard
+        return df.localCheckpoint(eager=True)
+    jdf, jspark = handles
     jrdd = jdf.rdd()
     jrdd.localCheckpoint()
     jrdd.count()
-    return DataFrame(spark._jsparkSession.createDataFrame(jrdd, jdf.schema()), spark)
+    return DataFrame(jspark.createDataFrame(jrdd, jdf.schema()), spark)
+
+
+def _classic_handles(df: DataFrame):
+    """(jdf, jsparkSession) when classic py4j access exists, else None —
+    the ONE place the private-API reach-through lives, so environments
+    without it (Spark Connect) degrade in one tested branch instead of
+    failing in four operators."""
+    try:
+        return df._jdf, df.sparkSession._jsparkSession
+    except AttributeError:
+        return None
 
 
 def pagerank(

@@ -66,17 +66,51 @@ def build_postings(
     )
 
 
+def _tomb_fingerprint(path: str) -> str:
+    """Driver-side fingerprint of the tombstone sidecar's file listing —
+    the cheap (no Spark job) validity tag that ties a cached stats row to
+    the exact delete history it was computed against."""
+    import hashlib
+    import os
+
+    tdir = _tombstones_path(path)
+    if not os.path.exists(tdir):
+        return "empty"
+    names = sorted(n for n in os.listdir(tdir) if n.endswith(".parquet"))
+    return hashlib.sha256("\n".join(names).encode()).hexdigest()[:16]
+
+
 def _write_stats(
     spark: SparkSession, path: str, n_docs: int, total_len: int, generation: int
 ) -> None:
+    """The corpus scalars are a CACHE, not a source of truth: the row
+    records the tombstone-listing fingerprint it was computed against,
+    so a delete that crashed between its tombstone append (the commit
+    point) and this overwrite is DETECTED at the next read instead of
+    silently skewing avgdl/idf forever (r9 ADVICE)."""
     spark.createDataFrame(
-        [(n_docs, total_len, generation)],
-        "n_docs long, total_len long, generation int",
+        [(n_docs, total_len, generation, _tomb_fingerprint(path))],
+        "n_docs long, total_len long, generation int, tomb_fp string",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path.rstrip('/')}._stats")
 
 
 def _read_stats(spark: SparkSession, path: str):
-    return spark.read.parquet(f"{path.rstrip('/')}._stats").collect()[0]
+    """Corpus scalars, validated against the current tombstone listing.
+    On mismatch (torn delete, or stats written by an older layout) the
+    truth is recomputed from the doclens sidecar masked by tombstones —
+    one small aggregate over the per-doc table — and the cache is
+    rewritten, so a torn delete self-heals at the next read or write
+    instead of requiring a full index rebuild."""
+    stats_path = f"{path.rstrip('/')}._stats"
+    row = spark.read.parquet(stats_path).collect()[0]
+    d = row.asDict()
+    fp = _tomb_fingerprint(path)
+    if d.get("tomb_fp") == fp:
+        return row
+    live = _live(spark, path, spark.read.parquet(_doclens_path(path)))
+    agg = live.agg(F.count("*").alias("n"), F.sum("doc_len").alias("t")).collect()[0]
+    _write_stats(spark, path, agg["n"], int(agg["t"] or 0), d["generation"])
+    return spark.read.parquet(stats_path).collect()[0]
 
 
 def _doclens_path(path: str) -> str:

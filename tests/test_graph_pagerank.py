@@ -277,3 +277,57 @@ def test_sssp_structures(spark):
     sdf = spark.createDataFrame([(0,)], "node bigint")
     got = {r["node"]: r["dist"] for r in sssp(edges, sdf).collect()}
     assert got == {0: 0.0, 1: 1.0, 2: 2.0}
+
+
+def test_truncate_lineage_guard_fast_path(spark):
+    """The r9 flagship primitive (_truncate_lineage) reaches through
+    private handles (_jdf/_jsparkSession) — load-bearing in cc, kcore,
+    bfs, sssp and cluster.py. This is the NAMED failure for any Spark
+    upgrade that breaks those internals: the fast path must exist, keep
+    the plan CONSTANT-SIZE across rounds (the exponential-composition
+    bug it fixes), and return byte-equal rows with the same schema."""
+    from cdc_streaming_pipeline_spark.operators.graph import (
+        _classic_handles,
+        _truncate_lineage,
+    )
+
+    base = spark.range(50).withColumn("v", (F.col("id") % 7).cast("long"))
+    assert _classic_handles(base) is not None  # classic py4j access intact
+    cur = base
+    plan_lines = []
+    for _ in range(3):
+        cur = (
+            cur.join(base.withColumnRenamed("v", "w"), "id")
+            .withColumn("v", F.col("v") + F.col("w"))
+            .drop("w")
+        )
+        cur = _truncate_lineage(cur)
+        plan_lines.append(cur._jdf.queryExecution().toString().count("\n"))
+    # constant plan size round over round — NOT growing with iterations
+    assert len(set(plan_lines)) == 1, plan_lines
+    assert [f.name for f in cur.schema.fields] == ["id", "v"]
+    assert {r["id"]: r["v"] for r in cur.collect()} == {
+        i: 4 * (i % 7) for i in range(50)
+    }
+
+
+def test_truncate_lineage_fallback_parity(spark, monkeypatch):
+    """Environments without classic py4j handles (Spark Connect) fall
+    back to Dataset.localCheckpoint: same rows, same schema — the
+    documented trade is plan growth beyond ~12 rounds, never
+    correctness."""
+    import cdc_streaming_pipeline_spark.operators.graph as graph_mod
+
+    monkeypatch.setattr(graph_mod, "_classic_handles", lambda df: None)
+    base = spark.range(30).withColumn("v", (F.col("id") % 5).cast("long"))
+    cur = base
+    for _ in range(3):
+        cur = (
+            cur.join(base.withColumnRenamed("v", "w"), "id")
+            .withColumn("v", F.col("v") + F.col("w"))
+            .drop("w")
+        )
+        cur = graph_mod._truncate_lineage(cur)
+    assert {r["id"]: r["v"] for r in cur.collect()} == {
+        i: 4 * (i % 5) for i in range(30)
+    }

@@ -208,3 +208,53 @@ def test_delete_then_readd_serves_new_version(spark, tmp_path):
     pa = phrase_search(spark, fresh, ["hash", "join"]).collect()
     pb = phrase_search(spark, path, ["hash", "join"]).collect()
     assert [tuple(r) for r in pa] == [tuple(r) for r in pb]
+
+
+def test_torn_delete_self_heals(spark, tmp_path):
+    """ADVICE r9: delete_from_index's two sidecar writes are not atomic —
+    a crash AFTER the tombstone append (the commit point) but BEFORE the
+    stats overwrite used to leave n_docs/total_len overstated forever,
+    silently skewing BM25/tf-idf avgdl and idf. The stats row now
+    records the tombstone-listing fingerprint it was computed against;
+    a mismatch triggers a recompute from the doclens sidecar masked by
+    tombstones. Simulate the torn delete, then assert scores equal a
+    from-scratch index of the post-delete corpus."""
+    from cdc_streaming_pipeline_spark.operators.search import (
+        _read_stats,
+        _tombstones_path,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "merge scan merge filter"),
+            (2, "scan filter hash join"),
+            (3, "window sort hash join hash join"),
+            (4, "merge filter scan scan"),
+        ],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "idx")
+    write_inverted_index(docs, path)
+
+    # torn delete of doc 3: tombstone lands, stats write "crashes"
+    spark.createDataFrame([(3, 0)], "doc_id long, gen int").write.mode(
+        "append"
+    ).parquet(_tombstones_path(path))
+
+    # next read detects the fingerprint mismatch and recomputes truth
+    stats = _read_stats(spark, path)
+    assert stats["n_docs"] == 3 and stats["total_len"] == 4 + 4 + 4
+
+    # scores equal a from-scratch index of the surviving corpus
+    fresh = str(tmp_path / "fresh")
+    write_inverted_index(docs.filter("doc_id <> 3"), fresh)
+    for kwargs in ({"ranking": "tfidf"}, {"ranking": "bm25"}):
+        a = search_topk(spark, fresh, ["scan", "hash"], **kwargs).collect()
+        b = search_topk(spark, path, ["scan", "hash"], **kwargs).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b], kwargs
+
+    # the heal rewrote the cache: a second read takes the fast path and
+    # agrees
+    stats2 = _read_stats(spark, path)
+    assert (stats2["n_docs"], stats2["total_len"]) == (3, 12)
