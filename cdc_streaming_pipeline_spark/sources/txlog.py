@@ -76,6 +76,88 @@ def posix_put_if_absent(entry_path: str, payload: str) -> bool:
         os.remove(tmp)
 
 
+class SQLiteCommitBackend:
+    """Concrete NON-POSIX commit backend: the atomic putIfAbsent decision
+    is a PRIMARY KEY insert into a SQLite database — the same
+    conditional-put primitive an object-store deployment injects (S3
+    ``If-None-Match: *``, GCS ``x-goog-if-generation-match: 0``, ABFS
+    ETag create), standing in for it so the protocol's
+    backend-independence is PROVEN by running the whole conflict/merge
+    suite over a second implementation, not assumed from the interface.
+
+    The database owns the decision and stores the payload; the log file
+    on the filesystem is a read-side materialization written AFTER
+    ownership is decided (this engine's readers resolve entries via the
+    filesystem; a real object store serves reads from the same store
+    that took the put, so this mirror step doesn't exist there). Crash
+    between the insert and the materialization: the next writer that
+    LOSES to that path re-materializes it from the stored payload before
+    reporting the loss (``heal`` does the same for all rows), so a
+    decided commit is never invisible to the writer protocol. Multiple
+    processes are safe: SQLite serializes the insert; the file write is
+    single-owner by construction (only the winner or a healer writes it,
+    both from the same stored payload, via atomic replace)."""
+
+    def __init__(self, db_path: str):
+        self.db_path = db_path
+        with self._connect() as con:
+            con.execute(
+                "CREATE TABLE IF NOT EXISTS commits("
+                "path TEXT PRIMARY KEY, payload TEXT NOT NULL)"
+            )
+
+    def _connect(self):
+        import sqlite3
+
+        return sqlite3.connect(self.db_path, timeout=30)
+
+    @staticmethod
+    def _materialize(entry_path: str, payload: str) -> None:
+        tmp = f"{entry_path}.{uuid.uuid4().hex[:12]}.tmp"
+        with open(tmp, "w") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, entry_path)
+
+    def __call__(self, entry_path: str, payload: str) -> bool:
+        import sqlite3
+
+        with self._connect() as con:
+            try:
+                con.execute(
+                    "INSERT INTO commits(path, payload) VALUES (?, ?)",
+                    (entry_path, payload),
+                )
+                won = True
+            except sqlite3.IntegrityError:
+                won = False
+            if won:
+                self._materialize(entry_path, payload)
+                return True
+            if not os.path.exists(entry_path):
+                # the winner may have crashed pre-materialization: heal
+                # this path from the stored payload before reporting the
+                # loss, so the caller's re-resolution sees the commit
+                row = con.execute(
+                    "SELECT payload FROM commits WHERE path = ?", (entry_path,)
+                ).fetchone()
+                if row is not None:
+                    self._materialize(entry_path, row[0])
+            return False
+
+    def heal(self) -> int:
+        """Re-materialize every decided commit whose file is missing
+        (crash recovery / read-replica bootstrap). Returns the count."""
+        n = 0
+        with self._connect() as con:
+            for path, payload in con.execute("SELECT path, payload FROM commits"):
+                if not os.path.exists(path):
+                    self._materialize(path, payload)
+                    n += 1
+        return n
+
+
 class TxLogTable:
     """``commit_backend`` is the pluggable putIfAbsent primitive
     (``fn(entry_path, payload) -> bool``, True iff this writer owns the

@@ -19,10 +19,31 @@ from cdc_streaming_pipeline_spark.operators.merge import with_key_bucket
 from cdc_streaming_pipeline_spark.sources.txlog import (
     BucketedTxLogTable,
     ConcurrentWriteError,
+    SQLiteCommitBackend,
     posix_put_if_absent,
 )
 
 N_BUCKETS = 8
+
+# The whole suite runs TWICE: once over the default POSIX hard-link
+# backend and once over the SQLite conditional-put backend — proving the
+# commit_backend interface is sufficient (merge semantics, byte-identity,
+# file-granular conflicts all green on a non-POSIX decision store), not
+# decorative. The fixture rebinds _BACKEND per test.
+_BACKEND = posix_put_if_absent
+
+
+@pytest.fixture(autouse=True, params=["posix", "sqlite"])
+def put_backend(request, tmp_path):
+    global _BACKEND
+    if request.param == "posix":
+        _BACKEND = posix_put_if_absent
+    else:
+        _BACKEND = SQLiteCommitBackend(str(tmp_path / "commits.sqlite"))
+    yield _BACKEND
+    _BACKEND = posix_put_if_absent
+
+
 SCHEMA = "id bigint, status string, _op string, _lsn string, _deleted string"
 
 
@@ -55,7 +76,7 @@ def _table(spark, tmp_path, name="t", backend=None):
         str(tmp_path / name),
         key_cols=["id"],
         n_buckets=N_BUCKETS,
-        commit_backend=backend,
+        commit_backend=backend or _BACKEND,
     )
 
 
@@ -160,7 +181,7 @@ def test_disjoint_bucket_merges_interleave(spark, tmp_path):
                 _events(spark, [(k2, "OTHER", "u", "0002", None)])
             )
             return False  # and this writer loses the version race
-        return posix_put_if_absent(entry_path, payload)
+        return _BACKEND(entry_path, payload)
 
     racer = _table(spark, tmp_path, backend=racing_backend)
     v, _ = racer.merge_cdc_batch(_events(spark, [(k1, "MINE", "u", "0002", None)]))
@@ -224,6 +245,7 @@ def test_merge_metadata_cost_bounded_by_checkpoint(spark, tmp_path):
         key_cols=["id"],
         n_buckets=N_BUCKETS,
         checkpoint_interval=5,
+        commit_backend=_BACKEND,
     )
     t.init_from_events(_seed(spark, n=20))
     for i in range(1, 13):  # versions 1..12; auto-checkpoints at 5 and 10
@@ -292,6 +314,7 @@ def test_salted_staging_spreads_large_bucket_over_files(spark, tmp_path):
         key_cols=["id"],
         n_buckets=N_BUCKETS,
         target_file_bytes=1,  # every byte over budget -> max salting
+        commit_backend=_BACKEND,
     )
     t.init_from_events(_seed(spark, n=200))
     bmap0 = t._bucket_map(0)
@@ -322,6 +345,7 @@ def test_merge_txn_tag_is_exactly_once(spark, tmp_path):
         key_cols=["id"],
         n_buckets=N_BUCKETS,
         checkpoint_interval=2,
+        commit_backend=_BACKEND,
     )
     t.init_from_events(_seed(spark, n=10))
     v1, touched = t.merge_cdc_batch(
@@ -417,3 +441,40 @@ def test_bucketed_merge_stream_sink_exactly_once(spark, tmp_path):
         _events(spark, [(0, "ZOMBIE", "u", "0005", None)]), txn=(writer, 0)
     )
     assert touched0 == [] and _state(t)[0] == "s0"
+
+
+def test_sqlite_backend_heals_unmaterialized_commit(spark, tmp_path, put_backend):
+    """The SQLite backend's crash window: a writer whose INSERT landed
+    (decision durable) but who died before materializing the log file.
+    The next writer that loses to that version re-materializes it from
+    the stored payload, revalidates against the healed log, and — for a
+    disjoint-bucket merge — retries onto the next version. No commit is
+    ever silently lost or double-assigned."""
+    if not isinstance(put_backend, SQLiteCommitBackend):
+        pytest.skip("sqlite-specific crash-window contract")
+    b = put_backend
+    state = {"crashed": False}
+
+    def crash_after_decision(entry_path, payload):
+        won = b(entry_path, payload)
+        if won and state["crashed"] is False and entry_path.endswith("00000001.json"):
+            state["crashed"] = True
+            os.remove(entry_path)  # simulate dying pre-materialization
+        return won
+
+    by_bucket = _buckets_of(spark, list(range(60)))
+    k1 = 0
+    k2 = next(k for k, bkt in by_bucket.items() if bkt != by_bucket[k1])
+
+    t_crash = _table(spark, tmp_path, backend=crash_after_decision)
+    t_crash.init_from_events(_seed(spark))
+    t_crash.merge_cdc_batch(_events(spark, [(k1, "CRASHED", "u", "0002", None)]))
+    # v1 is decided in the database but invisible on the filesystem
+    assert t_crash.latest_version() == 0 and state["crashed"]
+
+    t2 = _table(spark, tmp_path)  # backend=b via fixture global
+    v, _ = t2.merge_cdc_batch(_events(spark, [(k2, "SECOND", "u", "0002", None)]))
+    assert v == 2  # lost v1 to the healed commit, retried, won v2
+    got = _state(t2)
+    assert got[k1] == "CRASHED" and got[k2] == "SECOND"
+    assert b.heal() == 0  # everything materialized
