@@ -656,12 +656,48 @@ def pq_topk(
     )
 
 
+def auto_probe_mask(
+    sims: "np.ndarray", sim_hi: float = 0.75, sim_lo: float = 0.5
+) -> "np.ndarray":
+    """Per-query probe-cell mask from query↔centroid cosines (unit
+    space) — the recall-targeted probe policy behind
+    ``ivf_pq_topk(n_probe="auto")``.
+
+    The statistic is the query's BEST centroid cosine: on a genuinely
+    clustered corpus a query sits inside a tight cell (best ≈ 0.9+) and
+    routing is informative, so probing 1-2 cells keeps recall; on a
+    near-orthogonal corpus the best centroid is barely better than
+    chance (measured 0.29-0.48 on the recall-gate worst case, vs ~0 for
+    the rest) and the true neighbors' cells are uncorrelated with the
+    query's — no margin rule over the SHAPE of the profile can see
+    them, so the absolute level is the honest signal. Documented
+    mapping: best ≥ ``sim_hi`` → probe top-2; best ≤ ``sim_lo`` →
+    probe ALL cells (routing is worthless there and the PQ codes still
+    bound per-row cost to m byte-lookups — giving up selectivity that
+    does not exist is the correct spend); linear in between. A
+    multiplicative d²-margin rule was tried first and REJECTED on
+    measurement: the query's own cell is genuinely closest even on the
+    worst case (it contains the query), so the margin looks
+    'concentrated' exactly where probing everything is required
+    (recall 0.36 vs the fixed-8's 0.84)."""
+    nq, n_cells = sims.shape
+    best = sims.max(axis=1)
+    frac = np.clip((sim_hi - best) / max(sim_hi - sim_lo, 1e-9), 0.0, 1.0)
+    n_min = min(2, n_cells)
+    counts = np.ceil(n_min + frac * (n_cells - n_min)).astype(int)
+    order = np.argsort(-sims, axis=1)
+    mask = np.zeros((nq, n_cells), dtype=bool)
+    for i in range(nq):
+        mask[i, order[i, : counts[i]]] = True
+    return mask
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     n_clusters: int = 16,
-    n_probe: int = 8,
+    n_probe: int | str = 8,
     m: int = 8,
     ks: int = 16,
     id_col: str = "vec_id",
@@ -669,6 +705,8 @@ def ivf_pq_topk(
     seed: int = 42,
     exclude_self: bool = True,
     n_rerank: int = 50,
+    probe_sim_hi: float = 0.75,
+    probe_sim_lo: float = 0.5,
 ) -> DataFrame:
     """IVF-PQ — the production ANN composition (FAISS ``IVFx,PQy``):
     IVF routing bounds WHICH rows each query scores (n_probe/n_clusters
@@ -745,8 +783,20 @@ def ivf_pq_topk(
     index = normed.mapInPandas(encode, f"{id_col} long, cell int, codes array<int>")
 
     q_ids, q_mat = _normalized_matrix(queries.select(id_col, vec_col).collect())
-    n_probe = min(n_probe, n_clusters)
-    probed = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :n_probe]
+    sims = q_mat @ centroids.T
+    if n_probe == "auto":
+        # Recall-targeted probe policy (the r9 verdict's adaptive
+        # knob): per-query probe count from the best centroid cosine —
+        # see auto_probe_mask's docstring for the mapping and the
+        # measured rejection of the margin rule. On the recall-gate
+        # worst case: recall 0.84 (fixed 8) → ≥0.9 floor
+        # (.benchmarks/SCALE10_r10.md has the cost).
+        probe_mask = auto_probe_mask(sims, probe_sim_hi, probe_sim_lo)
+    else:
+        n_probe = min(n_probe, n_clusters)
+        order = np.argsort(-sims, axis=1)[:, :n_probe]
+        probe_mask = np.zeros((len(q_ids), n_clusters), dtype=bool)
+        np.put_along_axis(probe_mask, order, True, axis=1)
     mm, ks_, sub = codebooks.shape
     tables = np.stack(
         [
@@ -758,12 +808,12 @@ def ivf_pq_topk(
         ],
         axis=1,
     )  # (nq, m, ks)
-    bc_q = spark.sparkContext.broadcast((q_ids, probed, tables))
+    bc_q = spark.sparkContext.broadcast((q_ids, probe_mask, tables))
     shortlist = max(k, n_rerank)
     take = shortlist + (1 if exclude_self else 0)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids_q, probed_, tabs = bc_q.value
+        ids_q, pmask, tabs = bc_q.value
         nq, m_, _ = tabs.shape[0], tabs.shape[1], tabs.shape[2]
         for pdf in batches:
             if pdf.empty:
@@ -771,7 +821,7 @@ def ivf_pq_topk(
             ids_c = pdf[id_col].to_numpy(np.int64)
             cells = pdf["cell"].to_numpy(np.int64)
             codes = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (n, m)
-            cand = (cells[:, None, None] == probed_[None, :, :]).any(-1)  # (n, nq)
+            cand = pmask[:, cells].T  # (n, nq): row in a probed cell of q
             if not cand.any():
                 continue
             d = np.full((nq, len(ids_c)), np.inf)

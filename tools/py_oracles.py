@@ -301,6 +301,138 @@ def supplier_affinity_distance(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["suppkey", "affinity_dist"])
 
 
+def _np_normalize(mat):
+    import numpy as np
+
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    return mat / norms[:, None]
+
+
+def _kmeans_replay(sf_dir: str, k: int, iters: int, seed: int = 42):
+    """Pure-numpy replay of operators/cluster.py:kmeans_fit — exact for
+    the parts that determine the discrete outputs. The k-means++
+    seeding is BIT-exact (driver-side numpy in both paths: same
+    md5-bucket sample order, same default_rng(seed) draws, so the same
+    probability vectors reach the same rng.choice calls). The Lloyd
+    centroid update differs only in float-summation ORDER (Spark sums
+    per Arrow batch then merges; the replay sums members once), a
+    ~1e-15 centroid perturbation that survives the downstream rounding
+    (argmax margins and the 4/6-dp rounds are ~1e9× wider) — which is
+    what lets these seeded pipelines be value-certified at all, while
+    raw float aggregates (PCA, sketches) stay rows-only. Returns
+    (ids, normalized_matrix, centroids) with ids/matrix in parquet row
+    order (the order _collect_matrix sees)."""
+    import hashlib
+
+    import numpy as np
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    ids = t["vec_id"].to_numpy(np.int64)
+    mat = _np_normalize(np.array([list(v) for v in t["embedding"]], dtype=np.float64))
+    # the seeding sample: md5-bucket order, first 32768 (the whole corpus
+    # at oracle scale)
+    buckets = np.array(
+        [
+            int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16) % (1 << 16)
+            for i in ids
+        ]
+    )
+    smat = mat[np.lexsort((ids, buckets))][:32768]
+    rng = np.random.default_rng(seed)
+    centroids = [smat[rng.integers(len(smat))]]
+    for _ in range(1, k):
+        d2 = 1.0 - np.max(smat @ np.array(centroids).T, axis=1)
+        d2 = np.maximum(d2, 0.0)
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(len(smat), 1.0 / len(smat))
+        centroids.append(smat[rng.choice(len(smat), p=probs)])
+    cent = np.array(centroids)
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        sums = np.zeros_like(cent)
+        counts = np.zeros(k)
+        for ci in np.unique(assign):
+            members = mat[assign == ci]
+            sums[ci] = members.sum(axis=0)
+            counts[ci] = len(members)
+        nonempty = counts > 0
+        cent[nonempty] = _np_normalize(sums[nonempty] / counts[nonempty, None])
+    return ids, mat, cent
+
+
+def semantic_dedup(sf_dir: str) -> pd.DataFrame:
+    """plans/docs.py:semantic_dedup (operators/cluster.py:semantic_dedup,
+    n_clusters=8, threshold=0.4, iters=3): assign cells by argmax cosine,
+    then inside each cell drop ids covered by a LOWER-id member at
+    rounded-4dp cosine >= threshold."""
+    import numpy as np
+
+    ids, mat, cent = _kmeans_replay(sf_dir, k=8, iters=3)
+    cells = np.argmax(mat @ cent.T, axis=1)
+    rows = []
+    for c in np.unique(cells):
+        m = np.nonzero(cells == c)[0]
+        order = m[np.argsort(ids[m])]
+        sub = mat[order]
+        sims = np.round(sub @ sub.T, 4)
+        np.fill_diagonal(sims, 0.0)
+        covered = np.triu(sims >= 0.4, k=1).any(axis=0)
+        for i, cov in zip(order, covered):
+            rows.append((int(ids[i]), int(c), bool(not cov)))
+    return pd.DataFrame(rows, columns=["vec_id", "cluster", "kept"])
+
+
+def embedding_coverage_sample(sf_dir: str) -> pd.DataFrame:
+    """plans/docs.py:embedding_coverage_sample (coverage_sample,
+    n_clusters=8, per_cell=4, default iters=5): per-cell top-4 by
+    (rounded-4dp centrality DESC, id ASC) plus the cell's member count."""
+    import numpy as np
+
+    ids, mat, cent = _kmeans_replay(sf_dir, k=8, iters=5)
+    sims = mat @ cent.T
+    cells = np.argmax(sims, axis=1)
+    centr = np.round(sims[np.arange(len(ids)), cells], 4)
+    rows = []
+    for c in np.unique(cells):
+        m = np.nonzero(cells == c)[0]
+        order = m[np.lexsort((ids[m], -centr[m]))][:4]
+        for rank, i in enumerate(order, start=1):
+            rows.append((int(ids[i]), int(c), float(centr[i]), rank, len(m)))
+    return pd.DataFrame(
+        rows, columns=["vec_id", "cell", "centrality", "cell_rank", "n_in_cell"]
+    )
+
+
+def embedding_outlier_scores(sf_dir: str) -> pd.DataFrame:
+    """plans/docs.py:embedding_outlier_scores (embedding_outliers,
+    n_clusters=8, default iters=5): dist = round(1 - cos-to-own-centroid,
+    6); z = HALF_UP-round4((dist - cell_mean)/cell_stddev_pop) over the
+    ROUNDED dists (matching the plan's aggregation input); top-20 by
+    (z DESC, id ASC)."""
+    import numpy as np
+
+    ids, mat, cent = _kmeans_replay(sf_dir, k=8, iters=5)
+    sims = mat @ cent.T
+    cells = np.argmax(sims, axis=1)
+    dist = np.round(1.0 - sims[np.arange(len(ids)), cells], 6)
+    z = np.empty(len(ids))
+    for c in np.unique(cells):
+        m = cells == c
+        mu = dist[m].mean()
+        sd = dist[m].std()
+        z[m] = (dist[m] - mu) / (sd if sd > 0 else 1.0)
+    rows = [
+        (int(i), int(c), float(d), float(Decimal(repr(zz)).quantize(Decimal("0.0001"), ROUND_HALF_UP)))
+        for i, c, d, zz in zip(ids, cells, dist, z)
+    ]
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    return pd.DataFrame(
+        rows[:20], columns=["vec_id", "cell", "dist", "outlier_z"]
+    )
+
+
 PY_ORACLES = {
     "doc_compression_ratio": doc_compression_ratio,
     "bpe_vocab_merges": bpe_vocab_merges,
@@ -309,4 +441,7 @@ PY_ORACLES = {
     "supplier_part_kcore": supplier_part_kcore,
     "supplier_reach_hops": supplier_reach_hops,
     "supplier_affinity_distance": supplier_affinity_distance,
+    "semantic_dedup": semantic_dedup,
+    "embedding_coverage_sample": embedding_coverage_sample,
+    "embedding_outlier_scores": embedding_outlier_scores,
 }
