@@ -182,12 +182,37 @@ class TxLogTable:
         return os.path.join(self.log_dir, f"{version:08d}.json")
 
     def latest_version(self) -> int | None:
-        versions = self._versions()
-        return versions[-1] if versions else None
+        """Newest committed version. Committed versions are DENSE
+        consecutive integers (every writer races for latest+1; the
+        SQLite backend heals a crashed winner's file before reporting a
+        loss, so a materialized v implies materialized v-1), which lets
+        this probe upward from the last checkpoint instead of listing
+        the whole log directory — O(commits-since-checkpoint), the same
+        bound as snapshot resolution. Falls back to the full listing
+        when no checkpoint exists yet."""
+        ck = _last_checkpoint_version(self)
+        if ck is None:
+            versions = self._versions()
+            return versions[-1] if versions else None
+        v = ck
+        while os.path.exists(self._entry_path(v + 1)):
+            v += 1
+        return v
 
     def _versions(self) -> list[int]:
         names = (os.path.basename(p)[:-5] for p in glob(os.path.join(self.log_dir, "*.json")))
         return sorted(int(n) for n in names if n.isdigit())  # skips checkpoints
+
+    def _versions_between(self, start: int, target: int | None) -> list[int]:
+        """Committed versions in [start, target] by direct existence
+        probes on the dense version sequence — O(range length), never a
+        full directory listing. ``target=None`` probes to the end."""
+        out: list[int] = []
+        v = max(start, 0)
+        while (target is None or v <= target) and os.path.exists(self._entry_path(v)):
+            out.append(v)
+            v += 1
+        return out
 
     def _read_entry(self, version: int) -> dict:
         with open(self._entry_path(version)) as f:
@@ -346,9 +371,7 @@ class TxLogTable:
         snapshots (operators/cdc.py:snapshot_diff) instead."""
         to_v = self.latest_version() if to_version is None else to_version
         adds: list[str] = []
-        for v in self._versions():
-            if v <= from_version or v > to_v:
-                continue
+        for v in self._versions_between(from_version + 1, to_v):
             e = self._read_entry(v)
             if e.get("mode") != "append":
                 raise ValueError(
@@ -546,7 +569,7 @@ class BucketedTxLogTable(TxLogTable):
         order_col: str = "_lsn",
         commit_backend=None,
         checkpoint_interval: int = 10,
-        target_file_bytes: int = 32 << 20,
+        target_file_bytes: int = 8 << 20,
     ):
         super().__init__(spark, path, commit_backend=commit_backend)
         self.key_cols = list(key_cols)
@@ -556,8 +579,12 @@ class BucketedTxLogTable(TxLogTable):
         # version is a multiple of this, write a checkpoint so the NEXT
         # merge's metadata resolution replays at most this many entries.
         self.checkpoint_interval = checkpoint_interval
-        # salted-staging sizing target: a touched bucket whose rewrite
-        # exceeds this is spread over multiple writer tasks/files
+        # salted-staging sizing target: COMPRESSED bytes of old files one
+        # writer task may rewrite before the merge spreads the bucket
+        # over more tasks/files. It bounds writer-task LATENCY (the r9
+        # floor), not output-file size — merge outputs are interim files
+        # that the next touch of the bucket (or compact()) rewrites, so
+        # small-file pressure is secondary to the rewrite wall.
         self.target_file_bytes = target_file_bytes
 
     # ---- bucket-aware staging / log facts --------------------------------
@@ -824,10 +851,40 @@ def write_checkpoint(table: TxLogTable, version: int | None = None) -> int:
             {"version": v, "files": files, "file_buckets": buckets, "txns": txns}, f
         )
     os.replace(tmp, _checkpoint_path(table, v))
+    # the _last_checkpoint POINTER (Delta's): O(1) checkpoint discovery
+    # instead of listing the accumulated checkpoint files (at CDC
+    # cadence with a checkpoint every 10 merges, those are O(age)/10 —
+    # same complexity class as the log replay this exists to avoid).
+    # Monotonic guard: never move the pointer backwards.
+    ptr = os.path.join(table.log_dir, "_last_checkpoint")
+    cur = _last_checkpoint_version(table)
+    if cur is None or v >= cur:
+        ptmp = f"{ptr}.{uuid.uuid4().hex[:12]}.tmp"
+        with open(ptmp, "w") as f:
+            json.dump({"version": v}, f)
+        os.replace(ptmp, ptr)
     return v
 
 
+def _last_checkpoint_version(table: TxLogTable) -> int | None:
+    try:
+        with open(os.path.join(table.log_dir, "_last_checkpoint")) as f:
+            return int(json.load(f)["version"])
+    except (OSError, ValueError, KeyError, json.JSONDecodeError):
+        return None  # pointer absent/torn: derived state, callers fall back
+
+
 def _best_checkpoint(table: TxLogTable, target: int) -> dict | None:
+    # fast path: the pointer names the newest checkpoint; usable iff it
+    # doesn't overshoot the pinned version (time travel behind the
+    # newest checkpoint takes the listing path)
+    ptr = _last_checkpoint_version(table)
+    if ptr is not None and ptr <= target:
+        try:
+            with open(_checkpoint_path(table, ptr)) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            pass  # torn checkpoint behind a valid pointer: fall through
     best: dict | None = None
     for p in glob(os.path.join(table.log_dir, "*.checkpoint.json")):
         try:
@@ -869,11 +926,7 @@ def resolve_snapshot_state(
         buckets = dict(best["file_buckets"]) if best else {}
         txns = {k: list(v) for k, v in best.get("txns", {}).items()} if best else {}
         bt_start = start
-    for v in table._versions():
-        if v > target:
-            break
-        if v < min(start, bt_start):
-            continue
+    for v in table._versions_between(min(start, bt_start), target):
         e = table._read_entry(v)
         if v >= bt_start:
             removed = set(e.get("removes", []))
@@ -906,11 +959,7 @@ def resolve_with_checkpoint(table: TxLogTable, version: int | None = None) -> li
     best = _best_checkpoint(table, target)
     files = list(best["files"]) if best else []
     start = best["version"] + 1 if best else 0
-    for v in table._versions():
-        if v < start:
-            continue
-        if v > target:
-            break
+    for v in table._versions_between(start, target):
         e = table._read_entry(v)
         removed = set(e.get("removes", []))
         files = [f for f in files if f not in removed]
