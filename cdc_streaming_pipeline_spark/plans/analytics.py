@@ -3018,3 +3018,55 @@ ORACLE["part_name_entity_resolution"] = """
     FROM recs m JOIN names n ON m.name = n.name JOIN lbl ON lbl.id = n.id
     GROUP BY entity_id
 """
+
+
+def supplier_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the supplier↔part co-occurrence graph
+    (operators/graph.py:label_propagation): 5 synchronous LPA rounds
+    with self-vote damping and min-label tie-break — which
+    supplier/part groups transact mostly among themselves, the market-
+    segmentation view next to pagerank's centrality view. Fully
+    integer-deterministic (no floats), so the whole algorithm is
+    EXACTLY replayed by the pure-Python oracle
+    (tools/py_oracles.py:supplier_part_communities); operator semantics
+    additionally pinned in tests/test_graph_pagerank.py. Output: the 20
+    largest communities with member/supplier/part counts."""
+    from cdc_streaming_pipeline_spark.operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    part_offset = 1_000_000_000
+    # REPEAT relationships only (the pair transacted >= 2 times): the raw
+    # bipartite graph is one connected blob that LPA collapses to a
+    # single community — thresholding edge weight is the standard
+    # co-occurrence-graph sparsification, and it is what exposes real
+    # segment structure here (probed: all-edges -> 1 community of 2100;
+    # weight>=2 -> top sizes 189/115/93...)
+    edges = (
+        li.groupBy(
+            F.col("l_suppkey").alias("src"),
+            (F.col("l_partkey") + part_offset).alias("dst"),
+        )
+        .agg(F.count("*").alias("_w"))
+        .filter(F.col("_w") >= 2)
+        .select("src", "dst")
+    )
+    labels = label_propagation(edges, iters=5)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(F.when(F.col("node") < part_offset, 1).otherwise(0)).alias(
+                "n_suppliers"
+            ),
+            F.sum(F.when(F.col("node") >= part_offset, 1).otherwise(0)).alias(
+                "n_parts"
+            ),
+        )
+        .orderBy(F.col("n_members").desc(), F.col("community").asc())
+        .limit(20)
+    )
+
+
+QUERIES["supplier_part_communities"] = supplier_part_communities
+# integer-exact iterative algorithm: certified by the pure-Python LPA
+# replay (tools/py_oracles.py:supplier_part_communities), not SQL

@@ -331,3 +331,27 @@ def test_truncate_lineage_fallback_parity(spark, monkeypatch):
     assert {r["id"]: r["v"] for r in cur.collect()} == {
         i: 4 * (i % 5) for i in range(30)
     }
+
+
+def test_label_propagation_structures(spark):
+    """Synchronous LPA (min-label tie-break, self-vote via self-loops):
+    two cliques joined by one bridge edge resolve to two communities
+    labeled by each clique's min node id; a star collapses to one
+    community; results are deterministic across runs."""
+    from cdc_streaming_pipeline_spark.operators.graph import label_propagation
+
+    clique1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    clique2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    bridge = [(3, 10)]
+    edges = spark.createDataFrame(clique1 + clique2 + bridge, "src long, dst long")
+    got = {r["node"]: r["label"] for r in label_propagation(edges, iters=5).collect()}
+    assert {got[n] for n in range(4)} == {0}
+    assert {got[n] for n in range(10, 14)} == {10}
+
+    star = spark.createDataFrame([(0, i) for i in range(1, 8)], "src long, dst long")
+    got = {r["node"]: r["label"] for r in label_propagation(star, iters=5).collect()}
+    assert set(got.values()) == {0}
+
+    # determinism: a second run returns the identical assignment
+    again = {r["node"]: r["label"] for r in label_propagation(star, iters=5).collect()}
+    assert got == again

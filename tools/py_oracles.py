@@ -433,6 +433,53 @@ def embedding_outlier_scores(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def supplier_part_communities(sf_dir: str) -> pd.DataFrame:
+    """plans/analytics.py:supplier_part_communities
+    (operators/graph.py:label_propagation): 5 synchronous LPA rounds
+    over the mirrored distinct supplier↔part edges, each node voting
+    its neighbors' labels PLUS its own current label, argmax by
+    (count DESC, label ASC). Integer-exact — no floats anywhere — so
+    this replay certifies the full algorithm, not an approximation."""
+    from collections import Counter, defaultdict
+
+    import numpy as np
+
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+    ).to_pandas()
+    off = 1_000_000_000
+    src = li["l_suppkey"].to_numpy(np.int64)
+    dst = li["l_partkey"].to_numpy(np.int64) + off
+    # repeat relationships only (edge weight >= 2), like the plan
+    w = Counter(zip(src.tolist(), dst.tolist()))
+    pairs = {(int(a), int(b)) for (a, b), n in w.items() if n >= 2}
+    adj: dict[int, list[int]] = defaultdict(list)
+    for a, b in pairs:
+        adj[a].append(b)
+        adj[b].append(a)
+    labels = {n: n for n in adj}
+    for _ in range(5):
+        new = {}
+        for n, neigh in adj.items():
+            votes = Counter(labels[m] for m in neigh)
+            votes[labels[n]] += 1  # self-vote
+            new[n] = min(votes, key=lambda l: (-votes[l], l))
+        labels = new
+    agg: dict[int, list[int]] = defaultdict(lambda: [0, 0, 0])
+    for n, l in labels.items():
+        a = agg[l]
+        a[0] += 1
+        a[1] += 1 if n < off else 0
+        a[2] += 1 if n >= off else 0
+    rows = sorted(
+        ((l, c[0], c[1], c[2]) for l, c in agg.items()),
+        key=lambda r: (-r[1], r[0]),
+    )[:20]
+    return pd.DataFrame(
+        rows, columns=["community", "n_members", "n_suppliers", "n_parts"]
+    )
+
+
 PY_ORACLES = {
     "doc_compression_ratio": doc_compression_ratio,
     "bpe_vocab_merges": bpe_vocab_merges,
@@ -444,4 +491,5 @@ PY_ORACLES = {
     "semantic_dedup": semantic_dedup,
     "embedding_coverage_sample": embedding_coverage_sample,
     "embedding_outlier_scores": embedding_outlier_scores,
+    "supplier_part_communities": supplier_part_communities,
 }
