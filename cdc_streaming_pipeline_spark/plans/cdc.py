@@ -1347,3 +1347,65 @@ ORACLE["cdc_schema_evolution"] = """
            CASE WHEN o_orderkey % 4 = 0 THEN 'u' ELSE 'r' END AS _op
     FROM orders
 """
+
+
+def cdc_replica_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica reconciliation — the operational check a CDC deployment
+    runs to prove the materialized replica still equals the source
+    (Debezium users run exactly this after incidents): bucket the
+    latest-state replica by a portable key hash and emit, per bucket,
+    the row count, an order-insensitive ROW CHECKSUM (sum of the first
+    8 md5 hex digits of the canonical key|status string — engine-
+    portable, so source and replica sides can be computed by DIFFERENT
+    engines and still compared), and the exact-decimal amount total.
+    A drifted bucket localizes repair to 1/16 of the keyspace instead
+    of a full re-sync; the certified equality of this output against
+    the closed-form source oracle IS the reconciliation the tool
+    performs. One shuffle on the bucket key; the checksum is a
+    JVM-expression aggregate (no UDF)."""
+    from cdc_streaming_pipeline_spark.functions.precision import dsum
+    from cdc_streaming_pipeline_spark.operators.cdc import latest_state
+    from cdc_streaming_pipeline_spark.operators.sampling import md5_bucket
+
+    log = _order_event_log(_orders(spark, sf_dir))
+    flat = filter_tombstones(log).select("value.*")
+    state = latest_state(flat, key_cols=["id"], order_col=LSN_COL).select(
+        "id", "status", "total_amount"
+    )
+    row_hash = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.col("id"), F.col("status"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return (
+        state.groupBy(md5_bucket(F.col("id"), 16).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(row_hash).alias("row_checksum"),
+            dsum(F.col("total_amount")).alias("total_amount"),
+        )
+    )
+
+
+QUERIES["cdc_replica_checksum"] = cdc_replica_checksum
+ORACLE["cdc_replica_checksum"] = """
+    WITH state AS (
+        SELECT o_orderkey AS id,
+               CASE WHEN o_orderkey % 15 = 0 THEN 'reinstated'
+                    WHEN o_orderkey % 3 = 0 THEN o_orderstatus
+                    ELSE 'pending' END AS status,
+               CASE WHEN o_orderkey % 15 = 0 THEN o_totalprice
+                    WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+                    ELSE o_totalprice END AS total_amount
+        FROM orders
+        WHERE o_orderkey % 5 <> 0 OR o_orderkey % 15 = 0
+    )
+    SELECT CAST(CAST(('0x' || substr(md5(id::VARCHAR), 1, 8)) AS UBIGINT) % 16
+                AS BIGINT) AS bucket,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(('0x' || substr(md5(id::VARCHAR || '|' || status), 1, 8))
+                    AS UBIGINT)) AS BIGINT) AS row_checksum,
+           CAST(ROUND(SUM(CAST(total_amount AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_amount
+    FROM state GROUP BY 1
+"""

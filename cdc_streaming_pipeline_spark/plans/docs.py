@@ -11,7 +11,7 @@ the brute-force/exact baselines, containment of high-Jaccard truth).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_streaming_pipeline_spark.operators import cluster as cl
@@ -1469,6 +1469,56 @@ def keyword_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _search_index_path(spark, sf_dir)
     return search_topk(spark, path, SEARCH_TERMS, k=10, ranking="bm25")
+
+
+def search_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation — NDCG@10 of the served BM25 ranking
+    against a graded-relevance truth (the ML-eval family's ranking
+    metric, next to quality_score_auc's classification metric). Grades
+    are the per-document total occurrences of the query terms under the
+    index's own tokenizer (an integer truth both engines state
+    identically); DCG discounts by log2(rank+1); IDCG re-ranks the
+    WHOLE corpus by (grade DESC, doc_id) — so NDCG < 1 exactly when
+    BM25's saturation/length-normalization order differs from raw
+    term-count order, which is the property being measured. The
+    rank-assignment window runs over the already-top-10 rows (10-row
+    single partition, not a corpus sort); the ideal top-10 is a
+    TakeOrderedAndProject over the corpus scan."""
+    from cdc_streaming_pipeline_spark.functions.textfn import normalize_ws
+    from cdc_streaming_pipeline_spark.functions.textfn import tokens as toks
+    from cdc_streaming_pipeline_spark.operators.search import search_topk
+
+    path = _search_index_path(spark, sf_dir)
+    ranked = search_topk(spark, path, SEARCH_TERMS, k=10, ranking="bm25")
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    ranked = ranked.withColumn("rank", F.row_number().over(w))
+    docs = load_table(spark, sf_dir, "documents")
+    rel_df = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                toks(normalize_ws(F.col("text"))),
+                lambda t: t.isin(*SEARCH_TERMS),
+            )
+        ).alias("rel"),
+    )
+    dcg = (
+        ranked.join(rel_df, "doc_id")
+        .agg(F.sum(F.col("rel") / F.log2(F.col("rank") + 1)).alias("dcg"))
+    )
+    wi = Window.orderBy(F.col("rel").desc(), F.col("doc_id").asc())
+    idcg = (
+        rel_df.orderBy(F.col("rel").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .withColumn("rank", F.row_number().over(wi))
+        .agg(F.sum(F.col("rel") / F.log2(F.col("rank") + 1)).alias("idcg"))
+    )
+    return dcg.crossJoin(idcg).select(
+        F.lit(10).alias("k"),
+        F.round("dcg", 4).alias("dcg"),
+        F.round("idcg", 4).alias("idcg"),
+        F.round(F.col("dcg") / F.col("idcg"), 4).alias("ndcg"),
+    )
 
 
 def phrase_search_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3085,3 +3135,52 @@ ORACLE["quality_threshold_sweep"] = (
     "                      + tp / CAST(nullif(tp + fn, 0) AS DOUBLE), 0), 6) AS f1 "
     "FROM a"
 )
+
+
+QUERIES["search_ndcg"] = search_ndcg
+ORACLE["search_ndcg"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_NORM_TOKS}) AS token FROM documents
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM toks WHERE token <> '' GROUP BY 1, 2
+    ), dft AS (
+        SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+    ), dl AS (
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS doc_len FROM tf GROUP BY 1
+    ), n AS (
+        SELECT COUNT(*) AS n_docs FROM dl
+    ), ad AS (
+        SELECT AVG(doc_len) AS avgdl FROM dl
+    ), scored AS (
+        SELECT tf.doc_id,
+               ROUND(SUM(
+                   LN(1.0 + ((SELECT n_docs FROM n) - df + 0.5) / (df + 0.5))
+                   * (tf * (1.2 + 1.0))
+                   / (tf + 1.2 * (1.0 - 0.75
+                       + 0.75 * doc_len / (SELECT avgdl FROM ad)))
+               ), 4) AS score
+        FROM tf JOIN dft USING (token) JOIN dl USING (doc_id)
+        WHERE token IN ('merge', 'scan', 'filter')
+        GROUP BY 1
+    ), rel AS (
+        SELECT doc_id,
+               len(list_filter({_NORM_TOKS},
+                               t -> t IN ('merge', 'scan', 'filter'))) AS rel
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+    ), dcg AS (
+        SELECT SUM(rel / LOG2(rank + 1)) AS dcg
+        FROM ranked JOIN rel USING (doc_id)
+    ), ideal AS (
+        SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id ASC) AS rank
+        FROM rel ORDER BY rel DESC, doc_id ASC LIMIT 10
+    ), idcg AS (
+        SELECT SUM(rel / LOG2(rank + 1)) AS idcg FROM ideal
+    )
+    SELECT 10 AS k, ROUND(dcg, 4) AS dcg, ROUND(idcg, 4) AS idcg,
+           ROUND(dcg / idcg, 4) AS ndcg
+    FROM dcg CROSS JOIN idcg
+"""

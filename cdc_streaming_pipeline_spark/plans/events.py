@@ -1067,3 +1067,97 @@ ORACLE["event_interarrival_stats"] = """
     FROM g WHERE gap_us IS NOT NULL
     GROUP BY event_type
 """
+
+
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — the marketing-analytics op next
+    to first_touch_conversion's single-touch rule: every purchase's
+    value is split EQUALLY across the user's view/click touches in the
+    preceding 24h; purchases with no preceding touch credit a 'direct'
+    channel in full. The per-touch share is rounded to 6dp then
+    accumulated in exact DECIMAL (order-insensitive, the dsum
+    discipline), so the engine and the oracle agree to the cent.
+
+    Shape: one point-in-interval join purchases⋈touches on user_id (the
+    as-of family's range join — at 100 TB pre-bucket both sides by
+    (user_id, day) so the range probe stays partition-local), one
+    per-purchase count, one channel rollup."""
+    from pyspark.sql.types import DecimalType
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id"),
+        F.col("ts").alias("pts"),
+        F.col("value"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id"),
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("tts"),
+        F.col("event_id").alias("tid"),
+    )
+    j = p.join(
+        t,
+        (p["user_id"] == t["user_id"])
+        & (t["tts"] < p["pts"])
+        & (t["tts"] >= p["pts"] - F.expr("INTERVAL 24 HOURS")),
+        "left",
+    ).select("pid", "value", "channel", "tid")
+    counts = j.groupBy("pid", "value").agg(F.count("tid").alias("n_touches"))
+    dec6 = DecimalType(28, 6)
+    touched = (
+        j.filter(F.col("tid").isNotNull())
+        .join(counts.select("pid", "n_touches"), "pid")
+        .select(
+            "channel",
+            "pid",
+            F.round(F.col("value") / F.col("n_touches"), 6)
+            .cast(dec6)
+            .alias("share"),
+        )
+    )
+    direct = counts.filter(F.col("n_touches") == 0).select(
+        F.lit("direct").alias("channel"),
+        "pid",
+        F.col("value").cast(dec6).alias("share"),
+    )
+    return (
+        touched.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.count_distinct("pid").alias("n_purchases"),
+            F.round(F.sum("share"), 2).cast("double").alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+QUERIES["multi_touch_attribution"] = multi_touch_attribution
+ORACLE["multi_touch_attribution"] = """
+    WITH p AS (
+        SELECT event_id AS pid, user_id, ts AS pts, value
+        FROM events WHERE event_type = 'purchase'
+    ), t AS (
+        SELECT user_id, event_type AS channel, ts AS tts, event_id AS tid
+        FROM events WHERE event_type IN ('view', 'click')
+    ), j AS (
+        SELECT p.pid, p.value, t.channel, t.tid
+        FROM p LEFT JOIN t
+          ON p.user_id = t.user_id
+         AND t.tts < p.pts AND t.tts >= p.pts - INTERVAL 24 HOUR
+    ), counts AS (
+        SELECT pid, value, COUNT(tid) AS n_touches FROM j GROUP BY 1, 2
+    ), credits AS (
+        SELECT j.channel, j.pid,
+               CAST(ROUND(j.value / c.n_touches, 6) AS DECIMAL(28,6)) AS share
+        FROM j JOIN counts c USING (pid)
+        WHERE j.tid IS NOT NULL
+        UNION ALL
+        SELECT 'direct', pid, CAST(value AS DECIMAL(28,6))
+        FROM counts WHERE n_touches = 0
+    )
+    SELECT channel, COUNT(DISTINCT pid) AS n_purchases,
+           CAST(ROUND(SUM(share), 2) AS DOUBLE) AS attributed_value
+    FROM credits GROUP BY channel ORDER BY channel
+"""
