@@ -3184,3 +3184,50 @@ ORACLE["search_ndcg"] = f"""
            ROUND(dcg / idcg, 4) AS ndcg
     FROM dcg CROSS JOIN idcg
 """
+
+
+def quality_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability curve of the heuristic quality score
+    against ``lang = 'en'`` — the ML-eval family's calibration metric
+    next to AUC (separation) and the threshold sweep (operating
+    points): decile-width score bins, each reporting its doc count,
+    positive count, exact-decimal mean score, and empirical positive
+    rate. A well-calibrated score has frac_pos ≈ mean_score per bin;
+    the gap IS the miscalibration a downstream sampler would inherit.
+    One scan + one 10-group aggregate."""
+    from cdc_streaming_pipeline_spark.functions.precision import davg
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = tx.with_quality_score(docs).select(
+        "quality_score",
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    bin_ = F.least(F.floor(F.col("quality_score") * 10), F.lit(9)).cast("int")
+    return (
+        scored.groupBy(bin_.alias("score_bin"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("label").alias("n_pos"),
+            davg(F.col("quality_score"), 6).alias("mean_score"),
+            F.round(
+                F.sum("label").cast("double") / F.count("*"), 6
+            ).alias("frac_pos"),
+        )
+        .orderBy("score_bin")
+    )
+
+
+QUERIES["quality_calibration_curve"] = quality_calibration_curve
+ORACLE["quality_calibration_curve"] = (
+    "WITH q AS (" + ORACLE["doc_quality_scores"] + "), "
+    "s AS (SELECT q.quality_score, "
+    "             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS label "
+    "      FROM q JOIN documents d ON d.doc_id = q.doc_id) "
+    "SELECT CAST(LEAST(FLOOR(quality_score * 10), 9) AS INT) AS score_bin, "
+    "       COUNT(*) AS n_docs, "
+    "       CAST(SUM(label) AS BIGINT) AS n_pos, "
+    "       ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(28,6))) AS DOUBLE) "
+    "             / COUNT(quality_score), 6) AS mean_score, "
+    "       ROUND(CAST(SUM(label) AS DOUBLE) / COUNT(*), 6) AS frac_pos "
+    "FROM s GROUP BY 1 ORDER BY 1"
+)

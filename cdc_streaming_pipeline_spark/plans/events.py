@@ -1161,3 +1161,191 @@ ORACLE["multi_touch_attribution"] = """
            CAST(ROUND(SUM(share), 2) AS DOUBLE) AS attributed_value
     FROM credits GROUP BY channel ORDER BY channel
 """
+
+
+def user_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over per-user active DAYS — the retention
+    primitive cohort tables can't answer (streaks, not buckets): for
+    each user, the count of maximal consecutive-day activity runs, the
+    longest run, and total active days. Integer anchor trick
+    (day_number − row_number is constant within a run), so everything
+    is exact integers: one distinct, one per-user window on days (a
+    user's DISTINCT DAYS are bounded — 31 here, ~thousands ever — so
+    the per-user sort never concentrates raw events), two aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day_num"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_num")
+    runs = (
+        days.withColumn("anchor", F.col("day_num") - F.row_number().over(w))
+        .groupBy("user_id", "anchor")
+        .agg(F.count("*").alias("streak"))
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_islands"),
+            F.max("streak").alias("longest_streak"),
+            F.sum("streak").alias("active_days"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["user_activity_islands"] = user_activity_islands
+ORACLE["user_activity_islands"] = """
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_num
+        FROM events
+    ), runs AS (
+        SELECT user_id,
+               day_num - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day_num)
+                   AS anchor,
+               COUNT(*) OVER () * 0 AS _z
+        FROM days
+    ), streaks AS (
+        SELECT user_id, anchor, COUNT(*) AS streak
+        FROM runs GROUP BY 1, 2
+    )
+    SELECT user_id, COUNT(*) AS n_islands,
+           CAST(MAX(streak) AS BIGINT) AS longest_streak,
+           CAST(SUM(streak) AS BIGINT) AS active_days
+    FROM streaks GROUP BY user_id ORDER BY user_id
+"""
+
+
+def user_value_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of the ``value`` signal per user — the
+    TSDB aggregate a plain AVG gets wrong under irregular sampling
+    (a value that held for hours must outweigh one overwritten in
+    seconds): each observation is weighted by its holding interval
+    (microseconds until the user's next event; the last observation has no
+    interval and drops out, the standard left-closed TWA). Weighted
+    mass accumulates in exact DECIMAL (value × integer seconds), so
+    engine and oracle agree exactly. One per-user lead() window, one
+    aggregate."""
+    from pyspark.sql.types import DecimalType
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = ev.select(
+        "user_id",
+        "value",
+        (
+            F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+        ).alias("hold_us"),
+    ).filter(F.col("hold_us").isNotNull())
+    mass = (F.col("value") * F.col("hold_us")).cast(DecimalType(28, 6))
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            F.sum("hold_us").alias("observed_us"),
+            F.round(
+                F.sum(mass).cast("double") / F.sum("hold_us"), 6
+            ).alias("twa_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["user_value_time_weighted"] = user_value_time_weighted
+ORACLE["user_value_time_weighted"] = """
+    WITH stepped AS (
+        SELECT user_id, value,
+               LEAD(EPOCH_US(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   - EPOCH_US(ts) AS hold_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(hold_us) AS BIGINT) AS observed_us,
+           ROUND(CAST(SUM(CAST(value * hold_us AS DECIMAL(28,6))) AS DOUBLE)
+                 / SUM(hold_us), 6) AS twa_value
+    FROM stepped WHERE hold_us IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+"""
+
+
+def user_balance_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped running balance per user — purchases credit ``value``,
+    errors debit it, and the balance can never go below zero (the
+    prepaid-account/inventory semantics): a NON-ASSOCIATIVE per-row
+    recurrence ``bal_i = max(0, bal_{i-1} + delta_i)`` that looks like
+    it forces a stateful per-key scan. It doesn't: by the max-plus
+    identity, ``bal_n = S_n − min(0, min_{k≤n} S_k)`` (the clamp only
+    ever 'forgives' the deepest prefix deficit), and a clamp fires
+    exactly at the strict new minima of S below zero. So the whole
+    operator is two ordered windows over the plain running sum —
+    JVM-side, whole-stage-codegen, no Python state, and exactly
+    SQL-stateable for the oracle. Per-user event order is pinned by
+    (ts, event_id) so both engines accumulate in the identical IEEE
+    order."""
+    ev = load_table(spark, sf_dir, "events")
+    delta = (
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .when(F.col("event_type") == "error", -F.col("value"))
+        .otherwise(None)
+    )
+    flows = ev.select("user_id", "ts", "event_id", delta.alias("delta")).filter(
+        F.col("delta").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    stepped = flows.withColumn("s", F.sum("delta").over(w)).withColumn(
+        "prev_min", F.min("s").over(wprev)
+    )
+    clamped = (F.col("s") < 0) & (
+        F.col("prev_min").isNull() | (F.col("s") < F.col("prev_min"))
+    )
+    # bal_N = S_N − min(0, min_k S_k), and S_N is simply the delta total
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum("delta") - F.least(F.lit(0.0), F.min("s")), 2
+            ).alias("final_balance"),
+            F.sum(clamped.cast("int")).alias("n_clamped"),
+            F.count("*").alias("n_flows"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["user_balance_clamped"] = user_balance_clamped
+ORACLE["user_balance_clamped"] = """
+    WITH flows AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'purchase' THEN value
+                    WHEN event_type = 'error' THEN -value END AS delta
+        FROM events
+        WHERE event_type IN ('purchase', 'error')
+    ), sums AS (
+        SELECT user_id, ts, event_id, delta,
+               SUM(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS s
+        FROM flows
+    ), stepped AS (
+        SELECT user_id, delta, s,
+               MIN(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_min
+        FROM sums
+    )
+    SELECT user_id,
+           ROUND(SUM(delta) - LEAST(0.0, MIN(s)), 2) AS final_balance,
+           CAST(SUM(CASE WHEN s < 0 AND (prev_min IS NULL OR s < prev_min)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+           COUNT(*) AS n_flows
+    FROM stepped
+    GROUP BY user_id ORDER BY user_id
+"""
