@@ -1104,27 +1104,28 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (t["tts"] >= p["pts"] - F.expr("INTERVAL 24 HOURS")),
         "left",
     ).select("pid", "value", "channel", "tid")
-    counts = j.groupBy("pid", "value").agg(F.count("tid").alias("n_touches"))
+    # ONE pass: per-purchase touch count as a window over the join
+    # output, direct fallback folded in with CASE — referencing j from
+    # separate touched/direct branches re-executed the whole join per
+    # branch (3 scans in the physical plan before this shape)
+    n_touches = F.count("tid").over(Window.partitionBy("pid"))
     dec6 = DecimalType(28, 6)
-    touched = (
-        j.filter(F.col("tid").isNotNull())
-        .join(counts.select("pid", "n_touches"), "pid")
+    credits = (
+        j.withColumn("n_touches", n_touches)
+        .filter(F.col("tid").isNotNull() | (F.col("n_touches") == 0))
         .select(
-            "channel",
+            F.when(F.col("n_touches") == 0, F.lit("direct"))
+            .otherwise(F.col("channel"))
+            .alias("channel"),
             "pid",
-            F.round(F.col("value") / F.col("n_touches"), 6)
+            F.when(F.col("n_touches") == 0, F.col("value"))
+            .otherwise(F.round(F.col("value") / F.col("n_touches"), 6))
             .cast(dec6)
             .alias("share"),
         )
     )
-    direct = counts.filter(F.col("n_touches") == 0).select(
-        F.lit("direct").alias("channel"),
-        "pid",
-        F.col("value").cast(dec6).alias("share"),
-    )
     return (
-        touched.unionByName(direct)
-        .groupBy("channel")
+        credits.groupBy("channel")
         .agg(
             F.count_distinct("pid").alias("n_purchases"),
             F.round(F.sum("share"), 2).cast("double").alias("attributed_value"),

@@ -537,3 +537,51 @@ def test_spearman_tail_no_python_no_cartesian(spark):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multi_touch_attribution_single_join_pass(spark):
+    """The range join (purchases x preceding touches) must appear ONCE:
+    the first shape computed per-purchase counts as a separate
+    groupBy+join against the same join output, which re-executed the
+    whole join per branch (3 event scans). The window+CASE form keeps
+    one join, no cartesian, and pushes the event_type filters to the
+    scans."""
+    from cdc_streaming_pipeline_spark.plans.events import multi_touch_attribution
+
+    plan = _plan(multi_touch_attribution(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # count join NODES (formatted mode prints each node in the tree and
+    # again as a numbered detail section — count the detail headers)
+    joins = [
+        l for l in plan.splitlines()
+        if l.strip().startswith("(") and ("HashJoin" in l or "SortMergeJoin" in l)
+    ]
+    assert len(joins) == 1, f"expected ONE purchases-touches join: {joins}"
+    assert "event_type" in plan.split("PushedFilters")[1].split("]")[0]
+
+
+def test_user_balance_clamped_two_windows_no_join(spark):
+    """The max-plus rewrite's whole point: a non-associative recurrence
+    served by ordered windows over ONE scan — no self-join, no
+    cartesian, and exactly one exchange on the user key (both windows
+    and the final aggregate share the user_id partitioning)."""
+    from cdc_streaming_pipeline_spark.plans.events import user_balance_clamped
+
+    plan = _plan(user_balance_clamped(spark, SF_DIR))
+    assert "Join" not in plan
+    assert plan.count("Window") >= 1
+    hash_exchanges = [
+        line for line in plan.splitlines() if "hashpartitioning" in line
+    ]
+    assert len(hash_exchanges) == 1, hash_exchanges
+
+
+def test_search_ndcg_rank_window_is_post_topk(spark):
+    """The global rank window runs over the already-top-10 rows, never
+    the corpus; the ideal top-10 is a TakeOrderedAndProject (no global
+    sort materializes the corpus)."""
+    from cdc_streaming_pipeline_spark.plans.docs import search_ndcg
+
+    plan = _plan(search_ndcg(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan  # the 1x1 dcg/idcg cross is BNLJ
