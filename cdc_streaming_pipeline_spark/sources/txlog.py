@@ -432,12 +432,7 @@ class TxLogTable:
         files = resolve_with_checkpoint(self, version)
         if not files:
             raise FileNotFoundError(f"no committed data at version {version}")
-        target = self.latest_version() if version is None else version
-        stats: dict = {}
-        for v in self._versions():
-            if v > target:
-                break
-            stats.update(self._read_entry(v).get("file_stats", {}))
+        stats = resolve_file_stats(self, version)
         keep = []
         for f in files:
             st = stats.get(f, {}).get(col)
@@ -806,6 +801,59 @@ class BucketedTxLogTable(TxLogTable):
             )
         raise ConcurrentWriteError(f"merge gave up after {max_retries} retries")
 
+    def compact_buckets(
+        self, buckets: list[int] | None = None, min_files: int = 2
+    ) -> tuple[int | None, list[int]]:
+        """Rewrite each selected bucket's files into ONE file — the
+        maintenance pass that bounds the file-count growth salted
+        merges trade for write parallelism (every salted merge adds up
+        to salt_n files to its touched buckets; compaction folds them
+        back). Default selection: every bucket currently holding >=
+        ``min_files`` files. Logical content is unchanged; untouched
+        buckets' files are untouched (same per-bucket replacement
+        commit as a merge, so the conflict rule stays file-granular and
+        a concurrent DISJOINT-bucket merge interleaves safely); every
+        earlier version stays readable. Returns (version, compacted
+        buckets) — (None, []) when nothing qualifies."""
+        base = self.latest_version()
+        if base is None:
+            return None, []
+        snap, bmap, _ = resolve_snapshot_state(self, base)
+        per_bucket: dict[int, list[str]] = {}
+        for f in snap:
+            b = bmap.get(f)
+            if b is not None:
+                per_bucket.setdefault(b, []).append(f)
+        targets = sorted(
+            b
+            for b, fs in per_bucket.items()
+            if len(fs) >= min_files and (buckets is None or b in buckets)
+        )
+        if not targets:
+            return None, []
+        old = [f for b in targets for f in per_bucket[b]]
+        df = self.spark.read.option("mergeSchema", "true").parquet(*old)
+        from cdc_streaming_pipeline_spark.operators.merge import BUCKET_COL
+
+        adds, new_buckets = self._stage_bucketed(df.drop(BUCKET_COL), salt_n=1)
+        version = base + 1
+        entry = {
+            "version": version,
+            "mode": "merge",  # per-bucket replacement: same replay rule
+            "adds": adds,
+            "removes": sorted(old),
+            "n_files": len(adds),
+            "file_buckets": new_buckets,
+            "buckets": targets,
+        }
+        if not self._try_commit(version, entry):
+            raise ConcurrentWriteError(
+                f"bucket compaction of {targets} lost the race at {version}"
+            )
+        if self.checkpoint_interval and version % self.checkpoint_interval == 0:
+            write_checkpoint(self, version)
+        return version, targets
+
     def read_state(self, version: int | None = None) -> DataFrame:
         """The queryable latest-state view: delete markers filtered, CDC
         bookkeeping columns dropped."""
@@ -845,10 +893,22 @@ def write_checkpoint(table: TxLogTable, version: int | None = None) -> int:
     back to the previous checkpoint or the full log."""
     v = table.latest_version() if version is None else version
     files, buckets, txns = resolve_snapshot_state(table, v)
+    stats = resolve_file_stats(table, v)
+    live = set(files)
     tmp = _checkpoint_path(table, v) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(
-            {"version": v, "files": files, "file_buckets": buckets, "txns": txns}, f
+            {
+                "version": v,
+                "files": files,
+                "file_buckets": buckets,
+                "txns": txns,
+                # data-skipping stats restricted to LIVE files, so
+                # read_where's stats resolution is also bounded by the
+                # checkpoint suffix (and the checkpoint stays O(live))
+                "file_stats": {f: s for f, s in stats.items() if f in live},
+            },
+            f,
         )
     os.replace(tmp, _checkpoint_path(table, v))
     # the _last_checkpoint POINTER (Delta's): O(1) checkpoint discovery
@@ -945,6 +1005,27 @@ def resolve_snapshot_state(
             files = [f for f in files if f not in removed]
             files.extend(e.get("adds", []))
     return files, buckets, txns
+
+
+def resolve_file_stats(table: TxLogTable, version: int | None = None) -> dict:
+    """{file: {col: [min, max]}} accumulated up to ``version`` through
+    the newest checkpoint that carries ``file_stats`` — the read_where
+    data-skipping resolution, bounded like every other metadata path
+    (checkpoints written before stats were checkpointed replay the full
+    log for stats only; self-heals at the next checkpoint)."""
+    target = table.latest_version() if version is None else version
+    if target is None:
+        return {}
+    best = _best_checkpoint(table, target)
+    if best is not None and "file_stats" in best:
+        stats = dict(best["file_stats"])
+        start = best["version"] + 1
+    else:
+        stats = {}
+        start = 0
+    for v in table._versions_between(start, target):
+        stats.update(table._read_entry(v).get("file_stats", {}))
+    return stats
 
 
 def resolve_with_checkpoint(table: TxLogTable, version: int | None = None) -> list[str]:

@@ -338,3 +338,35 @@ def test_commit_entries_publish_atomically_with_content(spark, tmp_path):
             entry = _json.load(f)  # complete, parseable
         assert entry["adds"]
     assert _glob(os.path.join(t.log_dir, "*.tmp")) == []
+
+
+def test_read_where_stats_resolve_through_checkpoint(spark, tmp_path):
+    """Data-skipping stats ride the checkpoint: after write_checkpoint,
+    read_where resolves its per-file min/max from the checkpointed
+    stats plus the log suffix — entry reads bounded by
+    commits-since-checkpoint, not table age — and prunes/answers
+    exactly as before."""
+    from cdc_streaming_pipeline_spark.sources.txlog import (
+        TxLogTable,
+        write_checkpoint,
+    )
+
+    t = TxLogTable(spark, str(tmp_path / "t"))
+    for q in range(4):
+        t.commit(_df(spark, q * 100, q * 100 + 50).coalesce(1), stats_cols=["k"])
+    write_checkpoint(t)
+    t.commit(_df(spark, 400, 450).coalesce(1), stats_cols=["k"])  # post-ckpt
+
+    reads: list[int] = []
+    orig = t._read_entry
+
+    def counting(v):
+        reads.append(v)
+        return orig(v)
+
+    t._read_entry = counting
+    df, files_read, files_total = t.read_where("k", 120, 130)
+    t._read_entry = orig
+    assert (files_read, files_total) == (1, 5)  # stats still prune
+    assert _vals(df) == list(range(120, 131))
+    assert reads and all(r > 3 for r in reads)  # only the suffix was read

@@ -478,3 +478,38 @@ def test_sqlite_backend_heals_unmaterialized_commit(spark, tmp_path, put_backend
     got = _state(t2)
     assert got[k1] == "CRASHED" and got[k2] == "SECOND"
     assert b.heal() == 0  # everything materialized
+
+
+def test_compact_buckets_folds_salted_files(spark, tmp_path):
+    """compact_buckets: the maintenance pass for salted multi-file
+    buckets — selected buckets fold to one file each, untouched buckets
+    stay byte-identical, logical state is unchanged, and prior versions
+    remain readable."""
+    t = BucketedTxLogTable(
+        spark,
+        str(tmp_path / "cb"),
+        key_cols=["id"],
+        n_buckets=N_BUCKETS,
+        target_file_bytes=1,  # force salted (multi-file) rewrites
+        commit_backend=_BACKEND,
+    )
+    t.init_from_events(_seed(spark, n=200))
+    (tb,) = _buckets_of(spark, [7]).values()
+    v1, _ = t.merge_cdc_batch(_events(spark, [(7, "UPD", "u", "0002", None)]))
+    bmap = t._bucket_map(v1)
+    assert sum(1 for b in bmap.values() if b == tb) >= 2  # salted files
+    pre_state = _state(t)
+    pre_untouched = {
+        p: _sha(p) for p, b in bmap.items() if b != tb
+    }
+
+    v2, compacted = t.compact_buckets()
+    assert compacted == [tb]
+    bmap2 = t._bucket_map(v2)
+    assert sum(1 for b in bmap2.values() if b == tb) == 1  # folded
+    assert _state(t) == pre_state  # logical no-op
+    for p, h in pre_untouched.items():
+        assert bmap2.get(p) is not None and _sha(p) == h  # untouched
+    assert _state(t, v1) == pre_state  # time travel intact
+    # nothing else qualifies now
+    assert t.compact_buckets() == (None, [])
