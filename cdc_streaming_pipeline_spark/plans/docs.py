@@ -3231,3 +3231,51 @@ ORACLE["quality_calibration_curve"] = (
     "       ROUND(CAST(SUM(label) AS DOUBLE) / COUNT(*), 6) AS frac_pos "
     "FROM s GROUP BY 1 ORDER BY 1"
 )
+
+
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — the multilingual-fairness
+    metric for a trained tokenizer (how many subtokens a language pays
+    per word; high-fertility languages get fewer effective context
+    tokens and higher serving cost): the bpe_token_counts pipeline
+    rolled up per ``lang`` instead of per doc. Same scale shape — the
+    merge table is applied ONCE to the distinct-word vocabulary and
+    broadcast-joined to the exploded corpus. No SQL oracle (depends on
+    the trained merges); certified by the pure-Python replay in
+    tools/py_oracles.py."""
+    from cdc_streaming_pipeline_spark.operators.bpe import (
+        segment_with_merges,
+        word_frequency_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = word_frequency_table(docs)
+    merges = _trained_merges(spark, sf_dir)
+    vocab = segment_with_merges(wf, merges).select(
+        "word", F.size("toks").alias("_n_sub")
+    )
+    words = docs.select(
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    return (
+        words.join(vocab, "word")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_ws_tokens"),
+            F.sum("_n_sub").alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_ws_tokens",
+            "n_bpe_tokens",
+            F.round(F.col("n_bpe_tokens") / F.col("n_ws_tokens"), 4).alias(
+                "fertility"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["bpe_fertility_by_lang"] = bpe_fertility_by_lang
+# trained-merge-dependent: certified by the py-oracle replay, not SQL

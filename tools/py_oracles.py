@@ -140,6 +140,33 @@ def bpe_token_counts(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def bpe_fertility_by_lang(sf_dir: str) -> pd.DataFrame:
+    """plans/docs.py:bpe_fertility_by_lang — the bpe_token_counts
+    pipeline rolled up per language: subtokens per word under the same
+    pinned training + application semantics."""
+    freq = _word_freq(sf_dir)
+    _, seg = _train(freq, n_merges=24)
+    n_sub = {w: len(t) for w, t in seg.items()}
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    ).to_pandas()
+    agg: dict[str, list[int]] = {}
+    for lang, text in zip(docs["lang"], docs["text"]):
+        ws = _words(text)
+        if not ws:
+            continue
+        a = agg.setdefault(lang, [0, 0])
+        a[0] += len(ws)
+        a[1] += sum(n_sub[w] for w in ws)
+    rows = [
+        (lang, nws, nb, _round4(nb / nws))
+        for lang, (nws, nb) in sorted(agg.items())
+    ]
+    return pd.DataFrame(
+        rows, columns=["lang", "n_ws_tokens", "n_bpe_tokens", "fertility"]
+    )
+
+
 def supplier_part_pagerank(sf_dir: str) -> pd.DataFrame:
     """plans/analytics.py:supplier_part_pagerank — vectorized numpy power
     iteration with the operator's exact semantics (undirected distinct
@@ -492,4 +519,5 @@ PY_ORACLES = {
     "embedding_coverage_sample": embedding_coverage_sample,
     "embedding_outlier_scores": embedding_outlier_scores,
     "supplier_part_communities": supplier_part_communities,
+    "bpe_fertility_by_lang": bpe_fertility_by_lang,
 }
