@@ -3070,3 +3070,131 @@ def supplier_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["supplier_part_communities"] = supplier_part_communities
 # integer-exact iterative algorithm: certified by the pure-Python LPA
 # replay (tools/py_oracles.py:supplier_part_communities), not SQL
+
+
+def monthly_revenue_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of monthly revenue — the
+    outlier-insensitive slope estimator (median of all pairwise slopes)
+    a forecasting pipeline prefers over OLS when single months spike:
+    the fact table aggregates to ~84 month points FIRST (map-side
+    combinable, the only corpus-scale work), then the pairwise slopes
+    are a bounded self-join over that aggregate frame (84² /2 ≈ 3.5k
+    pairs — a parameter bound, never data-scale) and the slope is their
+    EXACT interpolated median (F.percentile, not the approximate
+    sketch, so the DuckDB quantile_cont oracle matches bit-for-bit on
+    the identical multiset). Intercept = median residual under the
+    estimated slope."""
+    from cdc_streaming_pipeline_spark.functions.precision import dsum
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(F.trunc("o_orderdate", "month").alias("month"))
+        .agg(dsum(F.col("o_totalprice")).alias("rev"))
+        .select(
+            F.months_between(F.col("month"), F.lit("1992-01-01")).cast("int").alias("x"),
+            "rev",
+        )
+    )
+    a = monthly.alias("a")
+    b = monthly.alias("b")
+    pairs = a.join(b, F.col("a.x") < F.col("b.x")).select(
+        (
+            (F.col("b.rev") - F.col("a.rev")) / (F.col("b.x") - F.col("a.x"))
+        ).alias("slope")
+    )
+    slope = pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.percentile(F.col("slope"), F.lit(0.5)).alias("sen_slope"),
+    )
+    resid = monthly.crossJoin(F.broadcast(slope)).select(
+        "n_pairs",
+        "sen_slope",
+        (F.col("rev") - F.col("sen_slope") * F.col("x")).alias("r"),
+    )
+    return resid.groupBy("n_pairs", "sen_slope").agg(
+        F.count("*").alias("n_points"),
+        F.percentile(F.col("r"), F.lit(0.5)).alias("intercept"),
+    ).select(
+        "n_points",
+        "n_pairs",
+        F.round("sen_slope", 4).alias("sen_slope"),
+        F.round("intercept", 2).alias("intercept"),
+    )
+
+
+def event_type_weekday_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of event_type × weekday — the data-
+    quality screen that catches a skewed event pipeline (a type that
+    only fires on Mondays is a batch job pretending to be user
+    traffic). Observed counts are one corpus aggregate; expected counts
+    and the statistic live on the bounded 5×7 contingency frame
+    (broadcast margins, 35 cells — parameter-bounded, never
+    data-scale). Integer counts make the cell terms deterministic;
+    rounding after the 35-term sum."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        F.col("event_type"), F.dayofweek("ts").alias("dow")
+    ).agg(F.count("*").alias("o"))
+    rows = obs.groupBy("event_type").agg(F.sum("o").alias("row_tot"))
+    cols = obs.groupBy("dow").agg(F.sum("o").alias("col_tot"))
+    n = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(F.broadcast(rows), "event_type")
+        .join(F.broadcast(cols), "dow")
+        .crossJoin(F.broadcast(n))
+    )
+    term = (
+        F.col("o") - F.col("row_tot") * F.col("col_tot") / F.col("n")
+    ) ** 2 / (F.col("row_tot") * F.col("col_tot") / F.col("n"))
+    return cells.agg(
+        F.max("n").cast("long").alias("n_events"),
+        (F.count_distinct("event_type") - 1).alias("dof_rows"),
+        (F.count_distinct("dow") - 1).alias("dof_cols"),
+        F.round(F.sum(term), 4).alias("chi2"),
+    ).select(
+        "n_events",
+        (F.col("dof_rows") * F.col("dof_cols")).alias("dof"),
+        "chi2",
+    )
+
+
+QUERIES["monthly_revenue_theilsen"] = monthly_revenue_theilsen
+QUERIES["event_type_weekday_chi2"] = event_type_weekday_chi2
+ORACLE["monthly_revenue_theilsen"] = f"""
+    WITH monthly AS (
+        SELECT DATEDIFF('month', DATE '1992-01-01',
+                        DATE_TRUNC('month', o_orderdate)) AS x,
+               {sql_dsum('o_totalprice')} AS rev
+        FROM orders GROUP BY 1
+    ), pairs AS (
+        SELECT (b.rev - a.rev) / (b.x - a.x) AS slope
+        FROM monthly a JOIN monthly b ON a.x < b.x
+    ), sl AS (
+        SELECT COUNT(*) AS n_pairs, QUANTILE_CONT(slope, 0.5) AS sen_slope
+        FROM pairs
+    )
+    SELECT (SELECT COUNT(*) FROM monthly) AS n_points,
+           n_pairs,
+           ROUND(sen_slope, 4) AS sen_slope,
+           ROUND((SELECT QUANTILE_CONT(rev - sl.sen_slope * x, 0.5)
+                  FROM monthly), 2) AS intercept
+    FROM sl
+"""
+ORACLE["event_type_weekday_chi2"] = """
+    WITH obs AS (
+        SELECT event_type, DAYOFWEEK(ts) + 1 AS dow, COUNT(*) AS o
+        FROM events GROUP BY 1, 2
+    ), m AS (
+        SELECT obs.*, 
+               SUM(o) OVER (PARTITION BY event_type) AS row_tot,
+               SUM(o) OVER (PARTITION BY dow) AS col_tot,
+               SUM(o) OVER () AS n
+        FROM obs
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST((COUNT(DISTINCT event_type) - 1)
+                * (COUNT(DISTINCT dow) - 1) AS BIGINT) AS dof,
+           ROUND(SUM(POW(o - row_tot * col_tot / CAST(n AS DOUBLE), 2)
+                     / (row_tot * col_tot / CAST(n AS DOUBLE))), 4) AS chi2
+    FROM m
+"""
