@@ -1409,3 +1409,67 @@ ORACLE["cdc_replica_checksum"] = """
                AS total_amount
     FROM state GROUP BY 1
 """
+
+
+def table_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DIFF between two committed versions of the ACID table
+    — the audit a compliance erasure or a suspicious merge gets
+    ("what exactly changed between v0 and v2?"): full-outer join of the
+    two pinned snapshots on the key, classifying every key as
+    added / removed / changed / unchanged, with exact-decimal amount
+    totals for the added and removed sets. Both sides are immutable
+    snapshot reads (time travel), so the diff is stable no matter what
+    commits land meanwhile. Runs on the three-version time-travel
+    fixture (v0 = first cohort, v2 = post-erasure state); the oracle
+    states the expected classification from the fixture arithmetic —
+    including that NO key is 'changed', which certifies the value
+    comparison isn't trivially bucketing everything as changed."""
+    from cdc_streaming_pipeline_spark.functions.precision import dsum
+    from cdc_streaming_pipeline_spark.sources.txlog import TxLogTable
+
+    path = _timetravel_table(spark, sf_dir)
+    t = TxLogTable(spark, path)
+    a = t.read(0).select(
+        F.col("id"), F.col("total_amount").alias("_a_amt")
+    )
+    b = t.read(2).select(
+        F.col("id"), F.col("total_amount").alias("_b_amt")
+    )
+    j = a.join(b, "id", "full_outer")
+    cls = (
+        F.when(F.col("_a_amt").isNull(), F.lit("added"))
+        .when(F.col("_b_amt").isNull(), F.lit("removed"))
+        .when(F.col("_a_amt") != F.col("_b_amt"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.groupBy(cls.alias("change"))
+        .agg(
+            F.count("*").alias("n_keys"),
+            dsum(F.coalesce(F.col("_b_amt"), F.col("_a_amt"))).alias("amount"),
+        )
+        .orderBy("change")
+    )
+
+
+QUERIES["table_version_diff"] = table_version_diff
+ORACLE["table_version_diff"] = """
+    WITH a AS (
+        SELECT o_orderkey AS id, o_totalprice AS amt FROM orders
+        WHERE o_orderkey % 3 = 1
+    ), b AS (
+        SELECT o_orderkey AS id, o_totalprice AS amt FROM orders
+        WHERE o_orderkey % 3 IN (1, 2) AND o_orderkey % 5 <> 0
+    ), j AS (
+        SELECT COALESCE(a.id, b.id) AS id, a.amt AS a_amt, b.amt AS b_amt
+        FROM a FULL OUTER JOIN b ON a.id = b.id
+    )
+    SELECT CASE WHEN a_amt IS NULL THEN 'added'
+                WHEN b_amt IS NULL THEN 'removed'
+                WHEN a_amt <> b_amt THEN 'changed'
+                ELSE 'unchanged' END AS change,
+           COUNT(*) AS n_keys,
+           CAST(ROUND(SUM(CAST(COALESCE(b_amt, a_amt) AS DECIMAL(28,6))), 2)
+                AS DOUBLE) AS amount
+    FROM j GROUP BY 1 ORDER BY 1
+"""

@@ -1350,3 +1350,90 @@ ORACLE["user_balance_clamped"] = """
     FROM stepped
     GROUP BY user_id ORDER BY user_id
 """
+
+
+def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization through STRUCTURED STREAMING, certified against
+    the batch oracle — the events arrive as three event-time-ordered
+    micro-batches (file source, maxFilesPerTrigger=1), sessions build
+    in state via the native session_window with a 1-hour watermark, and
+    append mode emits each session only when the watermark closes it.
+    A far-future sentinel event rides the last wave so the final
+    no-data micro-batch advances the watermark past ALL real data and
+    flushes every open session — without it, append mode correctly
+    holds the tail sessions open forever, which is exactly the
+    semantics this query demonstrates. The streamed result must equal
+    plans/events.py:session_window_stats batch-for-batch (same oracle),
+    proving the streaming state machinery — merge-on-arrival,
+    watermark finalization, exactly-once file sink — changes nothing
+    about the answer."""
+    import os
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir, "stream_sessions")
+    out = _STREAM_SESS_MEMO.get(key)
+    if out is None:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"ssess-{spark.sparkContext.applicationId}-{abs(hash(sf_dir)) % 10**8}",
+        )
+        src, out, ckpt = (os.path.join(root, d) for d in ("src", "out", "ckpt"))
+        if not os.path.exists(out):
+            ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+            day = F.dayofmonth("ts")
+            waves = (day <= 10, (day > 10) & (day <= 20), day > 20)
+            for i, cond in enumerate(waves):
+                ev.filter(cond).coalesce(1).write.mode("append").parquet(
+                    os.path.join(src, f"w{i}")
+                )
+            sentinel = spark.sql(
+                "SELECT CAST(-1 AS LONG) user_id, TIMESTAMP '2025-01-01' ts,"
+                " CAST(0.0 AS DOUBLE) value"
+            )
+            sentinel.coalesce(1).write.mode("append").parquet(
+                os.path.join(src, "w2")
+            )
+            stream = (
+                spark.readStream.schema("user_id long, ts timestamp, value double")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(os.path.join(src, "w*"))
+            )
+            sess = (
+                stream.withWatermark("ts", "1 hour")
+                .groupBy(F.session_window(F.col("ts"), "30 minutes"), "user_id")
+                .agg(
+                    F.count("*").alias("n_events"),
+                    F.round(F.sum(F.col("value").cast("decimal(28,6)")), 2)
+                    .cast("double")
+                    .alias("sum_value"),
+                )
+                .select(
+                    "user_id",
+                    F.unix_micros(F.col("session_window.start")).alias(
+                        "session_start_us"
+                    ),
+                    F.unix_micros(F.col("session_window.end")).alias(
+                        "session_end_us"
+                    ),
+                    "n_events",
+                    "sum_value",
+                )
+            )
+            q = (
+                sess.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        _STREAM_SESS_MEMO[key] = out
+    return spark.read.parquet(out).filter(F.col("user_id") >= 0)
+
+
+_STREAM_SESS_MEMO: dict = {}
+
+QUERIES["stream_session_stats"] = stream_session_stats
+# the streamed sessions must equal the batch session_window rollup
+ORACLE["stream_session_stats"] = ORACLE["session_window_stats"]
