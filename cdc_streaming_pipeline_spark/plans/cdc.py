@@ -1473,3 +1473,41 @@ ORACLE["table_version_diff"] = """
                 AS DOUBLE) AS amount
     FROM j GROUP BY 1 ORDER BY 1
 """
+
+
+def cdc_mv_through_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized aggregate maintained THROUGH the bucketed ACID merge
+    (sources/txlog.py:mv_delta/fold_mv) — the lakehouse materialized-
+    view pattern: because data files are immutable and each merge entry
+    lists exactly the touched buckets' removed/added files, the grouped
+    (count, exact-decimal sum) view updates per merge by aggregating
+    ONLY those files and folding the signed delta — cost ∝ the batch's
+    bucket spread, never table size, and the from-scratch fold reads
+    each file exactly once. Runs on the same bucket-pruned merge
+    fixture as cdc_txlog_merge_incremental; the folded view must equal
+    the closed-form final-state rollup."""
+    from cdc_streaming_pipeline_spark.sources.txlog import BucketedTxLogTable, fold_mv
+
+    cdc_txlog_merge_incremental(spark, sf_dir)  # ensure the fixture exists
+    path = _TXLOG_MEMO[(spark.sparkContext.applicationId, sf_dir, "cdc_merge_inc")]
+    t = BucketedTxLogTable(spark, path, key_cols=["id"], n_buckets=16)
+    return fold_mv(t, ["status"], "total_amount").orderBy("status")
+
+
+QUERIES["cdc_mv_through_merge"] = cdc_mv_through_merge
+ORACLE["cdc_mv_through_merge"] = """
+    WITH state AS (
+        SELECT CASE WHEN o_orderkey % 15 = 0 THEN 'reinstated'
+                    WHEN o_orderkey % 3 = 0 THEN o_orderstatus
+                    ELSE 'pending' END AS status,
+               CASE WHEN o_orderkey % 15 = 0 THEN o_totalprice
+                    WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+                    ELSE o_totalprice END AS total_amount
+        FROM orders
+        WHERE o_orderkey % 5 <> 0 OR o_orderkey % 15 = 0
+    )
+    SELECT status, COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(total_amount AS DECIMAL(28,6))), 2) AS DOUBLE)
+               AS total
+    FROM state GROUP BY status ORDER BY status
+"""

@@ -867,6 +867,92 @@ class BucketedTxLogTable(TxLogTable):
         return df.filter(~F.col("_is_deleted")).drop(*drop)
 
 
+def mv_delta(
+    table: TxLogTable,
+    version: int,
+    group_cols: list[str],
+    sum_col: str,
+    deleted_col: str = "_is_deleted",
+) -> DataFrame:
+    """The aggregate DELTA one committed version contributes to a
+    grouped (count, sum) materialized view — the lakehouse MV
+    maintenance primitive: because data files are immutable and a merge
+    entry lists exactly the touched buckets' removed and added files,
+    the view updates by aggregating ONLY those files (cost ∝ the
+    merge's bucket spread, never table size) and adding the signed
+    result to the prior view. Rows carry the raw latest-state images
+    (delete markers included), so live-row semantics are applied here:
+    a key that died contributes −1/−amount through its removed file and
+    nothing through the added one. Exact-decimal sums make the ±
+    folding order-insensitive."""
+    from pyspark.sql import functions as F
+
+    from cdc_streaming_pipeline_spark.operators.cdc import mark_deleted
+
+    e = table._read_entry(version)
+
+    def _live_agg(files: list[str], sign: int) -> DataFrame | None:
+        if not files:
+            return None
+        df = table.spark.read.option("mergeSchema", "true").parquet(*files)
+        df = mark_deleted(df) if deleted_col not in df.columns else df
+        return (
+            df.filter(~F.col(deleted_col))
+            .groupBy(*group_cols)
+            .agg(
+                (F.count("*") * sign).alias("n_rows"),
+                (F.sum(F.col(sum_col).cast("decimal(28,6)")) * sign).alias("_sum"),
+            )
+        )
+
+    pos = _live_agg(e.get("adds", []), 1)
+    neg = _live_agg(e.get("removes", []), -1)
+    parts = [p for p in (pos, neg) if p is not None]
+    if not parts:
+        schema = ", ".join(f"{c} string" for c in group_cols)
+        return table.spark.createDataFrame(
+            [], f"{schema}, n_rows long, _sum decimal(28,6)"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy(*group_cols).agg(
+        F.sum("n_rows").alias("n_rows"), F.sum("_sum").alias("_sum")
+    )
+
+
+def fold_mv(
+    table: TxLogTable,
+    group_cols: list[str],
+    sum_col: str,
+    upto: int | None = None,
+) -> DataFrame:
+    """Fold every version's ``mv_delta`` into the grouped view — the
+    from-scratch MV build whose total I/O is the bytes ever written
+    (each immutable file aggregated exactly once), and whose
+    INCREMENTAL step (one more version) is bucket-pruned. Returns
+    (group_cols..., n_rows, total) with empty groups dropped."""
+    from pyspark.sql import functions as F
+
+    target = table.latest_version() if upto is None else upto
+    acc: DataFrame | None = None
+    for v in table._versions_between(0, target):
+        d = mv_delta(table, v, group_cols, sum_col)
+        acc = d if acc is None else acc.unionByName(d)
+    if acc is None:
+        raise FileNotFoundError("no committed versions")
+    out = (
+        acc.groupBy(*group_cols)
+        .agg(F.sum("n_rows").alias("n_rows"), F.sum("_sum").alias("_total"))
+        .filter(F.col("n_rows") > 0)
+    )
+    return out.select(
+        *group_cols,
+        "n_rows",
+        F.round(F.col("_total"), 2).cast("double").alias("total"),
+    )
+
+
 def _checkpoint_path(table: TxLogTable, version: int) -> str:
     return os.path.join(table.log_dir, f"{version:08d}.checkpoint.json")
 

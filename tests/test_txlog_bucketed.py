@@ -513,3 +513,41 @@ def test_compact_buckets_folds_salted_files(spark, tmp_path):
     assert _state(t, v1) == pre_state  # time travel intact
     # nothing else qualifies now
     assert t.compact_buckets() == (None, [])
+
+
+def test_materialized_aggregate_through_merges(spark, tmp_path):
+    """MV maintenance primitive (sources/txlog.py:mv_delta/fold_mv):
+    folding every version's bucket-bounded delta equals a full
+    recompute over the final state — across updates, deletes, inserts,
+    and a group-moving update."""
+    from cdc_streaming_pipeline_spark.sources.txlog import fold_mv
+
+    t = _table(spark, tmp_path)
+    t.init_from_events(
+        _events(
+            spark,
+            [(i, "open" if i % 2 else "closed", "r", "0001", None) for i in range(40)],
+        )
+    )
+    t.merge_cdc_batch(_events(spark, [(2, "open", "u", "0002", None)]))   # moves group
+    t.merge_cdc_batch(_events(spark, [(3, "open", "d", "0003", "true")]))  # delete
+    t.merge_cdc_batch(_events(spark, [(100, "open", "c", "0004", None)]))  # insert
+
+    # the fold's sum column: use id as the measure (deterministic ints)
+    got = {
+        r["status"]: (r["n_rows"], r["total"])
+        for r in fold_mv(t, ["status"], "id").collect()
+    }
+    state = t.read_state()
+    want = {
+        r["status"]: (r["n"], float(r["s"]))
+        for r in state.groupBy("status")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("id").cast("decimal(28,6)")), 2)
+            .cast("double")
+            .alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
