@@ -347,3 +347,72 @@ def test_connected_components_deep_diameter_crosses_truncation_switch(spark):
     wall = time.time() - t0
     assert labels == {i: 0 for i in range(n)}
     assert wall < 120, f"deep pointer jumping took {wall:.0f}s — chain explosion?"
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    deltas=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100, max_value=100, allow_nan=False, width=32
+            ).map(lambda x: round(x, 2)),
+            min_size=1,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_clamped_balance_maxplus_identity(spark, deltas):
+    """plans/events.py:user_balance_clamped rests on the max-plus
+    identity bal_n = S_n − min(0, min_k S_k) and 'clamps fire at strict
+    new minima of S below zero' — property-checked here against the
+    LITERAL sequential recurrence bal_i = max(0, bal_{i-1} + delta_i)
+    over arbitrary signed flows, so the window formulation can never
+    silently drift from the semantics it claims."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [
+        (u, i, float(d))
+        for u, ds in enumerate(deltas)
+        for i, d in enumerate(ds)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, seq long, delta double")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    stepped = df.withColumn("s", F.sum("delta").over(w)).withColumn(
+        "prev_min", F.min("s").over(wprev)
+    )
+    clamped = (F.col("s") < 0) & (
+        F.col("prev_min").isNull() | (F.col("s") < F.col("prev_min"))
+    )
+    got = {
+        r["user_id"]: (round(r["bal"], 6), r["n_clamped"])
+        for r in stepped.groupBy("user_id")
+        .agg(
+            (F.sum("delta") - F.least(F.lit(0.0), F.min("s"))).alias("bal"),
+            F.sum(clamped.cast("int")).alias("n_clamped"),
+        )
+        .collect()
+    }
+    for u, ds in enumerate(deltas):
+        bal, clamps = 0.0, 0
+        for d in ds:
+            bal = bal + d
+            if bal < 0:
+                bal = 0.0
+                clamps += 1
+        # the identity's balance uses the UNCLAMPED running sum, so the
+        # float paths differ in op order — compare at 1e-6
+        g_bal, g_clamps = got[u]
+        assert abs(g_bal - bal) < 1e-6, (u, ds, got[u], bal)
+        assert g_clamps == clamps, (u, ds, got[u], clamps)
