@@ -484,12 +484,20 @@ def label_propagation(
             F.col("_d").alias("node"), "label"
         )
         counts = votes.groupBy("node", "label").agg(F.count("*").alias("_c"))
+        # (max count, min label) in ONE aggregation: MIN over the struct
+        # (-count, label) — negating the COUNT (always numeric) instead
+        # of the label keeps the tie-break type-agnostic, so string node
+        # ids work exactly like numeric ones (r10 ADVICE: -label was a
+        # silent numeric-only constraint). A join-back two-step would
+        # reference `counts` (hence round state) twice per round — the
+        # exponential plan-growth class this function's self-loop form
+        # exists to avoid.
         best = counts.groupBy("node").agg(
-            F.max(
-                F.struct(F.col("_c").alias("c"), (-F.col("label")).alias("nl"))
+            F.min(
+                F.struct((-F.col("_c")).alias("nc"), F.col("label").alias("l"))
             ).alias("_m")
         )
-        labels = best.select("node", (-F.col("_m.nl")).alias("label"))
+        labels = best.select("node", F.col("_m.l").alias("label"))
         if (i + 1) % _CHECKPOINT_EVERY == 0 and i + 1 < iters:
             labels = _truncate_lineage(labels)
     e.unpersist()

@@ -81,15 +81,24 @@ def _tomb_fingerprint(path: str) -> str:
 
 
 def _write_stats(
-    spark: SparkSession, path: str, n_docs: int, total_len: int, generation: int
+    spark: SparkSession,
+    path: str,
+    n_docs: int,
+    total_len: int,
+    generation: int,
+    tomb_fp: str | None = None,
 ) -> None:
     """The corpus scalars are a CACHE, not a source of truth: the row
     records the tombstone-listing fingerprint it was computed against,
     so a delete that crashed between its tombstone append (the commit
     point) and this overwrite is DETECTED at the next read instead of
-    silently skewing avgdl/idf forever (r9 ADVICE)."""
+    silently skewing avgdl/idf forever (r9 ADVICE). Callers that
+    aggregated against a listing they captured EARLIER must pass that
+    fingerprint through (``tomb_fp``) — recomputing it here would stamp
+    the stale aggregate as valid against any tombstone that landed in
+    between (r10 ADVICE)."""
     spark.createDataFrame(
-        [(n_docs, total_len, generation, _tomb_fingerprint(path))],
+        [(n_docs, total_len, generation, tomb_fp or _tomb_fingerprint(path))],
         "n_docs long, total_len long, generation int, tomb_fp string",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path.rstrip('/')}._stats")
 
@@ -109,7 +118,10 @@ def _read_stats(spark: SparkSession, path: str):
         return row
     live = _live(spark, path, spark.read.parquet(_doclens_path(path)))
     agg = live.agg(F.count("*").alias("n"), F.sum("doc_len").alias("t")).collect()[0]
-    _write_stats(spark, path, agg["n"], int(agg["t"] or 0), d["generation"])
+    # stamp the fingerprint captured BEFORE the aggregate: a tombstone
+    # landing between collect() and this write must invalidate the row
+    # at the next read, not be vouched for by it (r10 ADVICE)
+    _write_stats(spark, path, agg["n"], int(agg["t"] or 0), d["generation"], tomb_fp=fp)
     return spark.read.parquet(stats_path).collect()[0]
 
 

@@ -100,11 +100,15 @@ class SQLiteCommitBackend:
 
     def __init__(self, db_path: str):
         self.db_path = db_path
-        with self._connect() as con:
-            con.execute(
-                "CREATE TABLE IF NOT EXISTS commits("
-                "path TEXT PRIMARY KEY, payload TEXT NOT NULL)"
-            )
+        con = self._connect()
+        try:
+            with con:
+                con.execute(
+                    "CREATE TABLE IF NOT EXISTS commits("
+                    "path TEXT PRIMARY KEY, payload TEXT NOT NULL)"
+                )
+        finally:
+            con.close()  # sqlite3's context manager commits, never closes
 
     def _connect(self):
         import sqlite3
@@ -123,14 +127,28 @@ class SQLiteCommitBackend:
     def __call__(self, entry_path: str, payload: str) -> bool:
         import sqlite3
 
-        with self._connect() as con:
+        con = self._connect()
+        try:
             try:
                 con.execute(
                     "INSERT INTO commits(path, payload) VALUES (?, ?)",
                     (entry_path, payload),
                 )
+                # COMMIT the row BEFORE materializing the file: the DB
+                # row is the durable commit point. The reverse ordering
+                # (materialize inside the open transaction) has a real
+                # crash window — file visible, row rolled back at close —
+                # where readers treat the version as committed while a
+                # later writer's INSERT for the same path SUCCEEDS and
+                # overwrites the visible entry with different content:
+                # two winners for one version, a "committed" entry that
+                # mutates. Committing first leaves only the benign
+                # row-without-file window, which the loser-side heal
+                # below and heal() close from the stored payload.
+                con.commit()
                 won = True
             except sqlite3.IntegrityError:
+                con.rollback()
                 won = False
             if won:
                 self._materialize(entry_path, payload)
@@ -145,16 +163,21 @@ class SQLiteCommitBackend:
                 if row is not None:
                     self._materialize(entry_path, row[0])
             return False
+        finally:
+            con.close()
 
     def heal(self) -> int:
         """Re-materialize every decided commit whose file is missing
         (crash recovery / read-replica bootstrap). Returns the count."""
         n = 0
-        with self._connect() as con:
+        con = self._connect()
+        try:
             for path, payload in con.execute("SELECT path, payload FROM commits"):
                 if not os.path.exists(path):
                     self._materialize(path, payload)
                     n += 1
+        finally:
+            con.close()
         return n
 
 
@@ -909,10 +932,28 @@ def mv_delta(
     neg = _live_agg(e.get("removes", []), -1)
     parts = [p for p in (pos, neg) if p is not None]
     if not parts:
-        schema = ", ".join(f"{c} string" for c in group_cols)
-        return table.spark.createDataFrame(
-            [], f"{schema}, n_rows long, _sum decimal(28,6)"
+        # an entry with neither adds nor removes still contributes a
+        # TYPED empty delta: group-column types come from the table's
+        # recorded schema (r10 ADVICE — hardcoding string here made
+        # fold_mv's unionByName mismatch on numeric group columns)
+        from pyspark.sql.types import (
+            DecimalType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
         )
+
+        try:
+            base = {f.name: f.dataType for f in table._empty_frame(version).schema}
+        except FileNotFoundError:
+            base = {}
+        fields = [StructField(c, base.get(c, StringType())) for c in group_cols]
+        fields += [
+            StructField("n_rows", LongType()),
+            StructField("_sum", DecimalType(28, 6)),
+        ]
+        return table.spark.createDataFrame([], StructType(fields))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

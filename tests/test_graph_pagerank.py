@@ -355,3 +355,23 @@ def test_label_propagation_structures(spark):
     # determinism: a second run returns the identical assignment
     again = {r["node"]: r["label"] for r in label_propagation(star, iters=5).collect()}
     assert got == again
+
+
+def test_label_propagation_string_ids(spark):
+    """String node ids are first-class (r10 ADVICE: the old -label
+    tie-break silently required numeric ids): same two-clique topology
+    with lexicographic min-label winners, exactly mirroring the numeric
+    variant's communities."""
+    from cdc_streaming_pipeline_spark.operators.graph import label_propagation
+
+    c1 = ["apple", "berry", "cherry", "damson"]
+    c2 = ["walnut", "xigua", "yam", "zucchini"]
+    edges = spark.createDataFrame(
+        [(a, b) for a in c1 for b in c1 if a < b]
+        + [(a, b) for a in c2 for b in c2 if a < b]
+        + [("damson", "walnut")],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["label"] for r in label_propagation(edges, iters=5).collect()}
+    assert {got[n] for n in c1} == {"apple"}
+    assert {got[n] for n in c2} == {"walnut"}

@@ -258,3 +258,65 @@ def test_torn_delete_self_heals(spark, tmp_path):
     # agrees
     stats2 = _read_stats(spark, path)
     assert (stats2["n_docs"], stats2["total_len"]) == (3, 12)
+
+
+def test_tombstone_landing_mid_heal_invalidates_again(spark, tmp_path):
+    """ADVICE r10: the heal must stamp the stats row with the tombstone
+    listing it AGGREGATED against, not the listing at write time — a
+    tombstone landing between the heal's collect() and its stats write
+    would otherwise be vouched for by stale numbers and the cache stays
+    poisoned until tombstones change again. Simulate the interleaving
+    by injecting the second delete inside the heal's aggregate path and
+    assert the NEXT read still detects a mismatch and converges to the
+    true post-both-deletes scalars."""
+    import cdc_streaming_pipeline_spark.operators.search as search_mod
+    from cdc_streaming_pipeline_spark.operators.search import (
+        _read_stats,
+        _tombstones_path,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "merge scan merge filter"),
+            (2, "scan filter hash join"),
+            (3, "window sort hash join hash join"),
+            (4, "merge filter scan scan"),
+        ],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "idx")
+    write_inverted_index(docs, path)
+
+    # torn delete of doc 3: tombstone lands, stats write "crashes"
+    spark.createDataFrame([(3, 0)], "doc_id long, gen int").write.mode(
+        "append"
+    ).parquet(_tombstones_path(path))
+
+    # inject a CONCURRENT delete of doc 1 inside the heal: _live is
+    # called exactly once per heal, after the fingerprint capture and
+    # before the aggregate collect lands its result in the stats row
+    orig_live = search_mod._live
+    state = {"fired": False}
+
+    def live_with_racing_delete(sp, p, rows):
+        out = orig_live(sp, p, rows)
+        if not state["fired"]:
+            state["fired"] = True
+            sp.createDataFrame([(1, 0)], "doc_id long, gen int").write.mode(
+                "append"
+            ).parquet(_tombstones_path(p))
+        return out
+
+    search_mod._live = live_with_racing_delete
+    try:
+        healed = _read_stats(spark, path)
+    finally:
+        search_mod._live = orig_live
+    # the heal's answer reflects SOME consistent prefix; what matters is
+    # that its fingerprint ties it to the listing it aggregated against,
+    # so the next read sees the newer tombstone set and re-heals
+    final = _read_stats(spark, path)
+    assert (final["n_docs"], final["total_len"]) == (2, 4 + 4), (
+        healed["n_docs"],
+        final["n_docs"],
+    )

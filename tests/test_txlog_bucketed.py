@@ -480,6 +480,45 @@ def test_sqlite_backend_heals_unmaterialized_commit(spark, tmp_path, put_backend
     assert b.heal() == 0  # everything materialized
 
 
+def test_sqlite_commit_point_is_the_row_not_the_file(tmp_path, put_backend):
+    """The REAL crash window (r10 ADVICE): a writer that dies between
+    the sqlite COMMIT and the file materialization. The row must be the
+    durable commit point — already committed when _materialize runs —
+    so the interrupted winner's decision survives its process: a later
+    writer's INSERT for the same path LOSES and heals the file from the
+    stored payload (the winner's content, never the loser's). The
+    inverse ordering (materialize inside the open transaction) leaves a
+    visible file whose row rolls back, letting a second writer win the
+    same version and mutate a committed entry."""
+    if not isinstance(put_backend, SQLiteCommitBackend):
+        pytest.skip("sqlite-specific crash-window contract")
+    b = put_backend
+    path = str(tmp_path / "00000042.json")
+
+    class Die(RuntimeError):
+        pass
+
+    orig = SQLiteCommitBackend._materialize
+    def crash(entry_path, payload):
+        raise Die("process died between COMMIT and materialize")
+
+    SQLiteCommitBackend._materialize = staticmethod(crash)
+    try:
+        with pytest.raises(Die):
+            b(path, '{"winner": true}')
+    finally:
+        SQLiteCommitBackend._materialize = staticmethod(orig)
+    # the file never appeared, but the DECISION is durable: a fresh
+    # backend over the same db (new connection — nothing rides the
+    # crashed writer's transaction) must refuse the second writer...
+    b2 = SQLiteCommitBackend(b.db_path)
+    assert b2(path, '{"winner": false}') is False
+    # ...and the loser-side heal materialized the WINNER's payload
+    with open(path) as f:
+        assert f.read() == '{"winner": true}'
+    assert b2.heal() == 0
+
+
 def test_compact_buckets_folds_salted_files(spark, tmp_path):
     """compact_buckets: the maintenance pass for salted multi-file
     buckets — selected buckets fold to one file each, untouched buckets
@@ -549,5 +588,42 @@ def test_materialized_aggregate_through_merges(spark, tmp_path):
             .alias("s"),
         )
         .collect()
+    }
+    assert got == want
+
+
+def test_mv_delta_empty_entry_keeps_numeric_group_types(spark, tmp_path):
+    """r10 ADVICE: an entry with neither adds nor removes used to fall
+    back to STRING-typed group columns, so fold_mv's unionByName on a
+    numeric group column hit a type mismatch (or silently coerced).
+    Group a numeric column, inject an empty-adds commit mid-log, and
+    assert the fold still matches the full recompute with LONG types."""
+    from cdc_streaming_pipeline_spark.sources.txlog import fold_mv, mv_delta
+
+    t = _table(spark, tmp_path)
+    t.init_from_events(
+        _events(spark, [(i, f"s{i % 3}", "r", "0001", None) for i in range(30)])
+    )
+    t.merge_cdc_batch(_events(spark, [(1, "s9", "u", "0002", None)]))
+    # an empty entry in the middle of the log: a txn tag landing with no
+    # data (e.g. an all-filtered micro-batch committed for idempotence)
+    empty_v = t.latest_version() + 1
+    assert t._try_commit(
+        empty_v, {"version": empty_v, "mode": "merge", "adds": [], "removes": [],
+                  "n_files": 0, "file_buckets": {}, "buckets": []}
+    )
+    t.merge_cdc_batch(_events(spark, [(2, "s0", "d", "0003", "true")]))
+
+    # group by the NUMERIC key bucket `id % 3`? group cols must be table
+    # columns — use `id` itself (long): every live key is its own group
+    d = mv_delta(t, empty_v, ["id"], "id")
+    assert dict(d.schema["id"].jsonValue().items())["type"] == "long"
+    got = {
+        r["id"]: (r["n_rows"], r["total"])
+        for r in fold_mv(t, ["id"], "id").collect()
+    }
+    want = {
+        r["id"]: (1, float(r["id"]))
+        for r in t.read_state().select("id").collect()
     }
     assert got == want
