@@ -275,6 +275,23 @@ class TxLogTable:
         df.write.mode("errorifexists").parquet(staged)
         return sorted(glob(os.path.join(staged, "*.parquet")))
 
+    @staticmethod
+    def _staged_bytes(files: list[str]) -> dict[str, int]:
+        """Per-file byte sizes captured AT STAGE TIME, recorded in the
+        log entry (alongside file_stats) so later decisions — salt
+        sizing, per-bucket growth policies — read sizes from the log
+        instead of stat()ing data files, which only works on a local
+        filesystem. The writer just produced these files, so one stat
+        per fresh file here is free on any backend that can list its
+        own staging output."""
+        out: dict[str, int] = {}
+        for f in files:
+            try:
+                out[f] = os.path.getsize(f)
+            except OSError:
+                pass  # missing size degrades the CONSUMER, never the commit
+        return out
+
     def _try_commit(self, version: int, entry: dict) -> bool:
         """Atomic create-if-absent with FULL content: True iff this
         writer won ``version``. Delegates to the injected backend."""
@@ -381,6 +398,7 @@ class TxLogTable:
                 "adds": adds,
                 "removes": removes,
                 "n_files": len(adds),
+                "file_bytes": self._staged_bytes(adds),
                 # the committed schema: lets readers build a correctly
                 # typed EMPTY frame even when the snapshot resolves to
                 # zero files (never-written table, all-removed state, or
@@ -535,6 +553,7 @@ class TxLogTable:
             "adds": adds,
             "removes": removes,
             "n_files": len(adds),
+            "file_bytes": self._staged_bytes(adds),
             "schema": snap.schema.jsonValue(),
         }
         if not self._try_commit(version, entry):
@@ -695,7 +714,12 @@ class BucketedTxLogTable(TxLogTable):
             buckets[p] = b
         return sorted(buckets), buckets
 
-    def _merge_salt_n(self, old_files: list[str], n_touched: int) -> int:
+    def _merge_salt_n(
+        self,
+        old_files: list[str],
+        n_touched: int,
+        file_bytes: dict[str, int] | None = None,
+    ) -> int:
         """Writer tasks per touched bucket for this merge's rewrite.
 
         One task per bucket (the r9 design) puts a floor under merge
@@ -704,13 +728,26 @@ class BucketedTxLogTable(TxLogTable):
         (SCALE10_r9.md). Spread each touched bucket's rewrite over
         enough tasks that (a) the merge uses the cluster's parallelism
         and (b) output files stay near ``target_file_bytes`` — small
-        merges keep salt 1 so file counts don't balloon."""
+        merges keep salt 1 so file counts don't balloon.
+
+        Sizes come from the LOG (``file_bytes``, recorded at stage time
+        and resolved through checkpoints) — backend-independent, no data
+        stat calls in the merge path. Files whose size the log lacks
+        (legacy entries) fall back to a local stat; if even that fails
+        the parallelism cap applies, which can balloon file counts for
+        small buckets — the r10 wart recording sizes removes."""
         if not old_files:
             return 1
-        try:
-            old_bytes = sum(os.path.getsize(f) for f in old_files)
-        except OSError:
-            old_bytes = None  # non-local backend: size unknown
+        old_bytes: int | None = 0
+        for f in old_files:
+            s = (file_bytes or {}).get(f)
+            if s is None:
+                try:
+                    s = os.path.getsize(f)
+                except OSError:
+                    old_bytes = None  # size unknowable: cap below
+                    break
+            old_bytes += s
         par = self.spark.sparkContext.defaultParallelism
         cap = max(1, par // max(1, n_touched))
         if old_bytes is None:
@@ -746,6 +783,7 @@ class BucketedTxLogTable(TxLogTable):
             "removes": [],
             "n_files": len(adds),
             "file_buckets": buckets,
+            "file_bytes": self._staged_bytes(adds),
             "schema": state.schema.jsonValue(),
         }
         if txn is not None:
@@ -815,7 +853,9 @@ class BucketedTxLogTable(TxLogTable):
         )
         adds, buckets = self._stage_bucketed(
             new_state,
-            salt_n=self._merge_salt_n(old, len(touched)),
+            salt_n=self._merge_salt_n(
+                old, len(touched), resolve_file_bytes(self, base)
+            ),
             n_buckets_hint=len(touched),
         )
         for _ in range(max_retries):
@@ -827,6 +867,7 @@ class BucketedTxLogTable(TxLogTable):
                 "removes": sorted(old),
                 "n_files": len(adds),
                 "file_buckets": buckets,
+                "file_bytes": self._staged_bytes(adds),
                 "buckets": sorted(touched),
                 # the MERGED schema: a batch arriving with an added
                 # column (additive drift) evolves the table here, and
@@ -916,6 +957,7 @@ class BucketedTxLogTable(TxLogTable):
             "removes": sorted(old),
             "n_files": len(adds),
             "file_buckets": new_buckets,
+            "file_bytes": self._staged_bytes(adds),
             "buckets": targets,
             "schema": df.drop(BUCKET_COL).schema.jsonValue(),
         }
@@ -1081,6 +1123,11 @@ def write_checkpoint(table: TxLogTable, version: int | None = None) -> int:
         # read_where's stats resolution is also bounded by the
         # checkpoint suffix (and the checkpoint stays O(live))
         "file_stats": {f: s for f, s in stats.items() if f in live},
+        # per-file byte sizes (salt sizing, growth policies) — same
+        # live-only restriction, same bounded resolution
+        "file_bytes": {
+            f: s for f, s in resolve_file_bytes(table, v).items() if f in live
+        },
     }
     # carry the newest recorded schema forward so _empty_frame and the
     # next checkpoint's own schema resolution never probe past a
@@ -1216,6 +1263,27 @@ def resolve_file_stats(table: TxLogTable, version: int | None = None) -> dict:
     for v in table._versions_between(start, target):
         stats.update(table._read_entry(v).get("file_stats", {}))
     return stats
+
+
+def resolve_file_bytes(table: TxLogTable, version: int | None = None) -> dict:
+    """{file: bytes} accumulated up to ``version`` through the newest
+    checkpoint that carries ``file_bytes`` — how the merge path sizes
+    its salt without stat()ing data files (backend-independent; legacy
+    logs without recorded sizes resolve to a partial map and the
+    consumer falls back per-file)."""
+    target = table.latest_version() if version is None else version
+    if target is None:
+        return {}
+    best = _best_checkpoint(table, target)
+    if best is not None and "file_bytes" in best:
+        out = dict(best["file_bytes"])
+        start = best["version"] + 1
+    else:
+        out = {}
+        start = 0
+    for v in table._versions_between(start, target):
+        out.update(table._read_entry(v).get("file_bytes", {}))
+    return out
 
 
 def resolve_with_checkpoint(table: TxLogTable, version: int | None = None) -> list[str]:

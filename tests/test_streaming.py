@@ -388,3 +388,113 @@ def test_streaming_scd2_backend_maintains_full_history(spark, tmp_path):
     cols = sorted(c for c in want.columns)
     as_set = lambda df: sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
     assert as_set(read_scd2(spark, str(tmp_path / "state" / "scd2"))) == as_set(want)
+
+
+def test_stream_merge_sink_maintenance_bounds_files_over_long_run(spark, tmp_path):
+    """r10 verdict #2: bucketed_merge_stream_sink composed merges forever
+    without folding salted files back or reclaiming dead ones — an
+    infinite stream grew file counts until an operator intervened. The
+    sink now runs compact_buckets after every merge (buckets exceeding
+    max_files_per_bucket fold to one file) and an opt-in age-guarded
+    vacuum every K batches. Drive 51 micro-batches through ONE sink
+    (maxFilesPerTrigger=1) with salting forced on, then assert: live
+    per-bucket file count is bounded, the final state equals batch
+    latest-state semantics, on-disk debris was vacuumed, and retained
+    time travel still works."""
+    import json as _json
+
+    from cdc_streaming_pipeline_spark.sources.txlog import (
+        BucketedTxLogTable,
+        resolve_snapshot_state,
+    )
+    from cdc_streaming_pipeline_spark.streaming.pipeline import (
+        bucketed_merge_stream_sink,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    table_path = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id bigint, status string, _op string, _lsn string, _deleted string"
+    MAXF = 2
+
+    def put(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(
+                    _json.dumps(
+                        dict(zip(("id", "status", "_op", "_lsn", "_deleted"), r))
+                    )
+                    + "\n"
+                )
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+        )
+        q = (
+            bucketed_merge_stream_sink(
+                stream,
+                table_path,
+                ckpt,
+                key_cols=["id"],
+                n_buckets=4,
+                max_files_per_bucket=MAXF,
+                vacuum_every=10,
+                vacuum_retain_versions=5,
+                vacuum_min_age_seconds=0.0,  # single writer: no staging race
+                target_file_bytes=512,  # force salted staging on tiny data
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+
+    # bootstrap + 50 update waves over 8 hot keys (few-bucket churn)
+    expect = {i: f"s{i}" for i in range(24)}
+    put("w000.json", [(i, f"s{i}", "r", "0001", None) for i in range(24)])
+    for w in range(1, 51):
+        k = w % 8
+        expect[k] = f"w{w}"
+        put(f"w{w:03d}.json", [(k, f"w{w}", "u", f"{w + 1:04d}", None)])
+    run()
+
+    t = BucketedTxLogTable(spark, table_path, key_cols=["id"], n_buckets=4)
+    got = {r["id"]: r["status"] for r in t.read_state().collect()}
+    assert got == expect  # stream == batch latest-state oracle
+
+    # (1) live per-bucket file count bounded by the policy
+    snap, bmap, _ = resolve_snapshot_state(t, t.latest_version())
+    per_bucket: dict[int, int] = {}
+    for f in snap:
+        per_bucket[bmap[f]] = per_bucket.get(bmap[f], 0) + 1
+    assert per_bucket and max(per_bucket.values()) <= MAXF, per_bucket
+
+    # (2) maintenance actually fired: some commits are fold-backs
+    # (adds strictly fewer files than removes, no txn tag)
+    folds = [
+        e
+        for e in t.history()
+        if e.get("mode") == "merge"
+        and "txn" not in e
+        and len(e.get("adds", [])) < len(e.get("removes", []))
+    ]
+    assert folds, "no compaction commit ever landed"
+
+    # (3) vacuum reclaimed dead files: total parquet on disk is a small
+    # multiple of the live set, not ~51 batches of debris
+    on_disk = glob.glob(os.path.join(table_path, "data", "stage-*", "*", "*.parquet"))
+    on_disk += glob.glob(os.path.join(table_path, "data", "stage-*", "*.parquet"))
+    assert len(on_disk) < 6 * len(snap), (len(on_disk), len(snap))
+
+    # (4) retained near-past time travel still readable post-vacuum
+    assert t.read_state(t.latest_version() - 1).count() >= len(expect) - 1
+
+    # (5) replay safety intact: re-running the same sink over the same
+    # checkpoint lands nothing new
+    pre_v = t.latest_version()
+    run()
+    assert t.latest_version() == pre_v
+    assert {r["id"]: r["status"] for r in t.read_state().collect()} == expect

@@ -627,3 +627,51 @@ def test_mv_delta_empty_entry_keeps_numeric_group_types(spark, tmp_path):
         for r in t.read_state().select("id").collect()
     }
     assert got == want
+
+
+def test_salt_sizing_reads_the_log_not_the_filesystem(spark, tmp_path, monkeypatch):
+    """r10 verdict #5: _merge_salt_n sized salt from os.path.getsize —
+    local-FS only; under a remote backend it silently fell back to the
+    parallelism cap, ballooning file counts for small buckets. Sizes now
+    ride the log (file_bytes, recorded at stage time, resolved through
+    checkpoints): with local stat DISABLED the salt decision is
+    identical, and a merge against a stat-less backend still lands."""
+    import cdc_streaming_pipeline_spark.sources.txlog as txmod
+
+    t = _table(spark, tmp_path)
+    t.init_from_events(_seed(spark, n=60))
+    t.merge_cdc_batch(_events(spark, [(1, "warm", "u", "0002", None)]))
+
+    base = t.latest_version()
+    snap, bmap, _ = txmod.resolve_snapshot_state(t, base)
+    sizes = txmod.resolve_file_bytes(t, base)
+    assert snap and all(f in sizes for f in snap)  # every live file sized
+    assert all(sizes[f] == os.path.getsize(f) for f in snap)
+
+    by_bucket = _buckets_of(spark, list(range(60)))
+    tb = by_bucket[2]
+    old = [f for f in snap if bmap[f] == tb]
+    with_stat = t._merge_salt_n(old, 1, sizes)
+
+    real_getsize = os.path.getsize
+
+    def no_stat(path):
+        raise OSError("remote backend: no local stat")
+
+    monkeypatch.setattr(txmod.os.path, "getsize", no_stat)
+    try:
+        without_stat = t._merge_salt_n(old, 1, sizes)
+        assert without_stat == with_stat  # decision identical, log-driven
+        # and WITHOUT the logged sizes the old behavior (cap) shows the
+        # difference this closes: small bucket, salt ballooned to cap
+        capped = t._merge_salt_n(old, 1, None)
+        assert capped >= without_stat
+    finally:
+        monkeypatch.setattr(txmod.os.path, "getsize", real_getsize)
+
+    # end-to-end: a merge still commits when stage-time stat works but
+    # the DECISION path never stats (decision uses resolve_file_bytes)
+    v, touched = t.merge_cdc_batch(_events(spark, [(2, "sized", "u", "0003", None)]))
+    assert touched and _state(t)[2] == "sized"
+    e = t._read_entry(v)
+    assert e["file_bytes"] and set(e["file_bytes"]) == set(e["adds"])

@@ -521,3 +521,113 @@ PY_ORACLES = {
     "supplier_part_communities": supplier_part_communities,
     "bpe_fertility_by_lang": bpe_fertility_by_lang,
 }
+
+
+# ----------------------------------------------------------------- xxh64 --
+# Pure-Python XXH64 — the PUBLIC xxHash algorithm (Yann Collet, BSD),
+# re-implemented from the spec so the MinHash/SimHash/LSH family (seeded
+# with Spark's xxhash64, default seed 42) becomes exactly replayable and
+# certifiable instead of rows-only. Spark's XxHash64 expression chains
+# columns (seed 42, then each column's hash seeds the next) and maps
+# int->4-byte, long->8-byte, string->UTF-8-bytes inputs; verified
+# bit-exact against F.xxhash64 in tests/test_py_oracle_xxh64.py.
+
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xx_round(acc: int, inp: int) -> int:
+    acc = (acc + inp * _XXP2) & _M64
+    return (_rotl64(acc, 31) * _XXP1) & _M64
+
+
+def _xx_merge(h: int, v: int) -> int:
+    h ^= _xx_round(0, v)
+    return (h * _XXP1 + _XXP4) & _M64
+
+
+def _xx_fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def xxh64_bytes(data: bytes, seed: int) -> int:
+    """XXH64 of a byte string (unsigned 64-bit result)."""
+    seed &= _M64
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXP1 + _XXP2) & _M64
+        v2 = (seed + _XXP2) & _M64
+        v3 = seed
+        v4 = (seed - _XXP1) & _M64
+        while i <= n - 32:
+            v1 = _xx_round(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = _xx_round(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = _xx_round(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = _xx_round(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (_rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = _xx_merge(h, v)
+    else:
+        h = (seed + _XXP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        h ^= _xx_round(0, int.from_bytes(data[i : i + 8], "little"))
+        h = (_rotl64(h, 27) * _XXP1 + _XXP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _XXP1) & _M64
+        h = (_rotl64(h, 23) * _XXP2 + _XXP3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XXP5) & _M64
+        h = (_rotl64(h, 11) * _XXP1) & _M64
+        i += 1
+    return _xx_fmix(h)
+
+
+def _to_signed64(x: int) -> int:
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def _to_unsigned64(x: int) -> int:
+    return x & _M64
+
+
+def spark_xxhash64(*cols, seed: int = 42) -> int:
+    """Spark's ``F.xxhash64(*cols)`` bit-exact: seed 42, each column's
+    hash seeds the next. Column typing follows Spark's literals: Python
+    int in int32 range -> IntegerType (4-byte LE), wider int -> LongType
+    (8-byte LE), str -> UTF-8 bytes; pass ``("long", v)`` to force
+    LongType for values that Spark holds as bigint (hash outputs).
+    Returns SIGNED 64-bit, matching the column value."""
+    h = seed & _M64
+    for c in cols:
+        forced = None
+        if isinstance(c, tuple):
+            forced, c = c
+        if isinstance(c, str):
+            h = xxh64_bytes(c.encode("utf-8"), h)
+        elif isinstance(c, bool):
+            raise TypeError("bool hashing not needed/verified")
+        elif isinstance(c, int):
+            is_long = forced == "long" or not (-(1 << 31) <= c < (1 << 31))
+            nbytes = 8 if is_long else 4
+            h = xxh64_bytes(c.to_bytes(nbytes, "little", signed=True), h)
+        else:
+            raise TypeError(f"unsupported xxhash64 operand: {type(c)}")
+    return _to_signed64(h)
