@@ -4,7 +4,7 @@ multimodal plumbing — over the `documents` and `embeddings` tables.
 Oracle-expressible ops carry DuckDB SQL that replicates the exact same
 computation (same regexes, same rounding, same tie-breaks). Genuinely
 non-SQL ops (MinHash/SimHash/LSH — they depend on xxhash64 and seeded
-hyperplanes) are rows-only checked by the driver and verified against
+hyperplanes) are rows-only checked by the DRIVER gate and verified against
 their exact counterparts in tests/test_similarity_recall.py (recall vs
 the brute-force/exact baselines, containment of high-Jaccard truth).
 """
@@ -1068,7 +1068,9 @@ def minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard >= 0.5 verified exactly) -> connected components -> one row
     per doc with its cluster id (min reachable doc_id; singletons keep
     their own id). The clusters a text-dedup pass actually consumes —
-    the seeded-hash pair set makes it rows-only; containment of the
+    the seeded-hash pair set keeps it out of the DuckDB gate but the
+    pure-Python XXH64 replay (tools/py_oracles.py) certifies it exactly
+    in the local record; containment of the
     exact-Jaccard truth inside these clusters is pytest-gated."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dd.minhash_lsh_pairs(docs, jaccard_threshold=0.5).select("id_a", "id_b")
@@ -1239,7 +1241,8 @@ def minhash_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-duplicate the already-landed corpus (the rest)? Batch-banded x
     corpus-banded bucket join — never corpus x corpus — with exact
     count-based Jaccard verification; the MinHash twin of
-    dedup_incremental_batch. Rows-only (xxhash-seeded); parity vs the
+    dedup_incremental_batch. XXH64-replay certified locally
+    (tools/py_oracles.py); parity vs the
     full pair generator restricted to cross pairs is pytest-gated in
     tests/test_dedup_incremental.py."""
     docs = load_table(spark, sf_dir, "documents")

@@ -522,6 +522,20 @@ PY_ORACLES = {
     "bpe_fertility_by_lang": bpe_fertility_by_lang,
 }
 
+# registered at module tail: the LSH-family replays are defined below the
+# original dict (functions-before-dict rule via explicit tail assignment)
+def _register_lsh_family() -> None:
+    PY_ORACLES.update(
+        {
+            "minhash_dedup_pairs": minhash_dedup_pairs_oracle,
+            "minhash_dedup_clusters": minhash_dedup_clusters_oracle,
+            "minhash_incremental_batch": minhash_incremental_batch_oracle,
+            "simhash_near_dup_pairs": simhash_near_dup_pairs_oracle,
+            "ann_topk_lsh": ann_topk_lsh_oracle,
+            "embedding_near_dup_lsh": embedding_near_dup_lsh_oracle,
+        }
+    )
+
 
 # ----------------------------------------------------------------- xxh64 --
 # Pure-Python XXH64 — the PUBLIC xxHash algorithm (Yann Collet, BSD),
@@ -631,3 +645,267 @@ def spark_xxhash64(*cols, seed: int = 42) -> int:
         else:
             raise TypeError(f"unsupported xxhash64 operand: {type(c)}")
     return _to_signed64(h)
+
+
+# ------------------------------------------------- LSH-family replays --
+# minhash/simhash/embedding-LSH queries were rows-only in every round
+# because their kernels hash with Spark's xxhash64 (no SQL expression).
+# With spark_xxhash64 above they are exactly replayable: same shingling,
+# same seeded rehash family, same banded buckets, same verification —
+# integer/hash arithmetic end-to-end (jaccard/cosine rounded exactly as
+# the queries round). Cites: operators/dedup.py:minhash_lsh_pairs,
+# simhash64, minhash_lsh_incremental; operators/similarity.py:
+# lsh_ann_topk, cosine_near_dup_lsh; operators/cluster.py:
+# connected_components (min-id union-find).
+
+_WS_ASCII = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s (ASCII), not Python's
+
+
+def _norm_tokens(text: str) -> list[str]:
+    """functions/textfn.py: tokens(normalize_ws(c)) — lowercase, collapse
+    ASCII whitespace runs, trim, split. Empty text yields [''] exactly
+    like Spark's split on an empty string."""
+    t = _WS_ASCII.sub(" ", text.lower()).strip()
+    return t.split(" ")
+
+
+def _docs(sf_dir: str) -> list[tuple[int, str]]:
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return list(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+
+
+def _shingle_hash_set(text: str, n: int = 3) -> list[int]:
+    """operators/dedup.py:_shingle_hash_frame — distinct word n-grams
+    (whole doc as one gram when shorter than n), xxhash64 each."""
+    toks = _norm_tokens(text)
+    out, seen = [], set()
+    for i in range(max(len(toks) - n, 0) + 1):
+        g = " ".join(toks[i : i + n])
+        if g not in seen:
+            seen.add(g)
+            out.append(spark_xxhash64(g))
+    return out
+
+
+def _minhash_sig(hashes: list[int], num_hashes: int = 16) -> list[int]:
+    """minhash_signature_from_hashes: sig[i] = min over shingle hashes h
+    of xxhash64(lit(i): int, h: long) — signed min, like array_min."""
+    return [
+        min(spark_xxhash64(i, ("long", h)) for h in hashes)
+        for i in range(num_hashes)
+    ]
+
+
+def _band_buckets(sig: list[int], bands: int = 4) -> list[tuple[int, int]]:
+    """_banded_buckets: bucket = xxhash64(concat_ws(',', band slice cast
+    to string)); long->string cast matches str()."""
+    rpb = len(sig) // bands
+    return [
+        (b, spark_xxhash64(",".join(str(s) for s in sig[b * rpb : (b + 1) * rpb])))
+        for b in range(bands)
+    ]
+
+
+def _minhash_pairs_core(
+    docs_a: list[tuple[int, str]],
+    docs_b: list[tuple[int, str]] | None,
+    threshold: float = 0.5,
+) -> list[tuple[int, int, float]]:
+    """Shared LSH-candidate + exact-Jaccard verify. ``docs_b=None`` =
+    self-join (id_a < id_b); otherwise batch(a) x corpus(b) cross join
+    on (band, bucket)."""
+    def index(docs):
+        sh = {i: _shingle_hash_set(t) for i, t in docs}
+        buckets: dict[tuple[int, int], list[int]] = {}
+        for i, _ in docs:
+            if not sh[i]:
+                continue
+            for bb in _band_buckets(_minhash_sig(sh[i])):
+                buckets.setdefault(bb, []).append(i)
+        return sh, buckets
+
+    sh_a, bk_a = index(docs_a)
+    if docs_b is None:
+        sh_all = sh_a
+        cand = set()
+        for ids in bk_a.values():
+            ids = sorted(ids)
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    cand.add((ids[x], ids[y]))
+    else:
+        sh_b, bk_b = index(docs_b)
+        sh_all = {**sh_a, **sh_b}
+        cand = set()
+        for bb, ids in bk_a.items():
+            for other in bk_b.get(bb, []):
+                for mine in ids:
+                    cand.add((mine, other))
+    out = []
+    for a, b in cand:
+        sa, sb = set(sh_all[a]), set(sh_all[b])
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        jac = _round4(inter / union)
+        if jac >= threshold:
+            out.append((a, b, jac))
+    return out
+
+
+def minhash_dedup_pairs_oracle(sf_dir: str) -> pd.DataFrame:
+    pairs = _minhash_pairs_core(_docs(sf_dir), None)
+    return pd.DataFrame(pairs, columns=["id_a", "id_b", "jaccard"])
+
+
+def minhash_dedup_clusters_oracle(sf_dir: str) -> pd.DataFrame:
+    docs = _docs(sf_dir)
+    pairs = _minhash_pairs_core(docs, None)
+    parent: dict[int, int] = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b, _ in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [(i, find(i)) for i, _ in docs]
+    return pd.DataFrame(rows, columns=["doc_id", "cluster_id"])
+
+
+def minhash_incremental_batch_oracle(sf_dir: str) -> pd.DataFrame:
+    docs = _docs(sf_dir)
+    batch = [(i, t) for i, t in docs if i % 5 == 0]
+    corpus = [(i, t) for i, t in docs if i % 5 != 0]
+    pairs = _minhash_pairs_core(batch, corpus)
+    return pd.DataFrame(pairs, columns=["batch_id", "corpus_id", "jaccard"])
+
+
+def simhash_near_dup_pairs_oracle(sf_dir: str) -> pd.DataFrame:
+    """operators/dedup.py:simhash64 + block-banded pairs: per-bit
+    majority vote over ALL token hashes (duplicates counted), 4x16-bit
+    block equi-join, exact Hamming <= 3."""
+    sigs: dict[int, int] = {}  # unsigned 64
+    for i, t in _docs(sf_dir):
+        hs = [_to_unsigned64(spark_xxhash64(tok)) for tok in _norm_tokens(t)]
+        n = len(hs)
+        packed = 0
+        for bit in range(64):
+            votes = sum((h >> bit) & 1 for h in hs)
+            if 2 * votes > n:
+                packed |= 1 << bit
+        sigs[i] = packed
+    blocks: dict[tuple[int, int], list[int]] = {}
+    for i, s in sigs.items():
+        for b in range(4):
+            blocks.setdefault((b, (s >> (b * 16)) & 0xFFFF), []).append(i)
+    cand = set()
+    for ids in blocks.values():
+        ids = sorted(ids)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                cand.add((ids[x], ids[y]))
+    rows = []
+    for a, b in cand:
+        ham = bin(sigs[a] ^ sigs[b]).count("1")
+        if ham <= 3:
+            rows.append((a, b, ham))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+
+
+def _embeddings(sf_dir: str):
+    import numpy as np
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    return ids, mat
+
+
+def ann_topk_lsh_oracle(sf_dir: str) -> pd.DataFrame:
+    """operators/similarity.py:lsh_ann_topk replay (n_bits=4,
+    n_tables=24, seed 42, k=5, queries = vec_id < 10): hyperplane sign
+    keys over NORMALIZED vectors, any-table collision, exact cosine
+    rounded to 4, top-5 by (cosine desc, neighbor asc), self excluded."""
+    import numpy as np
+
+    ids, mat = _embeddings(sf_dir)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    mat = mat / norms[:, None]
+    n_bits, n_tables, k = 4, 24, 5
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((n_tables, n_bits, mat.shape[1]))
+    plane_mat = planes.reshape(n_tables * n_bits, -1)
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+    bits = (mat @ plane_mat.T) > 0
+    keys = bits.reshape(len(ids), n_tables, n_bits) @ weights  # (n, L)
+    qmask = ids < 10
+    q_ids, q_keys, q_mat = ids[qmask], keys[qmask], mat[qmask]
+    collide = (keys[:, None, :] == q_keys[None, :, :]).any(-1)  # (n, nq)
+    sims = np.round(mat @ q_mat.T, 4)
+    rows = []
+    for j, qid in enumerate(q_ids):
+        cand = np.nonzero(collide[:, j] & (ids != qid))[0]
+        order = cand[np.lexsort((ids[cand], -sims[cand, j]))[:k]]
+        for r, ci in enumerate(order, start=1):
+            rows.append((int(qid), r, int(ids[ci]), float(sims[ci, j])))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "neighbor_id", "cosine"])
+
+
+def embedding_near_dup_lsh_oracle(sf_dir: str) -> pd.DataFrame:
+    """operators/similarity.py:cosine_near_dup_lsh replay (threshold
+    0.4 -> _auto_lsh_params gives (4, 23), seed 42): sign keys over RAW
+    vectors, per-(table,bucket) exact cosine of NORMALIZED vectors
+    rounded to 4, >= threshold, distinct pairs."""
+    import math
+
+    import numpy as np
+
+    threshold = 0.4
+    p_bit = 1.0 - math.acos(threshold) / math.pi
+    n_bits = n_tables = None
+    for b in (20, 16, 12, 10, 8, 6, 4):
+        p1 = p_bit**b
+        if not 0.0 < p1 < 1.0:
+            continue
+        lt = math.ceil(math.log(1.0 - 0.98) / math.log(1.0 - p1))
+        if lt <= 24:
+            n_bits, n_tables = b, max(1, lt)
+            break
+    ids, raw = _embeddings(sf_dir)
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((n_tables, n_bits, raw.shape[1]))
+    plane_mat = planes.reshape(n_tables * n_bits, -1)
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+    bits = (raw @ plane_mat.T) > 0  # RAW vectors: scale-invariant signs
+    keys = bits.reshape(len(ids), n_tables, n_bits) @ weights
+    norms = np.linalg.norm(raw, axis=1)
+    norms[norms == 0.0] = 1.0
+    mat = raw / norms[:, None]
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i in range(len(ids)):
+        for tbl in range(n_tables):
+            buckets.setdefault((tbl, int(keys[i, tbl])), []).append(i)
+    seen: set[tuple[int, int]] = set()
+    rows = []
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        sub = np.array(members)
+        sims = np.round(mat[sub] @ mat[sub].T, 4)
+        for x in range(len(sub)):
+            for y in range(len(sub)):
+                a, b = int(ids[sub[x]]), int(ids[sub[y]])
+                if a < b and sims[x, y] >= threshold and (a, b) not in seen:
+                    seen.add((a, b))
+                    rows.append((a, b, float(sims[x, y])))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"])
+
+
+_register_lsh_family()
