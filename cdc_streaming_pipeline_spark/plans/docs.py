@@ -482,7 +482,7 @@ def embedding_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     majority label, and purity (majority share) — the unsupervised-
     quality gate run before trusting cluster-based curation (semantic
     dedup cells, coverage sampling, topic routing). One assignment scan
-    + two small aggregations; seeded fit → rows-only, with the
+    + two small aggregations; seeded fit → replay-certified locally, with the
     Window-free majority computed via a max_by."""
     emb = load_table(spark, sf_dir, "embeddings")
     n_labels = emb.select("label").distinct().count()
@@ -510,7 +510,8 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     that lets ANN scan the whole corpus in memory at 100 TB. Summary per
     subspace: vectors encoded, distinct codes in use, mean squared
     reconstruction error — plus ADC-recall and distortion-vs-ks gates in
-    tests/test_similarity_recall.py. Seeded fit → rows-only."""
+    tests/test_similarity_recall.py. Seeded fit → certified by the
+    numpy k-means replay (tools/py_oracles.py:ann_topk_ivf_oracle)."""
     from cdc_streaming_pipeline_spark.operators.similarity import pq_assign, pq_fit
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -534,7 +535,8 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     fourth ANN strategy next to brute/LSH/IVF: the corpus is scanned as
     8-byte codes (32× smaller than raw vectors), each query pays one
     (m×ks) table build and scores candidates via table lookups. Seeded
-    codebooks → rows-only; recall-vs-exact gated in
+    codebooks → certified by the bit-identical pq_fit replay
+    (tools/py_oracles.py); recall-vs-exact gated in
     tests/test_similarity_recall.py."""
     from cdc_streaming_pipeline_spark.operators.similarity import pq_topk
 
@@ -1001,7 +1003,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: k-means clusters, then drop items
     covered by a lower-id same-cluster neighbor at >= threshold cosine
     (operators/cluster.py:semantic_dedup). ~n²/k flops vs the exact n²
-    GEMM; seeded k-means → rows-only in the gate, precision/recall vs the
+    GEMM; seeded k-means → replay-certified locally, precision/recall vs the
     exact pair set gated in tests/test_similarity_recall.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return cl.semantic_dedup(emb, n_clusters=8, threshold=NEAR_DUP_COSINE)
@@ -1012,7 +1014,8 @@ def media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (real kernel; pixel decode stubbed behind the deterministic-fake
     raster), banded pigeonhole self-join, exact Hamming verify
     (operators/multimodal.py:phash_near_dup_pairs). Numpy-dependent hash
-    → rows-only in the gate; the pair set is proven EQUAL to the
+    → replay-certified locally (tools/py_oracles.py:
+    media_phash_pairs_oracle); the pair set is also proven EQUAL to the
     brute-force all-pairs Hamming truth in tests/test_multimodal_phash.py."""
     from cdc_streaming_pipeline_spark.functions.textfn import normalize_ws
 
@@ -1262,7 +1265,7 @@ def ann_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONLY its probed cells' partitions — partition pruning turns the
     n_probe/n_clusters compute saving into an I/O saving, the 100 TB
     serving path. Output-identical to the in-memory IVF with the same
-    centroids (pinned in tests/test_ivf_index.py). Rows-only
+    centroids (pinned in tests/test_ivf_index.py). Replay-certified
     (k-means-seeded); recall gates live with the other ANN variants."""
     import hashlib
     import os
@@ -1297,7 +1300,7 @@ def ann_topk_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the union with the same centroids (assignment is a pure
     function of the stored centroids — pinned byte-for-byte in
     tests/test_ivf_index.py::test_append_then_serve_equals_rebuild,
-    along with old-file immutability). Rows-only (k-means-seeded);
+    along with old-file immutability). Replay-certified (k-means replay);
     recall gates live with the other ANN variants."""
     import hashlib
     import os
@@ -1411,7 +1414,8 @@ def ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     one extra column-pruned scan, zero corpus shuffle) so the stacked
     approximations only gate shortlist MEMBERSHIP — recall 0.54 → 0.84
     on the worst-case corpus (floor 0.8; residual misses are cell
-    routing, n_probe=16 measures 1.00). Seeded k-means + codebooks → rows-only;
+    routing, n_probe=16 measures 1.00). Certified by the dual-normalization
+    replay (tools/py_oracles.py:ann_topk_ivf_pq_oracle);
     recall-vs-exact gated in tests/test_similarity_recall.py."""
     from cdc_streaming_pipeline_spark.operators.similarity import ivf_pq_topk
 

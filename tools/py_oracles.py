@@ -669,7 +669,7 @@ def _norm_tokens(text: str) -> list[str]:
     return t.split(" ")
 
 
-def _docs(sf_dir: str) -> list[tuple[int, str]]:
+def _docs_lsh(sf_dir: str) -> list[tuple[int, str]]:
     t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return list(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
 
@@ -753,12 +753,12 @@ def _minhash_pairs_core(
 
 
 def minhash_dedup_pairs_oracle(sf_dir: str) -> pd.DataFrame:
-    pairs = _minhash_pairs_core(_docs(sf_dir), None)
+    pairs = _minhash_pairs_core(_docs_lsh(sf_dir), None)
     return pd.DataFrame(pairs, columns=["id_a", "id_b", "jaccard"])
 
 
 def minhash_dedup_clusters_oracle(sf_dir: str) -> pd.DataFrame:
-    docs = _docs(sf_dir)
+    docs = _docs_lsh(sf_dir)
     pairs = _minhash_pairs_core(docs, None)
     parent: dict[int, int] = {}
 
@@ -779,7 +779,7 @@ def minhash_dedup_clusters_oracle(sf_dir: str) -> pd.DataFrame:
 
 
 def minhash_incremental_batch_oracle(sf_dir: str) -> pd.DataFrame:
-    docs = _docs(sf_dir)
+    docs = _docs_lsh(sf_dir)
     batch = [(i, t) for i, t in docs if i % 5 == 0]
     corpus = [(i, t) for i, t in docs if i % 5 != 0]
     pairs = _minhash_pairs_core(batch, corpus)
@@ -791,7 +791,7 @@ def simhash_near_dup_pairs_oracle(sf_dir: str) -> pd.DataFrame:
     majority vote over ALL token hashes (duplicates counted), 4x16-bit
     block equi-join, exact Hamming <= 3."""
     sigs: dict[int, int] = {}  # unsigned 64
-    for i, t in _docs(sf_dir):
+    for i, t in _docs_lsh(sf_dir):
         hs = [_to_unsigned64(spark_xxhash64(tok)) for tok in _norm_tokens(t)]
         n = len(hs)
         packed = 0
@@ -909,3 +909,352 @@ def embedding_near_dup_lsh_oracle(sf_dir: str) -> pd.DataFrame:
 
 
 _register_lsh_family()
+
+
+# -------------------------------------------- IVF / PQ family replays --
+# Same certification class as the r10 k-means promotions: the seeding is
+# bit-exact (driver-side numpy in both paths), Lloyd differs only in
+# float-summation order (~1e-15, far inside every rounding/argmax
+# margin). Cites: operators/cluster.py:ivf_topk/ivf_topk_from_index/
+# append_to_ivf_index, operators/similarity.py:pq_fit/pq_assign/pq_topk.
+
+
+def _ivf_topk_replay(sf_dir: str, qmask_fn, k: int = 5, n_probe: int = 8):
+    import numpy as np
+
+    ids, mat, cent = _kmeans_replay(sf_dir, k=16, iters=5)
+    qm = qmask_fn(ids)
+    q_ids, q_mat = ids[qm], mat[qm]
+    probed = np.argsort(-(q_mat @ cent.T), axis=1)[:, :n_probe]  # (nq, p)
+    cells = np.argmax(mat @ cent.T, axis=1)
+    cand = (cells[:, None, None] == probed[None, :, :]).any(-1)  # (n, nq)
+    sims = np.round(mat @ q_mat.T, 4)
+    rows = []
+    for j, qid in enumerate(q_ids):
+        v = np.nonzero(cand[:, j] & (ids != qid))[0]
+        order = v[np.lexsort((ids[v], -sims[v, j]))[:k]]
+        for r, ci in enumerate(order, start=1):
+            rows.append((int(qid), r, int(ids[ci]), float(sims[ci, j])))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "neighbor_id", "cosine"])
+
+
+def ann_topk_ivf_oracle(sf_dir: str) -> pd.DataFrame:
+    """plans/docs.py:ann_topk_ivf — centroids kmeans_fit(k=16, iters=5,
+    seed=42), queries vec_id < 10, probe 8 of 16 cells, exact cosine
+    (round 4) over probed rows, top-5 by (cosine desc, id asc)."""
+    return _ivf_topk_replay(sf_dir, lambda ids: ids < 10)
+
+
+def ann_topk_ivf_persisted_oracle(sf_dir: str) -> pd.DataFrame:
+    """plans/docs.py:ann_topk_ivf_persisted — output-identical to
+    ivf_topk with the same centroids (partition pruning changes bytes
+    read, not results; pinned in tests/test_ivf_index.py); queries
+    vec_id % 50 == 0."""
+    return _ivf_topk_replay(sf_dir, lambda ids: ids % 50 == 0)
+
+
+def ann_topk_ivf_appended_oracle(sf_dir: str) -> pd.DataFrame:
+    """plans/docs.py:ann_topk_ivf_appended — append-then-serve equals
+    rebuild with the same (full-corpus) centroids, so the replay is the
+    same ivf_topk over the union; queries vec_id % 50 == 0."""
+    return _ivf_topk_replay(sf_dir, lambda ids: ids % 50 == 0)
+
+
+def embedding_cluster_purity_oracle(sf_dir: str) -> pd.DataFrame:
+    """plans/docs.py:embedding_cluster_purity — k-means at the label
+    cardinality (embedding_outliers' assignment path: k=n_labels,
+    iters=5, seed=42), per cluster: size, majority label (count desc,
+    LOWEST label on ties), purity = round(max_count/size, 4)."""
+    import numpy as np
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"])
+    label_of = dict(zip(t.column("vec_id").to_pylist(), t.column("label").to_pylist()))
+    n_labels = len(set(label_of.values()))
+    ids, mat, cent = _kmeans_replay(sf_dir, k=n_labels, iters=5)
+    cells = np.argmax(mat @ cent.T, axis=1)
+    per: dict[int, Counter] = {}
+    for i, c in zip(ids, cells):
+        per.setdefault(int(c), Counter())[label_of[int(i)]] += 1
+    rows = []
+    for c, cnt in per.items():
+        n = sum(cnt.values())
+        maj = min(cnt, key=lambda lb: (-cnt[lb], lb))
+        rows.append((c, n, maj, _round4(max(cnt.values()) / n)))
+    return pd.DataFrame(
+        rows, columns=["cluster", "n_vectors", "majority_label", "purity"]
+    )
+
+
+def _pq_fit_replay(mat, m: int, ks: int, iters: int = 8, seed: int = 42):
+    """operators/similarity.py:pq_fit on an already-ordered sample
+    matrix — the SAME driver-side numpy code path, so bit-identical."""
+    import numpy as np
+
+    n, dim = mat.shape
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ks, sub))
+    for j in range(m):
+        x = mat[:, j * sub : (j + 1) * sub]
+        cent = x[rng.choice(n, size=ks, replace=False)]
+        for _ in range(iters):
+            d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for c in range(ks):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = x[mask].mean(0)
+        books[j] = cent
+    return books
+
+
+def _pq_sample_order(sf_dir: str):
+    """pq_fit's deterministic sample: md5-bucket (1<<16) then id order,
+    first 32768 — the whole corpus at oracle scale. Returns (ids, raw
+    float64 matrix) in that order."""
+    import hashlib
+
+    import numpy as np
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    buckets = np.array(
+        [
+            int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16) % (1 << 16)
+            for i in ids
+        ]
+    )
+    order = np.lexsort((ids, buckets))[:32768]
+    return ids, mat, order
+
+
+def _pq_codes_err(mat, books):
+    import numpy as np
+
+    m, ks, sub = books.shape
+    codes = np.empty((len(mat), m), dtype=np.int64)
+    err = np.zeros(len(mat))
+    for j in range(m):
+        x = mat[:, j * sub : (j + 1) * sub]
+        d = ((x[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+        codes[:, j] = d.argmin(1)
+        err += d[np.arange(len(mat)), codes[:, j]]
+    return codes, err
+
+
+def embedding_pq_codes_oracle(sf_dir: str) -> pd.DataFrame:
+    """plans/docs.py:embedding_pq_codes — pq_fit(m=8, ks=16, iters=8,
+    seed=42) on the RAW md5-ordered sample, pq_assign over the corpus,
+    per-subspace (n_vectors, distinct codes, round-6 mean total err)."""
+    import numpy as np
+
+    ids, mat, order = _pq_sample_order(sf_dir)
+    books = _pq_fit_replay(mat[order], m=8, ks=16)
+    codes, err = _pq_codes_err(mat, books)
+    rows = []
+    for j in range(8):
+        rows.append(
+            (
+                j,
+                len(ids),
+                int(len(np.unique(codes[:, j]))),
+                float(
+                    Decimal(repr(err.mean())).quantize(
+                        Decimal("0.000001"), ROUND_HALF_UP
+                    )
+                ),
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["subspace", "n_vectors", "n_codes_used", "avg_total_sq_err"]
+    )
+
+
+def ann_topk_pq_oracle(sf_dir: str) -> pd.DataFrame:
+    """plans/docs.py:ann_topk_pq (operators/similarity.py:pq_topk,
+    m=8, ks=16, k=5): ADC distance tables per query over RAW vectors,
+    d rounded to 6, self excluded, top-5 by (adc asc, id asc)."""
+    import numpy as np
+
+    ids, mat, order = _pq_sample_order(sf_dir)
+    books = _pq_fit_replay(mat[order], m=8, ks=16)
+    codes, _ = _pq_codes_err(mat, books)
+    qm = ids < 10
+    q_ids, q_mat = ids[qm], mat[qm]
+    m, ks, sub = books.shape
+    tables = np.stack(
+        [
+            ((books[j][None, :, :] - q_mat[:, None, j * sub : (j + 1) * sub]) ** 2).sum(-1)
+            for j in range(m)
+        ],
+        axis=1,
+    )  # (nq, m, ks)
+    d = np.zeros((len(q_ids), len(ids)))
+    for j in range(m):
+        d += tables[:, j, :][:, codes[:, j]]
+    d = np.round(d, 6)
+    rows = []
+    for qi, qid in enumerate(q_ids):
+        v = np.nonzero(ids != qid)[0]
+        order5 = v[np.lexsort((ids[v], d[qi, v]))[:5]]
+        for r, ci in enumerate(order5, start=1):
+            rows.append((int(qid), r, int(ids[ci]), float(d[qi, ci])))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "neighbor_id", "adc_dist"])
+
+
+def _register_ivf_pq_family() -> None:
+    PY_ORACLES.update(
+        {
+            "ann_topk_ivf": ann_topk_ivf_oracle,
+            "ann_topk_ivf_persisted": ann_topk_ivf_persisted_oracle,
+            "ann_topk_ivf_appended": ann_topk_ivf_appended_oracle,
+            "embedding_cluster_purity": embedding_cluster_purity_oracle,
+            "embedding_pq_codes": embedding_pq_codes_oracle,
+            "ann_topk_pq": ann_topk_pq_oracle,
+        }
+    )
+
+
+_register_ivf_pq_family()
+
+
+def ann_topk_ivf_pq_oracle(sf_dir: str) -> pd.DataFrame:
+    """plans/docs.py:ann_topk_ivf_pq (operators/similarity.py:
+    ivf_pq_topk, m=16, ks=64, n_probe=8, n_rerank=50, k=5): spherical
+    k-means routing + PQ/ADC shortlist + exact re-rank. The replay
+    mirrors BOTH normalization paths bit-for-bit: the corpus is
+    JVM-normalized (sequential left-to-right sum of squares, floor
+    1e-12 — functions/vector.py:l2_norm) before codebook fit, cell
+    assignment, and encoding, while queries use the numpy norm
+    (_normalized_matrix); the re-rank dot is the sequential
+    F.aggregate fold, rounded to 6."""
+    import hashlib
+
+    import numpy as np
+
+    ids, _, cent = _kmeans_replay(sf_dir, k=16, iters=5)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    raw = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+
+    def jvm_norm(row):
+        acc = 0.0
+        for v in row:
+            acc += v * v
+        return max(acc ** 0.5, 1e-12)
+
+    normed = np.array([r / jvm_norm(r) for r in raw])
+    buckets = np.array(
+        [
+            int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16) % (1 << 16)
+            for i in ids
+        ]
+    )
+    order = np.lexsort((ids, buckets))[:32768]
+    books = _pq_fit_replay(normed[order], m=16, ks=64)
+    cells = np.argmax(normed @ cent.T, axis=1)
+    codes, _ = _pq_codes_err(normed, books)
+
+    qm = ids < 10
+    q_ids = ids[qm]
+    q_raw = raw[qm]
+    qn = np.linalg.norm(q_raw, axis=1)
+    qn[qn == 0.0] = 1.0
+    q_mat = q_raw / qn[:, None]
+    probe = np.argsort(-(q_mat @ cent.T), axis=1)[:, :8]
+    m, ks, sub = books.shape
+    tables = np.stack(
+        [
+            ((books[j][None, :, :] - q_mat[:, None, j * sub : (j + 1) * sub]) ** 2).sum(-1)
+            for j in range(m)
+        ],
+        axis=1,
+    )
+    rows = []
+    for qi, qid in enumerate(q_ids):
+        cand = np.nonzero(np.isin(cells, probe[qi]) & (ids != qid))[0]
+        d = np.round(
+            tables[qi][np.arange(m)[:, None], codes[cand].T].sum(0), 6
+        )
+        short = cand[np.lexsort((ids[cand], d))[:50]]
+        scored = []
+        for ci in short:
+            acc = 0.0
+            for a, b in zip(q_mat[qi], normed[ci]):
+                acc += a * b
+            scored.append(
+                (
+                    float(Decimal(repr(acc)).quantize(Decimal("0.000001"), ROUND_HALF_UP)),
+                    int(ids[ci]),
+                )
+            )
+        scored.sort(key=lambda s: (-s[0], s[1]))
+        for r, (cos, nid) in enumerate(scored[:5], start=1):
+            rows.append((int(qid), r, nid, cos))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "neighbor_id", "cosine"])
+
+
+PY_ORACLES["ann_topk_ivf_pq"] = ann_topk_ivf_pq_oracle
+
+
+def media_phash_pairs_oracle(sf_dir: str) -> pd.DataFrame:
+    """plans/docs.py:media_phash_pairs (operators/multimodal.py:
+    synthesize_media + perceptual_hash + phash_near_dup_pairs): payload
+    = normalized text bytes (every 10th doc re-encoded under media_id +
+    1e9), canonical DCT pHash (payload raster -> 8x8 low-frequency
+    corner, median threshold, bit 63 zero), 5-block pigeonhole
+    candidates, exact Hamming <= 4. The batched einsum path is pinned
+    bit-identical to the per-payload formula replayed here."""
+    import numpy as np
+
+    GRID = 32
+    basis = np.array(
+        [np.cos(np.pi * (np.arange(GRID) + 0.5) * u / GRID) for u in range(8)]
+    )
+
+    def pixels(payload: bytes) -> np.ndarray:
+        arr = np.frombuffer(payload if payload else b"\x00", dtype=np.uint8)
+        arr = arr.astype(np.float64)
+        w = max(1, arr.size // 64)
+        if w > 1:
+            arr = np.convolve(arr, np.ones(w) / w, mode="same")
+        xs = np.linspace(0.0, max(arr.size - 1, 0), GRID * GRID)
+        return np.interp(xs, np.arange(arr.size), arr).reshape(GRID, GRID)
+
+    def phash(payload: bytes) -> int:
+        coef = basis @ pixels(payload) @ basis.T
+        flat = coef.flatten()[1:]
+        bits = flat > np.median(flat)
+        val = np.uint64(0)
+        for i in range(63):
+            if bits[i]:
+                val |= np.uint64(1) << np.uint64(i)
+        return int(val)  # unsigned bit pattern; blocks/hamming below
+
+    hashes: dict[int, int] = {}
+    for doc_id, text in _docs_lsh(sf_dir):
+        norm = _WS_ASCII.sub(" ", text.lower()).strip()
+        h = phash(norm.encode("utf-8"))
+        hashes[doc_id] = h
+        if doc_id % 10 == 0:
+            hashes[doc_id + 1_000_000_000] = h
+    bands = [(0, 12), (12, 12), (24, 12), (36, 12), (48, 16)]
+    blocks: dict[tuple[int, int], list[int]] = {}
+    for i, h in hashes.items():
+        for b, (shift, width) in enumerate(bands):
+            blocks.setdefault((b, (h >> shift) & ((1 << width) - 1)), []).append(i)
+    cand = set()
+    for idset in blocks.values():
+        idset = sorted(idset)
+        for x in range(len(idset)):
+            for y in range(x + 1, len(idset)):
+                cand.add((idset[x], idset[y]))
+    rows = []
+    for a, b in cand:
+        ham = bin(hashes[a] ^ hashes[b]).count("1")
+        if ham <= 4:
+            rows.append((a, b, ham))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+
+
+PY_ORACLES["media_phash_pairs"] = media_phash_pairs_oracle
