@@ -1511,3 +1511,107 @@ ORACLE["cdc_mv_through_merge"] = """
                AS total
     FROM state GROUP BY status ORDER BY status
 """
+
+
+def cdc_stream_merge_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema drift THROUGH the streaming bucketed merge
+    (r10 verdict #6): deployment v1 streams the narrow snapshot
+    (id, status, total_amount) into a BucketedTxLogTable via
+    bucketed_merge_stream_sink; deployment v2 — a NEW streaming query
+    with a widened source schema (+ ``channel``), its own checkpoint,
+    and its own writer_id (a redeployment restarts batch ids at 0, so
+    reusing the v1 writer_id would make v2's first batch no-op as a
+    "replay" — the txn-tag contract cuts both ways) — streams updates
+    carrying the new column plus deletes. merge_cdc_batch unions
+    old-bucket rows with ``allowMissingColumns`` and reads with
+    ``mergeSchema`` (sources/txlog.py:758,:462), and every merge entry
+    records its evolved schema, so the final ``read_state`` serves the
+    WIDENED schema with NULL channel for rows last written narrow —
+    hash-green against the closed-form oracle."""
+    import os
+    import tempfile
+
+    from cdc_streaming_pipeline_spark.sources.txlog import BucketedTxLogTable
+    from cdc_streaming_pipeline_spark.streaming.pipeline import (
+        bucketed_merge_stream_sink,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "stream_drift")
+    path = _TXLOG_MEMO.get(key)
+    if path is None:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"txlog-sdrift-{spark.sparkContext.applicationId}-{abs(hash(sf_dir)) % 10**8}",
+        )
+        path = os.path.join(root, "table")
+        t = BucketedTxLogTable(spark, path, key_cols=["id"], n_buckets=16)
+        if t.latest_version() is None:
+            o = _orders(spark, sf_dir)
+            k = F.col("o_orderkey")
+            narrow = o.select(
+                k.alias("id"),
+                F.lit("pending").alias("status"),
+                F.col("o_totalprice").alias("total_amount"),
+                F.lit("r").alias(OP_COL),
+                _lsn(k, 1).alias(LSN_COL),
+                F.lit(None).cast("string").alias(DELETED_COL),
+            )
+            chan = F.when(k % 2 == 0, "web").otherwise("app")
+            upd = o.filter(k % 3 == 0).select(
+                k.alias("id"),
+                F.col("o_orderstatus").alias("status"),
+                (F.col("o_totalprice") + 100.0).alias("total_amount"),
+                F.lit("u").alias(OP_COL),
+                _lsn(k, 2).alias(LSN_COL),
+                F.lit(None).cast("string").alias(DELETED_COL),
+                chan.alias("channel"),
+            )
+            dele = o.filter(k % 5 == 0).select(
+                k.alias("id"),
+                F.lit(None).cast("string").alias("status"),
+                F.lit(None).cast("double").alias("total_amount"),
+                F.lit("d").alias(OP_COL),
+                _lsn(k, 3).alias(LSN_COL),
+                F.lit("true").alias(DELETED_COL),
+                F.lit(None).cast("string").alias("channel"),
+            )
+            src1, src2 = os.path.join(root, "v1"), os.path.join(root, "v2")
+            narrow.coalesce(1).write.mode("overwrite").json(src1)
+            upd.coalesce(1).write.mode("overwrite").json(os.path.join(src2, "b"))
+            dele.coalesce(1).write.mode("overwrite").json(os.path.join(src2, "c"))
+
+            def run(src, schema, writer, ckpt):
+                stream = (
+                    spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .json(src)
+                )
+                q = (
+                    bucketed_merge_stream_sink(
+                        stream, path, os.path.join(root, ckpt),
+                        key_cols=["id"], n_buckets=16, writer_id=writer,
+                    )
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination(300)
+
+            run(src1, narrow.schema, "drift_sink_v1", "ckpt1")
+            run(os.path.join(src2, "*"), upd.schema, "drift_sink_v2", "ckpt2")
+        _TXLOG_MEMO[key] = path
+    t = BucketedTxLogTable(spark, path, key_cols=["id"], n_buckets=16)
+    return t.read_state().select("id", "status", "total_amount", "channel")
+
+
+QUERIES["cdc_stream_merge_schema_drift"] = cdc_stream_merge_schema_drift
+ORACLE["cdc_stream_merge_schema_drift"] = """
+    SELECT o_orderkey AS id,
+           CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus
+                ELSE 'pending' END AS status,
+           CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+                ELSE o_totalprice END AS total_amount,
+           CASE WHEN o_orderkey % 3 = 0 THEN
+                CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'app' END
+           END AS channel
+    FROM orders WHERE o_orderkey % 5 <> 0
+"""

@@ -1,0 +1,158 @@
+"""TRUE multi-process commit races (r10 verdict #4): every conflict
+test so far injected losses in-process; here 3 separate OS processes —
+each with its own JVM/SparkSession, sharing only the table directory
+(and, for sqlite, the decision database) — race ``merge_cdc_batch``
+over both commit backends.
+
+Contracts pinned:
+- disjoint-bucket merges from different processes ALL land (the
+  file-granular revalidation retries through lost version races);
+- same-bucket merges conflict loudly, and the standard app-level retry
+  (re-derive from the new base, merge again) converges — exactly one
+  winner per log version, no version ever two-winnered, no update lost;
+- the final read_state equals the serial latest-LSN oracle over every
+  update all processes sent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+from cdc_streaming_pipeline_spark.operators.merge import with_key_bucket
+from cdc_streaming_pipeline_spark.sources.txlog import BucketedTxLogTable
+
+N_BUCKETS = 8
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = textwrap.dedent(
+    """
+    import json, sys
+    from cdc_streaming_pipeline_spark.session import get_spark
+    from cdc_streaming_pipeline_spark.sources.txlog import (
+        BucketedTxLogTable, ConcurrentWriteError, SQLiteCommitBackend,
+    )
+
+    table_path, backend_kind, db_path, writer, keys_json = sys.argv[1:6]
+    keys = json.loads(keys_json)  # [[key, status, lsn], ...]
+    spark = get_spark(f"race-{writer}", cpus=2, shuffle_partitions=2)
+    backend = SQLiteCommitBackend(db_path) if backend_kind == "sqlite" else None
+    t = BucketedTxLogTable(
+        spark, table_path, key_cols=["id"], n_buckets=%(n_buckets)d,
+        commit_backend=backend,
+    )
+    committed = []
+    for key, status, lsn in keys:
+        batch = spark.createDataFrame(
+            [(key, status, "u", lsn, None)],
+            "id bigint, status string, _op string, _lsn string, _deleted string",
+        )
+        for attempt in range(60):
+            try:
+                v, touched = t.merge_cdc_batch(batch)
+                committed.append([key, v])
+                break
+            except ConcurrentWriteError:
+                continue  # app-level retry: re-derive from the new base
+        else:
+            print("GAVE UP", key, file=sys.stderr)
+            sys.exit(3)
+    print("COMMITTED " + json.dumps(committed))
+    """
+    % {"n_buckets": N_BUCKETS}
+)
+
+
+def _buckets_of(spark, keys):
+    df = with_key_bucket(
+        spark.createDataFrame([(k,) for k in keys], "id bigint"), ["id"], N_BUCKETS
+    )
+    return {r["id"]: r["_kb"] for r in df.collect()}
+
+
+@pytest.mark.parametrize("backend_kind", ["posix", "sqlite"])
+def test_three_processes_race_disjoint_and_overlapping(
+    spark, tmp_path, backend_kind
+):
+    from cdc_streaming_pipeline_spark.sources.txlog import SQLiteCommitBackend
+
+    table_path = str(tmp_path / "race_table")
+    db_path = str(tmp_path / "commits.sqlite")
+    backend = SQLiteCommitBackend(db_path) if backend_kind == "sqlite" else None
+    t = BucketedTxLogTable(
+        spark, table_path, key_cols=["id"], n_buckets=N_BUCKETS,
+        commit_backend=backend,
+    )
+    seed = spark.createDataFrame(
+        [(i, f"s{i}", "r", "0001", None) for i in range(40)],
+        "id bigint, status string, _op string, _lsn string, _deleted string",
+    )
+    t.init_from_events(seed)
+
+    # partition keys: per-writer DISJOINT buckets plus a SHARED hot
+    # bucket every writer updates (different keys, same bucket)
+    by_bucket = _buckets_of(spark, list(range(40)))
+    buckets = sorted(set(by_bucket.values()))
+    assert len(buckets) >= 4
+    hot = buckets[0]
+    hot_keys = [k for k, b in by_bucket.items() if b == hot][:3]
+    assert len(hot_keys) == 3
+    own = [
+        [k for k, b in by_bucket.items() if b == buckets[1 + j]][:2]
+        for j in range(3)
+    ]
+
+    procs = []
+    for j in range(3):
+        keys = [[k, f"w{j}-{k}", f"1{j:03d}"] for k in own[j]]
+        keys.append([hot_keys[j], f"hot-w{j}", f"2{j:03d}"])
+        env = dict(
+            os.environ,
+            PYTHONPATH=REPO,
+            SPARK_GRAFT_DRIVER_MEM="3g",
+        )
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, "-c", WORKER,
+                    table_path, backend_kind, db_path, f"w{j}",
+                    json.dumps(keys),
+                ],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+            )
+        )
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err[-2000:]
+        line = [ln for ln in out.splitlines() if ln.startswith("COMMITTED ")]
+        assert line, out
+        results.append(json.loads(line[0][len("COMMITTED "):]))
+
+    # every update landed; every version has exactly one entry
+    committed_versions = sorted(v for r in results for _, v in r)
+    assert len(committed_versions) == 9  # 3 writers x (2 own + 1 hot)
+    latest = t.latest_version()
+    assert latest == 9  # dense: bootstrap + 9 merges
+    assert len(set(committed_versions)) == 9  # one winner per version
+    assert committed_versions == list(range(1, 10))
+
+    # final state equals the serial latest-LSN oracle
+    expect = {i: f"s{i}" for i in range(40)}
+    for j in range(3):
+        for k in own[j]:
+            expect[k] = f"w{j}-{k}"
+        expect[hot_keys[j]] = f"hot-w{j}"
+    got = {r["id"]: r["status"] for r in t.read_state().collect()}
+    assert got == expect
+
+    if backend_kind == "sqlite":
+        assert SQLiteCommitBackend(db_path).heal() == 0  # all materialized
