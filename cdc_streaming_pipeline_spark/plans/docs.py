@@ -3286,3 +3286,36 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["bpe_fertility_by_lang"] = bpe_fertility_by_lang
 # trained-merge-dependent: certified by the py-oracle replay, not SQL
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection for pretraining (operators/selection.py —
+    the DSIR estimator, Xie et al. 2023): score every document by
+    Σ_f n_f·[log p_target(f) − log p_raw(f)] over hashed uni+bigram
+    features (xxhash64 → 4096 buckets, add-1 smoothing), target = the
+    English slice. Three bounded shuffles; the log-ratio table is ≤
+    n_buckets rows broadcast back onto per-doc features. Hash-seeded →
+    certified by the XXH64 replay (tools/py_oracles.py)."""
+    from cdc_streaming_pipeline_spark.operators.selection import (
+        dsir_importance_weights as op,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return op(docs, target_col=F.col("lang") == "en")
+
+
+def dsir_select_top_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DSIR selection: keep the top 25% of documents by
+    importance weight (ties by lowest id) — the thresholding variant of
+    importance resampling, planned as TakeOrderedAndProject (distributed
+    top-n, no global-window task)."""
+    from cdc_streaming_pipeline_spark.operators.selection import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_select(docs, target_col=F.col("lang") == "en", keep_fraction=0.25)
+
+
+QUERIES["dsir_importance_weights"] = dsir_importance_weights
+QUERIES["dsir_select_top_quarter"] = dsir_select_top_quarter
+# hash-seeded (xxhash64 feature space): certified by the pure-Python
+# XXH64 replay in tools/py_oracles.py, not DuckDB SQL

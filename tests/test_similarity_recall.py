@@ -559,3 +559,55 @@ def test_ivf_pq_auto_probe_recall_and_selectivity(spark):
     peaked = np.full((1, 16), 0.05)
     peaked[0, 3] = 0.98  # one obviously right cell
     assert sim.auto_probe_mask(peaked).sum() <= 2
+
+
+def test_ivf_pq_auto_probe_mixed_batch_is_per_query(spark):
+    """r10 verdict #7, the third adversarial profile: ONE call carrying a
+    MIXED batch — half the queries sit inside tight clusters (routing
+    informative), half are near-orthogonal (routing worthless). The
+    policy maps each query's own best-centroid cosine, so the probe
+    counts must come out BIMODAL (few cells for clustered queries, most
+    cells for diffuse ones — never a batch-global decision), and the
+    0.9 recall floor must hold across the whole mixed batch."""
+    import numpy as np
+
+    from cdc_streaming_pipeline_spark.operators.cluster import kmeans_fit
+
+    rng = np.random.default_rng(11)
+    dim, per = 64, 40
+    centers = rng.standard_normal((5, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    clustered = np.repeat(centers, per, axis=0) + 0.05 * rng.standard_normal(
+        (5 * per, dim)
+    )
+    diffuse = rng.standard_normal((200, dim))
+    mat = np.vstack([clustered, diffuse])
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(mat)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q_ids = [0, 40, 80, 120, 160, 200, 201, 202, 203, 204]  # 5 clustered + 5 diffuse
+    queries = emb.filter(F.col("vec_id").isin(q_ids))
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(emb, queries, k=5).collect()
+    }
+    auto = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivf_pq_topk(
+            emb, queries, k=5, n_clusters=16, n_probe="auto", m=16, ks=64
+        ).collect()
+    }
+    recall = len(exact & auto) / len(exact)
+    assert recall >= 0.9, f"mixed-batch auto-probe recall@5 {recall:.2f}"
+
+    # per-query probe counts from the exact statistic the operator uses
+    cent = kmeans_fit(emb, k=16)
+    q = mat[q_ids]
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    counts = sim.auto_probe_mask(qn @ cent.T).sum(axis=1)
+    clustered_counts, diffuse_counts = counts[:5], counts[5:]
+    # bimodal: every clustered query stays selective, every diffuse one
+    # opens up — and the two groups never overlap (per-query, not global)
+    assert clustered_counts.max() <= 6, counts.tolist()
+    assert diffuse_counts.min() >= 10, counts.tolist()
+    assert clustered_counts.max() < diffuse_counts.min(), counts.tolist()

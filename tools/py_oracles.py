@@ -1258,3 +1258,66 @@ def media_phash_pairs_oracle(sf_dir: str) -> pd.DataFrame:
 
 
 PY_ORACLES["media_phash_pairs"] = media_phash_pairs_oracle
+
+
+def _dsir_weights_raw(sf_dir: str):
+    """operators/selection.py:dsir_importance_weights replay (target =
+    lang == 'en', n_buckets=4096): hashed uni+bigram counts via
+    spark_xxhash64, add-1 log-ratios, per-doc weighted sum."""
+    import math
+
+    B = 4096
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    docs = list(
+        zip(
+            t.column("doc_id").to_pylist(),
+            t.column("text").to_pylist(),
+            t.column("lang").to_pylist(),
+        )
+    )
+    per_doc: dict[int, Counter] = {}
+    r_f: Counter = Counter()
+    t_f: Counter = Counter()
+    for doc_id, text, lang in docs:
+        toks = _norm_tokens(text)
+        grams = list(toks)
+        for i in range(max(len(toks) - 2, 0) + 1):
+            grams.append(" ".join(toks[i : i + 2]))
+        cnt = Counter(spark_xxhash64(g) % B for g in grams)
+        per_doc[doc_id] = cnt
+        for f, n in cnt.items():
+            r_f[f] += n
+            if lang == "en":
+                t_f[f] += n
+    R, T = sum(r_f.values()), sum(t_f.values())
+    a = 1.0 / B  # unit-total Laplace mass, matching the operator
+    lr = {
+        f: math.log((t_f[f] + a) / float(T + 1)) - math.log((r_f[f] + a) / float(R + 1))
+        for f in r_f
+    }
+    rows = []
+    for doc_id, cnt in per_doc.items():
+        w = sum(n * lr[f] for f, n in sorted(cnt.items()))
+        rows.append((doc_id, sum(cnt.values()), _round4(w)))
+    return rows
+
+
+def dsir_importance_weights_oracle(sf_dir: str) -> pd.DataFrame:
+    return pd.DataFrame(
+        _dsir_weights_raw(sf_dir), columns=["doc_id", "n_features", "log_weight"]
+    )
+
+
+def dsir_select_top_quarter_oracle(sf_dir: str) -> pd.DataFrame:
+    rows = _dsir_weights_raw(sf_dir)
+    n_keep = -(-len(rows) // 4)
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    return pd.DataFrame(
+        rows[:n_keep], columns=["doc_id", "n_features", "log_weight"]
+    )
+
+
+PY_ORACLES["dsir_importance_weights"] = dsir_importance_weights_oracle
+PY_ORACLES["dsir_select_top_quarter"] = dsir_select_top_quarter_oracle
