@@ -498,3 +498,99 @@ def test_stream_merge_sink_maintenance_bounds_files_over_long_run(spark, tmp_pat
     run()
     assert t.latest_version() == pre_v
     assert {r["id"]: r["status"] for r in t.read_state().collect()} == expect
+
+
+def test_stream_merge_sink_crash_between_merge_and_maintenance(spark, tmp_path):
+    """The maintenance policy must not widen the exactly-once window: a
+    crash AFTER the merge commit but BEFORE compact_buckets leaves a
+    multi-file bucket and an un-advanced streaming checkpoint. On
+    restart the replayed batch no-ops via its txn tag (no duplicate
+    rows) and the SAME foreachBatch's maintenance pass folds the
+    bucket — the stream self-heals without operator action."""
+    import json as _json
+
+    import cdc_streaming_pipeline_spark.sources.txlog as txmod
+    from cdc_streaming_pipeline_spark.sources.txlog import (
+        BucketedTxLogTable,
+        resolve_snapshot_state,
+    )
+    from cdc_streaming_pipeline_spark.streaming.pipeline import (
+        bucketed_merge_stream_sink,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    table_path = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id bigint, status string, _op string, _lsn string, _deleted string"
+
+    def put(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(
+                    _json.dumps(
+                        dict(zip(("id", "status", "_op", "_lsn", "_deleted"), r))
+                    )
+                    + "\n"
+                )
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+        )
+        return (
+            bucketed_merge_stream_sink(
+                stream, table_path, ckpt, key_cols=["id"], n_buckets=4,
+                max_files_per_bucket=1, target_file_bytes=512,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    put("a.json", [(i, f"s{i}", "r", "0001", None) for i in range(30)])
+    q = run()
+    q.awaitTermination(120)
+
+    # crash injection: compact_buckets dies AFTER the merge committed
+    class Crash(RuntimeError):
+        pass
+
+    orig = BucketedTxLogTable.compact_buckets
+    state = {"n": 0}
+
+    def crashing(self, *a, **kw):
+        state["n"] += 1
+        raise Crash("died between merge and maintenance")
+
+    put("b.json", [(2, "UPD", "u", "0002", None)])
+    BucketedTxLogTable.compact_buckets = crashing
+    try:
+        q = run()
+        q.awaitTermination(120)
+        raise AssertionError("query should have failed")
+    except Exception:
+        pass
+    finally:
+        BucketedTxLogTable.compact_buckets = orig
+    assert state["n"] == 1
+
+    t = BucketedTxLogTable(spark, table_path, key_cols=["id"], n_buckets=4)
+    v_after_crash = t.latest_version()
+    merged_entry = t._read_entry(v_after_crash)
+    assert merged_entry.get("txn")  # the merge itself landed
+
+    # restart: replayed batch no-ops, maintenance folds the bucket
+    put("c.json", [(3, "NEXT", "u", "0003", None)])
+    q = run()
+    q.awaitTermination(120)
+    got = {r["id"]: r["status"] for r in t.read_state().collect()}
+    expect = {i: f"s{i}" for i in range(30)}
+    expect[2], expect[3] = "UPD", "NEXT"
+    assert got == expect  # exactly once: no duplicates, nothing lost
+    snap, bmap, _ = resolve_snapshot_state(t, t.latest_version())
+    per_bucket: dict[int, int] = {}
+    for f in snap:
+        per_bucket[bmap[f]] = per_bucket.get(bmap[f], 0) + 1
+    assert max(per_bucket.values()) <= 1  # maintenance caught up
