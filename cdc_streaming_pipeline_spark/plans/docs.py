@@ -3288,31 +3288,45 @@ QUERIES["bpe_fertility_by_lang"] = bpe_fertility_by_lang
 # trained-merge-dependent: certified by the py-oracle replay, not SQL
 
 
-def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data selection for pretraining (operators/selection.py —
-    the DSIR estimator, Xie et al. 2023): score every document by
-    Σ_f n_f·[log p_target(f) − log p_raw(f)] over hashed uni+bigram
-    features (xxhash64 → 4096 buckets, add-1 smoothing), target = the
-    English slice. Three bounded shuffles; the log-ratio table is ≤
-    n_buckets rows broadcast back onto per-doc features. Hash-seeded →
-    certified by the XXH64 replay (tools/py_oracles.py)."""
+def _dsir_weight_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc DSIR weights, persisted per (session, sf): BOTH registry
+    queries (the weights themselves and the top-quarter selection)
+    consume the same three-shuffle estimate — the _memo_gemm sharing
+    pattern, hash-feature edition."""
     from cdc_streaming_pipeline_spark.operators.selection import (
         dsir_importance_weights as op,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return op(docs, target_col=F.col("lang") == "en")
+    return _memo_gemm(
+        spark, sf_dir, "dsir", lambda: op(docs, target_col=F.col("lang") == "en")
+    )
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection for pretraining (operators/selection.py —
+    the DSIR estimator, Xie et al. 2023): score every document by
+    Σ_f n_f·[log p_target(f) − log p_raw(f)] over hashed uni+bigram
+    features (xxhash64 → 4096 buckets, unit-mass Laplace smoothing),
+    target = the English slice. Three bounded shuffles; the log-ratio
+    table is ≤ n_buckets rows broadcast back onto per-doc features.
+    Hash-seeded → certified by the XXH64 replay (tools/py_oracles.py)."""
+    return _dsir_weight_frame(spark, sf_dir)
 
 
 def dsir_select_top_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic DSIR selection: keep the top 25% of documents by
     importance weight (ties by lowest id) — the thresholding variant of
     importance resampling, planned as TakeOrderedAndProject (distributed
-    top-n, no global-window task)."""
-    from cdc_streaming_pipeline_spark.operators.selection import dsir_select
-
-    docs = load_table(spark, sf_dir, "documents")
-    return dsir_select(docs, target_col=F.col("lang") == "en", keep_fraction=0.25)
+    top-n, no global-window task). Shares the persisted weight frame
+    with dsir_importance_weights."""
+    w = _dsir_weight_frame(spark, sf_dir)
+    n_keep = int(-(-w.count() * 0.25 // 1))
+    return (
+        w.orderBy(F.col("log_weight").desc(), F.col("doc_id").asc())
+        .limit(n_keep)
+        .select("doc_id", "n_features", "log_weight")
+    )
 
 
 QUERIES["dsir_importance_weights"] = dsir_importance_weights
