@@ -1615,3 +1615,74 @@ ORACLE["cdc_stream_merge_schema_drift"] = """
            END AS channel
     FROM orders WHERE o_orderkey % 5 <> 0
 """
+
+
+def table_rebucket_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-layout evolution mid-lifecycle (sources/txlog.py:rebucket):
+    init a bucketed table at 8 buckets from the order snapshot, merge
+    the update wave, REBUCKET to 16 (one explicit full rewrite — the
+    layout is a log fact, so pre-rebucket versions stay readable and
+    later writers resolve the new math from ``table_meta``), then merge
+    the delete wave under the new layout. Final state must equal the
+    closed-form oracle — i.e. the layout change is a logical no-op and
+    post-rebucket merges prune the RIGHT files (a stale-8-bucket merge
+    would duplicate keys; tests/test_txlog_rebucket.py pins that path
+    too)."""
+    import os
+    import tempfile
+
+    from cdc_streaming_pipeline_spark.sources.txlog import BucketedTxLogTable
+
+    key = (spark.sparkContext.applicationId, sf_dir, "rebucket")
+    path = _TXLOG_MEMO.get(key)
+    o = _orders(spark, sf_dir)
+    k = F.col("o_orderkey")
+    if path is None:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"txlog-rebucket-{spark.sparkContext.applicationId}-{abs(hash(sf_dir)) % 10**8}",
+        )
+        t = BucketedTxLogTable(spark, path, key_cols=["id"], n_buckets=8)
+        if t.latest_version() is None:
+            snap = o.select(
+                k.alias("id"),
+                F.lit("pending").alias("status"),
+                F.col("o_totalprice").alias("total_amount"),
+                F.lit("r").alias(OP_COL),
+                _lsn(k, 1).alias(LSN_COL),
+                F.lit(None).cast("string").alias(DELETED_COL),
+            )
+            t.init_from_events(snap)
+            upd = o.filter(k % 3 == 0).select(
+                k.alias("id"),
+                F.col("o_orderstatus").alias("status"),
+                (F.col("o_totalprice") + 100.0).alias("total_amount"),
+                F.lit("u").alias(OP_COL),
+                _lsn(k, 2).alias(LSN_COL),
+                F.lit(None).cast("string").alias(DELETED_COL),
+            )
+            t.merge_cdc_batch(upd)
+            t.rebucket(16)
+            dele = o.filter(k % 5 == 0).select(
+                k.alias("id"),
+                F.lit(None).cast("string").alias("status"),
+                F.lit(None).cast("double").alias("total_amount"),
+                F.lit("d").alias(OP_COL),
+                _lsn(k, 3).alias(LSN_COL),
+                F.lit("true").alias(DELETED_COL),
+            )
+            t.merge_cdc_batch(dele)
+        _TXLOG_MEMO[key] = path
+    t = BucketedTxLogTable(spark, path)  # layout resolves from the log
+    return t.read_state().select("id", "status", "total_amount")
+
+
+QUERIES["table_rebucket_evolution"] = table_rebucket_evolution
+ORACLE["table_rebucket_evolution"] = """
+    SELECT o_orderkey AS id,
+           CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus
+                ELSE 'pending' END AS status,
+           CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+                ELSE o_totalprice END AS total_amount
+    FROM orders WHERE o_orderkey % 5 <> 0
+"""

@@ -645,17 +645,45 @@ class BucketedTxLogTable(TxLogTable):
         self,
         spark: SparkSession,
         path: str,
-        key_cols: list[str],
-        n_buckets: int = 64,
-        order_col: str = "_lsn",
+        key_cols: list[str] | None = None,
+        n_buckets: int | None = None,
+        order_col: str | None = None,
         commit_backend=None,
         checkpoint_interval: int = 10,
         target_file_bytes: int = 8 << 20,
     ):
         super().__init__(spark, path, commit_backend=commit_backend)
+        # The LOG records the layout contract (init_from_events /
+        # rebucket write ``table_meta``); opening an existing table
+        # validates explicit arguments against it — a writer merging
+        # with the wrong n_buckets selects the wrong old files and
+        # surfaces duplicate keys, so a mismatch is a loud error, and
+        # omitted arguments resolve FROM the log (checkpoint-bounded).
+        meta = resolve_table_meta(self)
+        if meta is not None:
+            for name, given, rec in (
+                ("key_cols", list(key_cols) if key_cols else None, list(meta["key_cols"])),
+                ("n_buckets", n_buckets, int(meta["n_buckets"])),
+                ("order_col", order_col, meta["order_col"]),
+            ):
+                if given is not None and given != rec:
+                    raise ValueError(
+                        f"table at {path} records {name}={rec!r} in its log; "
+                        f"got {name}={given!r} — the bucket layout is a table "
+                        "property, not a caller choice (use rebucket() to "
+                        "change n_buckets)"
+                    )
+            key_cols = list(meta["key_cols"])
+            n_buckets = int(meta["n_buckets"])
+            order_col = meta["order_col"]
+        elif key_cols is None:
+            raise ValueError(
+                f"table at {path} has no recorded layout (new or legacy log) "
+                "— key_cols is required"
+            )
         self.key_cols = list(key_cols)
-        self.n_buckets = n_buckets
-        self.order_col = order_col
+        self.n_buckets = 64 if n_buckets is None else n_buckets
+        self.order_col = "_lsn" if order_col is None else order_col
         # Delta's every-10-commits policy: after a successful merge whose
         # version is a multiple of this, write a checkpoint so the NEXT
         # merge's metadata resolution replays at most this many entries.
@@ -785,12 +813,85 @@ class BucketedTxLogTable(TxLogTable):
             "file_buckets": buckets,
             "file_bytes": self._staged_bytes(adds),
             "schema": state.schema.jsonValue(),
+            "table_meta": self._meta_dict(),
         }
         if txn is not None:
             entry["txn"] = [txn[0], txn[1]]
         if not self._try_commit(0, entry):
             raise ConcurrentWriteError("table already initialized")
         return 0
+
+    def _meta_dict(self) -> dict:
+        return {
+            "key_cols": self.key_cols,
+            "n_buckets": self.n_buckets,
+            "order_col": self.order_col,
+        }
+
+    def _refresh_meta(self, version: int | None) -> None:
+        """Adopt the layout recorded AT ``version`` before any operation
+        that buckets rows — a long-lived handle must notice an
+        out-of-band ``rebucket`` (the log, not the constructor, owns the
+        layout). Key/order changes are never safe to adopt silently."""
+        meta = resolve_table_meta(self, version)
+        if meta is None:
+            return  # legacy log: constructor intent stands
+        if list(meta["key_cols"]) != self.key_cols or meta["order_col"] != self.order_col:
+            raise ValueError(
+                f"recorded key_cols/order_col {meta['key_cols']}/{meta['order_col']} "
+                f"differ from this handle's {self.key_cols}/{self.order_col}"
+            )
+        self.n_buckets = int(meta["n_buckets"])
+
+    def rebucket(self, new_n_buckets: int) -> int:
+        """Change the table's bucket count — the layout-evolution
+        maintenance op (Delta/Iceberg partition evolution, bucket
+        edition): rewrite the CURRENT snapshot bucket-pure under the new
+        count and commit remove-all+add with the new ``table_meta``.
+        One full-table rewrite, paid explicitly and rarely (when buckets
+        outgrow target file sizes); every prior version stays readable
+        (their file lists are pinned; bucket math only matters to
+        writers), and subsequent merges resolve the NEW layout from the
+        log — including merges from other processes' existing handles,
+        which refresh meta per operation. A merge racing this commit
+        loses file-granular revalidation (its old files vanish) and
+        raises ConcurrentWriteError rather than writing stale buckets."""
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError("rebucket of an uninitialized table")
+        self._refresh_meta(base)
+        if new_n_buckets == self.n_buckets:
+            return base
+        snap = resolve_with_checkpoint(self, base)
+        df = self.spark.read.option("mergeSchema", "true").parquet(*snap)
+        from cdc_streaming_pipeline_spark.operators.merge import BUCKET_COL
+
+        old_n = self.n_buckets
+        self.n_buckets = new_n_buckets  # _stage_bucketed hashes with this
+        try:
+            adds, buckets = self._stage_bucketed(df.drop(BUCKET_COL), salt_n=1)
+        except BaseException:
+            self.n_buckets = old_n
+            raise
+        version = base + 1
+        entry = {
+            "version": version,
+            "mode": "rebucket",
+            "adds": adds,
+            "removes": sorted(snap),
+            "n_files": len(adds),
+            "file_buckets": buckets,
+            "file_bytes": self._staged_bytes(adds),
+            "buckets": sorted(set(buckets.values())),
+            "schema": df.drop(BUCKET_COL).schema.jsonValue(),
+            "table_meta": self._meta_dict(),
+        }
+        if not self._try_commit(version, entry):
+            self.n_buckets = old_n
+            raise ConcurrentWriteError(f"rebucket lost the race at {version}")
+        if self.checkpoint_interval and version % self.checkpoint_interval == 0:
+            write_checkpoint(self, version)
+        return version
 
     def merge_cdc_batch(
         self,
@@ -821,6 +922,7 @@ class BucketedTxLogTable(TxLogTable):
         base = self.latest_version()
         if base is None:
             raise FileNotFoundError("merge into an uninitialized table; call init_from_events")
+        self._refresh_meta(base)  # adopt an out-of-band rebucket's layout
         snap, bmap, txns = resolve_snapshot_state(self, base)
         if txn is not None:
             done = txns.get(txn[0])
@@ -931,6 +1033,7 @@ class BucketedTxLogTable(TxLogTable):
         base = self.latest_version()
         if base is None:
             return None, []
+        self._refresh_meta(base)  # re-staging hashes with n_buckets
         snap, bmap, _ = resolve_snapshot_state(self, base)
         per_bucket: dict[int, list[str]] = {}
         for f in snap:
@@ -1135,6 +1238,9 @@ def write_checkpoint(table: TxLogTable, version: int | None = None) -> int:
     sj = _resolve_schema_json(table, v)
     if sj is not None:
         ck["schema"] = sj
+    tm = resolve_table_meta(table, v)
+    if tm is not None:
+        ck["table_meta"] = tm
     tmp = _checkpoint_path(table, v) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(ck, f)
@@ -1330,6 +1436,39 @@ def _resolve_schema_json(table: TxLogTable, target: int) -> dict | None:
             e = table._read_entry(v)
             if "schema" in e:
                 return e["schema"]
+    return None
+
+
+def resolve_table_meta(table: TxLogTable, version: int | None = None) -> dict | None:
+    """Newest recorded table metadata (key_cols / n_buckets / order_col)
+    at or below ``version`` — the bucketed table's layout contract,
+    resolved exactly like the schema: downward entry probe bounded by
+    the newest checkpoint (which carries the meta it resolved). The log
+    is the source of truth for the bucket layout: a writer OPENING the
+    table with a different n_buckets would select the wrong old files
+    in a merge and surface duplicate keys — recording the layout makes
+    that a loud ValueError instead of silent corruption, and lets
+    ``rebucket`` evolve the layout as a log fact."""
+    target = table.latest_version() if version is None else version
+    if target is None:
+        return None
+    best = _best_checkpoint(table, target)
+    floor = best["version"] if best is not None else -1
+    for v in range(target, floor, -1):
+        if not os.path.exists(table._entry_path(v)):
+            continue
+        e = table._read_entry(v)
+        if "table_meta" in e:
+            return e["table_meta"]
+    if best is not None:
+        if "table_meta" in best:
+            return best["table_meta"]
+        for v in range(floor, -1, -1):  # legacy checkpoint: keep probing
+            if not os.path.exists(table._entry_path(v)):
+                continue
+            e = table._read_entry(v)
+            if "table_meta" in e:
+                return e["table_meta"]
     return None
 
 
