@@ -451,6 +451,7 @@ def bucketed_merge_stream_sink(
     vacuum_retain_versions: int = 10,
     vacuum_min_age_seconds: float = 3600.0,
     target_file_bytes: int = 8 << 20,
+    conflict_retries: int = 5,
 ):
     """Continuous CDC → queryable current state, exactly once — the
     reference's actual end-to-end shape (reference:
@@ -496,21 +497,46 @@ def bucketed_merge_stream_sink(
     )
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        from cdc_streaming_pipeline_spark.sources.txlog import (
+            ConcurrentWriteError,
+            resolve_table_meta,
+        )
+
+        # n_buckets follows the LOG once the table exists (an external
+        # rebucket must not kill the stream — the recorded layout wins);
+        # the sink's parameter applies only at creation / legacy logs.
         table = BucketedTxLogTable(
             batch_df.sparkSession,
             table_path,
             key_cols=key_cols,
-            n_buckets=n_buckets,
+            n_buckets=None,
             order_col=order_col,
             target_file_bytes=target_file_bytes,
         )
+        if resolve_table_meta(table) is None:
+            table.n_buckets = n_buckets
         tag = (writer_id, int(batch_id))
-        if table.latest_version() is None:
-            table.init_from_events(batch_df, txn=tag)
-        else:
-            table.merge_cdc_batch(batch_df, txn=tag)
+        # Conflict retry: a same-bucket commit from OUTSIDE this stream
+        # (another writer, a manual compact/rebucket/maintenance window)
+        # raises ConcurrentWriteError; re-invoking merge_cdc_batch
+        # RE-DERIVES from the new base (latest_state over fresh snapshot
+        # + batch), so retrying is exact, and the txn tag keeps even a
+        # retried-after-partial-visibility batch exactly-once.
+        for attempt in range(conflict_retries + 1):
+            try:
+                if table.latest_version() is None:
+                    table.init_from_events(batch_df, txn=tag)
+                else:
+                    table.merge_cdc_batch(batch_df, txn=tag)
+                break
+            except ConcurrentWriteError:
+                if attempt == conflict_retries:
+                    raise
         if max_files_per_bucket is not None:
-            table.compact_buckets(min_files=max_files_per_bucket + 1)
+            try:
+                table.compact_buckets(min_files=max_files_per_bucket + 1)
+            except ConcurrentWriteError:
+                pass  # raced an external commit: the next batch folds
         if vacuum_every and (int(batch_id) + 1) % vacuum_every == 0:
             vacuum(
                 table,

@@ -594,3 +594,81 @@ def test_stream_merge_sink_crash_between_merge_and_maintenance(spark, tmp_path):
     for f in snap:
         per_bucket[bmap[f]] = per_bucket.get(bmap[f], 0) + 1
     assert max(per_bucket.values()) <= 1  # maintenance caught up
+
+
+def test_stream_survives_external_rebucket_and_conflicts(spark, tmp_path):
+    """Operational reality for a forever-stream: maintenance happens
+    from OUTSIDE the streaming process. An external rebucket between
+    micro-batch runs must not kill the sink (the recorded layout wins
+    over the sink's n_buckets parameter), and an external same-bucket
+    writer racing a micro-batch is absorbed by the sink's conflict
+    retry (merge re-derives from the new base; the txn tag keeps the
+    batch exactly-once)."""
+    import json as _json
+
+    from cdc_streaming_pipeline_spark.sources.txlog import BucketedTxLogTable
+    from cdc_streaming_pipeline_spark.streaming.pipeline import (
+        bucketed_merge_stream_sink,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    table_path = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id bigint, status string, _op string, _lsn string, _deleted string"
+
+    def put(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(
+                    _json.dumps(
+                        dict(zip(("id", "status", "_op", "_lsn", "_deleted"), r))
+                    )
+                    + "\n"
+                )
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+        )
+        q = (
+            bucketed_merge_stream_sink(
+                stream, table_path, ckpt, key_cols=["id"], n_buckets=4
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    put("a.json", [(i, f"s{i}", "r", "0001", None) for i in range(30)])
+    run()
+    t = BucketedTxLogTable(spark, table_path)
+    assert t.n_buckets == 4
+
+    # external maintenance window: rebucket 4 -> 8
+    BucketedTxLogTable(spark, table_path).rebucket(8)
+
+    # the stream keeps going under the recorded layout
+    put("b.json", [(2, "UPD", "u", "0002", None)])
+    run()
+    t = BucketedTxLogTable(spark, table_path)
+    assert t.n_buckets == 8
+    got = {r["id"]: r["status"] for r in t.read_state().collect()}
+    expect = {i: f"s{i}" for i in range(30)}
+    expect[2] = "UPD"
+    assert got == expect
+
+    # external writer lands a conflicting same-bucket commit between the
+    # sink's resolve and commit: simulate by pre-committing right before
+    # the next run — the retried merge re-derives and both survive
+    external = BucketedTxLogTable(spark, table_path)
+    external.merge_cdc_batch(
+        spark.createDataFrame([(3, "EXT", "u", "0003", None)], schema)
+    )
+    put("c.json", [(3, "STREAM", "u", "0004", None)])
+    run()
+    got = {r["id"]: r["status"] for r in t.read_state().collect()}
+    expect[3] = "STREAM"  # higher LSN wins over the external write
+    assert got == expect
