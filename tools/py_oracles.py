@@ -1321,3 +1321,37 @@ def dsir_select_top_quarter_oracle(sf_dir: str) -> pd.DataFrame:
 
 PY_ORACLES["dsir_importance_weights"] = dsir_importance_weights_oracle
 PY_ORACLES["dsir_select_top_quarter"] = dsir_select_top_quarter_oracle
+
+
+def embedding_pca_explained_oracle(sf_dir: str) -> pd.DataFrame:
+    """plans/docs.py:embedding_pca_explained (operators/pca.py): moment
+    aggregation -> covariance -> numpy eigh, top-10 spectrum. The only
+    cross-engine difference is float-summation GROUPING of the moment
+    partials (per-Arrow-batch vs one pass, ~1e-13 on Gram entries of
+    magnitude ~n) — seven orders below the 1e-6 rounding resolution;
+    eigenvalue-only output means no eigenvector sign ambiguity. Same
+    certification class as the k-means/cosine replays; stability
+    re-verified at registration across repeated runs and both SFs."""
+    import numpy as np
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    n = len(mat)
+    s = mat.sum(axis=0)
+    g = mat.T @ mat
+    mu = s / n
+    cov = (g - n * np.outer(mu, mu)) / max(n - 1, 1)
+    eig = np.linalg.eigh(cov)[0][::-1]
+    total = float(eig.sum())
+    top = eig[:10]
+    cum = np.cumsum(top) / total
+    rows = [
+        (int(i), round(float(v), 6), round(float(v / total), 6), round(float(c), 6))
+        for i, (v, c) in enumerate(zip(top, cum))
+    ]
+    return pd.DataFrame(
+        rows, columns=["component", "eigenvalue", "explained_frac", "cum_frac"]
+    )
+
+
+PY_ORACLES["embedding_pca_explained"] = embedding_pca_explained_oracle
