@@ -812,6 +812,7 @@ class BucketedTxLogTable(TxLogTable):
             "n_files": len(adds),
             "file_buckets": buckets,
             "file_bytes": self._staged_bytes(adds),
+            "file_layout_n": {f: self.n_buckets for f in adds},
             "schema": state.schema.jsonValue(),
             "table_meta": self._meta_dict(),
         }
@@ -843,25 +844,68 @@ class BucketedTxLogTable(TxLogTable):
             )
         self.n_buckets = int(meta["n_buckets"])
 
-    def rebucket(self, new_n_buckets: int) -> int:
+    def rebucket(self, new_n_buckets: int, rewrite: bool = True) -> int:
         """Change the table's bucket count — the layout-evolution
         maintenance op (Delta/Iceberg partition evolution, bucket
-        edition): rewrite the CURRENT snapshot bucket-pure under the new
-        count and commit remove-all+add with the new ``table_meta``.
-        One full-table rewrite, paid explicitly and rarely (when buckets
-        outgrow target file sizes); every prior version stays readable
-        (their file lists are pinned; bucket math only matters to
-        writers), and subsequent merges resolve the NEW layout from the
-        log — including merges from other processes' existing handles,
-        which refresh meta per operation. A merge racing this commit
-        loses file-granular revalidation (its old files vanish) and
-        raises ConcurrentWriteError rather than writing stale buckets."""
+        edition), in two flavors:
+
+        ``rewrite=True`` (any count): rewrite the CURRENT snapshot
+        bucket-pure under the new count and commit remove-all+add with
+        the new ``table_meta``. One full-table rewrite, paid explicitly.
+
+        ``rewrite=False`` (LAZY — new count must be a multiple of every
+        live file's write-time layout, enforced): a METADATA-ONLY
+        commit. No data moves; pruning stays exact through the covering
+        rule (a file tagged b under divisor layout n holds exactly the
+        keys whose new bucket t has t % n == b — pmod arithmetic, since
+        n | N), every subsequent merge migrates the buckets it touches
+        as a side effect of its normal rewrite, and ``migrate_buckets``
+        finishes the long tail in bounded steps. This is the 100 TB
+        form: the full rewrite is one enormous transaction there, while
+        the lazy path costs one tiny JSON now and amortizes the rewrite
+        into writes that were happening anyway. A merge racing the
+        metadata commit retries safely — its staged files record their
+        own (divisor) layout, so they stay exactly prunable under the
+        new count.
+
+        Every prior version stays readable either way (their file lists
+        are pinned; bucket math only matters to writers), and other
+        processes' handles refresh meta per operation."""
         base = self.latest_version()
         if base is None:
             raise FileNotFoundError("rebucket of an uninitialized table")
         self._refresh_meta(base)
         if new_n_buckets == self.n_buckets:
             return base
+        if not rewrite:
+            live_layouts = set(
+                resolve_file_layouts(self, base).values()
+            ) | {self.n_buckets}
+            bad = [n for n in live_layouts if new_n_buckets % n != 0]
+            if bad:
+                raise ValueError(
+                    f"lazy rebucket to {new_n_buckets} needs a multiple of "
+                    f"every live layout; offending layouts: {sorted(bad)} "
+                    "(use rewrite=True for arbitrary counts)"
+                )
+            old_n = self.n_buckets
+            self.n_buckets = new_n_buckets
+            version = base + 1
+            entry = {
+                "version": version,
+                "mode": "rebucket",
+                "adds": [],
+                "removes": [],
+                "n_files": 0,
+                "file_buckets": {},
+                "table_meta": self._meta_dict(),
+            }
+            if not self._try_commit(version, entry):
+                self.n_buckets = old_n
+                raise ConcurrentWriteError(f"lazy rebucket lost the race at {version}")
+            if self.checkpoint_interval and version % self.checkpoint_interval == 0:
+                write_checkpoint(self, version)
+            return version
         snap = resolve_with_checkpoint(self, base)
         df = self.spark.read.option("mergeSchema", "true").parquet(*snap)
         from cdc_streaming_pipeline_spark.operators.merge import BUCKET_COL
@@ -882,6 +926,7 @@ class BucketedTxLogTable(TxLogTable):
             "n_files": len(adds),
             "file_buckets": buckets,
             "file_bytes": self._staged_bytes(adds),
+            "file_layout_n": {f: self.n_buckets for f in adds},
             "buckets": sorted(set(buckets.values())),
             "schema": df.drop(BUCKET_COL).schema.jsonValue(),
             "table_meta": self._meta_dict(),
@@ -892,6 +937,51 @@ class BucketedTxLogTable(TxLogTable):
         if self.checkpoint_interval and version % self.checkpoint_interval == 0:
             write_checkpoint(self, version)
         return version
+
+    def migrate_buckets(self, max_files: int | None = None) -> tuple[int | None, int]:
+        """Finish a lazy rebucket eagerly, in bounded steps: rewrite up
+        to ``max_files`` live files whose write-time layout differs from
+        the current one, bucket-pure under the current count. Returns
+        (version, files migrated) — (None, 0) when the table is fully
+        migrated. Each step is one per-file-replacement commit with the
+        same conflict semantics as a merge, so it interleaves with
+        disjoint writers; run it from the maintenance window (or let
+        ordinary merges migrate the hot buckets for free)."""
+        base = self.latest_version()
+        if base is None:
+            return None, 0
+        self._refresh_meta(base)
+        snap, bmap, _ = resolve_snapshot_state(self, base)
+        layouts = resolve_file_layouts(self, base)
+        stale = [
+            f for f in snap if layouts.get(f, self.n_buckets) != self.n_buckets
+        ]
+        if max_files is not None:
+            stale = stale[:max_files]
+        if not stale:
+            return None, 0
+        from cdc_streaming_pipeline_spark.operators.merge import BUCKET_COL
+
+        df = self.spark.read.option("mergeSchema", "true").parquet(*stale)
+        adds, buckets = self._stage_bucketed(df.drop(BUCKET_COL), salt_n=1)
+        version = base + 1
+        entry = {
+            "version": version,
+            "mode": "migrate",
+            "adds": adds,
+            "removes": sorted(stale),
+            "n_files": len(adds),
+            "file_buckets": buckets,
+            "file_bytes": self._staged_bytes(adds),
+            "file_layout_n": {f: self.n_buckets for f in adds},
+            "buckets": sorted(set(buckets.values())),
+            "schema": df.drop(BUCKET_COL).schema.jsonValue(),
+        }
+        if not self._try_commit(version, entry):
+            raise ConcurrentWriteError(f"bucket migration lost the race at {version}")
+        if self.checkpoint_interval and version % self.checkpoint_interval == 0:
+            write_checkpoint(self, version)
+        return version, len(stale)
 
     def merge_cdc_batch(
         self,
@@ -939,7 +1029,20 @@ class BucketedTxLogTable(TxLogTable):
                 f"{len(untagged)} snapshot files carry no bucket tag — not a "
                 "bucket-pure table (mixed with plain commits?)"
             )
-        old = [f for f in snap if bmap[f] in touched]
+        # COVERING-rule pruning: a file tagged ``b`` under write-time
+        # layout ``n`` holds exactly the keys whose CURRENT bucket t
+        # satisfies t % n == b (sound because lazy rebucket only moves
+        # to multiples of every live layout). Uniform-layout tables
+        # reduce to the plain ``bmap[f] in touched`` test; mid-migration
+        # files written under an old divisor layout are still selected
+        # exactly, and this merge's rewrite migrates them to the
+        # current layout as a side effect.
+        layouts = resolve_file_layouts(self, base)
+        old = [
+            f
+            for f in snap
+            if any(t % layouts.get(f, self.n_buckets) == bmap[f] for t in touched)
+        ]
         prev = (
             self.spark.read.option("mergeSchema", "true").parquet(*old)
             if old
@@ -970,6 +1073,7 @@ class BucketedTxLogTable(TxLogTable):
                 "n_files": len(adds),
                 "file_buckets": buckets,
                 "file_bytes": self._staged_bytes(adds),
+                "file_layout_n": {f: self.n_buckets for f in adds},
                 "buckets": sorted(touched),
                 # the MERGED schema: a batch arriving with an added
                 # column (additive drift) evolves the table here, and
@@ -995,8 +1099,15 @@ class BucketedTxLogTable(TxLogTable):
             new_snap = set(new_snap_l)
             ours = set(old)
             still_there = ours <= new_snap
+            new_layouts = resolve_file_layouts(self, new_base)
             others_in_our_buckets = any(
-                f not in ours and new_bmap.get(f) in touched for f in new_snap
+                f not in ours
+                and f in new_bmap
+                and any(
+                    t % new_layouts.get(f, self.n_buckets) == new_bmap[f]
+                    for t in touched
+                )
+                for f in new_snap
             )
             # a foreign file with NO bucket tag (a plain commit()/compact
             # interleaved) may hold rows of ANY bucket including ours —
@@ -1035,11 +1146,15 @@ class BucketedTxLogTable(TxLogTable):
             return None, []
         self._refresh_meta(base)  # re-staging hashes with n_buckets
         snap, bmap, _ = resolve_snapshot_state(self, base)
+        layouts = resolve_file_layouts(self, base)
         per_bucket: dict[int, list[str]] = {}
         for f in snap:
-            b = bmap.get(f)
-            if b is not None:
-                per_bucket.setdefault(b, []).append(f)
+            tag = bmap.get(f)
+            if tag is None:
+                continue
+            n = layouts.get(f, self.n_buckets)
+            for t in range(tag % n, self.n_buckets, n):
+                per_bucket.setdefault(t, []).append(f)
         targets = sorted(
             b
             for b, fs in per_bucket.items()
@@ -1047,7 +1162,7 @@ class BucketedTxLogTable(TxLogTable):
         )
         if not targets:
             return None, []
-        old = [f for b in targets for f in per_bucket[b]]
+        old = sorted({f for b in targets for f in per_bucket[b]})
         df = self.spark.read.option("mergeSchema", "true").parquet(*old)
         from cdc_streaming_pipeline_spark.operators.merge import BUCKET_COL
 
@@ -1061,7 +1176,10 @@ class BucketedTxLogTable(TxLogTable):
             "n_files": len(adds),
             "file_buckets": new_buckets,
             "file_bytes": self._staged_bytes(adds),
-            "buckets": targets,
+            "file_layout_n": {f: self.n_buckets for f in adds},
+            # an old-layout input file can carry rows of buckets beyond
+            # the targets; record every bucket this commit rewrote
+            "buckets": sorted(set(new_buckets.values()) | set(targets)),
             "schema": df.drop(BUCKET_COL).schema.jsonValue(),
         }
         if not self._try_commit(version, entry):
@@ -1231,6 +1349,10 @@ def write_checkpoint(table: TxLogTable, version: int | None = None) -> int:
         "file_bytes": {
             f: s for f, s in resolve_file_bytes(table, v).items() if f in live
         },
+        # per-file write-time layout (lazy-rebucket pruning) — same shape
+        "file_layouts": {
+            f: n for f, n in resolve_file_layouts(table, v).items() if f in live
+        },
     }
     # carry the newest recorded schema forward so _empty_frame and the
     # next checkpoint's own schema resolution never probe past a
@@ -1389,6 +1511,30 @@ def resolve_file_bytes(table: TxLogTable, version: int | None = None) -> dict:
         start = 0
     for v in table._versions_between(start, target):
         out.update(table._read_entry(v).get("file_bytes", {}))
+    return out
+
+
+def resolve_file_layouts(table: TxLogTable, version: int | None = None) -> dict:
+    """{file: n_buckets-at-write} accumulated up to ``version`` through
+    the newest checkpoint that carries ``file_layouts`` — what makes a
+    LAZY rebucket sound: after a metadata-only layout change, live
+    files written under an OLD (divisor) bucket count are still
+    prunable exactly, because a file tagged ``b`` under ``n`` holds
+    precisely the keys whose bucket under the current ``N`` (n | N)
+    satisfies ``t % n == b``. Files absent from the map (legacy logs)
+    are treated as written under the CURRENT layout by consumers."""
+    target = table.latest_version() if version is None else version
+    if target is None:
+        return {}
+    best = _best_checkpoint(table, target)
+    if best is not None and "file_layouts" in best:
+        out = dict(best["file_layouts"])
+        start = best["version"] + 1
+    else:
+        out = {}
+        start = 0
+    for v in table._versions_between(start, target):
+        out.update(table._read_entry(v).get("file_layout_n", {}))
     return out
 
 

@@ -146,3 +146,149 @@ def test_legacy_log_without_meta_still_opens(spark, tmp_path):
     assert _state(legacy)[3] == "OK"
     with pytest.raises(ValueError, match="key_cols is required"):
         BucketedTxLogTable(spark, str(tmp_path / "t"))
+
+def test_lazy_rebucket_is_metadata_only_and_merges_migrate(spark, tmp_path):
+    """rebucket(rewrite=False): one tiny JSON commit, ZERO data movement
+    — pruning stays exact through the covering rule (file tagged b
+    under divisor layout n holds exactly the keys with t % n == b under
+    the new count), reads are unchanged, and every subsequent merge
+    migrates the buckets it touches as a side effect. The 100 TB form
+    of layout evolution."""
+    import os
+
+    t = _mk(spark, tmp_path)
+    t.init_from_events(_seed(spark))
+    t.merge_cdc_batch(_events(spark, [(2, "UPD", "u", "0002", None)]))
+    pre_state = _state(t)
+    snap_pre, _, _ = resolve_snapshot_state(t, t.latest_version())
+    mtimes = {f: os.path.getmtime(f) for f in snap_pre}
+
+    v = t.rebucket(16, rewrite=False)
+    assert t.n_buckets == 16 and resolve_table_meta(t)["n_buckets"] == 16
+    e = t._read_entry(v)
+    assert e["adds"] == [] and e["removes"] == []  # metadata only
+    snap_post, _, _ = resolve_snapshot_state(t, v)
+    assert sorted(snap_post) == sorted(snap_pre)  # zero data movement
+    assert all(os.path.getmtime(f) == mtimes[f] for f in snap_post)
+    assert _state(t) == pre_state  # reads unchanged
+
+    # a merge touching a key prunes EXACTLY through the covering rule:
+    # only files whose old-layout tag covers the touched new bucket are
+    # removed, and its rewrite lands under the NEW layout
+    from cdc_streaming_pipeline_spark.sources.txlog import resolve_file_layouts
+
+    k = 7
+    mv, touched = t.merge_cdc_batch(_events(spark, [(k, "MIGRATED", "u", "0003", None)]))
+    e = t._read_entry(mv)
+    layouts = resolve_file_layouts(t, mv)
+    assert all(layouts[f] == 16 for f in e["adds"])  # migrated on write
+    got = _state(t)
+    pre_state[k] = "MIGRATED"
+    assert got == pre_state
+
+    # no duplicate rows for ANY key that shares the old bucket with k
+    from pyspark.sql import functions as F2
+
+    counts = t.read_state().groupBy("id").count().filter(F2.col("count") > 1)
+    assert counts.count() == 0
+
+
+def test_lazy_rebucket_guards_divisibility(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.init_from_events(_seed(spark, n=20))
+    with pytest.raises(ValueError, match="multiple of every live layout"):
+        t.rebucket(12, rewrite=False)  # 8 does not divide 12
+    # the rewrite path takes any count
+    t.rebucket(12, rewrite=True)
+    assert _state(t) == {i: f"s{i}" for i in range(20)}
+
+
+def test_migrate_buckets_finishes_the_lazy_tail(spark, tmp_path):
+    from cdc_streaming_pipeline_spark.sources.txlog import resolve_file_layouts
+
+    t = _mk(spark, tmp_path)
+    t.init_from_events(_seed(spark))
+    t.rebucket(16, rewrite=False)
+    # bounded steps: migrate at most 3 files per commit until done
+    total, steps = 0, 0
+    while True:
+        v, n = t.migrate_buckets(max_files=3)
+        if v is None:
+            break
+        total += n
+        steps += 1
+        assert n <= 3
+    assert total > 0 and steps >= 2  # genuinely incremental
+    snap, bmap, _ = resolve_snapshot_state(t, t.latest_version())
+    layouts = resolve_file_layouts(t, t.latest_version())
+    assert all(layouts[f] == 16 for f in snap)  # fully migrated
+    assert set(bmap.values()) <= set(range(16)) and max(bmap.values()) >= 8
+    assert _state(t) == {i: f"s{i}" for i in range(60)}  # content intact
+    assert t.migrate_buckets() == (None, 0)
+
+
+def test_compact_folds_across_mixed_layouts(spark, tmp_path):
+    """compact_buckets under a mid-migration table: per-bucket file
+    counts use the covering rule, and folding an overgrown bucket that
+    is partly served by an old-layout file preserves every OTHER bucket
+    that file also served."""
+    t = _mk(spark, tmp_path)
+    t.init_from_events(_seed(spark))
+    t.rebucket(16, rewrite=False)
+    # touch one key so its new bucket holds BOTH a new-layout file and
+    # the old-layout files of its sibling buckets stay intact
+    t.merge_cdc_batch(_events(spark, [(2, "UPD", "u", "0002", None)]))
+    pre = _state(t)
+    v, folded = t.compact_buckets(min_files=1)  # aggressive: fold everything
+    assert folded and _state(t) == pre
+    from cdc_streaming_pipeline_spark.sources.txlog import resolve_file_layouts
+
+    snap, _, _ = resolve_snapshot_state(t, v)
+    layouts = resolve_file_layouts(t, v)
+    assert all(layouts[f] == 16 for f in snap)  # compaction migrated too
+
+
+def test_merge_racing_lazy_rebucket_retries_safely(spark, tmp_path):
+    """The docstring's race claim, pinned: a merge that stages under the
+    OLD layout, loses the version race to a metadata-only rebucket, and
+    retries commits files tagged with their own (divisor) layout — so
+    they stay exactly prunable under the new count, no duplicate keys,
+    and a later rebucket's divisibility guard sees the old layout as
+    still live."""
+    from cdc_streaming_pipeline_spark.sources.txlog import (
+        posix_put_if_absent,
+        resolve_file_layouts,
+    )
+
+    t = _mk(spark, tmp_path)
+    t.init_from_events(_seed(spark))
+
+    other = BucketedTxLogTable(spark, str(tmp_path / "t"))  # second handle
+    calls = {"n": 0}
+
+    def racing_backend(entry_path, payload):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            other.rebucket(16, rewrite=False)  # metadata commit wins first
+            return False
+        return posix_put_if_absent(entry_path, payload)
+
+    racer = BucketedTxLogTable(
+        spark, str(tmp_path / "t"), commit_backend=racing_backend
+    )
+    v, touched = racer.merge_cdc_batch(
+        _events(spark, [(5, "MINE", "u", "0002", None)])
+    )
+    assert calls["n"] == 2 and touched  # retried once, landed
+    e = racer._read_entry(v)
+    layouts = resolve_file_layouts(racer, v)
+    assert all(layouts[f] == 8 for f in e["adds"])  # staged layout honored
+    assert resolve_table_meta(racer)["n_buckets"] == 16  # rebucket stands
+    got = _state(t)
+    assert got[5] == "MINE" and len(got) == 60  # no dup/lost keys
+    counts = t.read_state().groupBy("id").count().filter(F.col("count") > 1)
+    assert counts.count() == 0
+    # the racer's divisor-layout files keep a FUTURE lazy rebucket honest
+    with pytest.raises(ValueError, match="multiple of every live layout"):
+        t.rebucket(24, rewrite=False)  # 16 | 24 fails; 8 alone would pass
+    assert t.rebucket(32, rewrite=False) > v
