@@ -1686,3 +1686,89 @@ ORACLE["table_rebucket_evolution"] = """
                 ELSE o_totalprice END AS total_amount
     FROM orders WHERE o_orderkey % 5 <> 0
 """
+
+
+def table_stats_skipping_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping on the PRODUCTION table
+    (sources/txlog.py:BucketedTxLogTable.read_state_where): every write
+    path records per-file [min, max] for ``stats_cols``, so a selective
+    predicate reads only the intersecting files — sound here because
+    bucket-pure files hold materialized latest rows with DISJOINT key
+    sets (no cross-file shadowing a pruned file could hide). Fixture:
+    seed the full order snapshot (double amounts), merge ONE key to a
+    hot amount (price + 10M). The hot probe must read just the merge's
+    files (``pruned`` = files_read < files_total, asserted TRUE by the
+    oracle) and both probes must be value-exact — the recent-range
+    dashboard query against a 100 TB table at proportional I/O."""
+    import os
+    import tempfile
+
+    from cdc_streaming_pipeline_spark.functions.precision import dsum
+    from cdc_streaming_pipeline_spark.sources.txlog import BucketedTxLogTable
+
+    key = (spark.sparkContext.applicationId, sf_dir, "stats_skip_bucketed")
+    path = _TXLOG_MEMO.get(key)
+    o = _orders(spark, sf_dir)
+    k = F.col("o_orderkey")
+    if path is None:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"txlog-statskip-{spark.sparkContext.applicationId}-{abs(hash(sf_dir)) % 10**8}",
+        )
+        t = BucketedTxLogTable(
+            spark, path, key_cols=["id"], n_buckets=16, stats_cols=["total_amount"]
+        )
+        if t.latest_version() is None:
+            snap = o.select(
+                k.alias("id"),
+                F.col("o_totalprice").cast("double").alias("total_amount"),
+                F.lit("r").alias(OP_COL),
+                _lsn(k, 1).alias(LSN_COL),
+                F.lit(None).cast("string").alias(DELETED_COL),
+            )
+            t.init_from_events(snap)
+            hot = o.join(o.agg(F.min(k).alias("mk")), k == F.col("mk")).select(
+                k.alias("id"),
+                (F.col("o_totalprice").cast("double") + 10_000_000.0).alias(
+                    "total_amount"
+                ),
+                F.lit("u").alias(OP_COL),
+                _lsn(k, 2).alias(LSN_COL),
+                F.lit(None).cast("string").alias(DELETED_COL),
+            )
+            t.merge_cdc_batch(hot)
+        _TXLOG_MEMO[key] = path
+    t = BucketedTxLogTable(spark, path, stats_cols=["total_amount"])
+    hot_df, hr, ht = t.read_state_where("total_amount", 9_000_000.0, 20_000_000.0)
+    hot = hot_df.agg(
+        F.lit("hot").alias("probe"),
+        F.count("*").alias("n_rows"),
+        dsum(F.col("total_amount")).alias("total_amount"),
+        F.lit("yes" if hr < ht else "no").alias("pruned"),
+    )
+    cold_df, _, _ = t.read_state_where("total_amount", 1000.0, 2000.0)
+    cold = cold_df.agg(
+        F.lit("cold").alias("probe"),
+        F.count("*").alias("n_rows"),
+        dsum(F.col("total_amount")).alias("total_amount"),
+        F.lit("n/a").alias("pruned"),
+    )
+    return hot.unionByName(cold)
+
+
+QUERIES["table_stats_skipping_bucketed"] = table_stats_skipping_bucketed
+ORACLE["table_stats_skipping_bucketed"] = """
+    WITH mk AS (SELECT MIN(o_orderkey) AS k FROM orders)
+    SELECT 'hot' AS probe, 1 AS n_rows,
+           CAST(ROUND(CAST(o_totalprice AS DECIMAL(28,6)) + 10000000, 2)
+                AS DOUBLE) AS total_amount,
+           'yes' AS pruned
+    FROM orders, mk WHERE o_orderkey = mk.k
+    UNION ALL
+    SELECT 'cold' AS probe, COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+               AS total_amount,
+           'n/a' AS pruned
+    FROM orders, mk
+    WHERE o_totalprice BETWEEN 1000 AND 2000 AND o_orderkey <> mk.k
+"""

@@ -651,6 +651,7 @@ class BucketedTxLogTable(TxLogTable):
         commit_backend=None,
         checkpoint_interval: int = 10,
         target_file_bytes: int = 8 << 20,
+        stats_cols: list[str] | None = None,
     ):
         super().__init__(spark, path, commit_backend=commit_backend)
         # The LOG records the layout contract (init_from_events /
@@ -695,6 +696,14 @@ class BucketedTxLogTable(TxLogTable):
         # that the next touch of the bucket (or compact()) rewrites, so
         # small-file pressure is secondary to the rewrite wall.
         self.target_file_bytes = target_file_bytes
+        # Data-skipping statistics: every write path (init / merge /
+        # compact / rebucket / migrate) records per-file [min, max] for
+        # these columns in its log entry, making ``read_state_where``
+        # proportional-I/O. A WRITE policy per handle, not a layout
+        # fact: files landed by a stats-less handle are simply read
+        # conservatively — results stay exact either way, so mixed
+        # writers need no coordination.
+        self.stats_cols = list(stats_cols) if stats_cols else None
 
     # ---- bucket-aware staging / log facts --------------------------------
 
@@ -816,11 +825,26 @@ class BucketedTxLogTable(TxLogTable):
             "schema": state.schema.jsonValue(),
             "table_meta": self._meta_dict(),
         }
+        stats = self._staged_stats(adds, state.columns)
+        if stats:
+            entry["file_stats"] = stats
         if txn is not None:
             entry["txn"] = [txn[0], txn[1]]
         if not self._try_commit(0, entry):
             raise ConcurrentWriteError("table already initialized")
         return 0
+
+    def _staged_stats(self, adds: list[str], columns: list[str]) -> dict | None:
+        """Per-file [min, max] for the handle's ``stats_cols`` that the
+        staged data actually carries (schema drift: a narrow batch just
+        skips the missing column — its files read conservatively for
+        that predicate). One bounded aggregate job over the fresh files."""
+        if not self.stats_cols or not adds:
+            return None
+        present = [c for c in self.stats_cols if c in columns]
+        if not present:
+            return None
+        return self._file_stats(adds, present)
 
     def _meta_dict(self) -> dict:
         return {
@@ -931,6 +955,9 @@ class BucketedTxLogTable(TxLogTable):
             "schema": df.drop(BUCKET_COL).schema.jsonValue(),
             "table_meta": self._meta_dict(),
         }
+        stats = self._staged_stats(adds, df.columns)
+        if stats:
+            entry["file_stats"] = stats
         if not self._try_commit(version, entry):
             self.n_buckets = old_n
             raise ConcurrentWriteError(f"rebucket lost the race at {version}")
@@ -977,6 +1004,9 @@ class BucketedTxLogTable(TxLogTable):
             "buckets": sorted(set(buckets.values())),
             "schema": df.drop(BUCKET_COL).schema.jsonValue(),
         }
+        stats = self._staged_stats(adds, df.columns)
+        if stats:
+            entry["file_stats"] = stats
         if not self._try_commit(version, entry):
             raise ConcurrentWriteError(f"bucket migration lost the race at {version}")
         if self.checkpoint_interval and version % self.checkpoint_interval == 0:
@@ -1063,6 +1093,7 @@ class BucketedTxLogTable(TxLogTable):
             ),
             n_buckets_hint=len(touched),
         )
+        staged_stats = self._staged_stats(adds, new_state.columns)
         for _ in range(max_retries):
             version = base + 1
             entry = {
@@ -1081,6 +1112,8 @@ class BucketedTxLogTable(TxLogTable):
                 # exact and checkpoint-bounded on bucketed tables
                 "schema": new_state.schema.jsonValue(),
             }
+            if staged_stats:
+                entry["file_stats"] = staged_stats
             if txn is not None:
                 entry["txn"] = [txn[0], txn[1]]
             if self._try_commit(version, entry):
@@ -1182,6 +1215,9 @@ class BucketedTxLogTable(TxLogTable):
             "buckets": sorted(set(new_buckets.values()) | set(targets)),
             "schema": df.drop(BUCKET_COL).schema.jsonValue(),
         }
+        stats = self._staged_stats(adds, df.columns)
+        if stats:
+            entry["file_stats"] = stats
         if not self._try_commit(version, entry):
             raise ConcurrentWriteError(
                 f"bucket compaction of {targets} lost the race at {version}"
@@ -1201,6 +1237,56 @@ class BucketedTxLogTable(TxLogTable):
         df = mark_deleted(df) if "_is_deleted" not in df.columns else df
         drop = [c for c in (OP_COL, self.order_col, DELETED_COL, "_is_deleted") if c in df.columns]
         return df.filter(~F.col("_is_deleted")).drop(*drop)
+
+    def read_state_where(
+        self,
+        col: str,
+        lo,
+        hi,
+        version: int | None = None,
+    ) -> tuple[DataFrame, int, int]:
+        """Data-skipping latest-state read: skip every file whose logged
+        [min, max] for ``col`` cannot intersect [lo, hi], then apply the
+        ``read_state`` view (tombstones filtered, bookkeeping dropped)
+        and the residual predicate. Returns (df, files_read,
+        files_total).
+
+        EXACT despite the pruning because this table's files hold
+        materialized latest rows with disjoint key sets (bucket-pure;
+        merges replace whole files) — no cross-file shadowing exists for
+        a pruned file to hide, unlike an LSM where a skipped file could
+        mask a newer image. Files without stats for ``col`` (written by
+        a stats-less handle, or by a narrow pre-drift batch) are read
+        conservatively, so mixed writers stay exact. At 100 TB this is
+        the difference between a selective dashboard predicate scanning
+        one bucket's worth of files and scanning the table."""
+        from cdc_streaming_pipeline_spark.operators.cdc import mark_deleted
+        from cdc_streaming_pipeline_spark.schemas import DELETED_COL, OP_COL
+        from pyspark.sql import functions as F
+
+        files = resolve_with_checkpoint(self, version)
+        if not files:
+            raise FileNotFoundError(f"no committed data at version {version}")
+        stats = resolve_file_stats(self, version)
+        keep = []
+        for f in files:
+            st = stats.get(f, {}).get(col)
+            if st is None or st[0] is None or st[1] is None:
+                keep.append(f)  # no stats: must read
+            elif not (st[1] < lo or st[0] > hi):
+                keep.append(f)
+        if not keep:
+            empty = self.read_state(version).filter(F.lit(False))
+            return empty.filter(F.col(col).between(lo, hi)), 0, len(files)
+        df = self.spark.read.option("mergeSchema", "true").parquet(*keep)
+        df = mark_deleted(df) if "_is_deleted" not in df.columns else df
+        drop = [
+            c
+            for c in (OP_COL, self.order_col, DELETED_COL, "_is_deleted")
+            if c in df.columns
+        ]
+        df = df.filter(~F.col("_is_deleted")).drop(*drop)
+        return df.filter(F.col(col).between(lo, hi)), len(keep), len(files)
 
 
 def mv_delta(

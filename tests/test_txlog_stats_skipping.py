@@ -1,0 +1,144 @@
+"""Data-skipping statistics on the BUCKETED table (sources/txlog.py):
+every write path records per-file [min, max] for the handle's
+``stats_cols`` and ``read_state_where`` prunes files that cannot
+intersect the predicate — exact regardless of stats coverage, because
+bucket-pure files hold materialized latest rows with disjoint key sets
+(no cross-file shadowing for a pruned file to hide).
+
+The realistic payoff shape: a monotonic-ish value column (event time,
+amounts trending up) clusters recent values in recently-rewritten
+files, so a "recent range" predicate reads the merge's files and skips
+the cold buckets — proportional I/O on the 100 TB table."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cdc_streaming_pipeline_spark.sources.txlog import (
+    BucketedTxLogTable,
+    resolve_file_stats,
+    write_checkpoint,
+)
+
+SCHEMA = "id bigint, amount double, _op string, _lsn string, _deleted string"
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _seed(spark, n=60):
+    return _events(spark, [(i, float(i), "r", "0001", None) for i in range(n)])
+
+
+def _mk(spark, tmp_path, **kw):
+    kw.setdefault("key_cols", ["id"])
+    kw.setdefault("n_buckets", 8)
+    kw.setdefault("stats_cols", ["amount"])
+    return BucketedTxLogTable(spark, str(tmp_path / "t"), **kw)
+
+
+def _rows(df):
+    return {r["id"]: r["amount"] for r in df.collect()}
+
+
+def test_merge_records_stats_and_recent_range_prunes(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.init_from_events(_seed(spark))  # cold amounts 0..59
+    v, _ = t.merge_cdc_batch(_events(spark, [(5, 1000.0, "u", "0002", None)]))
+    stats = resolve_file_stats(t, v)
+    e = t._read_entry(v)
+    assert all(f in stats and "amount" in stats[f] for f in e["adds"])
+
+    # the hot-range predicate reads ONLY the merge's files
+    df, read, total = t.read_state_where("amount", 900.0, 1100.0)
+    assert read == len(e["adds"]) < total
+    assert _rows(df) == {5: 1000.0}
+
+    # a cold-range predicate is still exact (merged bucket's file holds
+    # its untouched siblings too, so it must be read for them)
+    df, read, total = t.read_state_where("amount", 10.0, 12.0)
+    assert _rows(df) == {10: 10.0, 11: 11.0, 12: 12.0}
+    assert read <= total
+
+    # unprunable == unpruned semantics across the whole domain
+    full = _rows(t.read_state().filter(F.col("amount").between(0.0, 2000.0)))
+    df, _, _ = t.read_state_where("amount", 0.0, 2000.0)
+    assert _rows(df) == full
+
+
+def test_all_pruned_range_reads_zero_files(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.init_from_events(_seed(spark))
+    df, read, total = t.read_state_where("amount", 1e9, 2e9)
+    assert read == 0 and total > 0 and df.count() == 0
+    assert df.columns == ["id", "amount"]  # state view, not raw
+
+
+def test_stats_ride_checkpoints_and_reopen(spark, tmp_path):
+    t = _mk(spark, tmp_path, checkpoint_interval=1)
+    t.init_from_events(_seed(spark))
+    t.merge_cdc_batch(_events(spark, [(7, 1000.0, "u", "0002", None)]))
+    write_checkpoint(t)
+    # a fresh handle resolves stats through the checkpoint, not a replay
+    re = BucketedTxLogTable(spark, str(tmp_path / "t"), stats_cols=["amount"])
+    df, read, total = re.read_state_where("amount", 900.0, 1100.0)
+    assert read < total and _rows(df) == {7: 1000.0}
+
+
+def test_stats_less_writer_stays_exact_conservatively(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.init_from_events(_seed(spark))
+    # a second handle with NO stats policy lands a hot row
+    plain = BucketedTxLogTable(spark, str(tmp_path / "t"))
+    plain.merge_cdc_batch(_events(spark, [(9, 2000.0, "u", "0002", None)]))
+    df, read, total = t.read_state_where("amount", 1900.0, 2100.0)
+    assert _rows(df) == {9: 2000.0}  # conservative read found it
+    # its stats-less files are in the read set despite the range
+    v = t.latest_version()
+    assert set(t._read_entry(v)["adds"]) <= set(
+        f for f in t._snapshot_files()
+    )
+    assert read >= len(t._read_entry(v)["adds"])
+
+
+def test_all_null_stats_column_reads_conservatively(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.init_from_events(
+        _events(spark, [(i, None, "r", "0001", None) for i in range(10)])
+    )
+    # min/max are null -> files must be read; nulls never match BETWEEN
+    df, read, total = t.read_state_where("amount", 0.0, 10.0)
+    assert read == total and df.count() == 0
+
+
+def test_compaction_and_migration_refresh_stats(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.init_from_events(_seed(spark))
+    t.merge_cdc_batch(_events(spark, [(3, 1000.0, "u", "0002", None)]))
+    v, folded = t.compact_buckets(min_files=1)
+    assert folded
+    stats = resolve_file_stats(t, v)
+    assert all("amount" in stats[f] for f in t._read_entry(v)["adds"])
+    df, read, total = t.read_state_where("amount", 900.0, 1100.0)
+    assert _rows(df) == {3: 1000.0} and read < total
+
+    # lazy rebucket (metadata-only) keeps old stats; migration re-stamps
+    t.rebucket(16, rewrite=False)
+    while t.migrate_buckets(max_files=4)[0] is not None:
+        pass
+    lv = t.latest_version()
+    stats = resolve_file_stats(t, lv)
+    df, read, total = t.read_state_where("amount", 900.0, 1100.0)
+    assert _rows(df) == {3: 1000.0} and read < total
+
+
+def test_tombstone_in_range_stays_dead(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.init_from_events(_seed(spark))
+    t.merge_cdc_batch(_events(spark, [(5, 1000.0, "u", "0002", None)]))
+    t.merge_cdc_batch(_events(spark, [(5, 1000.0, "d", "0003", "true")]))
+    df, _, _ = t.read_state_where("amount", 900.0, 1100.0)
+    assert df.count() == 0
