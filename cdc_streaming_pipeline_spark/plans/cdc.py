@@ -1772,3 +1772,66 @@ ORACLE["table_stats_skipping_bucketed"] = """
     FROM orders, mk
     WHERE o_totalprice BETWEEN 1000 AND 2000 AND o_orderkey <> mk.k
 """
+
+
+def table_clustered_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-bucket clustering — the OPTIMIZE ZORDER analog
+    (sources/txlog.py:compact_buckets(cluster_cols=...)): hash bucketing
+    leaves every file's value range spanning the domain, so per-file
+    stats prune nothing on COLD data; a clustered compaction range-
+    splits each bucket's rows over the cluster column and the same
+    range predicate now reads only the intersecting slices. Fixture:
+    seed the order snapshot (16 buckets, stats on the double amount),
+    clustered-compact into 64 range slices, probe a narrow low-price
+    band. Output proves pruning happened (``pruned`` asserted 'yes' by
+    the oracle — at least one slice skipped at every SF) and value
+    exactness of the pruned read."""
+    import os
+    import tempfile
+
+    from cdc_streaming_pipeline_spark.functions.precision import dsum
+    from cdc_streaming_pipeline_spark.sources.txlog import BucketedTxLogTable
+
+    key = (spark.sparkContext.applicationId, sf_dir, "clustered_skip")
+    path = _TXLOG_MEMO.get(key)
+    o = _orders(spark, sf_dir)
+    k = F.col("o_orderkey")
+    if path is None:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"txlog-clusterskip-{spark.sparkContext.applicationId}-{abs(hash(sf_dir)) % 10**8}",
+        )
+        t = BucketedTxLogTable(
+            spark, path, key_cols=["id"], n_buckets=16, stats_cols=["total_amount"]
+        )
+        if t.latest_version() is None:
+            snap = o.select(
+                k.alias("id"),
+                F.col("o_totalprice").cast("double").alias("total_amount"),
+                F.lit("r").alias(OP_COL),
+                _lsn(k, 1).alias(LSN_COL),
+                F.lit(None).cast("string").alias(DELETED_COL),
+            )
+            t.init_from_events(snap)
+            t.compact_buckets(
+                min_files=1, cluster_cols=["total_amount"], cluster_parts=64
+            )
+        _TXLOG_MEMO[key] = path
+    t = BucketedTxLogTable(spark, path, stats_cols=["total_amount"])
+    df, fr, ft = t.read_state_where("total_amount", 1000.0, 2000.0)
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        dsum(F.col("total_amount")).alias("total_amount"),
+        F.lit("yes" if fr < ft else "no").alias("pruned"),
+    )
+
+
+QUERIES["table_clustered_skipping"] = table_clustered_skipping
+ORACLE["table_clustered_skipping"] = """
+    SELECT COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+               AS total_amount,
+           'yes' AS pruned
+    FROM orders
+    WHERE o_totalprice BETWEEN 1000 AND 2000
+"""

@@ -708,7 +708,12 @@ class BucketedTxLogTable(TxLogTable):
     # ---- bucket-aware staging / log facts --------------------------------
 
     def _stage_bucketed(
-        self, df: DataFrame, salt_n: int = 1, n_buckets_hint: int | None = None
+        self,
+        df: DataFrame,
+        salt_n: int = 1,
+        n_buckets_hint: int | None = None,
+        cluster_cols: list | None = None,
+        cluster_parts: int | None = None,
     ) -> tuple[list[str], dict[str, int]]:
         """Stage ``df`` partitioned by key bucket; return (files, {file:
         bucket}). ``salt_n=1`` keeps each bucket's rows in one task (one
@@ -717,7 +722,16 @@ class BucketedTxLogTable(TxLogTable):
         bucket's rewrite runs as N parallel tasks producing N files — the
         log format allows many files per bucket, so only write latency
         changes. The salt is a hash of the key columns (not a random
-        number), so staging stays deterministic for a given input."""
+        number), so staging stays deterministic for a given input.
+
+        ``cluster_cols`` (with ``cluster_parts`` total output slices)
+        switches to RANGE staging: rows are range-partitioned by
+        (bucket, cluster_cols...) before the per-bucket write, so each
+        bucket's files cover DISJOINT cluster-column ranges — the
+        layout that makes per-file [min, max] stats selective inside a
+        bucket (Delta OPTIMIZE ZORDER's purpose). Pass Column
+        expressions (e.g. operators/layout.zorder_value) for
+        multi-dimensional clustering."""
         from cdc_streaming_pipeline_spark.operators.merge import (
             BUCKET_COL,
             with_key_bucket,
@@ -726,7 +740,12 @@ class BucketedTxLogTable(TxLogTable):
 
         staged = os.path.join(self.data_dir, f"stage-{uuid.uuid4().hex[:12]}")
         out = with_key_bucket(df, self.key_cols, self.n_buckets)
-        if salt_n > 1:
+        if cluster_cols:
+            exprs = [F.col(c) if isinstance(c, str) else c for c in cluster_cols]
+            parted = out.repartitionByRange(
+                max(1, int(cluster_parts or 1)), F.col(BUCKET_COL), *exprs
+            )
+        elif salt_n > 1:
             salt = F.pmod(
                 F.xxhash64(*[F.col(c) for c in self.key_cols], F.lit("_wsalt")),
                 F.lit(salt_n),
@@ -1161,7 +1180,11 @@ class BucketedTxLogTable(TxLogTable):
         raise ConcurrentWriteError(f"merge gave up after {max_retries} retries")
 
     def compact_buckets(
-        self, buckets: list[int] | None = None, min_files: int = 2
+        self,
+        buckets: list[int] | None = None,
+        min_files: int = 2,
+        cluster_cols: list | None = None,
+        cluster_parts: int | None = None,
     ) -> tuple[int | None, list[int]]:
         """Rewrite each selected bucket's files into ONE file — the
         maintenance pass that bounds the file-count growth salted
@@ -1173,7 +1196,18 @@ class BucketedTxLogTable(TxLogTable):
         commit as a merge, so the conflict rule stays file-granular and
         a concurrent DISJOINT-bucket merge interleaves safely); every
         earlier version stays readable. Returns (version, compacted
-        buckets) — (None, []) when nothing qualifies."""
+        buckets) — (None, []) when nothing qualifies.
+
+        ``cluster_cols`` turns the fold into the OPTIMIZE ZORDER analog:
+        each rewritten bucket's rows are RANGE-split over the cluster
+        columns into ~``cluster_parts`` total files (default sized from
+        logged bytes / ``target_file_bytes``), so per-file [min, max]
+        stats become narrow and ``read_state_where`` prunes INSIDE cold
+        buckets — hash bucketing alone leaves every file's value range
+        wide. Merges into a clustered bucket rewrite it unordered
+        (salted), degrading its clustering until the next clustered
+        compaction — the standard lakehouse maintenance cadence, here
+        one opt-in argument on the pass that already runs."""
         base = self.latest_version()
         if base is None:
             return None, []
@@ -1199,7 +1233,19 @@ class BucketedTxLogTable(TxLogTable):
         df = self.spark.read.option("mergeSchema", "true").parquet(*old)
         from cdc_streaming_pipeline_spark.operators.merge import BUCKET_COL
 
-        adds, new_buckets = self._stage_bucketed(df.drop(BUCKET_COL), salt_n=1)
+        if cluster_cols and cluster_parts is None:
+            sizes = resolve_file_bytes(self, base)
+            known = [sizes[f] for f in old if f in sizes]
+            total = sum(known) if known else 0
+            cluster_parts = max(
+                len(targets), -(-total // self.target_file_bytes) if total else 1
+            )
+        adds, new_buckets = self._stage_bucketed(
+            df.drop(BUCKET_COL),
+            salt_n=1,
+            cluster_cols=cluster_cols,
+            cluster_parts=cluster_parts,
+        )
         version = base + 1
         entry = {
             "version": version,

@@ -452,6 +452,8 @@ def bucketed_merge_stream_sink(
     vacuum_min_age_seconds: float = 3600.0,
     target_file_bytes: int = 8 << 20,
     conflict_retries: int = 5,
+    stats_cols: list[str] | None = None,
+    cluster_cols: list[str] | None = None,
 ):
     """Continuous CDC → queryable current state, exactly once — the
     reference's actual end-to-end shape (reference:
@@ -490,7 +492,14 @@ def bucketed_merge_stream_sink(
     via the txn tag and re-running compaction/vacuum is harmless by
     construction (both are logical no-ops). Set
     ``max_files_per_bucket=None``/``vacuum_every=None`` to opt out.
-    Returns the DataStreamWriter (caller picks trigger and starts)."""
+
+    ``stats_cols`` makes every landed file carry [min, max] skipping
+    stats so dashboards use ``read_state_where`` at proportional I/O;
+    ``cluster_cols`` additionally range-clusters the buckets the
+    maintenance pass folds (the OPTIMIZE ZORDER cadence riding the
+    compaction that already runs — hot buckets degrade per merge and
+    re-cluster on their next fold). Returns the DataStreamWriter
+    (caller picks trigger and starts)."""
     from cdc_streaming_pipeline_spark.sources.txlog import (
         BucketedTxLogTable,
         vacuum,
@@ -512,6 +521,7 @@ def bucketed_merge_stream_sink(
             n_buckets=None,
             order_col=order_col,
             target_file_bytes=target_file_bytes,
+            stats_cols=stats_cols,
         )
         if resolve_table_meta(table) is None:
             table.n_buckets = n_buckets
@@ -534,7 +544,9 @@ def bucketed_merge_stream_sink(
                     raise
         if max_files_per_bucket is not None:
             try:
-                table.compact_buckets(min_files=max_files_per_bucket + 1)
+                table.compact_buckets(
+                    min_files=max_files_per_bucket + 1, cluster_cols=cluster_cols
+                )
             except ConcurrentWriteError:
                 pass  # raced an external commit: the next batch folds
         if vacuum_every and (int(batch_id) + 1) % vacuum_every == 0:

@@ -672,3 +672,76 @@ def test_stream_survives_external_rebucket_and_conflicts(spark, tmp_path):
     got = {r["id"]: r["status"] for r in t.read_state().collect()}
     expect[3] = "STREAM"  # higher LSN wins over the external write
     assert got == expect
+
+
+def test_stream_merge_sink_lands_skipping_stats_and_clusters(spark, tmp_path):
+    """stats_cols/cluster_cols ride the sink: every landed file carries
+    [min, max] skipping stats, the maintenance fold range-clusters the
+    buckets it compacts, and read_state_where on the live table prunes
+    while staying exact against the latest-state oracle."""
+    import json as _json
+
+    from cdc_streaming_pipeline_spark.sources.txlog import (
+        BucketedTxLogTable,
+        resolve_file_stats,
+        resolve_snapshot_state,
+    )
+    from cdc_streaming_pipeline_spark.streaming.pipeline import (
+        bucketed_merge_stream_sink,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    table_path = str(tmp_path / "table")
+    schema = "id bigint, amount double, _op string, _lsn string, _deleted string"
+
+    def put(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(
+                    _json.dumps(
+                        dict(zip(("id", "amount", "_op", "_lsn", "_deleted"), r))
+                    )
+                    + "\n"
+                )
+
+    expect = {i: float(i) for i in range(400)}
+    put("w000.json", [(i, float(i), "r", "0001", None) for i in range(400)])
+    for w in range(1, 6):  # hot updates land values in a far range
+        k = w
+        expect[k] = 100000.0 + w
+        put(f"w{w:03d}.json", [(k, 100000.0 + w, "u", f"{w + 1:04d}", None)])
+
+    q = (
+        bucketed_merge_stream_sink(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src)),
+            table_path,
+            str(tmp_path / "ckpt"),
+            key_cols=["id"],
+            n_buckets=4,
+            max_files_per_bucket=1,  # fold (and re-cluster) every batch
+            stats_cols=["amount"],
+            cluster_cols=["amount"],
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+
+    t = BucketedTxLogTable(spark, table_path, stats_cols=["amount"])
+    got = {r["id"]: r["amount"] for r in t.read_state().collect()}
+    assert got == expect
+
+    v = t.latest_version()
+    snap, _, _ = resolve_snapshot_state(t, v)
+    stats = resolve_file_stats(t, v)
+    assert all(f in stats and "amount" in stats[f] for f in snap)
+
+    # the hot range reads a strict subset of files and is exact
+    df, read, total = t.read_state_where("amount", 100000.0, 100010.0)
+    assert read < total
+    assert {r["id"]: r["amount"] for r in df.collect()} == {
+        w: 100000.0 + w for w in range(1, 6)
+    }

@@ -142,3 +142,64 @@ def test_tombstone_in_range_stays_dead(spark, tmp_path):
     t.merge_cdc_batch(_events(spark, [(5, 1000.0, "d", "0003", "true")]))
     df, _, _ = t.read_state_where("amount", 900.0, 1100.0)
     assert df.count() == 0
+
+
+def test_clustered_compaction_prunes_inside_cold_buckets(spark, tmp_path):
+    """compact_buckets(cluster_cols=...) range-splits each bucket's
+    rows so per-file [min, max] become narrow — without it a hash
+    bucket's single file spans the whole value domain and a cold-range
+    predicate reads everything."""
+    t = _mk(spark, tmp_path)
+    t.init_from_events(_seed(spark, n=4000))  # amounts 0..3999 across 8 buckets
+
+    # pre-clustering: every file spans the domain -> zero skipping
+    _, read0, total0 = t.read_state_where("amount", 100.0, 110.0)
+    assert read0 == total0
+    pre = _rows(t.read_state())
+
+    v, folded = t.compact_buckets(
+        min_files=1, cluster_cols=["amount"], cluster_parts=32
+    )
+    assert folded
+    assert _rows(t.read_state()) == pre  # logical no-op
+
+    df, read1, total1 = t.read_state_where("amount", 100.0, 110.0)
+    assert _rows(df) == {i: float(i) for i in range(100, 111)}
+    assert total1 >= 16 and read1 <= total1 // 2  # real pruning now
+
+    # a merge into one bucket degrades only that bucket, stays exact
+    t.merge_cdc_batch(_events(spark, [(105, 9999.0, "u", "0002", None)]))
+    df, _, _ = t.read_state_where("amount", 100.0, 110.0)
+    want = {i: float(i) for i in range(100, 111)}
+    del want[105]
+    assert _rows(df) == want
+    df, _, _ = t.read_state_where("amount", 9000.0, 10000.0)
+    assert _rows(df) == {105: 9999.0}
+
+
+def test_zorder_clustered_compaction_prunes_both_dims(spark, tmp_path):
+    """Multi-dimensional clustering: pass the z-value interleave
+    (operators/layout.zorder_value) as the cluster expression and both
+    dimensions' per-file stats tighten enough to prune."""
+    from cdc_streaming_pipeline_spark.operators.layout import zorder_value
+
+    rows = [
+        (i, float(i % 64), "r", "0001", None) for i in range(4096)
+    ]  # amount cycles 0..63 while id sweeps 0..4095: uncorrelated dims
+    t = BucketedTxLogTable(
+        spark,
+        str(tmp_path / "t"),
+        key_cols=["id"],
+        n_buckets=8,
+        stats_cols=["id", "amount"],
+    )
+    t.init_from_events(_events(spark, rows))
+    t.compact_buckets(
+        min_files=1,
+        cluster_cols=[zorder_value([F.col("id"), F.col("amount")])],
+        cluster_parts=64,
+    )
+    d1, r1, tot = t.read_state_where("id", 0, 100)
+    d2, r2, _ = t.read_state_where("amount", 3.0, 4.0)
+    assert d1.count() == 101 and d2.count() == 4096 // 32
+    assert r1 < tot and r2 < tot  # both dims prune off one layout
