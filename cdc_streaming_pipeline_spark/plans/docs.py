@@ -3337,3 +3337,166 @@ QUERIES["dsir_importance_weights"] = dsir_importance_weights
 QUERIES["dsir_select_top_quarter"] = dsir_select_top_quarter
 # hash-seeded (xxhash64 feature space): certified by the pure-Python
 # XXH64 replay in tools/py_oracles.py, not DuckDB SQL
+
+
+def split_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic on document length
+    between the train and val cohorts of the engine-portable md5 split
+    — the nonparametric complement to split_drift_psi: PSI needs chosen
+    bins, KS compares the FULL empirical CDFs (max |ECDF_t − ECDF_v|)
+    and catches shape drift the bins smooth over. Scale path: group to
+    per-value cohort counts first (|distinct lengths| rows, not |docs|),
+    then BOTH cumulative sums ride one operators/rank.py pass — range-
+    bucketed prefix sums, no unpartitioned window anywhere, so the plan
+    survives a 10^9-doc corpus where `SUM() OVER (ORDER BY)` funnels
+    the frame through one task."""
+    from cdc_streaming_pipeline_spark.operators.rank import (
+        RankSpec,
+        with_global_ranks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = sp.md5_bucket(F.col("doc_id"), 100)
+    cohort = docs.filter(b < 90).withColumn(
+        "split", F.when(b < 80, F.lit("train")).otherwise(F.lit("val"))
+    )
+    g = cohort.groupBy("n_chars").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("b"),
+    )
+    r = with_global_ranks(
+        g,
+        [
+            RankSpec(key="n_chars", value_col="a", rank_col="_ra",
+                     cum_col="ca", total_col="na"),
+            RankSpec(key="n_chars", value_col="b", rank_col="_rb",
+                     cum_col="cb", total_col="nb"),
+        ],
+        tiebreak="n_chars",  # unique after the groupBy
+    )
+    return r.agg(
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("ca").cast("double") / F.col("na")
+                    - F.col("cb").cast("double") / F.col("nb")
+                )
+            ),
+            6,
+        ).alias("ks_stat"),
+        F.max("na").cast("bigint").alias("n_train"),
+        F.max("nb").cast("bigint").alias("n_val"),
+    )
+
+
+def split_token_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Jensen-Shannon divergence (natural log, bounded by
+    ln 2) between the train and val cohorts' unigram distributions —
+    the vocabulary-level drift gate: PSI/KS watch scalar features, this
+    catches a split whose val set speaks measurably different TOKENS
+    (topic leakage, template skew) even when lengths match. Plan: one
+    explode + two hash aggregations + a |langs|-row broadcast join —
+    per-(lang, token) counts shuffle once; zero-count terms contribute
+    exactly their one-sided mass (no smoothing needed: JS is finite on
+    disjoint support, unlike KL). Languages with an empty cohort are
+    excluded (JS undefined against a zero distribution)."""
+    from cdc_streaming_pipeline_spark.functions.textfn import normalize_ws, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = sp.md5_bucket(F.col("doc_id"), 100)
+    cohort = docs.filter(b < 90).withColumn(
+        "split", F.when(b < 80, F.lit("train")).otherwise(F.lit("val"))
+    )
+    toks = cohort.select(
+        "lang",
+        "split",
+        F.explode(tokens(normalize_ws(F.col("text")))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    g = toks.groupBy("lang", "tok").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("b"),
+    )
+    tot = g.groupBy("lang").agg(
+        F.sum("a").alias("na"), F.sum("b").alias("nb")
+    )
+    j = g.join(F.broadcast(tot.filter((F.col("na") > 0) & (F.col("nb") > 0))), "lang")
+    p = F.col("a").cast("double") / F.col("na")
+    q = F.col("b").cast("double") / F.col("nb")
+    m = (p + q) / F.lit(2.0)
+    term = F.lit(0.5) * (
+        F.when(F.col("a") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("b") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    )
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count("*").alias("vocab"),
+            F.max("na").cast("bigint").alias("n_train_toks"),
+            F.max("nb").cast("bigint").alias("n_val_toks"),
+            F.round(F.sum(term), 6).alias("js_divergence"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["split_drift_ks"] = split_drift_ks
+QUERIES["split_token_js"] = split_token_js
+ORACLE["split_drift_ks"] = f"""
+    WITH cohort AS (
+        SELECT n_chars,
+               CASE WHEN {_MD5_BUCKET} < 80 THEN 'train' ELSE 'val' END AS s
+        FROM documents WHERE {_MD5_BUCKET} < 90
+    ), g AS (
+        SELECT n_chars,
+               COUNT(*) FILTER (WHERE s = 'train') AS a,
+               COUNT(*) FILTER (WHERE s = 'val') AS b
+        FROM cohort GROUP BY n_chars
+    ), c AS (
+        SELECT SUM(a) OVER (ORDER BY n_chars) AS ca,
+               SUM(b) OVER (ORDER BY n_chars) AS cb
+        FROM g
+    ), t AS (
+        SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb FROM g
+    )
+    SELECT ROUND(MAX(ABS(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)), 6)
+               AS ks_stat,
+           MAX(na) AS n_train, MAX(nb) AS n_val
+    FROM c, t
+"""
+ORACLE["split_token_js"] = f"""
+    WITH cohort AS (
+        SELECT lang, text,
+               CASE WHEN {_MD5_BUCKET} < 80 THEN 'train' ELSE 'val' END AS s
+        FROM documents WHERE {_MD5_BUCKET} < 90
+    ), toks AS (
+        SELECT lang, s, unnest({_NORM_TOKS}) AS tok
+        FROM cohort WHERE trim(text) <> ''
+    ), g AS (
+        SELECT lang, tok,
+               COUNT(*) FILTER (WHERE s = 'train') AS a,
+               COUNT(*) FILTER (WHERE s = 'val') AS b
+        FROM toks WHERE tok <> '' GROUP BY lang, tok
+    ), tot AS (
+        SELECT lang, CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb
+        FROM g GROUP BY lang
+        HAVING SUM(a) > 0 AND SUM(b) > 0
+    )
+    SELECT g.lang,
+           COUNT(*) AS vocab,
+           MAX(na) AS n_train_toks,
+           MAX(nb) AS n_val_toks,
+           ROUND(SUM(
+               0.5 * (
+                   CASE WHEN a > 0 THEN (CAST(a AS DOUBLE) / na)
+                        * ln((CAST(a AS DOUBLE) / na)
+                             / ((CAST(a AS DOUBLE) / na + CAST(b AS DOUBLE) / nb) / 2))
+                        ELSE 0 END
+                   + CASE WHEN b > 0 THEN (CAST(b AS DOUBLE) / nb)
+                        * ln((CAST(b AS DOUBLE) / nb)
+                             / ((CAST(a AS DOUBLE) / na + CAST(b AS DOUBLE) / nb) / 2))
+                        ELSE 0 END
+               )
+           ), 6) AS js_divergence
+    FROM g JOIN tot ON g.lang = tot.lang
+    GROUP BY g.lang ORDER BY g.lang
+"""

@@ -585,3 +585,30 @@ def test_search_ndcg_rank_window_is_post_topk(spark):
     plan = _plan(search_ndcg(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan  # the 1x1 dcg/idcg cross is BNLJ
+
+
+def test_split_drift_ks_no_unpartitioned_window_no_python(spark):
+    """KS rides the rank module's range-bucketed prefix sums: every
+    Window in the plan must be partitioned (per-bucket), never the
+    single-task global-order form, and nothing falls to Python."""
+    from cdc_streaming_pipeline_spark.plans.docs import split_drift_ks
+
+    plan = _plan(split_drift_ks(spark, SF_DIR))
+    assert "EvalPython" not in plan
+    # the ONLY SinglePartition exchange allowed is the final scalar
+    # aggregate's 1-row merge (post map-side combine); a global-order
+    # window would add another — the funnel the rank-module formulation
+    # exists to avoid
+    assert plan.count("SinglePartition") == 1
+    assert "Window" in plan  # the per-bucket prefix-sum windows are real
+
+
+def test_split_token_js_two_hash_aggs_broadcast_totals(spark):
+    """JS is explode + hash aggregations + a |langs|-row broadcast join:
+    no window, no Python, no sort-merge join."""
+    from cdc_streaming_pipeline_spark.plans.docs import split_token_js
+
+    plan = _plan(split_token_js(spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
