@@ -3500,3 +3500,142 @@ ORACLE["split_token_js"] = f"""
     FROM g JOIN tot ON g.lang = tot.lang
     GROUP BY g.lang ORDER BY g.lang
 """
+
+
+def lang_source_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between document language and source —
+    the corpus-composition audit: MI ≈ 0 means sources are language-
+    balanced; high MI means language is concentrated in few sources
+    (dropping a source would silently skew the language mix). Includes
+    both marginal entropies and the normalized coefficient
+    MI / sqrt(H_lang · H_source) in [0, 1]. Plan: ONE hash aggregation
+    to the |langs|×|sources| joint table (tiny by construction), then
+    broadcast joins of its own marginals — the fact-scale scan happens
+    exactly once."""
+    docs = load_table(spark, sf_dir, "documents")
+    joint = docs.groupBy("lang", "source").agg(F.count("*").alias("c"))
+    ml = joint.groupBy("lang").agg(F.sum("c").alias("cl"))
+    ms = joint.groupBy("source").agg(F.sum("c").alias("cs"))
+    tot = joint.agg(F.sum("c").alias("n"))
+    j = (
+        joint.join(F.broadcast(ml), "lang")
+        .join(F.broadcast(ms), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    c = F.col("c").cast("double")
+    n = F.col("n").cast("double")
+    p = c / n
+    mi = F.sum(p * F.log(p * n * n / (F.col("cl") * F.col("cs"))))
+    hl = F.sum((c / n) * F.log(F.col("cl") / n)) * F.lit(-1.0)
+    hs = F.sum((c / n) * F.log(F.col("cs") / n)) * F.lit(-1.0)
+    # H over the JOINT frame: each (l, s) cell contributes p(l,s)·ln p(l)
+    # — grouping by cell sums to the marginal identity exactly
+    return j.agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.round(mi, 6).alias("mi_nats"),
+        F.round(hl, 6).alias("h_lang"),
+        F.round(hs, 6).alias("h_source"),
+        F.round(mi / F.sqrt(hl * hs), 6).alias("mi_normalized"),
+    )
+
+
+QUERIES["lang_source_mutual_info"] = lang_source_mutual_info
+ORACLE["lang_source_mutual_info"] = """
+    WITH joint AS (
+        SELECT lang, source, COUNT(*) AS c FROM documents GROUP BY lang, source
+    ), ml AS (SELECT lang, SUM(c) AS cl FROM joint GROUP BY lang),
+    ms AS (SELECT source, SUM(c) AS cs FROM joint GROUP BY source),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM joint),
+    j AS (
+        SELECT CAST(c AS DOUBLE) AS c, CAST(cl AS DOUBLE) AS cl,
+               CAST(cs AS DOUBLE) AS cs, n
+        FROM joint JOIN ml USING (lang) JOIN ms USING (source), tot
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_docs,
+           ROUND(SUM((c / n) * ln(c * n / (cl * cs))), 6) AS mi_nats,
+           ROUND(-SUM((c / n) * ln(cl / n)), 6) AS h_lang,
+           ROUND(-SUM((c / n) * ln(cs / n)), 6) AS h_source,
+           ROUND(SUM((c / n) * ln(c * n / (cl * cs)))
+                 / sqrt(SUM((c / n) * ln(cl / n)) * SUM((c / n) * ln(cs / n))),
+                 6) AS mi_normalized
+    FROM j
+"""
+
+
+def split_drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth mover) distance on document length between
+    the train/val md5 cohorts — completes the drift triad: PSI (binned),
+    KS (worst-case ECDF gap), W1 (TOTAL transport cost, in chars; the
+    one that scales with HOW FAR the mass moved, not just whether it
+    did). Identity: W1 = Σ over consecutive distinct values of
+    |ECDF_t − ECDF_v| · gap. Scale path: per-value counts, the shared
+    rank-module prefix-sum pass (no unpartitioned window), then the
+    next-value gap via a self-equi-join on rank+1 — a hash join on an
+    integer, not a global-order lead."""
+    from cdc_streaming_pipeline_spark.operators.rank import (
+        RankSpec,
+        with_global_ranks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = sp.md5_bucket(F.col("doc_id"), 100)
+    cohort = docs.filter(b < 90).withColumn(
+        "split", F.when(b < 80, F.lit("train")).otherwise(F.lit("val"))
+    )
+    g = cohort.groupBy("n_chars").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("b"),
+    )
+    r = with_global_ranks(
+        g,
+        [
+            RankSpec(key="n_chars", value_col="a", rank_col="_ra",
+                     cum_col="ca", total_col="na"),
+            RankSpec(key="n_chars", value_col="b", rank_col="_rb",
+                     cum_col="cb", total_col="nb"),
+        ],
+        tiebreak="n_chars",
+    ).localCheckpoint(eager=False)  # consumed by both join sides once
+    nxt = r.select(
+        (F.col("_ra") - 1).alias("_join_rank"), F.col("n_chars").alias("_next_x")
+    )
+    j = r.join(nxt, F.col("_ra") == F.col("_join_rank"), "left")
+    gap = (F.col("_next_x") - F.col("n_chars")).cast("double")
+    diff = F.abs(
+        F.col("ca").cast("double") / F.col("na")
+        - F.col("cb").cast("double") / F.col("nb")
+    )
+    return j.agg(
+        F.round(F.sum(F.when(F.col("_next_x").isNotNull(), diff * gap)
+                      .otherwise(F.lit(0.0))), 6).alias("w1_chars"),
+        F.max("na").cast("bigint").alias("n_train"),
+        F.max("nb").cast("bigint").alias("n_val"),
+    )
+
+
+QUERIES["split_drift_wasserstein"] = split_drift_wasserstein
+ORACLE["split_drift_wasserstein"] = f"""
+    WITH cohort AS (
+        SELECT n_chars,
+               CASE WHEN {_MD5_BUCKET} < 80 THEN 'train' ELSE 'val' END AS s
+        FROM documents WHERE {_MD5_BUCKET} < 90
+    ), g AS (
+        SELECT n_chars,
+               COUNT(*) FILTER (WHERE s = 'train') AS a,
+               COUNT(*) FILTER (WHERE s = 'val') AS b
+        FROM cohort GROUP BY n_chars
+    ), c AS (
+        SELECT n_chars,
+               SUM(a) OVER (ORDER BY n_chars) AS ca,
+               SUM(b) OVER (ORDER BY n_chars) AS cb,
+               LEAD(n_chars) OVER (ORDER BY n_chars) AS next_x
+        FROM g
+    ), t AS (
+        SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb FROM g
+    )
+    SELECT ROUND(SUM(CASE WHEN next_x IS NOT NULL THEN
+                   ABS(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+                   * (next_x - n_chars) ELSE 0 END), 6) AS w1_chars,
+           MAX(na) AS n_train, MAX(nb) AS n_val
+    FROM c, t
+"""

@@ -612,3 +612,22 @@ def test_split_token_js_two_hash_aggs_broadcast_totals(spark):
     assert "EvalPython" not in plan
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_mi_and_wasserstein_single_fact_scan_no_funnel(spark):
+    """MI: the fact-scale scan feeds ONE hash aggregation; everything
+    after operates on the tiny joint table via broadcast. W1: same
+    no-global-window discipline as KS — the rank-module pass plus a
+    hash self-join on rank, one SinglePartition (final scalar merge)."""
+    from cdc_streaming_pipeline_spark.plans.docs import (
+        lang_source_mutual_info,
+        split_drift_wasserstein,
+    )
+
+    plan = _plan(lang_source_mutual_info(spark, SF_DIR))
+    assert "EvalPython" not in plan and "Window" not in plan
+    assert "SortMergeJoin" not in plan  # marginals/total all broadcast
+
+    plan = _plan(split_drift_wasserstein(spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert plan.count("SinglePartition") == 1
