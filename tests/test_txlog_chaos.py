@@ -90,3 +90,96 @@ def test_lifecycle_random_walk_matches_model(spark, tmp_path):
     # recent time travel still consistent post-vacuum: the latest version
     # re-read through a FRESH handle equals the model
     check(BucketedTxLogTable(spark, path))
+
+
+SCHEMA_V = "id bigint, amount double, _op string, _lsn string, _deleted string"
+
+
+def test_lifecycle_walk_with_lazy_rebucket_clustering_and_skipping(spark, tmp_path):
+    """The round's new lifecycle ops join the walk: LAZY (metadata-only)
+    rebucket through the divisor chain 8→16→32, bounded migrate_buckets
+    steps, CLUSTERED compaction, full-rewrite rebucket back down, and
+    stats-pruned reads — read_state AND read_state_where stay model-
+    exact at every checkpoint regardless of interleaving, and pruned
+    reads agree with unpruned ones mid-migration (the covering rule
+    under mixed layouts)."""
+    import random
+
+    from cdc_streaming_pipeline_spark.sources.txlog import (
+        BucketedTxLogTable,
+        vacuum,
+        write_checkpoint,
+    )
+
+    rng = random.Random(2218)
+    path = str(tmp_path / "chaos2")
+    t = BucketedTxLogTable(
+        spark, path, key_cols=["id"], n_buckets=8,
+        checkpoint_interval=5, stats_cols=["amount"],
+    )
+
+    model: dict[int, tuple[float, str, bool]] = {}
+
+    def apply_model(events):
+        for k, amount, op, lsn, deleted in events:
+            cur = model.get(k)
+            if cur is None or lsn > cur[1]:
+                model[k] = (amount, lsn, deleted == "true")
+
+    def live():
+        return {k: a for k, (a, _, d) in model.items() if not d}
+
+    seed = [(i, float(i), "r", "0001-00", None) for i in range(40)]
+    t.init_from_events(spark.createDataFrame(seed, SCHEMA_V))
+    apply_model(seed)
+
+    def check(tbl):
+        got = {r["id"]: r["amount"] for r in tbl.read_state().collect()}
+        assert got == live(), f"divergence at step {step}"
+        lo, hi = 0.0, float(step * 50)
+        df, read, total = tbl.read_state_where("amount", lo, hi)
+        want = {k: a for k, a in live().items() if a is not None and lo <= a <= hi}
+        assert {r["id"]: r["amount"] for r in df.collect()} == want, (
+            f"pruned-read divergence at step {step} ({read}/{total} files)"
+        )
+
+    n_now = 8
+    for step in range(1, 41):
+        roll = rng.random()
+        if roll < 0.55:
+            events = []
+            for i in range(rng.randint(1, 5)):
+                k = rng.randrange(KEYS)
+                op = rng.choice(["u", "u", "c", "d"])
+                stale = rng.random() < 0.15
+                lsn = f"0000-{step:02d}{i:02d}" if stale else f"{step:04d}-{i:02d}"
+                deleted = "true" if op == "d" else None
+                amount = None if op == "d" else float(step * 100 + i)
+                events.append((k, amount, op, lsn, deleted))
+            t.merge_cdc_batch(spark.createDataFrame(events, SCHEMA_V))
+            apply_model(events)
+        elif roll < 0.64:
+            if rng.random() < 0.5:
+                t.compact_buckets(min_files=2)
+            else:
+                t.compact_buckets(min_files=1, cluster_cols=["amount"],
+                                  cluster_parts=n_now * 2)
+        elif roll < 0.72:
+            write_checkpoint(t)
+        elif roll < 0.80:
+            vacuum(t, retain_versions=3, min_age_seconds=0.0)
+        elif roll < 0.86:
+            if n_now < 32:
+                n_now *= 2
+                t.rebucket(n_now, rewrite=False)  # metadata-only
+            else:
+                n_now = 8
+                t.rebucket(8, rewrite=True)  # full rewrite takes any count
+        elif roll < 0.93:
+            t.migrate_buckets(max_files=rng.randint(1, 4))
+        else:
+            t = BucketedTxLogTable(spark, path, stats_cols=["amount"])
+            assert t.n_buckets == n_now
+        if step % 5 == 0:
+            check(t)
+    check(t)
