@@ -1437,3 +1437,105 @@ _STREAM_SESS_MEMO: dict = {}
 QUERIES["stream_session_stats"] = stream_session_stats
 # the streamed sessions must equal the batch session_window rollup
 ORACLE["stream_session_stats"] = ORACLE["session_window_stats"]
+
+
+_STREAM_PSI_MEMO: dict = {}
+
+
+def stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-on ingestion drift canary
+    (streaming/pipeline.py:psi_drift_monitor_sink): the event stream
+    arrives as three micro-batches whose value distribution SHIFTS per
+    wave (+30 per wave — the upstream-schema-change / sensor-recalibration
+    shape), and every batch appends one (wave, n_events, psi) row
+    measuring its fixed-bin PSI against the frozen wave-0 reference
+    histogram. Per-batch cost is one hash aggregation to <= 10 rows;
+    the PSI arithmetic is bounded by the bin-count parameter, so the
+    monitor rides any CDC stream at 100 TB cadence. Wave 0's self-PSI
+    is exactly 0; drift must grow with the shift. Output is keyed by
+    the in-data wave tag, independent of micro-batch arrival order."""
+    import os
+    import tempfile
+
+    from cdc_streaming_pipeline_spark.streaming.pipeline import (
+        psi_drift_monitor_sink,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "stream_psi")
+    out = _STREAM_PSI_MEMO.get(key)
+    if out is None:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"spsi-{spark.sparkContext.applicationId}-{abs(hash(sf_dir)) % 10**8}",
+        )
+        src, out, ckpt = (os.path.join(root, d) for d in ("src", "out", "ckpt"))
+        if not os.path.exists(out):
+            w = (F.col("event_id") % 3).cast("long")
+            ev = load_table(spark, sf_dir, "events").select(
+                w.alias("wave"),
+                (F.col("value") + w.cast("double") * 30.0).alias("value"),
+            )
+            for i in range(3):
+                ev.filter(F.col("wave") == i).coalesce(1).write.mode(
+                    "append"
+                ).parquet(os.path.join(src, f"w{i}"))
+            ref = {
+                int(r["_b"]): int(r["_c"])
+                for r in ev.filter(F.col("wave") == 0)
+                .groupBy(
+                    F.least(F.floor(F.col("value") / 50.0), F.lit(9)).alias("_b")
+                )
+                .agg(F.count("*").alias("_c"))
+                .collect()
+            }
+            q = (
+                psi_drift_monitor_sink(
+                    spark.readStream.schema("wave long, value double")
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(os.path.join(src, "w*")),
+                    out,
+                    ckpt,
+                    value_col="value",
+                    tag_col="wave",
+                    ref_counts=ref,
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        _STREAM_PSI_MEMO[key] = out
+    return (
+        spark.read.parquet(out)
+        .select(F.col("tag").alias("wave"), "n_events", "psi")
+        .orderBy("wave")
+    )
+
+
+QUERIES["stream_drift_psi"] = stream_drift_psi
+ORACLE["stream_drift_psi"] = """
+    WITH ev AS (
+        SELECT event_id % 3 AS wave, value + (event_id % 3) * 30.0 AS v
+        FROM events
+    ), c AS (
+        SELECT wave, LEAST(CAST(FLOOR(v / 50.0) AS BIGINT), 9) AS b,
+               COUNT(*) AS cnt
+        FROM ev GROUP BY wave, b
+    ), bins AS (
+        SELECT w.wave, r.range AS b
+        FROM (SELECT DISTINCT wave FROM ev) w, range(10) r
+    ), f AS (
+        SELECT bins.wave, bins.b, COALESCE(c.cnt, 0) AS cnt
+        FROM bins LEFT JOIN c ON bins.wave = c.wave AND bins.b = c.b
+    ), n AS (
+        SELECT wave, CAST(SUM(cnt) AS DOUBLE) AS n FROM f GROUP BY wave
+    ), ref AS (
+        SELECT f.b, (f.cnt + 1.0) / (n.n + 10) AS p
+        FROM f JOIN n USING (wave) WHERE f.wave = 0
+    )
+    SELECT f.wave,
+           CAST(n.n AS BIGINT) AS n_events,
+           ROUND(SUM((ref.p - (f.cnt + 1.0) / (n.n + 10))
+                     * ln(ref.p / ((f.cnt + 1.0) / (n.n + 10)))), 6) AS psi
+    FROM f JOIN n USING (wave) JOIN ref ON f.b = ref.b
+    GROUP BY f.wave, n.n ORDER BY f.wave
+"""

@@ -561,3 +561,80 @@ def bucketed_merge_stream_sink(
         .queryName(writer_id)
         .option("checkpointLocation", checkpoint_path)
     )
+
+
+def psi_drift_monitor_sink(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    value_col: str,
+    tag_col: str,
+    ref_counts: dict[int, int],
+    n_bins: int = 10,
+    bin_width: float = 50.0,
+    round_to: int = 6,
+    query_name: str = "psi_drift_monitor",
+):
+    """Per-micro-batch distribution-drift monitor: bin ``value_col``
+    into ``n_bins`` FIXED-width buckets, compute the batch's PSI against
+    a frozen reference histogram (``ref_counts``: bin -> count, the
+    bounded artifact of a one-time reference aggregation), and append
+    one row (tag, n_events, psi) per batch to ``out_path`` — the
+    always-on ingestion canary that flags a drifting upstream while the
+    data is still landing, instead of at the next offline audit.
+
+    Scale shape: the per-batch work is ONE hash aggregation to <=
+    n_bins rows; the PSI arithmetic runs on the driver over those
+    n_bins numbers (bounded by the PARAMETER, never the batch), with
+    add-one smoothing over the fixed bin count so empty bins stay
+    finite and engine-portable, and HALF_UP decimal rounding so the
+    result is bit-comparable to any SQL engine's ROUND. ``tag_col``
+    identifies the batch in the output (any per-batch-constant column,
+    e.g. a wave/file id), making the monitor's output independent of
+    micro-batch arrival order. Replay-idempotent: each batch OVERWRITES
+    its deterministic ``batch=<id>`` partition, so a micro-batch
+    replayed after a crash between the write and the checkpoint commit
+    lands the same row again instead of a duplicate."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    n_ref = sum(ref_counts.values())
+    p = {
+        b: (ref_counts.get(b, 0) + 1.0) / (n_ref + n_bins) for b in range(n_bins)
+    }
+
+    def _monitor(batch_df: DataFrame, batch_id: int) -> None:
+        rows = (
+            batch_df.groupBy(
+                F.least(
+                    F.floor(F.col(value_col) / F.lit(bin_width)), F.lit(n_bins - 1)
+                ).alias("_b")
+            )
+            .agg(F.count("*").alias("_c"), F.max(tag_col).alias("_t"))
+            .collect()  # <= n_bins rows by construction
+        )
+        if not rows:
+            return
+        counts = {int(r["_b"]): int(r["_c"]) for r in rows}
+        n = sum(counts.values())
+        tag = max(r["_t"] for r in rows)
+        psi = 0.0
+        for b in range(n_bins):
+            q = (counts.get(b, 0) + 1.0) / (n + n_bins)
+            psi += (p[b] - q) * math.log(p[b] / q)
+        psi = float(
+            Decimal(repr(psi)).quantize(
+                Decimal(f"1e-{round_to}"), rounding=ROUND_HALF_UP
+            )
+        )
+        batch_df.sparkSession.createDataFrame(
+            [(tag, n, psi)], "tag bigint, n_events bigint, psi double"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch={int(batch_id)}")
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_monitor)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_path)
+    )

@@ -745,3 +745,65 @@ def test_stream_merge_sink_lands_skipping_stats_and_clusters(spark, tmp_path):
     assert {r["id"]: r["amount"] for r in df.collect()} == {
         w: 100000.0 + w for w in range(1, 6)
     }
+
+
+def test_psi_drift_monitor_idempotent_replay_and_empty_batch(spark, tmp_path):
+    """psi_drift_monitor_sink: wave-0 self-PSI is exactly 0, drift grows
+    with the injected shift, an all-filtered (empty) micro-batch emits
+    nothing, and a full REPLAY (fresh checkpoint, same batch ids) lands
+    zero duplicate rows — each batch overwrites its deterministic
+    batch=<id> partition."""
+    import os
+    import shutil
+
+    from cdc_streaming_pipeline_spark.streaming.pipeline import (
+        psi_drift_monitor_sink,
+    )
+
+    src = tmp_path / "src"
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    waves = {0: 0.0, 1: 100.0, 2: 300.0}
+    for w, shift in waves.items():
+        rows = [(w, float(v % 500) + shift) for v in range(1000)]
+        spark.createDataFrame(rows, "wave long, value double").coalesce(
+            1
+        ).write.mode("append").parquet(str(src / f"w{w}"))
+    # an EMPTY wave file: schema-only parquet, zero rows
+    spark.createDataFrame([], "wave long, value double").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src / "w3"))
+    ref = {b: 100 for b in range(5)}  # uniform over [0, 250): bins 0-4
+
+    def run(ck):
+        q = (
+            psi_drift_monitor_sink(
+                spark.readStream.schema("wave long, value double")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src / "w*")),
+                out,
+                ck,
+                value_col="value",
+                tag_col="wave",
+                ref_counts=ref,
+                bin_width=50.0,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run(ckpt)
+    got = {
+        r["tag"]: r["psi"] for r in spark.read.parquet(out).collect()
+    }
+    assert set(got) == {0, 1, 2}  # empty batch emitted nothing
+    # uniform [0,500) vs uniform-[0,250) reference: drift > 0 everywhere,
+    # and the +100/+300 shifts push mass further off-reference each wave
+    assert got[0] < got[1] < got[2]
+
+    # full replay with a FRESH checkpoint: same batch ids, same rows, no dups
+    shutil.rmtree(ckpt)
+    run(str(tmp_path / "ckpt2"))
+    again = spark.read.parquet(out).collect()
+    assert len(again) == 3
+    assert {r["tag"]: r["psi"] for r in again} == got
