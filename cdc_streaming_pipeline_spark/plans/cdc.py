@@ -1835,3 +1835,87 @@ ORACLE["table_clustered_skipping"] = """
     FROM orders
     WHERE o_totalprice BETWEEN 1000 AND 2000
 """
+
+
+def table_dict_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-stats pruning on categoricals
+    (sources/txlog.py:read_state_where_in): a status column's [min, max]
+    spans the alphabet in every hash-bucketed file, so equality
+    predicates prune nothing by range — the per-file VALUE SETS the
+    write paths record (capped by the approx-distinct gate) plus a
+    status-clustered compaction make `status IN (...)` proportional.
+    Fixture: seed orders (16 buckets, stats on status), cluster-compact
+    by status into 64 slices, then merge ONE key to a brand-new status.
+    The new-status probe must read only the merge's files and the 'P'
+    probe must skip the value-pure 'F'/'O' slices; both value-exact."""
+    import os
+    import tempfile
+
+    from cdc_streaming_pipeline_spark.functions.precision import dsum
+    from cdc_streaming_pipeline_spark.sources.txlog import BucketedTxLogTable
+
+    key = (spark.sparkContext.applicationId, sf_dir, "dict_skip")
+    path = _TXLOG_MEMO.get(key)
+    o = _orders(spark, sf_dir)
+    k = F.col("o_orderkey")
+    if path is None:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"txlog-dictskip-{spark.sparkContext.applicationId}-{abs(hash(sf_dir)) % 10**8}",
+        )
+        t = BucketedTxLogTable(
+            spark, path, key_cols=["id"], n_buckets=16, stats_cols=["status"]
+        )
+        if t.latest_version() is None:
+            snap = o.select(
+                k.alias("id"),
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_totalprice").cast("double").alias("total_amount"),
+                F.lit("r").alias(OP_COL),
+                _lsn(k, 1).alias(LSN_COL),
+                F.lit(None).cast("string").alias(DELETED_COL),
+            )
+            t.init_from_events(snap)
+            t.compact_buckets(
+                min_files=1, cluster_cols=["status"], cluster_parts=64
+            )
+            hot = o.join(o.agg(F.min(k).alias("mk")), k == F.col("mk")).select(
+                k.alias("id"),
+                F.lit("escalated").alias("status"),
+                F.col("o_totalprice").cast("double").alias("total_amount"),
+                F.lit("u").alias(OP_COL),
+                _lsn(k, 2).alias(LSN_COL),
+                F.lit(None).cast("string").alias(DELETED_COL),
+            )
+            t.merge_cdc_batch(hot)
+        _TXLOG_MEMO[key] = path
+    t = BucketedTxLogTable(spark, path, stats_cols=["status"])
+
+    def probe(values, name):
+        df, fr, ft = t.read_state_where_in("status", values)
+        return df.agg(
+            F.lit(name).alias("probe"),
+            F.count("*").alias("n_rows"),
+            dsum(F.col("total_amount")).alias("total_amount"),
+            F.lit("yes" if fr < ft else "no").alias("pruned"),
+        )
+
+    return probe(["escalated"], "new_status").unionByName(probe(["P"], "p_status"))
+
+
+QUERIES["table_dict_skipping"] = table_dict_skipping
+ORACLE["table_dict_skipping"] = """
+    WITH mk AS (SELECT MIN(o_orderkey) AS k FROM orders)
+    SELECT 'new_status' AS probe, 1 AS n_rows,
+           CAST(ROUND(CAST(o_totalprice AS DECIMAL(28,6)), 2) AS DOUBLE)
+               AS total_amount,
+           'yes' AS pruned
+    FROM orders, mk WHERE o_orderkey = mk.k
+    UNION ALL
+    SELECT 'p_status' AS probe, COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+               AS total_amount,
+           'yes' AS pruned
+    FROM orders, mk
+    WHERE o_orderstatus = 'P' AND o_orderkey <> mk.k
+"""

@@ -844,26 +844,101 @@ class BucketedTxLogTable(TxLogTable):
             "schema": state.schema.jsonValue(),
             "table_meta": self._meta_dict(),
         }
-        stats = self._staged_stats(adds, state.columns)
-        if stats:
-            entry["file_stats"] = stats
+        entry.update(self._staged_skipping_facts(adds, state.columns))
         if txn is not None:
             entry["txn"] = [txn[0], txn[1]]
         if not self._try_commit(0, entry):
             raise ConcurrentWriteError("table already initialized")
         return 0
 
-    def _staged_stats(self, adds: list[str], columns: list[str]) -> dict | None:
-        """Per-file [min, max] for the handle's ``stats_cols`` that the
-        staged data actually carries (schema drift: a narrow batch just
-        skips the missing column — its files read conservatively for
-        that predicate). One bounded aggregate job over the fresh files."""
+    #: per-file dictionary-stats cap: value SETS are recorded only for
+    #: (file, column) pairs with at most this many distinct values —
+    #: equality/IN predicates prune on sets where [min, max] is useless
+    #: (a categorical column's range spans the alphabet in every file)
+    DICT_CAP = 16
+
+    def _staged_skipping_facts(self, adds: list[str], columns: list[str]) -> dict:
+        """The skipping facts one write stages, as entry keys to merge:
+        ``file_stats`` (per-file [min, max]) always, ``file_dicts``
+        (per-file value SETS) for (file, column) pairs that are
+        low-cardinality IN THAT FILE (<= DICT_CAP distinct) — Delta/
+        Iceberg keep only ranges; the dictionary is the extra fact that
+        makes ``col = v`` / ``col IN (...)`` prunable on categoricals
+        (whose [min, max] spans the alphabet in every file), and it
+        earns its keep after a clustered compaction makes files
+        value-pure. Columns the staged data doesn't carry (schema
+        drift) are skipped — consumers read stats-less files
+        conservatively.
+
+        Bounded two-phase plan: ONE aggregate job computes min/max AND
+        an approx-distinct gate per (file, col) — so no task ever
+        buffers a high-cardinality set — then one collect_set job runs
+        over dictionary CANDIDATES only; sets exceeding the cap (sketch
+        error) are dropped exactly."""
+        from pyspark.sql import functions as F
+        from urllib.parse import unquote, urlparse
+
         if not self.stats_cols or not adds:
-            return None
+            return {}
         present = [c for c in self.stats_cols if c in columns]
         if not present:
-            return None
-        return self._file_stats(adds, present)
+            return {}
+
+        def norm(p):
+            return unquote(urlparse(p).path) if "://" in p or p.startswith("file:") else p
+
+        def py(v):
+            return v if isinstance(v, (int, float, str, bool, type(None))) else str(v)
+
+        aggs = []
+        for c in present:
+            aggs += [
+                F.min(c).alias(f"_min_{c}"),
+                F.max(c).alias(f"_max_{c}"),
+                F.approx_count_distinct(c).alias(f"_n_{c}"),
+            ]
+        rows = (
+            self.spark.read.parquet(*adds)
+            .groupBy(F.input_file_name().alias("_f"))
+            .agg(*aggs)
+            .collect()  # bounded: one row per staged file
+        )
+        stats = {
+            norm(r["_f"]): {
+                c: [py(r[f"_min_{c}"]), py(r[f"_max_{c}"])] for c in present
+            }
+            for r in rows
+        }
+        out = {"file_stats": stats}
+        margin = 2 * self.DICT_CAP  # sketch-safe candidate threshold
+        cand_cols = sorted(
+            {c for r in rows for c in present if r[f"_n_{c}"] <= margin}
+        )
+        cand_files = sorted(
+            norm(r["_f"])
+            for r in rows
+            if any(r[f"_n_{c}"] <= margin for c in cand_cols)
+        )
+        if not cand_cols or not cand_files:
+            return out
+        drows = (
+            self.spark.read.parquet(*cand_files)
+            .groupBy(F.input_file_name().alias("_f"))
+            .agg(*[F.collect_set(c).alias(f"_set_{c}") for c in cand_cols])
+            .collect()
+        )
+        dicts = {}
+        for r in drows:
+            d = {
+                c: sorted(py(v) for v in r[f"_set_{c}"])
+                for c in cand_cols
+                if r[f"_set_{c}"] and len(r[f"_set_{c}"]) <= self.DICT_CAP
+            }
+            if d:
+                dicts[norm(r["_f"])] = d
+        if dicts:
+            out["file_dicts"] = dicts
+        return out
 
     def _meta_dict(self) -> dict:
         return {
@@ -974,9 +1049,7 @@ class BucketedTxLogTable(TxLogTable):
             "schema": df.drop(BUCKET_COL).schema.jsonValue(),
             "table_meta": self._meta_dict(),
         }
-        stats = self._staged_stats(adds, df.columns)
-        if stats:
-            entry["file_stats"] = stats
+        entry.update(self._staged_skipping_facts(adds, df.columns))
         if not self._try_commit(version, entry):
             self.n_buckets = old_n
             raise ConcurrentWriteError(f"rebucket lost the race at {version}")
@@ -1023,9 +1096,7 @@ class BucketedTxLogTable(TxLogTable):
             "buckets": sorted(set(buckets.values())),
             "schema": df.drop(BUCKET_COL).schema.jsonValue(),
         }
-        stats = self._staged_stats(adds, df.columns)
-        if stats:
-            entry["file_stats"] = stats
+        entry.update(self._staged_skipping_facts(adds, df.columns))
         if not self._try_commit(version, entry):
             raise ConcurrentWriteError(f"bucket migration lost the race at {version}")
         if self.checkpoint_interval and version % self.checkpoint_interval == 0:
@@ -1112,7 +1183,7 @@ class BucketedTxLogTable(TxLogTable):
             ),
             n_buckets_hint=len(touched),
         )
-        staged_stats = self._staged_stats(adds, new_state.columns)
+        staged_facts = self._staged_skipping_facts(adds, new_state.columns)
         for _ in range(max_retries):
             version = base + 1
             entry = {
@@ -1131,8 +1202,7 @@ class BucketedTxLogTable(TxLogTable):
                 # exact and checkpoint-bounded on bucketed tables
                 "schema": new_state.schema.jsonValue(),
             }
-            if staged_stats:
-                entry["file_stats"] = staged_stats
+            entry.update(staged_facts)
             if txn is not None:
                 entry["txn"] = [txn[0], txn[1]]
             if self._try_commit(version, entry):
@@ -1261,9 +1331,7 @@ class BucketedTxLogTable(TxLogTable):
             "buckets": sorted(set(new_buckets.values()) | set(targets)),
             "schema": df.drop(BUCKET_COL).schema.jsonValue(),
         }
-        stats = self._staged_stats(adds, df.columns)
-        if stats:
-            entry["file_stats"] = stats
+        entry.update(self._staged_skipping_facts(adds, df.columns))
         if not self._try_commit(version, entry):
             raise ConcurrentWriteError(
                 f"bucket compaction of {targets} lost the race at {version}"
@@ -1333,6 +1401,59 @@ class BucketedTxLogTable(TxLogTable):
         ]
         df = df.filter(~F.col("_is_deleted")).drop(*drop)
         return df.filter(F.col(col).between(lo, hi)), len(keep), len(files)
+
+    def read_state_where_in(
+        self,
+        col: str,
+        values: list,
+        version: int | None = None,
+    ) -> tuple[DataFrame, int, int]:
+        """Equality/IN data-skipping latest-state read: skip every file
+        whose recorded VALUE DICTIONARY for ``col`` is disjoint from
+        ``values`` — the pruning ranges cannot do on categoricals (a
+        status column's [min, max] spans the alphabet in every file).
+        Files without a dictionary fall back to the [min, max] check
+        against [min(values), max(values)]; files with neither are read.
+        Exactness argument is ``read_state_where``'s; the dictionary
+        earns its keep after ``compact_buckets(cluster_cols=[col])``
+        makes files value-pure. Returns (df, files_read, files_total)."""
+        from cdc_streaming_pipeline_spark.operators.cdc import mark_deleted
+        from cdc_streaming_pipeline_spark.schemas import DELETED_COL, OP_COL
+        from pyspark.sql import functions as F
+
+        if not values:
+            raise ValueError("read_state_where_in needs at least one value")
+        files = resolve_with_checkpoint(self, version)
+        if not files:
+            raise FileNotFoundError(f"no committed data at version {version}")
+        stats = resolve_file_stats(self, version)
+        dicts = resolve_file_dicts(self, version)
+        vset = set(values)
+        lo, hi = min(values), max(values)
+        keep = []
+        for f in files:
+            d = dicts.get(f, {}).get(col)
+            if d is not None:
+                if vset & set(d):
+                    keep.append(f)
+                continue
+            st = stats.get(f, {}).get(col)
+            if st is None or st[0] is None or st[1] is None:
+                keep.append(f)  # no facts: must read
+            elif not (st[1] < lo or st[0] > hi):
+                keep.append(f)
+        if not keep:
+            empty = self.read_state(version).filter(F.lit(False))
+            return empty.filter(F.col(col).isin(*values)), 0, len(files)
+        df = self.spark.read.option("mergeSchema", "true").parquet(*keep)
+        df = mark_deleted(df) if "_is_deleted" not in df.columns else df
+        drop = [
+            c
+            for c in (OP_COL, self.order_col, DELETED_COL, "_is_deleted")
+            if c in df.columns
+        ]
+        df = df.filter(~F.col("_is_deleted")).drop(*drop)
+        return df.filter(F.col(col).isin(*values)), len(keep), len(files)
 
 
 def mv_delta(
@@ -1484,6 +1605,10 @@ def write_checkpoint(table: TxLogTable, version: int | None = None) -> int:
         # per-file write-time layout (lazy-rebucket pruning) — same shape
         "file_layouts": {
             f: n for f, n in resolve_file_layouts(table, v).items() if f in live
+        },
+        # per-file value dictionaries (equality/IN pruning) — same shape
+        "file_dicts": {
+            f: d for f, d in resolve_file_dicts(table, v).items() if f in live
         },
     }
     # carry the newest recorded schema forward so _empty_frame and the
@@ -1667,6 +1792,26 @@ def resolve_file_layouts(table: TxLogTable, version: int | None = None) -> dict:
         start = 0
     for v in table._versions_between(start, target):
         out.update(table._read_entry(v).get("file_layout_n", {}))
+    return out
+
+
+def resolve_file_dicts(table: TxLogTable, version: int | None = None) -> dict:
+    """{file: {col: [values...]}} accumulated up to ``version`` through
+    the newest checkpoint that carries ``file_dicts`` — the equality/IN
+    pruning twin of ``resolve_file_stats``: a file absent from the map
+    (or a column absent from a file's dict) is read conservatively."""
+    target = table.latest_version() if version is None else version
+    if target is None:
+        return {}
+    best = _best_checkpoint(table, target)
+    if best is not None and "file_dicts" in best:
+        out = dict(best["file_dicts"])
+        start = best["version"] + 1
+    else:
+        out = {}
+        start = 0
+    for v in table._versions_between(start, target):
+        out.update(table._read_entry(v).get("file_dicts", {}))
     return out
 
 

@@ -203,3 +203,100 @@ def test_zorder_clustered_compaction_prunes_both_dims(spark, tmp_path):
     d2, r2, _ = t.read_state_where("amount", 3.0, 4.0)
     assert d1.count() == 101 and d2.count() == 4096 // 32
     assert r1 < tot and r2 < tot  # both dims prune off one layout
+
+
+CAT_SCHEMA = "id bigint, status string, _op string, _lsn string, _deleted string"
+
+
+def _cat_events(spark, rows):
+    return spark.createDataFrame(rows, CAT_SCHEMA)
+
+
+def test_dict_stats_prune_equality_after_status_clustering(spark, tmp_path):
+    """Dictionary stats: a categorical column's [min, max] spans the
+    alphabet in every hash-bucketed file, so equality predicates prune
+    NOTHING — until a clustered compaction makes files value-pure and
+    the recorded per-file value sets make `status IN (...)` proportional."""
+    from cdc_streaming_pipeline_spark.sources.txlog import (
+        resolve_file_dicts,
+        resolve_snapshot_state,
+    )
+
+    t = BucketedTxLogTable(
+        spark, str(tmp_path / "t"), key_cols=["id"], n_buckets=8,
+        stats_cols=["status"],
+    )
+    statuses = ["open", "closed", "pending", "failed"]
+    rows = [(i, statuses[i % 4], "r", "0001", None) for i in range(400)]
+    t.init_from_events(_cat_events(spark, rows))
+
+    # hash layout: every file holds every status -> dicts exist but
+    # cannot prune (each file's set intersects), range check useless
+    df, read0, total0 = t.read_state_where_in("status", ["failed"])
+    assert read0 == total0
+    want = {i for i in range(400) if i % 4 == 3}
+    assert {r["id"] for r in df.collect()} == want
+
+    v, folded = t.compact_buckets(
+        min_files=1, cluster_cols=["status"], cluster_parts=32
+    )
+    assert folded
+    dicts = resolve_file_dicts(t, v)
+    snap, _, _ = resolve_snapshot_state(t, v)
+    assert all(f in dicts and "status" in dicts[f] for f in snap)
+
+    df, read1, total1 = t.read_state_where_in("status", ["failed"])
+    assert {r["id"] for r in df.collect()} == want
+    assert read1 <= total1 // 2  # value-pure files: real pruning
+
+    # multi-value IN stays exact and prunes the disjoint slices
+    df, read2, _ = t.read_state_where_in("status", ["open", "closed"])
+    assert {r["id"] for r in df.collect()} == {
+        i for i in range(400) if i % 4 in (0, 1)
+    }
+    assert read2 < total1
+
+
+def test_high_cardinality_column_gets_no_dict_but_stays_exact(spark, tmp_path):
+    """A (file, col) pair past DICT_CAP distinct values records NO set
+    (the approx gate keeps collect_set buffers bounded); equality reads
+    fall back to [min, max] and stay exact."""
+    from cdc_streaming_pipeline_spark.sources.txlog import resolve_file_dicts
+
+    t = BucketedTxLogTable(
+        spark, str(tmp_path / "t"), key_cols=["id"], n_buckets=2,
+        stats_cols=["status"],
+    )
+    rows = [(i, f"sku-{i:05d}", "r", "0001", None) for i in range(2000)]
+    t.init_from_events(_cat_events(spark, rows))
+    dicts = resolve_file_dicts(t, t.latest_version())
+    assert not any("status" in d for d in dicts.values())  # ~1000 distinct/file
+    df, read, total = t.read_state_where_in("status", ["sku-00042"])
+    assert read == total  # min..max spans the probe: conservative
+    assert {r["id"] for r in df.collect()} == {42}
+
+
+def test_dicts_ride_checkpoints_and_merge_updates_them(spark, tmp_path):
+    from cdc_streaming_pipeline_spark.sources.txlog import (
+        resolve_file_dicts,
+        write_checkpoint,
+    )
+
+    t = BucketedTxLogTable(
+        spark, str(tmp_path / "t"), key_cols=["id"], n_buckets=4,
+        stats_cols=["status"], checkpoint_interval=1,
+    )
+    t.init_from_events(
+        _cat_events(spark, [(i, "cold", "r", "0001", None) for i in range(40)])
+    )
+    t.compact_buckets(min_files=1, cluster_cols=["status"], cluster_parts=4)
+    t.merge_cdc_batch(_cat_events(spark, [(7, "hot", "u", "0002", None)]))
+    write_checkpoint(t)
+    re = BucketedTxLogTable(spark, str(tmp_path / "t"), stats_cols=["status"])
+    df, read, total = re.read_state_where_in("status", ["hot"])
+    assert {r["id"] for r in df.collect()} == {7}
+    # only the merged bucket's files carry 'hot' in their dict
+    assert read < total
+    dicts = resolve_file_dicts(re, re.latest_version())
+    hot_files = [f for f, d in dicts.items() if "hot" in d.get("status", [])]
+    assert hot_files and read == len(hot_files)
