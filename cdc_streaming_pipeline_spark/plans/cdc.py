@@ -1919,3 +1919,76 @@ ORACLE["table_dict_skipping"] = """
     FROM orders, mk
     WHERE o_orderstatus = 'P' AND o_orderkey <> mk.k
 """
+
+
+def table_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy table fork (sources/txlog.py:clone_table — Delta
+    SHALLOW CLONE): clone the seeded bucketed table (ONE metadata
+    commit, no bytes move), land the update wave on the CLONE and the
+    delete wave on the SOURCE, and read the clone — it must show the
+    updates but NOT the source's deletes, proving the fork is
+    independent both ways while sharing every pre-clone file. The
+    closed-form oracle states the clone's expected state."""
+    import os
+    import tempfile
+
+    from cdc_streaming_pipeline_spark.sources.txlog import (
+        BucketedTxLogTable,
+        clone_table,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "clone_div")
+    paths = _TXLOG_MEMO.get(key)
+    o = _orders(spark, sf_dir)
+    k = F.col("o_orderkey")
+    if paths is None:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"txlog-clone-{spark.sparkContext.applicationId}-{abs(hash(sf_dir)) % 10**8}",
+        )
+        src_p, dst_p = os.path.join(root, "src"), os.path.join(root, "dst")
+        t = BucketedTxLogTable(spark, src_p, key_cols=["id"], n_buckets=16)
+        if t.latest_version() is None:
+            snap = o.select(
+                k.alias("id"),
+                F.lit("pending").alias("status"),
+                F.col("o_totalprice").alias("total_amount"),
+                F.lit("r").alias(OP_COL),
+                _lsn(k, 1).alias(LSN_COL),
+                F.lit(None).cast("string").alias(DELETED_COL),
+            )
+            t.init_from_events(snap)
+            c = clone_table(t, dst_p)
+            upd = o.filter(k % 3 == 0).select(
+                k.alias("id"),
+                F.col("o_orderstatus").alias("status"),
+                (F.col("o_totalprice") + 100.0).alias("total_amount"),
+                F.lit("u").alias(OP_COL),
+                _lsn(k, 2).alias(LSN_COL),
+                F.lit(None).cast("string").alias(DELETED_COL),
+            )
+            c.merge_cdc_batch(upd)  # lands on the CLONE only
+            dele = o.filter(k % 5 == 0).select(
+                k.alias("id"),
+                F.lit(None).cast("string").alias("status"),
+                F.lit(None).cast("decimal(15,2)").alias("total_amount"),
+                F.lit("d").alias(OP_COL),
+                _lsn(k, 2).alias(LSN_COL),
+                F.lit("true").alias(DELETED_COL),
+            )
+            t.merge_cdc_batch(dele)  # lands on the SOURCE only
+        _TXLOG_MEMO[key] = (src_p, dst_p)
+        paths = (src_p, dst_p)
+    c = BucketedTxLogTable(spark, paths[1])
+    return c.read_state().select("id", "status", "total_amount")
+
+
+QUERIES["table_clone_divergence"] = table_clone_divergence
+ORACLE["table_clone_divergence"] = """
+    SELECT o_orderkey AS id,
+           CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus
+                ELSE 'pending' END AS status,
+           CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+                ELSE o_totalprice END AS total_amount
+    FROM orders
+"""

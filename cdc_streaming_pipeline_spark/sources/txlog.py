@@ -1895,6 +1895,75 @@ def resolve_table_meta(table: TxLogTable, version: int | None = None) -> dict | 
     return None
 
 
+def clone_table(src: TxLogTable, dest_path: str, version: int | None = None,
+                commit_backend=None) -> TxLogTable:
+    """SHALLOW clone (Delta CLONE, zero-copy table fork): commit the
+    source's resolved snapshot — file list plus every skipping fact
+    (buckets, layouts, bytes, stats, dicts) and the table meta — as the
+    destination's version 0, moving NO data. O(metadata) whatever the
+    table holds: the 100 TB dev/test fork is one JSON write.
+
+    The clone is immediately writable and fully independent GOING
+    FORWARD: its merges remove shared files from its own VIEW only
+    (removes are log facts) and stage new files under its own data_dir,
+    so neither side's writes are visible to the other. ``vacuum`` at
+    the CLONE can never touch source bytes (it only scans its own
+    data_dir), but ``vacuum`` at the SOURCE consults only the source's
+    log — after the source compacts/overwrites and vacuums past the
+    clone point, the shared files the clone still references are GONE
+    and the clone's older reads break (the documented shallow-clone
+    retention caveat; Delta's is identical). Writer txn tags are NOT
+    carried: the clone is a fresh exactly-once namespace."""
+    v = src.latest_version() if version is None else version
+    if v is None:
+        raise FileNotFoundError("clone of an uninitialized table")
+    snap, bmap, _ = resolve_snapshot_state(src, v)
+    live = set(snap)
+    entry = {
+        "version": 0,
+        "mode": "clone",
+        "adds": sorted(snap),
+        "removes": [],
+        "n_files": len(snap),
+        "file_buckets": {f: b for f, b in bmap.items() if f in live},
+        "file_bytes": {
+            f: s for f, s in resolve_file_bytes(src, v).items() if f in live
+        },
+        "file_layout_n": {
+            f: n for f, n in resolve_file_layouts(src, v).items() if f in live
+        },
+        "file_dicts": {
+            f: d for f, d in resolve_file_dicts(src, v).items() if f in live
+        },
+        "file_stats": {
+            f: s for f, s in resolve_file_stats(src, v).items() if f in live
+        },
+        "cloned_from": {"path": src.path, "version": v},
+    }
+    sj = _resolve_schema_json(src, v)
+    if sj is not None:
+        entry["schema"] = sj
+    meta = resolve_table_meta(src, v)
+    if meta is not None:
+        entry["table_meta"] = meta
+        dest = BucketedTxLogTable(
+            src.spark,
+            dest_path,
+            key_cols=list(meta["key_cols"]),
+            n_buckets=int(meta["n_buckets"]),
+            order_col=meta["order_col"],
+            commit_backend=commit_backend,
+            stats_cols=getattr(src, "stats_cols", None),
+        )
+    else:
+        dest = TxLogTable(src.spark, dest_path, commit_backend=commit_backend)
+    if dest.latest_version() is not None:
+        raise FileExistsError(f"clone destination {dest_path} already has a log")
+    if not dest._try_commit(0, entry):
+        raise ConcurrentWriteError(f"clone destination {dest_path} raced")
+    return dest
+
+
 def vacuum(
     table: TxLogTable, retain_versions: int = 2, min_age_seconds: float = 3600.0
 ) -> list[str]:
