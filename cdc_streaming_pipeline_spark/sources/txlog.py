@@ -1895,6 +1895,48 @@ def resolve_table_meta(table: TxLogTable, version: int | None = None) -> dict | 
     return None
 
 
+def describe_detail(table: TxLogTable, version: int | None = None) -> dict:
+    """Operational table summary from LOG FACTS alone (Delta DESCRIBE
+    DETAIL): version, file/byte totals, per-bucket file-count extremes,
+    write-time layout histogram (mid-migration visibility after a lazy
+    rebucket), skipping-stats and dictionary coverage, and the newest
+    checkpoint — everything an operator needs to decide whether to
+    compact / migrate / recluster, at O(metadata-since-checkpoint) cost
+    whatever the table's size. No data file is opened."""
+    v = table.latest_version() if version is None else version
+    if v is None:
+        raise FileNotFoundError("describe_detail of an uninitialized table")
+    snap, bmap, _ = resolve_snapshot_state(table, v)
+    live = set(snap)
+    sizes = {f: s for f, s in resolve_file_bytes(table, v).items() if f in live}
+    layouts = {f: n for f, n in resolve_file_layouts(table, v).items() if f in live}
+    stats = resolve_file_stats(table, v)
+    dicts = resolve_file_dicts(table, v)
+    per_bucket: dict[int, int] = {}
+    for f in snap:
+        b = bmap.get(f)
+        if b is not None:
+            per_bucket[b] = per_bucket.get(b, 0) + 1
+    layout_hist: dict[int, int] = {}
+    default_n = getattr(table, "n_buckets", None)
+    for f in snap:
+        n = layouts.get(f, default_n)
+        layout_hist[n] = layout_hist.get(n, 0) + 1
+    best = _best_checkpoint(table, v)
+    return {
+        "version": v,
+        "n_files": len(snap),
+        "total_bytes": sum(sizes.values()) if sizes else None,
+        "table_meta": resolve_table_meta(table, v),
+        "buckets_live": len(per_bucket),
+        "max_files_per_bucket": max(per_bucket.values()) if per_bucket else 0,
+        "layout_histogram": dict(sorted(layout_hist.items(), key=lambda kv: str(kv[0]))),
+        "files_with_stats": sum(1 for f in snap if stats.get(f)),
+        "files_with_dicts": sum(1 for f in snap if dicts.get(f)),
+        "checkpoint_version": best["version"] if best else None,
+    }
+
+
 def clone_table(src: TxLogTable, dest_path: str, version: int | None = None,
                 commit_backend=None) -> TxLogTable:
     """SHALLOW clone (Delta CLONE, zero-copy table fork): commit the

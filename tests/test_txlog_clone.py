@@ -93,3 +93,26 @@ def test_source_vacuum_past_clone_point_breaks_clone_reads(spark, tmp_path):
     assert _state(src) == {i: f"s{i}" for i in range(60)}  # source intact
     with pytest.raises(Exception):
         c.read_state().collect()  # clone's pinned files are gone
+
+
+def test_describe_detail_reports_log_facts_only(spark, tmp_path):
+    from cdc_streaming_pipeline_spark.sources.txlog import (
+        describe_detail,
+        write_checkpoint,
+    )
+
+    t = _mk(spark, tmp_path, name="detail")
+    t.merge_cdc_batch(_events(spark, [(3, "UPD", "u", "0002", None)]))
+    t.rebucket(16, rewrite=False)  # lazy: mixed layouts visible
+    write_checkpoint(t)
+    d = describe_detail(t)
+    assert d["version"] == t.latest_version()
+    assert d["n_files"] > 0 and d["total_bytes"] > 0
+    assert d["table_meta"]["n_buckets"] == 16
+    assert set(d["layout_histogram"]) == {8}  # nothing migrated yet
+    assert d["files_with_stats"] == d["n_files"]  # stats_cols=['status']
+    assert d["checkpoint_version"] == t.latest_version()
+    t.migrate_buckets()
+    d2 = describe_detail(t)
+    assert set(d2["layout_histogram"]) == {16}  # migration visible
+    assert d2["max_files_per_bucket"] >= 1
