@@ -1455,6 +1455,72 @@ class BucketedTxLogTable(TxLogTable):
         df = df.filter(~F.col("_is_deleted")).drop(*drop)
         return df.filter(F.col(col).isin(*values)), len(keep), len(files)
 
+    def read_state_pruned(
+        self,
+        predicates: list[tuple],
+        version: int | None = None,
+    ) -> tuple[DataFrame, int, int]:
+        """Conjunctive multi-predicate data-skipping read: each predicate
+        is ``(col, "between", lo, hi)`` or ``(col, "in", values)``; a
+        file survives only if NO predicate can rule it out (per-predicate
+        logic identical to ``read_state_where`` / ``read_state_where_in``,
+        keep-sets intersected), then ALL residual filters apply — so a
+        dashboard's `amount BETWEEN x AND y AND status = 'open'` prunes
+        on range stats AND dictionaries at once. Exactness argument
+        unchanged: pruning only ever drops files that cannot contain a
+        qualifying row. Returns (df, files_read, files_total)."""
+        from cdc_streaming_pipeline_spark.operators.cdc import mark_deleted
+        from cdc_streaming_pipeline_spark.schemas import DELETED_COL, OP_COL
+        from pyspark.sql import functions as F
+
+        if not predicates:
+            raise ValueError("read_state_pruned needs at least one predicate")
+        files = resolve_with_checkpoint(self, version)
+        if not files:
+            raise FileNotFoundError(f"no committed data at version {version}")
+        stats = resolve_file_stats(self, version)
+        dicts = resolve_file_dicts(self, version)
+
+        def survives(f, pred):
+            if pred[1] == "between":
+                col, _, lo, hi = pred
+                st = stats.get(f, {}).get(col)
+                if st is None or st[0] is None or st[1] is None:
+                    return True
+                return not (st[1] < lo or st[0] > hi)
+            if pred[1] == "in":
+                col, _, values = pred
+                d = dicts.get(f, {}).get(col)
+                if d is not None:
+                    return bool(set(values) & set(d))
+                st = stats.get(f, {}).get(col)
+                if st is None or st[0] is None or st[1] is None:
+                    return True
+                return not (st[1] < min(values) or st[0] > max(values))
+            raise ValueError(f"unknown predicate op: {pred[1]!r}")
+
+        keep = [f for f in files if all(survives(f, p) for p in predicates)]
+
+        def residual(df):
+            for pred in predicates:
+                if pred[1] == "between":
+                    df = df.filter(F.col(pred[0]).between(pred[2], pred[3]))
+                else:
+                    df = df.filter(F.col(pred[0]).isin(*pred[2]))
+            return df
+
+        if not keep:
+            return residual(self.read_state(version).filter(F.lit(False))), 0, len(files)
+        df = self.spark.read.option("mergeSchema", "true").parquet(*keep)
+        df = mark_deleted(df) if "_is_deleted" not in df.columns else df
+        drop = [
+            c
+            for c in (OP_COL, self.order_col, DELETED_COL, "_is_deleted")
+            if c in df.columns
+        ]
+        df = df.filter(~F.col("_is_deleted")).drop(*drop)
+        return residual(df), len(keep), len(files)
+
 
 def mv_delta(
     table: TxLogTable,

@@ -300,3 +300,39 @@ def test_dicts_ride_checkpoints_and_merge_updates_them(spark, tmp_path):
     dicts = resolve_file_dicts(re, re.latest_version())
     hot_files = [f for f, d in dicts.items() if "hot" in d.get("status", [])]
     assert hot_files and read == len(hot_files)
+
+
+def test_multi_predicate_pruned_read_intersects_keep_sets(spark, tmp_path):
+    """read_state_pruned: range + equality predicates prune jointly —
+    a file must survive EVERY predicate to be read — and the result
+    equals the unpruned conjunctive filter exactly."""
+    SCHEMA2 = "id bigint, amount double, status string, _op string, _lsn string, _deleted string"
+    t = BucketedTxLogTable(
+        spark, str(tmp_path / "t"), key_cols=["id"], n_buckets=8,
+        stats_cols=["amount", "status"],
+    )
+    rows = [
+        (i, float(i), ["open", "closed"][i % 2], "r", "0001", None)
+        for i in range(400)
+    ]
+    t.init_from_events(spark.createDataFrame(rows, SCHEMA2))
+    t.compact_buckets(min_files=1, cluster_cols=["status", "amount"],
+                      cluster_parts=32)
+
+    df, read, total = t.read_state_pruned(
+        [("amount", "between", 100.0, 120.0), ("status", "in", ["open"])]
+    )
+    got = {r["id"] for r in df.collect()}
+    assert got == {i for i in range(100, 121) if i % 2 == 0}
+    # joint pruning beats either predicate alone
+    _, r_amt, _ = t.read_state_where("amount", 100.0, 120.0)
+    _, r_st, _ = t.read_state_where_in("status", ["open"])
+    assert read <= min(r_amt, r_st) and read < total
+
+    # all-pruned conjunction: disjoint range
+    df, read, _ = t.read_state_pruned(
+        [("amount", "between", 1e9, 2e9), ("status", "in", ["open"])]
+    )
+    assert read == 0 and df.count() == 0
+    with pytest.raises(ValueError, match="unknown predicate op"):
+        t.read_state_pruned([("amount", "gt", 5)])

@@ -85,6 +85,39 @@ def main() -> None:
     s, c3 = timed_count(df)
     print(f"read_state_where post-cluster: {s:.2f}s, files {r}/{tot} ({c3} rows)")
     assert c == c2 == c3, (c, c2, c3)
+
+    # dictionary stats: equality probe on a 16-value categorical — range
+    # stats are useless (every file spans the alphabet) until a
+    # status-clustered compaction makes files value-pure
+    t2 = BucketedTxLogTable(
+        spark,
+        path + "_cat",
+        key_cols=["id"],
+        n_buckets=64,
+        stats_cols=["status"],
+    )
+    t2.init_from_events(
+        synth(spark, n).withColumn(
+            "status",
+            F.concat(
+                F.lit("st-"),
+                F.pmod(F.xxhash64(F.col("id"), F.lit("cat")), F.lit(16)).cast(
+                    "string"
+                ),
+            ),
+        )
+    )
+    df, r, tot = t2.read_state_where_in("status", ["st-3"])
+    s, ce = timed_count(df)
+    print(f"equality probe pre-cluster: {s:.2f}s, files {r}/{tot} ({ce} rows)")
+    t0 = time.monotonic()
+    t2.compact_buckets(min_files=1, cluster_cols=["status"], cluster_parts=256)
+    print(f"status-clustered compaction: {time.monotonic() - t0:.2f}s")
+    df, r, tot = t2.read_state_where_in("status", ["st-3"])
+    s, ce2 = timed_count(df)
+    print(f"equality probe post-cluster: {s:.2f}s, files {r}/{tot} ({ce2} rows)")
+    assert ce == ce2, (ce, ce2)
+    shutil.rmtree(path + "_cat", ignore_errors=True)
     shutil.rmtree(path, ignore_errors=True)
 
 
