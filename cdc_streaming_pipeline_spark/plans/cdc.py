@@ -1864,7 +1864,8 @@ def table_dict_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"txlog-dictskip-{spark.sparkContext.applicationId}-{abs(hash(sf_dir)) % 10**8}",
         )
         t = BucketedTxLogTable(
-            spark, path, key_cols=["id"], n_buckets=16, stats_cols=["status"]
+            spark, path, key_cols=["id"], n_buckets=16,
+            stats_cols=["status", "total_amount"]
         )
         if t.latest_version() is None:
             snap = o.select(
@@ -1889,7 +1890,7 @@ def table_dict_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             t.merge_cdc_batch(hot)
         _TXLOG_MEMO[key] = path
-    t = BucketedTxLogTable(spark, path, stats_cols=["status"])
+    t = BucketedTxLogTable(spark, path, stats_cols=["status", "total_amount"])
 
     def probe(values, name):
         df, fr, ft = t.read_state_where_in("status", values)
@@ -1900,7 +1901,22 @@ def table_dict_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("yes" if fr < ft else "no").alias("pruned"),
         )
 
-    return probe(["escalated"], "new_status").unionByName(probe(["P"], "p_status"))
+    # conjunctive probe (read_state_pruned): dictionary pruning on the
+    # status AND range pruning on the amount intersect their keep-sets
+    cdf, cr, ct = t.read_state_pruned(
+        [("status", "in", ["P"]), ("total_amount", "between", 1000.0, 50000.0)]
+    )
+    conj = cdf.agg(
+        F.lit("conjunctive").alias("probe"),
+        F.count("*").alias("n_rows"),
+        dsum(F.col("total_amount")).alias("total_amount"),
+        F.lit("yes" if cr < ct else "no").alias("pruned"),
+    )
+    return (
+        probe(["escalated"], "new_status")
+        .unionByName(probe(["P"], "p_status"))
+        .unionByName(conj)
+    )
 
 
 QUERIES["table_dict_skipping"] = table_dict_skipping
@@ -1918,6 +1934,14 @@ ORACLE["table_dict_skipping"] = """
            'yes' AS pruned
     FROM orders, mk
     WHERE o_orderstatus = 'P' AND o_orderkey <> mk.k
+    UNION ALL
+    SELECT 'conjunctive' AS probe, COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+               AS total_amount,
+           'yes' AS pruned
+    FROM orders, mk
+    WHERE o_orderstatus = 'P' AND o_totalprice BETWEEN 1000 AND 50000
+      AND o_orderkey <> mk.k
 """
 
 
