@@ -336,3 +336,57 @@ def test_multi_predicate_pruned_read_intersects_keep_sets(spark, tmp_path):
     assert read == 0 and df.count() == 0
     with pytest.raises(ValueError, match="unknown predicate op"):
         t.read_state_pruned([("amount", "gt", 5)])
+
+
+def test_pruned_reads_equal_unpruned_on_random_predicates(spark, tmp_path):
+    """Seeded randomized equivalence: on a mid-migration, part-clustered
+    table, every random range / IN / conjunctive predicate must return
+    EXACTLY what the unpruned filter returns — pruning may only ever
+    drop files that cannot contain a qualifying row, whatever the mix of
+    layouts, dictionaries, and stats coverage."""
+    import random
+
+    SCHEMA2 = "id bigint, amount double, status string, _op string, _lsn string, _deleted string"
+    t = BucketedTxLogTable(
+        spark, str(tmp_path / "t"), key_cols=["id"], n_buckets=8,
+        stats_cols=["amount", "status"],
+    )
+    statuses = ["open", "closed", "pending", "failed", "void"]
+    rows = [
+        (i, float((i * 37) % 1000), statuses[i % 5], "r", "0001", None)
+        for i in range(600)
+    ]
+    t.init_from_events(spark.createDataFrame(rows, SCHEMA2))
+    t.compact_buckets(min_files=1, cluster_cols=["amount"], cluster_parts=16)
+    t.rebucket(16, rewrite=False)  # mixed layouts from here on
+    t.merge_cdc_batch(
+        spark.createDataFrame(
+            [(7, 5000.0, "hot", "u", "0002", None),
+             (13, None, None, "d", "0002", "true")],
+            SCHEMA2,
+        )
+    )
+    t.migrate_buckets(max_files=2)  # PARTIAL migration: layouts stay mixed
+
+    base = t.read_state()
+    rng = random.Random(4242)
+    for trial in range(12):
+        lo = float(rng.randrange(0, 900))
+        hi = lo + float(rng.randrange(10, 400))
+        vals = rng.sample(statuses + ["hot", "absent"], rng.randint(1, 3))
+        preds = [("amount", "between", lo, hi), ("status", "in", vals)]
+        kind = rng.choice(("range", "in", "conj"))
+        if kind == "range":
+            df, _, _ = t.read_state_where("amount", lo, hi)
+            want = base.filter(F.col("amount").between(lo, hi))
+        elif kind == "in":
+            df, _, _ = t.read_state_where_in("status", vals)
+            want = base.filter(F.col("status").isin(*vals))
+        else:
+            df, _, _ = t.read_state_pruned(preds)
+            want = base.filter(
+                F.col("amount").between(lo, hi) & F.col("status").isin(*vals)
+            )
+        got = {(r["id"], r["amount"], r["status"]) for r in df.collect()}
+        exp = {(r["id"], r["amount"], r["status"]) for r in want.collect()}
+        assert got == exp, f"trial {trial} ({kind}, {lo}-{hi}, {vals})"
