@@ -156,3 +156,112 @@ def test_three_processes_race_disjoint_and_overlapping(
 
     if backend_kind == "sqlite":
         assert SQLiteCommitBackend(db_path).heal() == 0  # all materialized
+
+
+MAINT_WORKER = textwrap.dedent(
+    """
+    import sys
+    from cdc_streaming_pipeline_spark.session import get_spark
+    from cdc_streaming_pipeline_spark.sources.txlog import (
+        BucketedTxLogTable, ConcurrentWriteError,
+    )
+
+    table_path = sys.argv[1]
+    spark = get_spark("race-maint", cpus=2, shuffle_partitions=2)
+    t = BucketedTxLogTable(spark, table_path)  # layout from the log
+    for attempt in range(60):
+        try:
+            t.rebucket(16, rewrite=False)
+            break
+        except ConcurrentWriteError:
+            continue
+    else:
+        sys.exit(3)
+    migrated = 0
+    stalls = 0
+    while True:
+        try:
+            v, n = t.migrate_buckets(max_files=2)
+        except ConcurrentWriteError:
+            stalls += 1
+            if stalls > 200:
+                sys.exit(4)
+            continue
+        if v is None:
+            break
+        migrated += n
+    print(f"MAINT DONE {migrated}")
+    """
+)
+
+
+def test_merges_race_lazy_rebucket_and_migration_across_processes(spark, tmp_path):
+    """2 merge processes race 1 maintenance process doing a LAZY
+    rebucket (metadata-only 8->16) followed by bounded migrate_buckets
+    steps — all in separate JVMs sharing only the table directory.
+    Every merge lands, the layout change sticks, migration completes,
+    and the final state equals the serial latest-LSN oracle with no
+    duplicate keys (the covering rule under cross-process interleaving)."""
+    table_path = str(tmp_path / "race_table2")
+    t = BucketedTxLogTable(
+        spark, table_path, key_cols=["id"], n_buckets=N_BUCKETS
+    )
+    seed = spark.createDataFrame(
+        [(i, f"s{i}", "r", "0001", None) for i in range(40)],
+        "id bigint, status string, _op string, _lsn string, _deleted string",
+    )
+    t.init_from_events(seed)
+
+    env = dict(os.environ, PYTHONPATH=REPO, SPARK_GRAFT_DRIVER_MEM="3g")
+    procs = []
+    for j in range(2):
+        keys = [[k, f"w{j}-{k}", f"1{j:03d}"] for k in (j * 3, j * 3 + 1, 20 + j)]
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", WORKER,
+                 table_path, "posix", "", f"w{j}", json.dumps(keys)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True,
+            )
+        )
+    procs.append(
+        subprocess.Popen(
+            [sys.executable, "-c", MAINT_WORKER, table_path],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+    )
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err[-2000:]
+        outs.append(out)
+    assert any("MAINT DONE" in o for o in outs)
+
+    from cdc_streaming_pipeline_spark.sources.txlog import (
+        resolve_file_layouts,
+        resolve_snapshot_state,
+        resolve_table_meta,
+    )
+
+    re = BucketedTxLogTable(spark, table_path)
+    assert resolve_table_meta(re)["n_buckets"] == 16 and re.n_buckets == 16
+    expect = {i: f"s{i}" for i in range(40)}
+    for j in range(2):
+        for k in (j * 3, j * 3 + 1, 20 + j):
+            expect[k] = f"w{j}-{k}"
+    got = {r["id"]: r["status"] for r in re.read_state().collect()}
+    assert got == expect  # no lost update, no duplicate, no resurrection
+    dups = re.read_state().groupBy("id").count().filter("count > 1").count()
+    assert dups == 0
+    # migration finished: maintenance worker drained the stale tail, and
+    # any files merged AFTER its last step carry the new layout anyway
+    snap, _, _ = resolve_snapshot_state(re, re.latest_version())
+    layouts = resolve_file_layouts(re, re.latest_version())
+    stale = [f for f in snap if layouts.get(f, 16) != 16]
+    for f in stale:  # a merge racing the final migrate step may re-land 8s
+        re2 = BucketedTxLogTable(spark, table_path)
+        re2.migrate_buckets()
+        break
+    snap, _, _ = resolve_snapshot_state(re, re.latest_version())
+    layouts = resolve_file_layouts(re, re.latest_version())
+    assert all(layouts.get(f, 16) == 16 for f in snap) or not stale
