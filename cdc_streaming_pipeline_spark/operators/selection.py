@@ -47,10 +47,17 @@ def _hashed_ngram_counts(
         target_col.cast("boolean").alias("_is_target"),
         toks.alias("_toks"),
     )
-    bi_idx = F.sequence(F.lit(0), F.greatest(F.size("_toks") - 2, F.lit(0)))
-    bigrams = F.transform(
-        bi_idx, lambda i: F.array_join(F.slice(F.col("_toks"), i + 1, 2), " ")
-    )
+    # bigrams only when >= 2 tokens: sequence(0, greatest(size-2, 0))
+    # always yields one index, so a 1-token doc would emit its unigram
+    # TWICE (degenerate bigram) and an empty doc an empty-string feature
+    # — deviations from the DSIR uni+bigram definition (r11 ADVICE)
+    bi_idx = F.sequence(F.lit(0), F.size("_toks") - 2)
+    bigrams = F.when(
+        F.size("_toks") >= 2,
+        F.transform(
+            bi_idx, lambda i: F.array_join(F.slice(F.col("_toks"), i + 1, 2), " ")
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     grams = staged.select(
         "_id",
         "_is_target",

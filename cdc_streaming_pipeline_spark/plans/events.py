@@ -1483,7 +1483,9 @@ def stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
                 int(r["_b"]): int(r["_c"])
                 for r in ev.filter(F.col("wave") == 0)
                 .groupBy(
-                    F.least(F.floor(F.col("value") / 50.0), F.lit(9)).alias("_b")
+                    F.greatest(
+                        F.lit(0), F.least(F.floor(F.col("value") / 50.0), F.lit(9))
+                    ).alias("_b")
                 )
                 .agg(F.count("*").alias("_c"))
                 .collect()
@@ -1517,7 +1519,8 @@ ORACLE["stream_drift_psi"] = """
         SELECT event_id % 3 AS wave, value + (event_id % 3) * 30.0 AS v
         FROM events
     ), c AS (
-        SELECT wave, LEAST(CAST(FLOOR(v / 50.0) AS BIGINT), 9) AS b,
+        SELECT wave,
+               GREATEST(LEAST(CAST(FLOOR(v / 50.0) AS BIGINT), 9), 0) AS b,
                COUNT(*) AS cnt
         FROM ev GROUP BY wave, b
     ), bins AS (

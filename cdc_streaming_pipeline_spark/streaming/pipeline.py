@@ -606,8 +606,16 @@ def psi_drift_monitor_sink(
     def _monitor(batch_df: DataFrame, batch_id: int) -> None:
         rows = (
             batch_df.groupBy(
-                F.least(
-                    F.floor(F.col(value_col) / F.lit(bin_width)), F.lit(n_bins - 1)
+                # clamp BOTH ends: without greatest(0, ...) a negative
+                # value lands in a negative bin that inflates n yet
+                # contributes no PSI term — silently diverging from the
+                # documented n_bins-bucket definition (and any SQL twin)
+                F.greatest(
+                    F.lit(0),
+                    F.least(
+                        F.floor(F.col(value_col) / F.lit(bin_width)),
+                        F.lit(n_bins - 1),
+                    ),
                 ).alias("_b")
             )
             .agg(F.count("*").alias("_c"), F.max(tag_col).alias("_t"))

@@ -807,3 +807,45 @@ def test_psi_drift_monitor_idempotent_replay_and_empty_batch(spark, tmp_path):
     again = spark.read.parquet(out).collect()
     assert len(again) == 3
     assert {r["tag"]: r["psi"] for r in again} == got
+
+
+def test_psi_monitor_clamps_negative_values_into_bin_zero(spark, tmp_path):
+    """r11 ADVICE: values below 0 used to land in NEGATIVE bins that
+    were counted in n yet contributed no PSI term — silently diverging
+    from the documented n_bins-bucket definition. The clamp puts them in
+    bin 0: n_events counts every row and the PSI over a mostly-negative
+    batch reflects the mass piled into bin 0."""
+    from cdc_streaming_pipeline_spark.streaming.pipeline import (
+        psi_drift_monitor_sink,
+    )
+
+    src = tmp_path / "src"
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    # wave 0: uniform positives (the reference shape); wave 1: all negative
+    spark.createDataFrame(
+        [(0, float(v % 500)) for v in range(1000)], "wave long, value double"
+    ).coalesce(1).write.mode("append").parquet(str(src / "w0"))
+    spark.createDataFrame(
+        [(1, -float(v % 300) - 1.0) for v in range(1000)], "wave long, value double"
+    ).coalesce(1).write.mode("append").parquet(str(src / "w1"))
+    ref = {b: 100 for b in range(10)}  # uniform reference over all bins
+    q = (
+        psi_drift_monitor_sink(
+            spark.readStream.schema("wave long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "w*")),
+            out,
+            ckpt,
+            value_col="value",
+            tag_col="wave",
+            ref_counts=ref,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r["tag"]: (r["n_events"], r["psi"]) for r in spark.read.parquet(out).collect()}
+    assert got[0][0] == 1000 and got[1][0] == 1000  # every row counted
+    # all-negative wave = all mass in bin 0 vs uniform reference: large,
+    # FINITE psi, strictly above the in-distribution wave
+    assert got[1][1] > got[0][1] and got[1][1] > 1.0

@@ -292,3 +292,78 @@ def test_merge_racing_lazy_rebucket_retries_safely(spark, tmp_path):
     with pytest.raises(ValueError, match="multiple of every live layout"):
         t.rebucket(24, rewrite=False)  # 16 | 24 fails; 8 alone would pass
     assert t.rebucket(32, rewrite=False) > v
+
+
+def _buckets_of(spark, ids, n):
+    """{id: pmod(xxhash64(id), n)} via the engine's own bucket expr."""
+    df = with_key_bucket(
+        spark.createDataFrame([(i,) for i in ids], "id bigint"), ["id"], n
+    )
+    return {r["id"]: r["_kb"] for r in df.collect()}
+
+
+def test_merge_retry_detects_cross_layout_overlap_gcd(spark, tmp_path):
+    """ADVICE r11 (medium): the retry conflict re-check must be layout-
+    SYMMETRIC. Scenario: our merge (handle at N=8) touches bucket t with
+    NO old files; while we lose the version race, a lazy rebucket to 16
+    lands AND a foreign merge commits the SAME KEY under the new layout
+    (file tagged b'=t+8). The old one-sided test `t % n' == b'` reduced
+    to `t == b'` and missed the overlap — both writers committed images
+    of one key. The gcd rule (t % g == b' % g, g = gcd(8,16) = 8) must
+    refuse the retry instead."""
+    from cdc_streaming_pipeline_spark.sources.txlog import posix_put_if_absent
+
+    b16 = _buckets_of(spark, range(4000), 16)
+    # the contested key: bucket 11 under 16 -> bucket 3 under 8
+    contested = next(i for i in range(4000) if b16[i] == 11)
+    # seed AVOIDS bucket 3 under 8 (== buckets 3 and 11 under 16), so the
+    # retry's still_there check is trivially true — the ADVICE trap
+    seed_ids = [i for i in range(4000) if b16[i] % 8 != 3][:60]
+    t = _mk(spark, tmp_path)
+    t.init_from_events(
+        _events(spark, [(i, f"s{i}", "r", "0001", None) for i in seed_ids])
+    )
+
+    other = BucketedTxLogTable(spark, str(tmp_path / "t"))
+    calls = {"n": 0}
+
+    def racing_backend(entry_path, payload):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            other.rebucket(16, rewrite=False)
+            other.merge_cdc_batch(
+                _events(spark, [(contested, "THEIRS", "u", "0003", None)])
+            )
+            return False
+        return posix_put_if_absent(entry_path, payload)
+
+    racer = BucketedTxLogTable(
+        spark, str(tmp_path / "t"), commit_backend=racing_backend
+    )
+    with pytest.raises(ConcurrentWriteError, match="conflicts"):
+        racer.merge_cdc_batch(
+            _events(spark, [(contested, "MINE", "u", "0002", None)])
+        )
+    # exactly ONE image of the contested key survives
+    got = _state(t)
+    assert got[contested] == "THEIRS" and len(got) == 61
+    dups = t.read_state().groupBy("id").count().filter(F.col("count") > 1)
+    assert dups.count() == 0
+
+
+def test_lazy_rebucket_ignores_dead_files_layouts(spark, tmp_path):
+    """ADVICE r11 (low): the divisibility guard must consult LIVE files
+    only — a full rewrite to n=8 leaves dead layout-6 files in the
+    accumulated layout map, which must not veto a lazy rebucket to 16
+    that every live file permits."""
+    t = _mk(spark, tmp_path, n_buckets=6)
+    t.init_from_events(_seed(spark))
+    t.rebucket(8, rewrite=True)  # all live files now layout 8; 6 is dead
+    before = _state(t)
+    v = t.rebucket(16, rewrite=False)  # old code: rejected by dead layout 6
+    assert v is not None and resolve_table_meta(t)["n_buckets"] == 16
+    assert _state(t) == before
+    # reads and merges stay exact across the evolved layout
+    t.merge_cdc_batch(_events(spark, [(5, "HOT", "u", "0002", None)]))
+    got = _state(t)
+    assert got[5] == "HOT" and len(got) == 60

@@ -104,14 +104,16 @@ def test_stats_less_writer_stays_exact_conservatively(spark, tmp_path):
     assert read >= len(t._read_entry(v)["adds"])
 
 
-def test_all_null_stats_column_reads_conservatively(spark, tmp_path):
+def test_all_null_stats_column_prunes_via_null_facts(spark, tmp_path):
     t = _mk(spark, tmp_path)
     t.init_from_events(
         _events(spark, [(i, None, "r", "0001", None) for i in range(10)])
     )
-    # min/max are null -> files must be read; nulls never match BETWEEN
+    # min/max are null, but the per-file null facts PROVE no non-null
+    # value exists -> all-null files prune instead of reading (r12:
+    # pre-null-facts they had to be read conservatively)
     df, read, total = t.read_state_where("amount", 0.0, 10.0)
-    assert read == total and df.count() == 0
+    assert read == 0 and total > 0 and df.count() == 0
 
 
 def test_compaction_and_migration_refresh_stats(spark, tmp_path):

@@ -1283,7 +1283,10 @@ def _dsir_weights_raw(sf_dir: str):
     for doc_id, text, lang in docs:
         toks = _norm_tokens(text)
         grams = list(toks)
-        for i in range(max(len(toks) - 2, 0) + 1):
+        # bigrams only when >= 2 tokens (r12: the operator no longer
+        # emits a degenerate self-bigram for 1-token docs or an
+        # empty-string feature for empty docs)
+        for i in range(len(toks) - 1):
             grams.append(" ".join(toks[i : i + 2]))
         cnt = Counter(spark_xxhash64(g) % B for g in grams)
         per_doc[doc_id] = cnt
