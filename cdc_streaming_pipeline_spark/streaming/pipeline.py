@@ -635,9 +635,15 @@ def psi_drift_monitor_sink(
                 Decimal(f"1e-{round_to}"), rounding=ROUND_HALF_UP
             )
         )
-        batch_df.sparkSession.createDataFrame(
-            [(tag, n, psi)], "tag bigint, n_events bigint, psi double"
-        ).coalesce(1).write.mode("overwrite").parquet(
+        # one JVM-side literal row — createDataFrame([...]) parallelizes
+        # the list over defaultParallelism partitions and spins the whole
+        # Python worker pool for ONE row (~4.5 s/batch on local[32], the
+        # bulk of the monitor's fixed per-micro-batch cost)
+        batch_df.sparkSession.range(1, numPartitions=1).select(
+            F.lit(tag).cast("bigint").alias("tag"),
+            F.lit(n).cast("bigint").alias("n_events"),
+            F.lit(psi).cast("double").alias("psi"),
+        ).write.mode("overwrite").parquet(
             os.path.join(out_path, f"batch={int(batch_id)}")
         )
 

@@ -110,3 +110,102 @@ def test_kll_rollup_rank_accuracy_including_merged_row(spark):
             assert phi - slack <= cdf <= phi + slack + 1e-9, (
                 f"{t} φ={phi}: value {a} at cdf {cdf:.4f} (n={n})"
             )
+
+
+def test_bound_oracles_hold_on_adversarial_skew(spark, tmp_path):
+    """The bound-oracle functions (tools/bound_oracles.py) on a SEEDED
+    worst-case: zipf-skewed user ids (one user dominating, a long
+    singleton tail — the regime where naive cardinality estimators
+    collapse) and heavy-tailed values (quantile mass piled at the
+    extremes). Every estimator must stay within the same published
+    bound the gate asserts on the real tables."""
+    import random
+
+    import duckdb
+
+    from cdc_streaming_pipeline_spark.plans import events as ev_plans
+    from tools.bound_oracles import BOUND_ORACLES
+
+    rng = random.Random(99)
+    rows = []
+    for i in range(60_000):
+        # zipf-ish: rank r has weight ~ 1/r over 20k users
+        u = min(int(1.0 / max(rng.random(), 1e-9)) % 20_000, 19_999)
+        t = ["view", "click", "purchase", "refund"][
+            0 if rng.random() < 0.7 else rng.randint(1, 3)
+        ]
+        v = rng.random() ** 8 * 1e6  # heavy tail: most tiny, few huge
+        rows.append((i, u, t, v))
+    pdf_src = __import__("pandas").DataFrame(
+        rows, columns=["event_id", "user_id", "event_type", "value"]
+    )
+    src = str(tmp_path / "events.parquet")
+    pdf_src.to_parquet(src)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{src}')")
+    sdf = spark.createDataFrame(pdf_src)
+
+    # rebuild each sketch query's SHAPE over the skewed frame
+    approx_users = sdf.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+    quantiles = (
+        sdf.groupBy("event_type")
+        .agg(
+            F.percentile_approx(
+                "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000
+            ).alias("q")
+        )
+        .select(
+            "event_type",
+            F.round(F.col("q")[0], 4).alias("p50"),
+            F.round(F.col("q")[1], 4).alias("p90"),
+            F.round(F.col("q")[2], 4).alias("p99"),
+        )
+    )
+    per_type_hll = sdf.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    hll = per_type_hll.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    ).unionByName(
+        per_type_hll.agg(
+            F.lit("__all__").alias("event_type"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        )
+    )
+    sk = sdf.groupBy("event_type").agg(
+        F.expr("theta_sketch_agg(user_id)").alias("sk")
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    theta = a.join(b, F.col("a.event_type") < F.col("b.event_type")).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.expr("theta_sketch_estimate(theta_intersection(a.sk, b.sk))")
+        .cast("long")
+        .alias("approx_common_users"),
+        F.expr("theta_sketch_estimate(theta_union(a.sk, b.sk))")
+        .cast("long")
+        .alias("approx_either_users"),
+    )
+    per_type_kll = sdf.groupBy("event_type").agg(
+        F.expr("kll_sketch_agg_double(value)").alias("sk")
+    )
+    qcols = [
+        F.round(F.expr(f"kll_sketch_get_quantile_double(sk, {q})"), 4).alias(nm)
+        for q, nm in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
+    ]
+    kll = per_type_kll.select("event_type", *qcols).unionByName(
+        per_type_kll.agg(F.expr("kll_merge_agg_double(sk)").alias("sk")).select(
+            F.lit("__all__").alias("event_type"), *qcols
+        )
+    )
+    for name, df in (
+        ("approx_users_per_type", approx_users),
+        ("approx_value_quantiles", quantiles),
+        ("hll_users_rollup", hll),
+        ("theta_user_overlap", theta),
+        ("kll_value_rollup", kll),
+    ):
+        ok, detail = BOUND_ORACLES[name](con, None, df.toPandas())
+        assert ok, f"{name}: {detail}"

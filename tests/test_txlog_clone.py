@@ -116,3 +116,59 @@ def test_describe_detail_reports_log_facts_only(spark, tmp_path):
     d2 = describe_detail(t)
     assert set(d2["layout_histogram"]) == {16}  # migration visible
     assert d2["max_files_per_bucket"] >= 1
+
+
+def test_clone_mid_migration_pruned_reads_survive_source_migration(spark, tmp_path):
+    """r11 verdict item 5, the exact interleaving: clone a MID-MIGRATION
+    table (mixed write-time layouts after a lazy rebucket + partial
+    migrate), run pruned reads ON THE CLONE while the SOURCE finishes
+    its migration — the clone's pinned view must stay model-exact
+    throughout — then source-vacuum past the clone point and assert the
+    clone's reads fail LOUDLY (missing shared files), never wrong rows."""
+    NUM = "id bigint, amount double, _op string, _lsn string, _deleted string"
+    src = BucketedTxLogTable(
+        spark, str(tmp_path / "src"), key_cols=["id"], n_buckets=4,
+        stats_cols=["amount"],
+    )
+    src.init_from_events(
+        spark.createDataFrame(
+            [(i, float(i), "r", "0001", None) for i in range(200)], NUM
+        )
+    )
+    src.compact_buckets(min_files=1, cluster_cols=["amount"], cluster_parts=8)
+    src.rebucket(8, rewrite=False)          # lazy: metadata-only
+    src.migrate_buckets(max_files=2)        # PARTIAL: clone sees mixed layouts
+    from cdc_streaming_pipeline_spark.sources.txlog import resolve_file_layouts
+
+    layouts = set(resolve_file_layouts(src).values())
+    assert len(layouts) > 1  # genuinely mid-migration
+
+    c = clone_table(src, str(tmp_path / "dest"))
+    want = {(r["id"], r["amount"]) for r in c.read_state().collect()}
+
+    def probe_clone():
+        df, read, total = c.read_state_pruned(
+            [("amount", "between", 50.0, 80.0)]
+        )
+        got = {(r["id"], r["amount"]) for r in df.collect()}
+        assert got == {(i, float(i)) for i in range(50, 81)}
+        assert read < total  # skipping facts carried through the clone
+        full = {(r["id"], r["amount"]) for r in c.read_state().collect()}
+        assert full == want
+
+    probe_clone()
+    # source finishes its migration while the clone keeps reading
+    while src.migrate_buckets(max_files=2)[0] is not None:
+        probe_clone()
+    # and diverges further (full rewrite makes every shared file dead)
+    src.compact_buckets(min_files=1)
+    probe_clone()
+
+    # the documented shallow-clone caveat, asserted LOUD: source vacuum
+    # past the clone point deletes shared bytes -> clone reads RAISE
+    deleted = vacuum(src, retain_versions=1, min_age_seconds=0.0)
+    assert deleted  # shared files physically gone
+    with pytest.raises(Exception) as ei:
+        c.read_state_pruned([("amount", "between", 50.0, 80.0)])[0].collect()
+    msg = str(ei.value).lower()
+    assert "path does not exist" in msg or "filenotfound" in msg or "unable" in msg

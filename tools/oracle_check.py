@@ -33,6 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from cdc_streaming_pipeline_spark.session import get_spark
 from cdc_streaming_pipeline_spark.sources.tables import TABLE_NAMES
+from tools.bound_oracles import BOUND_ORACLES
 from tools.py_oracles import PY_ORACLES
 
 
@@ -122,7 +123,7 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    failed, passed, rows_only = [], [], []
+    failed, passed, rows_only, bounded = [], [], [], []
     records: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
@@ -142,6 +143,30 @@ def main() -> int:
         t_spark = time.time() - t0
         py_oracle = PY_ORACLES.get(name) if name not in oracles else None
         if name not in oracles and py_oracle is None:
+            # sketch estimates are unhashable by design but NOT
+            # uncheckable: assert each within its published error bound
+            # vs the exact DuckDB answer (tools/bound_oracles.py)
+            bound_fn = BOUND_ORACLES.get(name)
+            if bound_fn is not None:
+                try:
+                    ok, detail = bound_fn(con, sf_dir, spark_pdf)
+                except Exception as e:  # noqa: BLE001
+                    ok, detail = False, f"bound oracle: {type(e).__name__}: {e}"
+                records[name] = {
+                    "rows_match": None, "schema_match": None, "hash_match": None,
+                    "bounds_match": ok,
+                    "spark_rows": len(spark_pdf), "oracle_rows": None,
+                    "oracle_kind": "bounds",
+                    "err": (detail or None) if not ok else None,
+                    "sec": round(t_spark, 2),
+                }
+                if ok:
+                    bounded.append(name)
+                    print(f"BOUND {name}: within error bounds ({t_spark:.1f}s)")
+                else:
+                    failed.append(name)
+                    print(f"FAIL {name}: bound violated: {detail}")
+                continue
             rows_only.append(name)
             records[name] = {
                 "rows_match": None, "schema_match": None, "hash_match": None,
@@ -192,7 +217,8 @@ def main() -> int:
             json.dump(records, fh, indent=1)
             fh.write("\n")
     print(
-        f"\n{len(passed)} passed, {len(failed)} failed, {len(rows_only)} rows-only "
+        f"\n{len(passed)} passed, {len(failed)} failed, "
+        f"{len(bounded)} bounds-certified, {len(rows_only)} rows-only "
         f"of {len(qs)} queries at {sf_dir}"
     )
     return 1 if failed else 0
