@@ -2041,6 +2041,160 @@ ORACLE["table_stats_skipping_decimal"] = """
 """
 
 
+def table_null_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file NULL-count skipping facts
+    (sources/txlog.py:resolve_file_nulls + read_state_pruned): Delta's
+    nullCount stats, the facts that make ``IS NULL`` / ``IS NOT NULL``
+    prunable AND let range predicates drop all-null files (whose
+    [min, max] are null — previously 'unknown, must read'). Fixture:
+    orders with every 7th amount NULL, clustered-compacted on the
+    amount so nulls concentrate in their own range slices
+    (repartitionByRange sorts nulls first). The isnull probe must skip
+    the all-non-null slices, the isnotnull probe must skip the pure-
+    null slices, and a range probe must skip null slices too — each
+    'yes' asserted by the oracle, values exact."""
+    import os
+    import tempfile
+
+    from cdc_streaming_pipeline_spark.sources.txlog import BucketedTxLogTable
+
+    key = (spark.sparkContext.applicationId, sf_dir, "null_skip")
+    path = _TXLOG_MEMO.get(key)
+    o = _orders(spark, sf_dir)
+    k = F.col("o_orderkey")
+    amt = F.when(k % 7 != 0, F.col("o_totalprice").cast("double"))
+    if path is None:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"txlog-nullskip-{spark.sparkContext.applicationId}-{abs(hash(sf_dir)) % 10**8}",
+        )
+        t = BucketedTxLogTable(
+            spark, path, key_cols=["id"], n_buckets=8, stats_cols=["total_amount"]
+        )
+        if t.latest_version() is None:
+            snap = o.select(
+                k.alias("id"),
+                amt.alias("total_amount"),
+                F.lit("r").alias(OP_COL),
+                _lsn(k, 1).alias(LSN_COL),
+                F.lit(None).cast("string").alias(DELETED_COL),
+            )
+            t.init_from_events(snap)
+            t.compact_buckets(
+                min_files=1, cluster_cols=["total_amount"], cluster_parts=32
+            )
+        _TXLOG_MEMO[key] = path
+    t = BucketedTxLogTable(spark, path, stats_cols=["total_amount"])
+
+    def probe(preds, name):
+        df, fr, ft = t.read_state_pruned(preds)
+        return df.agg(
+            F.lit(name).alias("probe"),
+            F.count("*").alias("n_rows"),
+            F.round(F.sum(F.col("total_amount").cast("decimal(28,6)")), 2)
+            .cast("double")
+            .alias("total_amount"),
+            F.lit("yes" if fr < ft else "no").alias("pruned"),
+        )
+
+    return (
+        probe([("total_amount", "isnull")], "nulls")
+        .unionByName(probe([("total_amount", "isnotnull")], "non_nulls"))
+        .unionByName(probe([("total_amount", "between", 1000.0, 2000.0)], "range"))
+    )
+
+
+QUERIES["table_null_skipping"] = table_null_skipping
+ORACLE["table_null_skipping"] = """
+    WITH st AS (
+        SELECT CASE WHEN o_orderkey % 7 <> 0
+                    THEN CAST(o_totalprice AS DOUBLE) END AS amt
+        FROM orders
+    )
+    SELECT 'nulls' AS probe, COUNT(*) AS n_rows,
+           CAST(NULL AS DOUBLE) AS total_amount, 'yes' AS pruned
+    FROM st WHERE amt IS NULL
+    UNION ALL
+    SELECT 'non_nulls' AS probe, COUNT(*) AS n_rows,
+           CAST(ROUND(CAST(SUM(CAST(amt AS DECIMAL(28,6))) AS DECIMAL(38,6)), 2)
+                AS DOUBLE) AS total_amount,
+           'yes' AS pruned
+    FROM st WHERE amt IS NOT NULL
+    UNION ALL
+    SELECT 'range' AS probe, COUNT(*) AS n_rows,
+           CAST(ROUND(CAST(SUM(CAST(amt AS DECIMAL(28,6))) AS DECIMAL(38,6)), 2)
+                AS DOUBLE) AS total_amount,
+           'yes' AS pruned
+    FROM st WHERE amt BETWEEN 1000 AND 2000
+"""
+
+
+def table_text_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style TRUNCATED string statistics
+    (sources/txlog.py:_stat_store — 32-char prefix min, incremented-
+    prefix max): a TEXT stats column must cost each log entry at most
+    2×32 chars per file, not two full documents, while pruned reads on
+    those truncated bounds stay EXACT. Fixture: the documents corpus
+    keyed by doc_id with stats on the raw text, clustered-compacted on
+    the text so each file covers a narrow lexicographic slice; prefix-
+    range probes must skip the other slices ('yes' asserted by the
+    oracle) and return exactly DuckDB's answer on the full strings —
+    the conservative-bounds construction (prefix ≤ every value it
+    summarizes, bumped prefix > all of them) proven at the gate."""
+    import os
+    import tempfile
+
+    from cdc_streaming_pipeline_spark.sources.txlog import BucketedTxLogTable
+
+    key = (spark.sparkContext.applicationId, sf_dir, "text_skip")
+    path = _TXLOG_MEMO.get(key)
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    if path is None:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"txlog-textskip-{spark.sparkContext.applicationId}-{abs(hash(sf_dir)) % 10**8}",
+        )
+        t = BucketedTxLogTable(
+            spark, path, key_cols=["id"], n_buckets=4, stats_cols=["text"]
+        )
+        if t.latest_version() is None:
+            snap = docs.select(
+                k.alias("id"),
+                F.col("text"),
+                F.lit("r").alias(OP_COL),
+                _lsn(k, 1).alias(LSN_COL),
+                F.lit(None).cast("string").alias(DELETED_COL),
+            )
+            t.init_from_events(snap)
+            t.compact_buckets(min_files=1, cluster_cols=["text"], cluster_parts=32)
+        _TXLOG_MEMO[key] = path
+    t = BucketedTxLogTable(spark, path, stats_cols=["text"])
+
+    def probe(lo, hi, name):
+        df, fr, ft = t.read_state_where("text", lo, hi)
+        return df.agg(
+            F.lit(name).alias("probe"),
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("sum_chars"),
+            F.lit("yes" if fr < ft else "no").alias("pruned"),
+        )
+
+    return probe("a", "f", "prefix_low").unionByName(probe("m", "t", "prefix_mid"))
+
+
+QUERIES["table_text_stats_skipping"] = table_text_stats_skipping
+ORACLE["table_text_stats_skipping"] = """
+    SELECT 'prefix_low' AS probe, COUNT(*) AS n_docs,
+           SUM(LENGTH(text)) AS sum_chars, 'yes' AS pruned
+    FROM documents WHERE text >= 'a' AND text <= 'f'
+    UNION ALL
+    SELECT 'prefix_mid' AS probe, COUNT(*) AS n_docs,
+           SUM(LENGTH(text)) AS sum_chars, 'yes' AS pruned
+    FROM documents WHERE text >= 'm' AND text <= 't'
+"""
+
+
 def table_filtered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-predicate pruned reads
     (sources/txlog.py:read_state_filtered): the engine's best read API

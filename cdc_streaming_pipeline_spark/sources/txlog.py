@@ -1309,21 +1309,7 @@ class BucketedTxLogTable(TxLogTable):
         cand = {c: fs for c, fs in cand.items() if fs}
         if not cand:
             return out
-        cand_files = sorted({f for fs in cand.values() for f in fs})
-        fcol = F.input_file_name()
-        drows = (
-            self.spark.read.parquet(*cand_files)
-            .groupBy(fcol.alias("_f"))
-            .agg(
-                *[
-                    F.collect_set(
-                        F.when(fcol.isin(cand[c]), F.col(c))
-                    ).alias(f"_set_{c}")
-                    for c in cand
-                ]
-            )
-            .collect()
-        )
+        drows = self._dict_job(cand).collect()
         dicts = {}
         for r in drows:
             d = {}
@@ -1340,6 +1326,33 @@ class BucketedTxLogTable(TxLogTable):
         if dicts:
             out["file_dicts"] = dicts
         return out
+
+    def _dict_job(self, cand: dict[str, list[str]]) -> DataFrame:
+        """The dictionary collect_set aggregate with the approx-distinct
+        gate applied PER (file, column): each column's set is collected
+        under ``when(input_file ∈ candidates-for-THAT-column)``, so a
+        (file, col) pair that FAILED the gate contributes nulls —
+        collect_set drops them — and no task buffers a high-cardinality
+        set because one sibling column qualified the file. ``cand``:
+        {column: [raw file URIs that passed the gate for it]}.
+        Exposed as a seam so tests can pin the plan shape (every
+        collect_set wrapped in CASE WHEN)."""
+        from pyspark.sql import functions as F
+
+        cand_files = sorted({f for fs in cand.values() for f in fs})
+        fcol = F.input_file_name()
+        return (
+            self.spark.read.parquet(*cand_files)
+            .groupBy(fcol.alias("_f"))
+            .agg(
+                *[
+                    F.collect_set(
+                        F.when(fcol.isin(cand[c]), F.col(c))
+                    ).alias(f"_set_{c}")
+                    for c in cand
+                ]
+            )
+        )
 
     def _meta_dict(self) -> dict:
         return {

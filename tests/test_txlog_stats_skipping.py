@@ -392,3 +392,68 @@ def test_pruned_reads_equal_unpruned_on_random_predicates(spark, tmp_path):
         got = {(r["id"], r["amount"], r["status"]) for r in df.collect()}
         exp = {(r["id"], r["amount"], r["status"]) for r in want.collect()}
         assert got == exp, f"trial {trial} ({kind}, {lo}-{hi}, {vals})"
+
+
+def test_dict_gate_is_per_file_column_pair(spark, tmp_path):
+    """r11 verdict 'What's wrong #2': a file qualifying via ONE
+    low-cardinality column must not have its high-cardinality sibling's
+    full value set collected. The second-pass aggregate gates each
+    column's collect_set with when(file ∈ candidates-for-that-column)
+    — pinned in the plan (every collect_set wrapped in CASE WHEN) and
+    in the outcome (dict recorded for the low-card column only)."""
+    from cdc_streaming_pipeline_spark.sources.txlog import resolve_file_dicts
+
+    SCHEMA2 = (
+        "id bigint, sku string, status string, "
+        "_op string, _lsn string, _deleted string"
+    )
+    t = BucketedTxLogTable(
+        spark, str(tmp_path / "t"), key_cols=["id"], n_buckets=2,
+        stats_cols=["sku", "status"],
+    )
+    rows = [
+        (i, f"sku-{i:06d}", ["open", "closed"][i % 2], "r", "0001", None)
+        for i in range(2000)
+    ]
+    t.init_from_events(spark.createDataFrame(rows, SCHEMA2))
+    dicts = resolve_file_dicts(t, t.latest_version())
+    assert dicts and all("status" in d for d in dicts.values())
+    assert not any("sku" in d for d in dicts.values())  # ~1000 distinct/file
+
+    # plan pin on the seam: the collect_set for a column runs ONLY over
+    # that column's candidate files (CASE WHEN input_file ∈ ...)
+    snap = t._snapshot_files()
+    # the seam takes RAW URIs as input_file_name returns them
+    job = t._dict_job({"status": [f"file://{snap[0]}"]})
+    plan = job._jdf.queryExecution().optimizedPlan().toString()
+    assert "CASE WHEN" in plan and "collect_set" in plan
+    got = {r["_f"].rsplit("/", 1)[-1]: r["_set_status"] for r in job.collect()}
+    target = snap[0].rsplit("/", 1)[-1]
+    for fname, s in got.items():
+        if fname == target:
+            assert set(s) == {"open", "closed"}
+        else:
+            assert s == []  # gated out: nulls only, nothing buffered
+
+
+def test_long_dict_values_fall_back_to_range_pruning(spark, tmp_path):
+    """Values longer than DICT_VALUE_CAP never land in a dictionary —
+    a 16-value set of long documents would bloat entries like
+    untruncated min/max would; the column falls back to (truncated)
+    range stats and reads stay exact."""
+    from cdc_streaming_pipeline_spark.sources.txlog import (
+        DICT_VALUE_CAP,
+        resolve_file_dicts,
+    )
+
+    t = BucketedTxLogTable(
+        spark, str(tmp_path / "t"), key_cols=["id"], n_buckets=2,
+        stats_cols=["status"],
+    )
+    long_vals = [f"{c}" + "x" * (DICT_VALUE_CAP + 40) for c in "ab"]
+    rows = [(i, long_vals[i % 2], "r", "0001", None) for i in range(100)]
+    t.init_from_events(spark.createDataFrame(rows, CAT_SCHEMA))
+    dicts = resolve_file_dicts(t, t.latest_version())
+    assert not any("status" in d for d in dicts.values())
+    df, read, total = t.read_state_where_in("status", [long_vals[0]])
+    assert {r["id"] for r in df.collect()} == {i for i in range(100) if i % 2 == 0}
