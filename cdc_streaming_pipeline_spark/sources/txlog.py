@@ -2435,6 +2435,7 @@ def describe_detail(table: TxLogTable, version: int | None = None) -> dict:
     layouts = {f: n for f, n in resolve_file_layouts(table, v).items() if f in live}
     stats = resolve_file_stats(table, v)
     dicts = resolve_file_dicts(table, v)
+    nulls = resolve_file_nulls(table, v)
     per_bucket: dict[int, int] = {}
     for f in snap:
         b = bmap.get(f)
@@ -2456,6 +2457,7 @@ def describe_detail(table: TxLogTable, version: int | None = None) -> dict:
         "layout_histogram": dict(sorted(layout_hist.items(), key=lambda kv: str(kv[0]))),
         "files_with_stats": sum(1 for f in snap if stats.get(f)),
         "files_with_dicts": sum(1 for f in snap if dicts.get(f)),
+        "files_with_null_facts": sum(1 for f in snap if nulls.get(f)),
         "checkpoint_version": best["version"] if best else None,
     }
 

@@ -42,9 +42,12 @@ WORKER = textwrap.dedent(
     keys = json.loads(keys_json)  # [[key, status, lsn], ...]
     spark = get_spark(f"race-{writer}", cpus=2, shuffle_partitions=2)
     backend = SQLiteCommitBackend(db_path) if backend_kind == "sqlite" else None
+    # layout resolves FROM THE LOG: an explicit n_buckets here raced the
+    # maintenance worker's lazy rebucket at open time (validation fired
+    # before the first merge could adopt the new layout) — a real writer
+    # opens layout-from-log and lets _refresh_meta adopt evolutions
     t = BucketedTxLogTable(
-        spark, table_path, key_cols=["id"], n_buckets=%(n_buckets)d,
-        commit_backend=backend,
+        spark, table_path, key_cols=["id"], commit_backend=backend,
     )
     committed = []
     for key, status, lsn in keys:
@@ -64,7 +67,6 @@ WORKER = textwrap.dedent(
             sys.exit(3)
     print("COMMITTED " + json.dumps(committed))
     """
-    % {"n_buckets": N_BUCKETS}
 )
 
 

@@ -441,3 +441,80 @@ def test_read_state_filtered_column_predicate_prunes_and_is_exact(spark, tmp_pat
         exp = {tuple(r) for r in state.filter(pred).collect()}
         assert got == exp, f"trial {trial}"
         assert read <= total
+
+
+def test_null_facts_ride_checkpoints_and_clone(spark, tmp_path):
+    from cdc_streaming_pipeline_spark.sources.txlog import (
+        clone_table,
+        write_checkpoint,
+    )
+
+    t = BucketedTxLogTable(
+        spark, str(tmp_path / "t"), key_cols=["id"], n_buckets=4,
+        stats_cols=["amount"], checkpoint_interval=1,
+    )
+    rows = [
+        (i, None if i % 5 == 0 else float(i), "open", "r", "0001", None)
+        for i in range(100)
+    ]
+    t.init_from_events(spark.createDataFrame(rows, MIX_SCHEMA))
+    t.compact_buckets(min_files=1, cluster_cols=["amount"], cluster_parts=8)
+    write_checkpoint(t)
+    # a FRESH handle resolves null facts through the checkpoint
+    re = BucketedTxLogTable(spark, str(tmp_path / "t"), stats_cols=["amount"])
+    assert resolve_file_nulls(re)  # not a full-log replay artifact
+    df, read, total = re.read_state_pruned([("amount", "isnull")])
+    assert {r["id"] for r in df.collect()} == {i for i in range(100) if i % 5 == 0}
+    assert read < total
+    # and through a shallow clone
+    c = clone_table(re, str(tmp_path / "c"))
+    df, read2, total2 = c.read_state_pruned([("amount", "isnull")])
+    assert {r["id"] for r in df.collect()} == {i for i in range(100) if i % 5 == 0}
+    assert read2 < total2
+
+
+def test_stat_norm_invariants_hypothesis():
+    """Property pins on the normalizers, no Spark needed:
+    - Decimal encodings bracket the value (outward rounding);
+    - datetime/date encodings are strictly order-preserving;
+    - string store bounds bracket the original (prefix min <= s <
+      bumped max) at any length."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cdc_streaming_pipeline_spark.sources.txlog import _stat_store
+
+    decs = st.decimals(
+        min_value=Decimal("-1e12"), max_value=Decimal("1e12"),
+        allow_nan=False, allow_infinity=False, places=6,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(decs)
+    def check_decimal(d):
+        lo, hi = _stat_norm(d, "min"), _stat_norm(d, "max")
+        assert Decimal(lo) <= d <= Decimal(hi)
+
+    dts = st.datetimes(
+        min_value=dt.datetime(1901, 1, 1), max_value=dt.datetime(2200, 1, 1)
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(dts, dts)
+    def check_dt(a, b):
+        na, nb = _stat_norm(a, "min"), _stat_norm(b, "min")
+        assert (a < b) == (na < nb) and (a == b) == (na == nb)
+
+    texts = st.text(min_size=0, max_size=120)
+
+    @settings(max_examples=300, deadline=None)
+    @given(texts)
+    def check_str(s):
+        mn, mx = _stat_store(s, "min"), _stat_store(s, "max")
+        assert mn <= s
+        if mx is not None:
+            assert s <= mx
+
+    check_decimal()
+    check_dt()
+    check_str()
