@@ -2195,6 +2195,105 @@ ORACLE["table_text_stats_skipping"] = """
 """
 
 
+def table_analyze_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE backfill (sources/txlog.py:analyze_table): a table whose
+    files were written by a STATS-LESS handle reads conservatively
+    forever — every probe scans everything even when a clustered layout
+    made the files narrow. One facts-only commit (no adds, no removes,
+    one aggregate over just the uncovered files) backfills
+    stats/nulls/dictionaries, and the same probes prune. Probes: the
+    pre-analyze range read (pruned='no' — asserted, proving the
+    fixture really was unanalyzed), the post-analyze range read
+    (pruned='yes'), and a dictionary IN probe (pruned='yes'); all
+    value-exact vs the closed-form oracle."""
+    import os
+    import tempfile
+
+    from cdc_streaming_pipeline_spark.sources.txlog import (
+        BucketedTxLogTable,
+        analyze_table,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "analyze_backfill")
+    memo = _TXLOG_MEMO.get(key)
+    o = _orders(spark, sf_dir)
+    k = F.col("o_orderkey")
+    if memo is None:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"txlog-analyze-{spark.sparkContext.applicationId}-{abs(hash(sf_dir)) % 10**8}",
+        )
+        t = BucketedTxLogTable(spark, path, key_cols=["id"], n_buckets=8)
+        pre_pruned = "no"
+        if t.latest_version() is None:
+            snap = o.select(
+                k.alias("id"),
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_totalprice").cast("double").alias("total_amount"),
+                F.lit("r").alias(OP_COL),
+                _lsn(k, 1).alias(LSN_COL),
+                F.lit(None).cast("string").alias(DELETED_COL),
+            )
+            t.init_from_events(snap)  # stats-less writer
+            # cluster on (status, amount) so BOTH post-analyze probes
+            # prune at every SF: slices are status-pure runs with
+            # narrow amount ranges inside each status group
+            t.compact_buckets(
+                min_files=1,
+                cluster_cols=["status", "total_amount"],
+                cluster_parts=32,
+            )
+            probe = BucketedTxLogTable(
+                spark, path, stats_cols=["total_amount", "status"]
+            )
+            _, r0, t0 = probe.read_state_where("total_amount", 1000.0, 2000.0)
+            pre_pruned = "yes" if r0 < t0 else "no"
+            analyze_table(probe, ["total_amount", "status"])
+        _TXLOG_MEMO[key] = (path, pre_pruned)
+        memo = _TXLOG_MEMO[key]
+    path, pre_pruned = memo
+    t = BucketedTxLogTable(spark, path, stats_cols=["total_amount", "status"])
+
+    def agg(df, fr, ft, name, flag=None):
+        return df.agg(
+            F.lit(name).alias("probe"),
+            F.count("*").alias("n_rows"),
+            F.round(F.sum(F.col("total_amount").cast("decimal(28,6)")), 2)
+            .cast("double")
+            .alias("total_amount"),
+            F.lit(flag if flag is not None else ("yes" if fr < ft else "no")).alias(
+                "pruned"
+            ),
+        )
+
+    d1, r1, t1 = t.read_state_where("total_amount", 1000.0, 2000.0)
+    d2, r2, t2 = t.read_state_where_in("status", ["P"])
+    return (
+        agg(d1.filter(F.lit(False)), 0, 1, "pre_analyze", flag=pre_pruned)
+        .unionByName(agg(d1, r1, t1, "post_analyze_range"))
+        .unionByName(agg(d2, r2, t2, "post_analyze_in"))
+    )
+
+
+QUERIES["table_analyze_backfill"] = table_analyze_backfill
+ORACLE["table_analyze_backfill"] = """
+    SELECT 'pre_analyze' AS probe, 0 AS n_rows,
+           CAST(NULL AS DOUBLE) AS total_amount, 'no' AS pruned
+    UNION ALL
+    SELECT 'post_analyze_range' AS probe, COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+               AS total_amount,
+           'yes' AS pruned
+    FROM orders WHERE CAST(o_totalprice AS DOUBLE) BETWEEN 1000 AND 2000
+    UNION ALL
+    SELECT 'post_analyze_in' AS probe, COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+               AS total_amount,
+           'yes' AS pruned
+    FROM orders WHERE o_orderstatus = 'P'
+"""
+
+
 def table_filtered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-predicate pruned reads
     (sources/txlog.py:read_state_filtered): the engine's best read API

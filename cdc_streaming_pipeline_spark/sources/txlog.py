@@ -2534,6 +2534,73 @@ def clone_table(src: TxLogTable, dest_path: str, version: int | None = None,
     return dest
 
 
+def analyze_table(
+    table: TxLogTable,
+    stats_cols: list[str] | None = None,
+    max_files: int | None = None,
+) -> int | None:
+    """Backfill skipping facts for live files that LACK them — the
+    ANALYZE maintenance op (Delta `ANALYZE TABLE ... COMPUTE STATISTICS`
+    / Iceberg rewrite of the stats metadata). Files written by
+    stats-less handles, or before the table had a stats policy, are
+    read conservatively forever; this pass runs ONE aggregate job over
+    just the uncovered files and commits a FACTS-ONLY entry (no adds,
+    no removes — resolvers fold `file_stats`/`file_nulls`/`file_dicts`
+    by file key), so a 100 TB table becomes prunable for the cost of
+    scanning its unanalyzed fraction once, without rewriting a byte.
+
+    ``max_files`` bounds one pass (run from a maintenance window like
+    ``migrate_buckets``). Concurrency: commits with append semantics —
+    facts describe immutable files, so an interleaved commit can at
+    worst remove a file whose (now dead) facts are simply never
+    consulted again. Returns the committed version, or None when every
+    live file already carries facts for every requested column."""
+    cols = list(stats_cols or getattr(table, "stats_cols", None) or [])
+    if not cols:
+        raise ValueError("analyze_table needs stats_cols (argument or handle policy)")
+    base = table.latest_version()
+    if base is None:
+        raise FileNotFoundError("analyze of an uninitialized table")
+    live = resolve_with_checkpoint(table, base)
+    stats = resolve_file_stats(table, base)
+    missing = [f for f in live if any(c not in stats.get(f, {}) for c in cols)]
+    if max_files is not None:
+        missing = missing[:max_files]
+    if not missing:
+        return None
+    columns = table.spark.read.option("mergeSchema", "true").parquet(*missing).columns
+    if hasattr(table, "_staged_skipping_facts"):
+        old_policy = table.stats_cols
+        table.stats_cols = cols
+        try:
+            facts = table._staged_skipping_facts(missing, columns)
+        finally:
+            table.stats_cols = old_policy
+    else:
+        facts = table._file_stats(missing, [c for c in cols if c in columns])
+    if not facts:
+        return None
+    for _ in range(20):
+        version = base + 1
+        entry = {
+            "version": version,
+            "mode": "analyze",
+            "adds": [],
+            "removes": [],
+            "n_files": 0,
+        }
+        entry.update(facts)
+        if table._try_commit(version, entry):
+            if (
+                getattr(table, "checkpoint_interval", None)
+                and version % table.checkpoint_interval == 0
+            ):
+                write_checkpoint(table, version)
+            return version
+        base = table.latest_version()
+    raise ConcurrentWriteError("analyze gave up after 20 retries")
+
+
 def vacuum(
     table: TxLogTable, retain_versions: int = 2, min_age_seconds: float = 3600.0
 ) -> list[str]:

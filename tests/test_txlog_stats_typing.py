@@ -518,3 +518,89 @@ def test_stat_norm_invariants_hypothesis():
     check_decimal()
     check_dt()
     check_str()
+
+
+def test_analyze_table_backfills_facts_for_statsless_files(spark, tmp_path):
+    """analyze_table: a clustered-but-unanalyzed table (stats-less
+    writer) reads everything; ONE facts-only commit — no adds, no
+    removes, no rewrite — makes the same probes prune. New facts cover
+    exactly the uncovered files; a second pass is a no-op."""
+    from cdc_streaming_pipeline_spark.sources.txlog import (
+        analyze_table,
+        resolve_file_dicts,
+        resolve_file_stats,
+        write_checkpoint,
+    )
+
+    t = BucketedTxLogTable(
+        spark, str(tmp_path / "t"), key_cols=["id"], n_buckets=4,
+    )  # NO stats policy
+    rows = [(i, float(i), ["open", "closed"][i % 2], "r", "0001", None)
+            for i in range(400)]
+    t.init_from_events(spark.createDataFrame(rows, MIX_SCHEMA))
+    t.compact_buckets(min_files=1, cluster_cols=["amount"], cluster_parts=16)
+
+    probe_handle = BucketedTxLogTable(
+        spark, str(tmp_path / "t"), stats_cols=["amount", "status"]
+    )
+    df, read0, total0 = probe_handle.read_state_where("amount", 100.0, 120.0)
+    assert read0 == total0  # clustered but unanalyzed: zero pruning
+
+    v = analyze_table(probe_handle, ["amount", "status"])
+    assert v is not None
+    e = probe_handle._read_entry(v)
+    assert e["mode"] == "analyze" and e["adds"] == [] and e["removes"] == []
+    snap = set(probe_handle._snapshot_files())
+    assert set(e["file_stats"]) == snap  # exactly the uncovered files
+    # facts-only entry: dictionaries recorded too (status is low-card)
+    assert any("status" in d for d in resolve_file_dicts(probe_handle).values())
+
+    df, read1, total1 = probe_handle.read_state_where("amount", 100.0, 120.0)
+    assert {r["id"] for r in df.collect()} == set(range(100, 121))
+    assert read1 < total1  # same files, now prunable
+    df, read2, _ = probe_handle.read_state_where_in("status", ["open"])
+    assert {r["id"] for r in df.collect()} == {i for i in range(400) if i % 2 == 0}
+
+    assert analyze_table(probe_handle, ["amount", "status"]) is None  # no-op
+    # facts ride checkpoints for fresh handles
+    write_checkpoint(probe_handle)
+    re = BucketedTxLogTable(spark, str(tmp_path / "t"), stats_cols=["amount"])
+    assert resolve_file_stats(re)
+    _, read3, total3 = re.read_state_where("amount", 100.0, 120.0)
+    assert read3 < total3
+
+
+def test_analyze_table_bounded_and_mixed_coverage(spark, tmp_path):
+    """max_files bounds one pass; files that already carry facts are
+    never rescanned (the entry lists only the uncovered ones)."""
+    from cdc_streaming_pipeline_spark.sources.txlog import analyze_table
+
+    t = BucketedTxLogTable(
+        spark, str(tmp_path / "t"), key_cols=["id"], n_buckets=4,
+        stats_cols=["amount"],
+    )  # WITH stats policy: init files get facts
+    rows = [(i, float(i), "open", "r", "0001", None) for i in range(100)]
+    t.init_from_events(spark.createDataFrame(rows, MIX_SCHEMA))
+    # a stats-less writer lands more files
+    plain = BucketedTxLogTable(spark, str(tmp_path / "t"))
+    plain.merge_cdc_batch(
+        spark.createDataFrame(
+            [(1000, 5000.0, "hot", "u", "0002", None)], MIX_SCHEMA
+        )
+    )
+    covered = set(t._read_entry(0)["file_stats"])
+    uncovered = set(plain._read_entry(plain.latest_version())["adds"])
+    v1 = analyze_table(t, ["amount"], max_files=1)
+    e1 = t._read_entry(v1)
+    assert len(e1["file_stats"]) == 1
+    assert set(e1["file_stats"]) <= uncovered and not set(e1["file_stats"]) & covered
+    while analyze_table(t, ["amount"], max_files=1) is not None:
+        pass
+    from cdc_streaming_pipeline_spark.sources.txlog import resolve_file_stats
+
+    stats = resolve_file_stats(t)
+    assert all(
+        "amount" in stats.get(f, {}) for f in t._snapshot_files()
+    )
+    df, read, total = t.read_state_where("amount", 4000.0, 6000.0)
+    assert {r["id"] for r in df.collect()} == {1000} and read < total
