@@ -2302,10 +2302,13 @@ def table_filtered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     tree, decomposes AND conjuncts into the between/in/isnull pruning
     grammar, and applies the ORIGINAL Column as the residual. Probes on
     the shared decimal-money fixture: a one-sided comparison must prune
-    to the hot merge's files ('yes', asserted by the oracle), and an OR
-    — outside the conjunctive grammar — must fall back to a full
-    residual read ('no') while staying value-exact: ANY predicate
-    equals the unpruned filter."""
+    to the hot merge's files ('yes', asserted by the oracle); an OR
+    whose sides BOTH overlap every snapshot file reads everything
+    ('no') while staying value-exact; and an OR whose sides each rule
+    out the snapshot (``>= 9e6 OR < 0``) prunes through the DNF tree
+    ('yes') — the disjunctive dashboard predicate the old conjunct-only
+    decomposition had to full-scan. ANY predicate equals the unpruned
+    filter."""
     from cdc_streaming_pipeline_spark.sources.txlog import BucketedTxLogTable
 
     # share the table_stats_skipping_decimal fixture (memoized)
@@ -2325,8 +2328,15 @@ def table_filtered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     amt = F.col("total_amount")
-    return probe(amt >= 9_000_000.0, "ge_hot").unionByName(
-        probe(amt.between(1000.0, 2000.0) | (amt >= 9_000_000.0), "or_fallback")
+    return (
+        probe(amt >= 9_000_000.0, "ge_hot")
+        .unionByName(
+            # the fallback side is FUNCTION-WRAPPED (amt*2), outside the
+            # grammar — an unknown OR side blocks ALL pruning by
+            # construction, whatever the data
+            probe((amt >= 9_000_000.0) | ((amt * 2) >= 18_000_000.0), "or_fallback")
+        )
+        .unionByName(probe((amt >= 9_000_000.0) | (amt < 0.0), "or_pruned"))
     )
 
 
@@ -2345,7 +2355,207 @@ ORACLE["table_filtered_read"] = """
     UNION ALL
     SELECT 'or_fallback' AS probe, COUNT(*) AS n_rows,
            CAST(SUM(amt) AS DOUBLE) AS total_amount, 'no' AS pruned
-    FROM st WHERE (amt BETWEEN 1000 AND 2000) OR amt >= 9000000
+    FROM st WHERE amt >= 9000000 OR amt * 2 >= 18000000
+    UNION ALL
+    SELECT 'or_pruned' AS probe, COUNT(*) AS n_rows,
+           CAST(SUM(amt) AS DOUBLE) AS total_amount, 'yes' AS pruned
+    FROM st WHERE amt >= 9000000 OR amt < 0
+"""
+
+
+def table_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file BLOOM FILTER sidecars (sources/txlog.py:_staged_blooms +
+    _bloom_pruned): point-lookup pruning on a HIGH-cardinality column —
+    the fact neither ranges (an id-shaped column's [min, max] spans
+    every file under key-hash bucketing) nor value dictionaries (capped
+    at DICT_CAP distinct) can carry. Sidecars are built executor-side
+    with the JVM xxhash64 expression and probed driver-side with the
+    bit-exact pure-Python replica (functions/hashing.py) — no Spark job
+    runs during pruning. Fixture: orders keyed by o_orderkey with
+    customer = o_custkey (~10 orders/customer at every TPC-H SF, far
+    above the per-file dictionary margin), then ONE key merged to a
+    synthetic customer. Probes: the synthetic value must read only the
+    merge's files; a value present nowhere must read ZERO files; a real
+    customer's ~10 orders never cover all 16 buckets, so that probe
+    prunes too — each 'yes' asserted by the oracle, values exact."""
+    import os
+    import tempfile
+
+    from cdc_streaming_pipeline_spark.sources.txlog import BucketedTxLogTable
+
+    key = (spark.sparkContext.applicationId, sf_dir, "bloom_skip")
+    path = _TXLOG_MEMO.get(key)
+    o = _orders(spark, sf_dir)
+    k = F.col("o_orderkey")
+    if path is None:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"txlog-bloomskip-{spark.sparkContext.applicationId}-{abs(hash(sf_dir)) % 10**8}",
+        )
+        t = BucketedTxLogTable(
+            spark, path, key_cols=["id"], n_buckets=16, bloom_cols=["customer"]
+        )
+        if t.latest_version() is None:
+            snap = o.select(
+                k.alias("id"),
+                F.col("o_custkey").alias("customer"),
+                F.col("o_totalprice").cast("double").alias("total_amount"),
+                F.lit("r").alias(OP_COL),
+                _lsn(k, 1).alias(LSN_COL),
+                F.lit(None).cast("string").alias(DELETED_COL),
+            )
+            t.init_from_events(snap)
+            hot = o.join(o.agg(F.min(k).alias("mk")), k == F.col("mk")).select(
+                k.alias("id"),
+                F.lit(-424242).cast("bigint").alias("customer"),
+                F.col("o_totalprice").cast("double").alias("total_amount"),
+                F.lit("u").alias(OP_COL),
+                _lsn(k, 2).alias(LSN_COL),
+                F.lit(None).cast("string").alias(DELETED_COL),
+            )
+            t.merge_cdc_batch(hot)
+        _TXLOG_MEMO[key] = path
+    t = BucketedTxLogTable(spark, path, bloom_cols=["customer"])
+    # the cold probe's value: the customer holding the MAX order key
+    # (bounded 1-row lookup, mirrored in the oracle's subquery)
+    cold = (
+        o.join(o.agg(F.max(k).alias("mk")), k == F.col("mk"))
+        .select("o_custkey")
+        .collect()[0][0]
+    )
+
+    def probe(values, name):
+        df, fr, ft = t.read_state_where_in("customer", values)
+        return df.agg(
+            F.lit(name).alias("probe"),
+            F.count("*").alias("n_rows"),
+            # decimal addition: order-insensitive (a double sum's value
+            # depends on partition order for multi-row probes)
+            F.sum(F.col("total_amount").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_amount"),
+            F.lit("yes" if fr < ft else "no").alias("pruned"),
+        )
+
+    return (
+        probe([-424242], "hot")
+        .unionByName(probe([-999999999], "absent"))
+        .unionByName(probe([int(cold)], "cold"))
+    )
+
+
+def table_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE (sources/txlog.py:delete_where +
+    _apply_dvs — Delta deletion vectors / Iceberg positional deletes):
+    delete a predicate's rows by writing per-file ROW-INDEX sidecars
+    and ONE metadata commit, rewriting ZERO data files — at 100 TB the
+    difference between kilobytes of metadata and rewriting terabytes.
+    Fixture: the orders snapshot as a bucketed state table; delete the
+    mid-range band. Probes: post-delete state (rows gone, 'rewrote' =
+    'no' asserts the live file list is byte-identical across the delete
+    commit), and TIME TRAVEL to the pre-delete version (vectors are
+    versioned facts — the old snapshot restores every row exactly)."""
+    import os
+    import tempfile
+
+    from cdc_streaming_pipeline_spark.sources.txlog import (
+        BucketedTxLogTable,
+        resolve_with_checkpoint,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "dv_table")
+    memo = _TXLOG_MEMO.get(key)
+    o = _orders(spark, sf_dir)
+    k = F.col("o_orderkey")
+    if memo is None:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"txlog-dv-{spark.sparkContext.applicationId}-{abs(hash(sf_dir)) % 10**8}",
+        )
+        t = BucketedTxLogTable(
+            spark, path, key_cols=["id"], n_buckets=16, stats_cols=["total_amount"]
+        )
+        if t.latest_version() is None:
+            snap = o.select(
+                k.alias("id"),
+                F.col("o_totalprice").cast("double").alias("total_amount"),
+                F.lit("r").alias(OP_COL),
+                _lsn(k, 1).alias(LSN_COL),
+                F.lit(None).cast("string").alias(DELETED_COL),
+            )
+            t.init_from_events(snap)
+            pre = t.latest_version()
+            files_before = sorted(resolve_with_checkpoint(t))
+            t.delete_where(F.col("total_amount").between(50_000.0, 100_000.0))
+            rewrote = sorted(resolve_with_checkpoint(t)) != files_before
+            memo = (path, pre, rewrote)
+            _TXLOG_MEMO[key] = memo
+        else:
+            memo = _TXLOG_MEMO[key]
+    path, pre, rewrote = memo
+    t = BucketedTxLogTable(spark, path)
+
+    def probe(df, name):
+        return df.agg(
+            F.lit(name).alias("probe"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("total_amount").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_amount"),
+            F.lit("yes" if rewrote else "no").alias("rewrote"),
+        )
+
+    return probe(t.read_state(), "after_delete").unionByName(
+        probe(t.read_state(pre), "time_travel")
+    )
+
+
+QUERIES["table_deletion_vectors"] = table_deletion_vectors
+ORACLE["table_deletion_vectors"] = """
+    WITH st AS (
+        SELECT o_orderkey AS id, CAST(o_totalprice AS DOUBLE) AS amt
+        FROM orders
+    )
+    SELECT 'after_delete' AS probe, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(amt AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,
+           'no' AS rewrote
+    FROM st WHERE NOT (amt BETWEEN 50000 AND 100000)
+    UNION ALL
+    SELECT 'time_travel' AS probe, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(amt AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,
+           'no' AS rewrote
+    FROM st
+"""
+
+
+QUERIES["table_bloom_skipping"] = table_bloom_skipping
+ORACLE["table_bloom_skipping"] = """
+    WITH mk AS (SELECT MIN(o_orderkey) AS k FROM orders),
+    mx AS (
+        SELECT o_custkey AS c FROM orders
+        WHERE o_orderkey = (SELECT MAX(o_orderkey) FROM orders)
+    ),
+    st AS (
+        SELECT o_orderkey AS id,
+               CASE WHEN o_orderkey = (SELECT k FROM mk)
+                    THEN -424242 ELSE o_custkey END AS customer,
+               CAST(o_totalprice AS DOUBLE) AS total_amount
+        FROM orders
+    )
+    SELECT 'hot' AS probe, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(total_amount AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_amount, 'yes' AS pruned
+    FROM st WHERE customer = -424242
+    UNION ALL
+    SELECT 'absent' AS probe, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(total_amount AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_amount, 'yes' AS pruned
+    FROM st WHERE customer = -999999999
+    UNION ALL
+    SELECT 'cold' AS probe, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(total_amount AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_amount, 'yes' AS pruned
+    FROM st WHERE customer = (SELECT c FROM mx)
 """
 
 

@@ -375,10 +375,201 @@ def _no_values(nu) -> bool:
     return nu is not None and nu[0] == nu[1]
 
 
-def _pred_survives(f: str, pred, stats: dict, dicts: dict, nulls: dict) -> bool:
+# --------------------------------------------------- bloom sidecars --
+#: per-(file, column) Bloom filter size in BITS. 2^17 bits = a 16 KiB
+#: sidecar; with BLOOM_K=5 hashes the false-positive rate at the
+#: distinct-count gate (m/8 values) is ~2%, and far below for smaller
+#: files. Tables with bigger files should raise it (the sizing rule:
+#: ~10 bits per expected distinct value); it is a WRITE policy per
+#: handle — the 'm' each sidecar was built with rides in its log fact.
+BLOOM_BITS = 1 << 17
+#: number of hash probes per value (k). Each is one chained JVM
+#: xxhash64 eval at write time and one pure-Python XXH64 at probe time.
+BLOOM_K = 5
+
+#: column types a Bloom filter is built/probed on: byte width Spark's
+#: XxHash64 hashes the value with (byte/short/int all hash as 4-byte
+#: ints), plus the type's own value domain for the provably-absent
+#: probe shortcut. Doubles/decimals/timestamps are excluded — their
+#: probe-side canonicalization is not bit-stable across languages, and
+#: point lookups on them are not a real workload; ranges cover them.
+_BLOOM_INT_TYPES = {
+    "tinyint": (4, -(1 << 7), (1 << 7) - 1),
+    "smallint": (4, -(1 << 15), (1 << 15) - 1),
+    "int": (4, -(1 << 31), (1 << 31) - 1),
+    "bigint": (8, -(1 << 63), (1 << 63) - 1),
+}
+
+#: loaded sidecar bitmaps, keyed by path — sidecars are immutable once
+#: written (never rewritten, only vacuumed), so a plain capped dict is
+#: a sound cache. Bounds driver memory at ~cap × (BLOOM_BITS/8).
+_BLOOM_CACHE: dict[str, bytes] = {}
+_BLOOM_CACHE_CAP = 512
+
+
+def _bloom_bits(path: str) -> bytes | None:
+    """Load (and cache) one sidecar bitmap; None when unreadable —
+    callers then keep the file (conservative, e.g. a shallow clone
+    whose source was vacuumed out from under it still errors on DATA,
+    not silently on metadata)."""
+    bits = _BLOOM_CACHE.get(path)
+    if bits is not None:
+        return bits
+    try:
+        with open(path, "rb") as fh:
+            bits = fh.read()
+    except OSError:
+        return None
+    if len(_BLOOM_CACHE) >= _BLOOM_CACHE_CAP:
+        _BLOOM_CACHE.pop(next(iter(_BLOOM_CACHE)))
+    _BLOOM_CACHE[path] = bits
+    return bits
+
+
+def _bloom_positions(v, width: int, m: int, k: int) -> list[int]:
+    """The k bit positions of one typed value — MUST match the write
+    job's JVM expression bit-for-bit: position_i = pmod(xxhash64(value,
+    i), m), with the probe index chained as a 4-byte int literal.
+    Python's ``%`` on the signed hash equals Spark's ``pmod``."""
+    from cdc_streaming_pipeline_spark.functions.hashing import spark_xxhash64
+
+    typed = (("long", v) if width == 8 else ("int", v)) if isinstance(v, int) else v
+    return [spark_xxhash64(typed, i) % m for i in range(k)]
+
+
+def _bloom_pruned(meta: dict, values: list) -> bool:
+    """True iff the sidecar PROVES every probe value absent from the
+    file. Any value the bloom cannot speak about — an incompatible
+    probe type, an unreadable sidecar — keeps the file (returns False);
+    a value outside the column type's own domain (a bigint probe
+    against an int column) is provably absent without hashing. Values
+    arrive ``_dict_norm``-alized, so integral floats (including
+    Decimal probes) test as their integer image — the same value
+    Spark's implicit cast would match in the residual filter."""
+    dtype = meta.get("dtype")
+    m, k = meta["m"], meta["k"]
+    bits = None
+    for v in values:
+        if v is None:
+            continue  # IN never matches null: contributes no membership
+        if dtype == "string":
+            if not isinstance(v, str):
+                return False  # incomparable probe: cannot prove absence
+            probe = v
+        elif dtype in _BLOOM_INT_TYPES:
+            width, lo, hi = _BLOOM_INT_TYPES[dtype]
+            if isinstance(v, bool):
+                return False
+            if isinstance(v, float):
+                if not v.is_integer():
+                    continue  # a non-integral probe can't equal any int
+                v = int(v)
+            if not isinstance(v, int):
+                return False
+            if not (lo <= v <= hi):
+                continue  # outside the column type's domain: absent
+            probe = v
+        else:
+            return False  # unknown dtype fact: never prune on it
+        if bits is None:
+            bits = _bloom_bits(meta["path"])
+            if bits is None or len(bits) * 8 < m:
+                return False  # missing/short sidecar: must read
+        width = _BLOOM_INT_TYPES[dtype][0] if dtype != "string" else 0
+        if all(bits[p >> 3] & (1 << (p & 7)) for p in _bloom_positions(probe, width, m, k)):
+            return False  # may contain this value: keep the file
+    return True
+
+
+# --------------------------------------------- deletion vectors --
+# Merge-on-read DELETE (Delta deletion vectors / Iceberg positional
+# deletes): a delete commit writes, per touched data file, a sidecar of
+# the file's deleted ROW INDICES — one metadata commit, zero data bytes
+# rewritten. Readers anti-join (file, row_index) pairs; every rewrite
+# path (merge / compact / rebucket / migrate) reads DV-applied rows, so
+# replacement files are born clean and simply drop the fact. All other
+# skipping facts remain SOUND under DVs because a DV only ever shrinks
+# a file's row set and stats/dicts/blooms/null-counts are upper bounds.
+
+#: DV sidecar format: little-endian uint64 row indices, sorted, unique.
+_DV_MAGIC = b"DV01"
+
+
+def _dv_write(path: str, positions: list[int]) -> None:
+    buf = bytearray(_DV_MAGIC)
+    for p in sorted(set(positions)):
+        buf += int(p).to_bytes(8, "little")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(bytes(buf))
+    os.replace(tmp, path)
+
+
+def _dv_load(path: str) -> list[int]:
+    """Unlike a bloom sidecar, a DV is CORRECTNESS-critical: reading a
+    file while ignoring its DV returns deleted rows, so an unreadable
+    sidecar raises instead of degrading."""
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    if raw[:4] != _DV_MAGIC:
+        raise ValueError(f"corrupt deletion vector at {path}")
+    body = raw[4:]
+    return [
+        int.from_bytes(body[i : i + 8], "little") for i in range(0, len(body), 8)
+    ]
+
+
+def _fp_key_col():
+    """Normalize ``_metadata.file_path`` (a ``file://`` URI) to the
+    plain-path form log entries record, as a JVM expression — the DV
+    anti-join key. Matches ``norm()`` in the stats job for local paths."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
+
+
+def _apply_dvs(spark, df: DataFrame, files: list[str], dvs: dict) -> DataFrame:
+    """Anti-join out each file's deleted row indices. ``dvs`` is the
+    resolved {file: {"path", "n"}} map; files without a DV pass through
+    untouched (the join is against only the relevant pairs). The DV
+    relation is broadcast — its size is the number of deleted rows in
+    the files THIS read touches, the same working set Delta's DV scan
+    materializes per task."""
+    from pyspark.sql import functions as F
+
+    rel = {f: m for f, m in dvs.items() if f in set(files)}
+    if not rel:
+        return df
+    fps, ris = [], []
+    for f, m in rel.items():
+        for p in _dv_load(m["path"]):
+            fps.append(f)
+            ris.append(p)
+    if not fps:
+        return df
+    import pandas as pd
+
+    dvdf = spark.createDataFrame(
+        pd.DataFrame({"_dv_fp": fps, "_dv_ri": pd.array(ris, dtype="int64")})
+    )
+    return (
+        df.withColumn("_dv_fp", _fp_key_col())
+        .withColumn("_dv_ri", F.col("_metadata.row_index"))
+        .join(F.broadcast(dvdf), ["_dv_fp", "_dv_ri"], "left_anti")
+        .drop("_dv_fp", "_dv_ri")
+    )
+
+
+def _pred_survives(
+    f: str, pred, stats: dict, dicts: dict, nulls: dict, blooms: dict | None = None
+) -> bool:
     """One predicate's per-file keep test, shared by every pruned read.
     ``pred`` is the NORMALIZED form from ``_normalize_pred``. Missing
-    facts always keep the file — mixed writers stay exact."""
+    facts always keep the file — mixed writers stay exact. Fact
+    precedence for ``in``: value dictionary (exact) wins outright; else
+    the file must survive BOTH the Bloom sidecar (exact-negative
+    membership, the high-cardinality fact dictionaries can't carry) and
+    the min/max range."""
     col, op = pred[0], pred[1]
     nu = nulls.get(f, {}).get(col)
     if op == "isnull":
@@ -397,6 +588,10 @@ def _pred_survives(f: str, pred, stats: dict, dicts: dict, nulls: dict) -> bool:
     d = dicts.get(f, {}).get(col)
     if d is not None:
         return not _dict_pruned(d, dvals, col)
+    if blooms is not None:
+        bf = blooms.get(f, {}).get(col)
+        if bf is not None and _bloom_pruned(bf, pred[2]):
+            return False
     st = stats.get(f, {}).get(col)
     if st is None or st[0] is None or st[1] is None:
         return True
@@ -458,12 +653,26 @@ def _jlit_py(v):
     return _NO_LIT
 
 
-def _walk_pred_node(node) -> tuple[list[tuple], bool]:
-    """Recursive Column-node walk: returns (preds, complete) where every
-    pred is IMPLIED by the node (sound to prune on) and ``complete``
-    says whether the whole subtree was understood. Only top-level AND
-    conjuncts decompose — an OR/NOT/function-wrapped subtree returns
-    ([], False) and contributes residual-only filtering."""
+#: prune-tree leaf for "subtree not understood" — never prunes. The
+#: tree's soundness invariant: a node evaluates False for a file ONLY
+#: if no row in that file can satisfy the original predicate, so AND
+#: combines with `and`, OR with `or`, and anything unknown is _TRUE.
+_TRUE = ("true",)
+
+
+def _walk_pred_node(node) -> tuple:
+    """Recursive Column-node walk building a PRUNE TREE: ``("and", l,
+    r)``, ``("or", l, r)``, ``("pred", raw_pred_tuple)``, or ``_TRUE``
+    for any subtree we don't understand (NOT, function-wrapped columns,
+    non-literal bounds — they contribute no pruning and the caller's
+    residual filter keeps results exact). Soundness by structural
+    induction: a ``pred`` leaf is the node's own condition relaxed to
+    inclusive bounds, an AND can only match a file where BOTH children
+    can, an OR where EITHER can, and ``_TRUE`` never prunes — so a file
+    the tree rejects cannot hold a qualifying row. Disjunctions prune
+    for real: ``amount >= 9e6 OR amount < 0`` drops every file whose
+    stats rule out BOTH sides, where the old conjunct-list form fell
+    back to reading everything."""
 
     def attr_name(n):
         try:
@@ -486,27 +695,34 @@ def _walk_pred_node(node) -> tuple[list[tuple], bool]:
 
     try:
         if node.getClass().getSimpleName() != "UnresolvedFunction":
-            return [], False
+            return _TRUE
         name = node.functionName().lower()
         jargs = node.arguments()
         args = [jargs.apply(i) for i in range(jargs.size())]
     except Exception:
-        return [], False
+        return _TRUE
     if name == "and" and len(args) == 2:
-        l, lc = _walk_pred_node(args[0])
-        r, rc = _walk_pred_node(args[1])
-        return l + r, lc and rc
+        l, r = _walk_pred_node(args[0]), _walk_pred_node(args[1])
+        if l is _TRUE and r is _TRUE:
+            return _TRUE
+        return ("and", l, r)
+    if name == "or" and len(args) == 2:
+        l, r = _walk_pred_node(args[0]), _walk_pred_node(args[1])
+        # an unknown side might match anything — the whole OR is unknown
+        if l is _TRUE or r is _TRUE:
+            return _TRUE
+        return ("or", l, r)
     if name in ("isnull", "isnotnull") and len(args) == 1:
         col = attr_name(args[0])
         if col is None:
-            return [], False
-        return [(col, name)], True
+            return _TRUE
+        return ("pred", (col, name))
     if name == "in" and len(args) >= 2:
         col = attr_name(args[0])
         vals = [lit_value(a) for a in args[1:]]
         if col is None or any(v is _NO_LIT for v in vals):
-            return [], False
-        return [(col, "in", vals)], True
+            return _TRUE
+        return ("pred", (col, "in", vals))
     if name in (">=", ">", "<=", "<", "=", "==", "<=>") and len(args) == 2:
         col, v = attr_name(args[0]), lit_value(args[1])
         flipped = False
@@ -514,30 +730,50 @@ def _walk_pred_node(node) -> tuple[list[tuple], bool]:
             col, v = attr_name(args[1]), lit_value(args[0])
             flipped = True
         if col is None or v is _NO_LIT:
-            return [], False
+            return _TRUE
         if name in ("=", "=="):
-            return ([(col, "in", [v])], True) if v is not None else ([], False)
+            return ("pred", (col, "in", [v])) if v is not None else _TRUE
         if name == "<=>":
-            return [(col, "isnull") if v is None else (col, "in", [v])], True
+            return ("pred", (col, "isnull") if v is None else (col, "in", [v]))
         lower = (name in (">=", ">")) != flipped
         # strict bounds prune with the INCLUSIVE bound — a conservative
         # superset of files; the residual keeps strictness exact
-        return [(col, "between", v, None) if lower else (col, "between", None, v)], True
-    return [], False
+        return ("pred", (col, "between", v, None) if lower else (col, "between", None, v))
+    return _TRUE
 
 
-def _decompose_column_predicate(predicate) -> tuple[list[tuple], bool]:
-    """Best-effort decomposition of a Spark Column predicate into the
-    pruned-read grammar. NEVER raises on unsupported shapes — they
-    contribute no pruning facts (the caller applies the ORIGINAL Column
-    as the residual filter, so results stay exact regardless);
-    ``complete`` reports whether every conjunct was understood. Works on
-    the classic (py4j) Column node tree; any other runtime falls back to
-    residual-only."""
+def _normalize_tree(tree) -> tuple:
+    """Normalize every pred leaf's probe values ONCE (not per file)."""
+    if tree is _TRUE or tree[0] == "true":
+        return _TRUE
+    if tree[0] == "pred":
+        return ("pred", _normalize_pred(tree[1]))
+    return (tree[0], _normalize_tree(tree[1]), _normalize_tree(tree[2]))
+
+
+def _tree_survives(f: str, tree, stats, dicts, nulls, blooms=None) -> bool:
+    """Evaluate a NORMALIZED prune tree for one file: may the file hold
+    a row satisfying the predicate? ``_TRUE`` leaves always survive."""
+    if tree[0] == "true":
+        return True
+    if tree[0] == "pred":
+        return _pred_survives(f, tree[1], stats, dicts, nulls, blooms)
+    l = _tree_survives(f, tree[1], stats, dicts, nulls, blooms)
+    if tree[0] == "and":
+        return l and _tree_survives(f, tree[2], stats, dicts, nulls, blooms)
+    return l or _tree_survives(f, tree[2], stats, dicts, nulls, blooms)
+
+
+def _column_prune_tree(predicate) -> tuple:
+    """Best-effort prune tree for a Spark Column predicate. NEVER raises
+    on unsupported shapes — they become ``_TRUE`` leaves (no pruning;
+    the caller applies the ORIGINAL Column as the residual filter, so
+    results stay exact regardless). Works on the classic (py4j) Column
+    node tree; any other runtime falls back to residual-only."""
     try:
         node = predicate._jc.node()
     except Exception:
-        return [], False
+        return _TRUE
     return _walk_pred_node(node)
 
 
@@ -817,7 +1053,17 @@ class TxLogTable:
         files = resolve_with_checkpoint(self, version)
         if not files:
             raise FileNotFoundError(f"no committed data at version {version}")
-        return self.spark.read.option("mergeSchema", "true").parquet(*files)
+        return self._read_snapshot_files(files, version)
+
+    def _read_snapshot_files(self, files: list[str], version: int | None = None) -> DataFrame:
+        """mergeSchema read of snapshot files with the version's DELETION
+        VECTORS applied — the ONE raw-file read every consumer (reads,
+        pruned reads, merge's old-file scan, compact / rebucket /
+        migrate rewrites) goes through, so merge-on-read deletes are
+        invisible everywhere and every rewrite's output is born clean."""
+        df = self.spark.read.option("mergeSchema", "true").parquet(*files)
+        dvs = resolve_file_dvs(self, version)
+        return _apply_dvs(self.spark, df, files, dvs)
 
     def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Incremental consumption: the rows APPENDED in versions
@@ -909,10 +1155,8 @@ class TxLogTable:
         if not keep:
             empty = self.read(version).filter(F.lit(False))
             return empty.filter(F.col(col).between(lo, hi)), 0, len(files)
-        df = (
-            self.spark.read.option("mergeSchema", "true")
-            .parquet(*keep)
-            .filter(F.col(col).between(lo, hi))
+        df = self._read_snapshot_files(keep, version).filter(
+            F.col(col).between(lo, hi)
         )
         return df, len(keep), len(files)
 
@@ -1032,6 +1276,8 @@ class BucketedTxLogTable(TxLogTable):
         checkpoint_interval: int = 10,
         target_file_bytes: int = 8 << 20,
         stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+        bloom_bits: int = BLOOM_BITS,
     ):
         super().__init__(spark, path, commit_backend=commit_backend)
         # The LOG records the layout contract (init_from_events /
@@ -1084,6 +1330,15 @@ class BucketedTxLogTable(TxLogTable):
         # conservatively — results stay exact either way, so mixed
         # writers need no coordination.
         self.stats_cols = list(stats_cols) if stats_cols else None
+        # Bloom-sidecar columns: the HIGH-cardinality complement of the
+        # value dictionaries — per-file membership filters for
+        # equality/IN point lookups on columns whose distinct count
+        # blows the dictionary cap but whose [min, max] spans every
+        # file (an id-shaped column under key-hash bucketing). Same
+        # policy model as stats_cols: a write policy per handle,
+        # mixed writers read conservatively, results exact either way.
+        self.bloom_cols = list(bloom_cols) if bloom_cols else None
+        self.bloom_bits = int(bloom_bits)
 
     # ---- bucket-aware staging / log facts --------------------------------
 
@@ -1265,10 +1520,21 @@ class BucketedTxLogTable(TxLogTable):
         from pyspark.sql import functions as F
         from urllib.parse import unquote, urlparse
 
-        if not self.stats_cols or not adds:
+        if (not self.stats_cols and not self.bloom_cols) or not adds:
             return {}
-        present = [c for c in self.stats_cols if c in columns]
-        if not present:
+        present = [c for c in (self.stats_cols or []) if c in columns]
+        staged = self.spark.read.parquet(*adds)
+        types = {f.name: f.dataType.simpleString() for f in staged.schema.fields}
+        # bloom columns must be a type whose probe-side hashing is
+        # bit-stable (ints and strings); others silently degrade to
+        # whatever range/dict facts stats_cols provide
+        bloomable = set(_BLOOM_INT_TYPES) | {"string"}
+        bpresent = [
+            c
+            for c in (self.bloom_cols or [])
+            if c in columns and types.get(c) in bloomable
+        ]
+        if not present and not bpresent:
             return {}
 
         def norm(p):
@@ -1282,24 +1548,36 @@ class BucketedTxLogTable(TxLogTable):
                 F.count(c).alias(f"_nn_{c}"),
                 F.approx_count_distinct(c).alias(f"_n_{c}"),
             ]
+        for c in bpresent:
+            if c not in present:
+                aggs.append(F.approx_count_distinct(c).alias(f"_n_{c}"))
         rows = (
-            self.spark.read.parquet(*adds)
-            .groupBy(F.input_file_name().alias("_f"))
+            staged.groupBy(F.input_file_name().alias("_f"))
             .agg(*aggs)
             .collect()  # bounded: one row per staged file
         )
-        stats = {
-            norm(r["_f"]): {
-                c: [_stat_store(r[f"_min_{c}"], "min"), _stat_store(r[f"_max_{c}"], "max")]
-                for c in present
+        out: dict = {}
+        if present:
+            out["file_stats"] = {
+                norm(r["_f"]): {
+                    c: [
+                        _stat_store(r[f"_min_{c}"], "min"),
+                        _stat_store(r[f"_max_{c}"], "max"),
+                    ]
+                    for c in present
+                }
+                for r in rows
             }
-            for r in rows
-        }
-        nulls = {
-            norm(r["_f"]): {c: [r["_rows"] - r[f"_nn_{c}"], r["_rows"]] for c in present}
-            for r in rows
-        }
-        out = {"file_stats": stats, "file_nulls": nulls}
+            out["file_nulls"] = {
+                norm(r["_f"]): {c: [r["_rows"] - r[f"_nn_{c}"], r["_rows"]] for c in present}
+                for r in rows
+            }
+        if bpresent:
+            blooms = self._staged_blooms(rows, bpresent, types, norm)
+            if blooms:
+                out["file_blooms"] = blooms
+        if not present:
+            return out
         margin = 2 * self.DICT_CAP  # sketch-safe candidate threshold
         # per-COLUMN candidate file sets (raw URIs — the second job
         # matches on input_file_name again)
@@ -1353,6 +1631,102 @@ class BucketedTxLogTable(TxLogTable):
                 ]
             )
         )
+
+    def _staged_blooms(self, rows, bpresent: list[str], types: dict, norm) -> dict:
+        """Build per-(file, column) BLOOM FILTER sidecars for one write's
+        staged files — the high-cardinality complement of the value
+        dictionaries: a point lookup on an id-shaped column (whose
+        [min, max] spans every file under key-hash bucketing, and whose
+        distinct count blows the dictionary cap) prunes on exact-negative
+        membership instead of reading the table.
+
+        Bounded like the dictionary job: the distinct-count gate
+        (``n <= bloom_bits / 8``, ~2% fpp at the boundary with BLOOM_K
+        probes) comes FREE from the stats job's approx_count_distinct;
+        the build job's aggregation state per (file, column) is the SET
+        OF BIT POSITIONS, capped at ``bloom_bits`` regardless of row
+        count. Sidecar bitmaps (bloom_bits/8 bytes) are staged like data
+        files — written before the commit race, referenced by the entry
+        only if the commit wins, reclaimed by vacuum() otherwise. The
+        log entry carries only {path, m, k, dtype} per (file, column).
+
+        Positions are ``pmod(xxhash64(value, i), m)`` — k chained JVM
+        xxhash64 evals, whole-stage-codegen, no Python at write time;
+        the probe side replays them bit-exactly in pure Python
+        (functions/hashing.py), so no Spark job runs during metadata
+        pruning. A candidate file whose column is ALL NULL produces an
+        all-zero bitmap (sound: IN never matches null), pruning it for
+        every probe even without null facts."""
+        from pyspark.sql import functions as F
+
+        gate = self.bloom_bits // 8
+        cand = {
+            c: [r["_f"] for r in rows if r[f"_n_{c}"] <= gate] for c in bpresent
+        }
+        cand = {c: fs for c, fs in cand.items() if fs}
+        if not cand:
+            return {}
+        m, k = self.bloom_bits, BLOOM_K
+        brows = self._bloom_job(cand, m, k).collect()
+        bloom_dir = os.path.join(self.data_dir, "_bloom")
+        os.makedirs(bloom_dir, exist_ok=True)
+        got = {(norm(r["_f"]), r["_c"]) for r in brows}
+        pending = [(norm(r["_f"]), r["_c"], r["_ps"]) for r in brows]
+        for c, fs in cand.items():  # all-null candidates: empty bitmap
+            pending.extend(
+                (norm(f), c, []) for f in fs if (norm(f), c) not in got
+            )
+        out: dict = {}
+        for f, c, ps in pending:
+            bm = bytearray(m // 8)
+            for p in ps:
+                bm[p >> 3] |= 1 << (p & 7)
+            path = os.path.join(bloom_dir, f"{uuid.uuid4().hex}-{c}.bf")
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(bytes(bm))
+            os.replace(tmp, path)
+            out.setdefault(f, {})[c] = {
+                "path": path,
+                "m": m,
+                "k": k,
+                "dtype": types[c],
+            }
+        return out
+
+    def _bloom_job(self, cand: dict[str, list[str]], m: int, k: int) -> DataFrame:
+        """The bloom-position aggregate: per candidate column, hash its
+        non-null values k ways (chained xxhash64, JVM-side), explode to
+        (file, column, position) and collect the DISTINCT position set
+        per (file, column) — the aggregation buffer is bounded by ``m``
+        bits' worth of ints, never by row count. Gating is per (file,
+        column) exactly like ``_dict_job``. Exposed as a seam so tests
+        can pin the plan (no Python stage, positions bounded)."""
+        from pyspark.sql import functions as F
+
+        parts = []
+        for c, fs in cand.items():
+            pos = F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.col(c), F.lit(i)), F.lit(m).cast("long")
+                    ).cast("int")
+                    for i in range(k)
+                ]
+            )
+            parts.append(
+                self.spark.read.parquet(*sorted(set(fs)))
+                .where(F.col(c).isNotNull())
+                .select(
+                    F.input_file_name().alias("_f"),
+                    F.lit(c).alias("_c"),
+                    F.explode(pos).alias("_p"),
+                )
+            )
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u.groupBy("_f", "_c").agg(F.collect_set("_p").alias("_ps"))
 
     def _meta_dict(self) -> dict:
         return {
@@ -1445,7 +1819,7 @@ class BucketedTxLogTable(TxLogTable):
                 write_checkpoint(self, version)
             return version
         snap = resolve_with_checkpoint(self, base)
-        df = self.spark.read.option("mergeSchema", "true").parquet(*snap)
+        df = self._read_snapshot_files(snap, base)
         from cdc_streaming_pipeline_spark.operators.merge import BUCKET_COL
 
         old_n = self.n_buckets
@@ -1501,7 +1875,7 @@ class BucketedTxLogTable(TxLogTable):
             return None, 0
         from cdc_streaming_pipeline_spark.operators.merge import BUCKET_COL
 
-        df = self.spark.read.option("mergeSchema", "true").parquet(*stale)
+        df = self._read_snapshot_files(stale, base)
         adds, buckets = self._stage_bucketed(df.drop(BUCKET_COL), salt_n=1)
         version = base + 1
         entry = {
@@ -1587,10 +1961,17 @@ class BucketedTxLogTable(TxLogTable):
             )
         ]
         prev = (
-            self.spark.read.option("mergeSchema", "true").parquet(*old)
+            self._read_snapshot_files(old, base)
             if old
             else None
         )
+        # DV state of the read set at plan time: a concurrent
+        # delete_where on a touched file changes its ROWS without
+        # adding/removing files, so the retry path must compare this
+        # (resurrecting concurrently-deleted rows otherwise)
+        dv_ours = {
+            f: m for f, m in resolve_file_dvs(self, base).items() if f in set(old)
+        }
         merged = (
             batch
             if prev is None
@@ -1672,7 +2053,20 @@ class BucketedTxLogTable(TxLogTable):
             foreign_untagged = any(
                 f not in ours and f not in new_bmap for f in new_snap
             )
-            if still_there and not others_in_our_buckets and not foreign_untagged:
+            # a concurrent delete_where that touched OUR files changes
+            # their visible rows in place — the merged output was
+            # computed against the old DV state, so retrying would
+            # resurrect the concurrently-deleted rows
+            new_dvs = resolve_file_dvs(self, new_base)
+            dvs_changed = any(
+                new_dvs.get(f) != dv_ours.get(f) for f in ours
+            )
+            if (
+                still_there
+                and not others_in_our_buckets
+                and not foreign_untagged
+                and not dvs_changed
+            ):
                 base = new_base  # disjoint-bucket interleave: safe retry
                 continue
             raise ConcurrentWriteError(
@@ -1732,7 +2126,7 @@ class BucketedTxLogTable(TxLogTable):
         if not targets:
             return None, []
         old = sorted({f for b in targets for f in per_bucket[b]})
-        df = self.spark.read.option("mergeSchema", "true").parquet(*old)
+        df = self._read_snapshot_files(old, base)
         from cdc_streaming_pipeline_spark.operators.merge import BUCKET_COL
 
         if cluster_cols and cluster_parts is None:
@@ -1864,12 +2258,13 @@ class BucketedTxLogTable(TxLogTable):
         stats = resolve_file_stats(self, version)
         dicts = resolve_file_dicts(self, version)
         nulls = resolve_file_nulls(self, version)
+        blooms = resolve_file_blooms(self, version)
         normd = [_normalize_pred(p) for p in predicates]
 
         keep = [
             f
             for f in files
-            if all(_pred_survives(f, p, stats, dicts, nulls) for p in normd)
+            if all(_pred_survives(f, p, stats, dicts, nulls, blooms) for p in normd)
         ]
 
         def residual(df):
@@ -1891,7 +2286,7 @@ class BucketedTxLogTable(TxLogTable):
 
         if not keep:
             return residual(self.read_state(version).filter(F.lit(False))), 0, len(files)
-        df = self.spark.read.option("mergeSchema", "true").parquet(*keep)
+        df = self._read_snapshot_files(keep, version)
         df = mark_deleted(df) if "_is_deleted" not in df.columns else df
         drop = [
             c
@@ -1908,17 +2303,18 @@ class BucketedTxLogTable(TxLogTable):
     ) -> tuple[DataFrame, int, int]:
         """The pruned read behind a PLAIN SPARK COLUMN — the query-
         surface form of ``read_state_pruned``: walk the predicate's
-        expression tree, decompose its top-level AND conjuncts into the
-        between / in / isnull grammar (``F.col("amount").between(..) &
-        F.col("status").isin(..)``), prune files on those facts, then
-        apply the ORIGINAL Column as the residual filter. Soundness by
-        construction: every extracted conjunct is implied by the
-        predicate, so a pruned file cannot hold a qualifying row; any
-        UNSUPPORTED shape (OR, NOT, function-wrapped columns, non-
-        literal bounds) simply contributes no pruning and falls through
-        to the residual — ANY predicate returns exactly what an
-        unpruned ``read_state().filter(predicate)`` returns. Returns
-        (df, files_read, files_total)."""
+        expression tree into a PRUNE TREE mirroring its AND/OR
+        structure over between / in / isnull leaves, evaluate it per
+        file against range stats, value dictionaries, null counts and
+        bloom sidecars, then apply the ORIGINAL Column as the residual
+        filter. Disjunctions prune for real — ``amount >= 9e6 OR
+        amount < 0`` drops every file whose facts rule out BOTH sides
+        (a DNF dashboard predicate stays proportional-I/O). Soundness
+        by structural induction (see ``_walk_pred_node``); any
+        UNSUPPORTED subtree (NOT, function-wrapped columns, non-literal
+        bounds) becomes a never-prunes leaf — ANY predicate returns
+        exactly what an unpruned ``read_state().filter(predicate)``
+        returns. Returns (df, files_read, files_total)."""
         from cdc_streaming_pipeline_spark.operators.cdc import mark_deleted
         from cdc_streaming_pipeline_spark.schemas import DELETED_COL, OP_COL
         from pyspark.sql import functions as F
@@ -1926,23 +2322,24 @@ class BucketedTxLogTable(TxLogTable):
         files = resolve_with_checkpoint(self, version)
         if not files:
             raise FileNotFoundError(f"no committed data at version {version}")
-        preds, _ = _decompose_column_predicate(predicate)
-        if preds:
+        tree = _column_prune_tree(predicate)
+        if tree is not _TRUE:
             stats = resolve_file_stats(self, version)
             dicts = resolve_file_dicts(self, version)
             nulls = resolve_file_nulls(self, version)
-            normd = [_normalize_pred(p) for p in preds]
+            blooms = resolve_file_blooms(self, version)
+            tree = _normalize_tree(tree)
             keep = [
                 f
                 for f in files
-                if all(_pred_survives(f, p, stats, dicts, nulls) for p in normd)
+                if _tree_survives(f, tree, stats, dicts, nulls, blooms)
             ]
         else:
             keep = list(files)
         if not keep:
             empty = self.read_state(version).filter(F.lit(False))
             return empty.filter(predicate), 0, len(files)
-        df = self.spark.read.option("mergeSchema", "true").parquet(*keep)
+        df = self._read_snapshot_files(keep, version)
         df = mark_deleted(df) if "_is_deleted" not in df.columns else df
         drop = [
             c
@@ -1951,6 +2348,301 @@ class BucketedTxLogTable(TxLogTable):
         ]
         df = df.filter(~F.col("_is_deleted")).drop(*drop)
         return df.filter(predicate), len(keep), len(files)
+
+    def delete_where(
+        self, predicate, max_retries: int = 5
+    ) -> tuple[int | None, int, int]:
+        """Merge-on-read DELETE (Delta deletion vectors / Iceberg
+        positional deletes): mark every state row matching ``predicate``
+        (a plain Spark Column) deleted by writing per-file ROW-INDEX
+        sidecars and ONE metadata commit — no data file is rewritten,
+        so deleting 0.1% of a 100 TB table costs a pruned scan plus
+        kilobytes of metadata instead of rewriting terabytes. The next
+        rewrite of a touched bucket (merge / compact / rebucket /
+        migrate) reads DV-applied rows and its output files are born
+        clean, dropping the vectors — exactly Delta's
+        compaction-absorbs-DVs lifecycle.
+
+        Semantics: rows already CDC-tombstoned or already DV-deleted
+        are not re-counted; the predicate sees the same view
+        ``read_state`` serves. A DV delete erases the row AND its
+        ordering history — a subsequent CDC event of ANY LSN (even one
+        staler than the deleted image) re-creates the key, exactly
+        Delta's MERGE-after-DELETE behavior; when LSN fencing must
+        survive the delete, merge a TOMBSTONE event instead (the
+        tombstone row keeps absorbing stale replays). Vectors are CUMULATIVE per file (the
+        entry's ``file_dvs`` replaces the file's previous vector), so
+        resolution is latest-entry-wins and time travel to a
+        pre-delete version restores the rows exactly. The entry also
+        records ``dv_added`` (just this commit's new positions) so
+        ``mv_delta`` can compute the incremental-view delta of a
+        delete without diffing vectors.
+
+        Candidate files are pruned with the SAME prune tree as
+        ``read_state_filtered`` — a selective delete scans only the
+        files its predicate can touch. Conflict rule: losing the
+        version race is safe to retry iff the touched files are still
+        live with UNCHANGED vectors (a concurrent delete or rewrite of
+        the same file invalidates the computed cumulative vector).
+        Driver memory holds the touched files' position lists (8 B/row
+        deleted — the same working set Delta's driver builds as
+        RoaringBitmaps); a petabyte-scale purge would write sidecars
+        executor-side per file instead.
+
+        Returns (version, files_touched, rows_deleted) —
+        (None, 0, 0) when nothing matches (no commit is written)."""
+        from cdc_streaming_pipeline_spark.operators.cdc import mark_deleted
+        from pyspark.sql import functions as F
+
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError("delete_where on an uninitialized table")
+        files = resolve_with_checkpoint(self, base)
+        tree = _column_prune_tree(predicate)
+        if tree is not _TRUE:
+            stats = resolve_file_stats(self, base)
+            dicts = resolve_file_dicts(self, base)
+            nulls = resolve_file_nulls(self, base)
+            blooms = resolve_file_blooms(self, base)
+            ntree = _normalize_tree(tree)
+            keep = [
+                f
+                for f in files
+                if _tree_survives(f, ntree, stats, dicts, nulls, blooms)
+            ]
+        else:
+            keep = list(files)
+        if not keep:
+            return None, 0, 0
+        dvs = resolve_file_dvs(self, base)
+        df = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*keep)
+            .withColumn("_dv_fp", _fp_key_col())
+            .withColumn("_dv_ri", F.col("_metadata.row_index"))
+        )
+        rel = {f: m for f, m in dvs.items() if f in set(keep)}
+        if rel:
+            fps, ris = [], []
+            for f, m in rel.items():
+                for p in _dv_load(m["path"]):
+                    fps.append(f)
+                    ris.append(p)
+            if fps:
+                import pandas as pd
+
+                old_dv = self.spark.createDataFrame(
+                    pd.DataFrame(
+                        {"_dv_fp": fps, "_dv_ri": pd.array(ris, dtype="int64")}
+                    )
+                )
+                df = df.join(F.broadcast(old_dv), ["_dv_fp", "_dv_ri"], "left_anti")
+        vis = mark_deleted(df) if "_is_deleted" not in df.columns else df
+        vis = vis.filter(~F.col("_is_deleted"))
+        rows = (
+            vis.filter(predicate)
+            .groupBy("_dv_fp")
+            .agg(F.collect_list("_dv_ri").alias("_ris"))
+            .collect()  # one row per touched file; lists bound driver memory
+        )
+        if not rows:
+            return None, 0, 0
+        dv_dir = os.path.join(self.data_dir, "_dv")
+        os.makedirs(dv_dir, exist_ok=True)
+        file_dvs, dv_added, n_deleted = {}, {}, 0
+        for r in rows:
+            f, newpos = r["_dv_fp"], sorted(set(r["_ris"]))
+            oldpos = _dv_load(dvs[f]["path"]) if f in dvs else []
+            cum = sorted(set(oldpos) | set(newpos))
+            cpath = os.path.join(dv_dir, f"{uuid.uuid4().hex}.dv")
+            _dv_write(cpath, cum)
+            file_dvs[f] = {"path": cpath, "n": len(cum)}
+            apath = os.path.join(dv_dir, f"{uuid.uuid4().hex}.dva")
+            _dv_write(apath, newpos)
+            dv_added[f] = {"path": apath, "n": len(newpos)}
+            n_deleted += len(newpos)
+        for _ in range(max_retries):
+            version = base + 1
+            entry = {
+                "version": version,
+                "mode": "delete",
+                "adds": [],
+                "removes": [],
+                "n_files": 0,
+                "file_dvs": file_dvs,
+                "dv_added": dv_added,
+            }
+            if self._try_commit(version, entry):
+                if self.checkpoint_interval and version % self.checkpoint_interval == 0:
+                    write_checkpoint(self, version)
+                return version, len(file_dvs), n_deleted
+            new_base = self.latest_version()
+            new_files = set(resolve_with_checkpoint(self, new_base))
+            new_dvs = resolve_file_dvs(self, new_base)
+            if all(f in new_files for f in file_dvs) and all(
+                new_dvs.get(f) == dvs.get(f) for f in file_dvs
+            ):
+                base = new_base  # disjoint interleave: vectors still valid
+                continue
+            raise ConcurrentWriteError(
+                "delete_where conflicts with a concurrent commit touching "
+                "the same files"
+            )
+        raise ConcurrentWriteError(f"delete_where gave up after {max_retries} retries")
+
+
+def table_changes(
+    table: "BucketedTxLogTable",
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """CHANGE DATA FEED (Delta's ``table_changes``): typed change rows
+    for every version in (from_version, to_version] — the rewrite-
+    capable complement of the append-only ``read_changes`` cursor, and
+    the surface a downstream CDC consumer tails when the upstream table
+    itself merges, deletes and compacts.
+
+    Output = the table's STATE columns plus ``_change_type`` ∈
+    {'insert', 'update_preimage', 'update_postimage', 'delete'} and
+    ``_commit_version``. Per-version derivation costs ∝ that version's
+    touched files, never table size:
+
+    - ``append``: added files' visible rows → insert.
+    - ``merge``: key-join the removed files' visible rows (deletion
+      vectors applied AS OF that version) against the added files' —
+      new-only keys insert, vanished keys delete (a CDC tombstone
+      landing), changed rows emit pre+post images, UNCHANGED rows of
+      rewritten buckets emit NOTHING (a file rewrite is not a change).
+    - ``overwrite``: same diff — a full restatement feeds only its net
+      row changes (cost ∝ the restated table, by nature of the op).
+    - ``delete``: the entry's ``dv_added`` row positions, semi-joined
+      back out of the (unrewritten) files → delete.
+    - ``compact`` / ``rebucket`` / ``migrate`` / ``analyze`` /
+      ``clone``: logical no-ops → no rows.
+
+    Schema drift composes: versions union by name with missing columns
+    null-filled, like the table's own reads."""
+    from pyspark.sql import functions as F
+
+    from cdc_streaming_pipeline_spark.operators.cdc import mark_deleted
+    from cdc_streaming_pipeline_spark.schemas import DELETED_COL, OP_COL
+
+    to_v = table.latest_version() if to_version is None else to_version
+    meta = resolve_table_meta(table, to_v)
+    key_cols = list(meta["key_cols"]) if meta else list(table.key_cols)
+    order_col = meta["order_col"] if meta else table.order_col
+    book = (OP_COL, order_col, DELETED_COL, "_is_deleted")
+
+    def visible(files: list[str], version: int) -> DataFrame | None:
+        if not files:
+            return None
+        df = table._read_snapshot_files(files, version)
+        df = mark_deleted(df) if "_is_deleted" not in df.columns else df
+        drop = [c for c in book if c in df.columns]
+        return df.filter(~F.col("_is_deleted")).drop(*drop)
+
+    def typed(df: DataFrame, ctype: str, v: int) -> DataFrame:
+        return df.withColumn("_change_type", F.lit(ctype)).withColumn(
+            "_commit_version", F.lit(v).cast("long")
+        )
+
+    parts: list[DataFrame] = []
+    for v in table._versions_between(from_version + 1, to_v):
+        e = table._read_entry(v)
+        mode = e.get("mode")
+        if mode in ("compact", "rebucket", "migrate", "analyze", "clone"):
+            continue
+        if mode == "append":
+            new = visible(e.get("adds", []), v)
+            if new is not None:
+                parts.append(typed(new, "insert", v))
+            continue
+        if mode == "delete":
+            dvadd = e.get("dv_added", {})
+            if not dvadd:
+                continue
+            import pandas as pd
+
+            fps, ris = [], []
+            for f, m in dvadd.items():
+                for p in _dv_load(m["path"]):
+                    fps.append(f)
+                    ris.append(p)
+            if not fps:
+                continue
+            dvdf = table.spark.createDataFrame(
+                pd.DataFrame({"_dv_fp": fps, "_dv_ri": pd.array(ris, dtype="int64")})
+            )
+            ddf = (
+                table.spark.read.option("mergeSchema", "true")
+                .parquet(*sorted(dvadd))
+                .withColumn("_dv_fp", _fp_key_col())
+                .withColumn("_dv_ri", F.col("_metadata.row_index"))
+                .join(F.broadcast(dvdf), ["_dv_fp", "_dv_ri"], "left_semi")
+                .drop("_dv_fp", "_dv_ri")
+            )
+            ddf = mark_deleted(ddf) if "_is_deleted" not in ddf.columns else ddf
+            drop = [c for c in book if c in ddf.columns]
+            parts.append(typed(ddf.drop(*drop), "delete", v))
+            continue
+        if mode in ("merge", "overwrite"):
+            old = visible(e.get("removes", []), v)
+            new = visible(e.get("adds", []), v)
+            if old is None and new is None:
+                continue
+            if old is None:
+                parts.append(typed(new, "insert", v))
+                continue
+            if new is None:
+                parts.append(typed(old, "delete", v))
+                continue
+            data_cols = sorted(set(old.columns) | set(new.columns))
+            o = old.select(
+                *[
+                    (F.col(c) if c in old.columns else F.lit(None)).alias(f"_o_{c}")
+                    for c in data_cols
+                ],
+                F.lit(1).alias("_o_present"),
+            )
+            n = new.select(
+                *[
+                    (F.col(c) if c in new.columns else F.lit(None)).alias(f"_n_{c}")
+                    for c in data_cols
+                ],
+                F.lit(1).alias("_n_present"),
+            )
+            cond = None
+            for k in key_cols:
+                c = o[f"_o_{k}"].eqNullSafe(n[f"_n_{k}"])
+                cond = c if cond is None else (cond & c)
+            j = o.join(n, cond, "full_outer")
+            in_old = F.col("_o_present").isNotNull()
+            in_new = F.col("_n_present").isNotNull()
+            same = None
+            for c in data_cols:
+                eq = F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+                same = eq if same is None else (same & eq)
+            oimg = [F.col(f"_o_{c}").alias(c) for c in data_cols]
+            nimg = [F.col(f"_n_{c}").alias(c) for c in data_cols]
+            parts.append(
+                typed(j.filter(in_new & ~in_old).select(*nimg), "insert", v)
+            )
+            parts.append(
+                typed(j.filter(in_old & ~in_new).select(*oimg), "delete", v)
+            )
+            upd = j.filter(in_old & in_new & ~same)
+            parts.append(typed(upd.select(*oimg), "update_preimage", v))
+            parts.append(typed(upd.select(*nimg), "update_postimage", v))
+            continue
+        raise ValueError(f"version {v} has unknown mode {mode!r}")
+    if not parts:
+        base = table._empty_frame(to_v)
+        drop = [c for c in book if c in base.columns]
+        return typed(base.drop(*drop), "insert", to_v).limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
 
 
 def mv_delta(
@@ -1976,11 +2668,13 @@ def mv_delta(
     from cdc_streaming_pipeline_spark.operators.cdc import mark_deleted
 
     e = table._read_entry(version)
+    # DV state AS OF this version: a removed file is negated at the
+    # rows VISIBLE when it was removed (its full content minus its
+    # accumulated vector) — negating the full file would double-count
+    # the rows an earlier delete entry already subtracted
+    dvs = resolve_file_dvs(table, version)
 
-    def _live_agg(files: list[str], sign: int) -> DataFrame | None:
-        if not files:
-            return None
-        df = table.spark.read.option("mergeSchema", "true").parquet(*files)
+    def _agg(df: DataFrame, sign: int) -> DataFrame:
         df = mark_deleted(df) if deleted_col not in df.columns else df
         return (
             df.filter(~F.col(deleted_col))
@@ -1991,9 +2685,41 @@ def mv_delta(
             )
         )
 
+    def _live_agg(files: list[str], sign: int) -> DataFrame | None:
+        if not files:
+            return None
+        df = table.spark.read.option("mergeSchema", "true").parquet(*files)
+        return _agg(_apply_dvs(table.spark, df, files, dvs), sign)
+
     pos = _live_agg(e.get("adds", []), 1)
     neg = _live_agg(e.get("removes", []), -1)
-    parts = [p for p in (pos, neg) if p is not None]
+    # a DELETE entry's delta: the negation of exactly the rows its
+    # vectors newly marked (the entry records them as ``dv_added``) —
+    # semi-join those (file, row_index) pairs back out of the files
+    negdv = None
+    dvadd = e.get("dv_added", {})
+    if dvadd:
+        import pandas as pd
+
+        fps, ris = [], []
+        for f, m in dvadd.items():
+            for p in _dv_load(m["path"]):
+                fps.append(f)
+                ris.append(p)
+        if fps:
+            dvdf = table.spark.createDataFrame(
+                pd.DataFrame({"_dv_fp": fps, "_dv_ri": pd.array(ris, dtype="int64")})
+            )
+            ddf = (
+                table.spark.read.option("mergeSchema", "true")
+                .parquet(*sorted(dvadd))
+                .withColumn("_dv_fp", _fp_key_col())
+                .withColumn("_dv_ri", F.col("_metadata.row_index"))
+                .join(F.broadcast(dvdf), ["_dv_fp", "_dv_ri"], "left_semi")
+                .drop("_dv_fp", "_dv_ri")
+            )
+            negdv = _agg(ddf, -1)
+    parts = [p for p in (pos, neg, negdv) if p is not None]
     if not parts:
         # an entry with neither adds nor removes still contributes a
         # TYPED empty delta: group-column types come from the table's
@@ -2110,6 +2836,16 @@ def write_checkpoint(table: TxLogTable, version: int | None = None) -> int:
         # per-file null counts (IS [NOT] NULL pruning) — same shape
         "file_nulls": {
             f: d for f, d in resolve_file_nulls(table, v).items() if f in live
+        },
+        # per-file bloom sidecar references (point-lookup pruning) — same
+        "file_blooms": {
+            f: d for f, d in resolve_file_blooms(table, v).items() if f in live
+        },
+        # per-file deletion vectors (merge-on-read deletes) — correctness
+        # facts, not optimizations: the live restriction is the same but
+        # readers RAISE on a missing sidecar instead of degrading
+        "file_dvs": {
+            f: d for f, d in resolve_file_dvs(table, v).items() if f in live
         },
     }
     # carry the newest recorded schema forward so _empty_frame and the
@@ -2338,6 +3074,49 @@ def resolve_file_nulls(table: TxLogTable, version: int | None = None) -> dict:
     return out
 
 
+def resolve_file_blooms(table: TxLogTable, version: int | None = None) -> dict:
+    """{file: {col: {path, m, k, dtype}}} accumulated up to ``version``
+    through the newest checkpoint that carries ``file_blooms`` — the
+    point-lookup pruning fact for high-cardinality columns (sidecar
+    bitmaps; the log holds only the reference). Missing facts are read
+    conservatively, like every other skipping map."""
+    target = table.latest_version() if version is None else version
+    if target is None:
+        return {}
+    best = _best_checkpoint(table, target)
+    if best is not None and "file_blooms" in best:
+        out = dict(best["file_blooms"])
+        start = best["version"] + 1
+    else:
+        out = {}
+        start = 0
+    for v in table._versions_between(start, target):
+        out.update(table._read_entry(v).get("file_blooms", {}))
+    return out
+
+
+def resolve_file_dvs(table: TxLogTable, version: int | None = None) -> dict:
+    """{file: {"path": dv_sidecar, "n": deleted_rows}} at ``version``
+    through the newest checkpoint that carries ``file_dvs``. Each
+    delete commit records the file's CUMULATIVE vector, so the fold's
+    latest-entry-wins update is the correct merge — and time travel to
+    a pre-delete version resolves the older (or no) vector, restoring
+    the deleted rows exactly."""
+    target = table.latest_version() if version is None else version
+    if target is None:
+        return {}
+    best = _best_checkpoint(table, target)
+    if best is not None and "file_dvs" in best:
+        out = dict(best["file_dvs"])
+        start = best["version"] + 1
+    else:
+        out = {}
+        start = 0
+    for v in table._versions_between(start, target):
+        out.update(table._read_entry(v).get("file_dvs", {}))
+    return out
+
+
 def resolve_with_checkpoint(table: TxLogTable, version: int | None = None) -> list[str]:
     """Snapshot file list using the newest usable checkpoint <= version.
 
@@ -2436,6 +3215,8 @@ def describe_detail(table: TxLogTable, version: int | None = None) -> dict:
     stats = resolve_file_stats(table, v)
     dicts = resolve_file_dicts(table, v)
     nulls = resolve_file_nulls(table, v)
+    blooms = resolve_file_blooms(table, v)
+    dvs = resolve_file_dvs(table, v)
     per_bucket: dict[int, int] = {}
     for f in snap:
         b = bmap.get(f)
@@ -2458,6 +3239,9 @@ def describe_detail(table: TxLogTable, version: int | None = None) -> dict:
         "files_with_stats": sum(1 for f in snap if stats.get(f)),
         "files_with_dicts": sum(1 for f in snap if dicts.get(f)),
         "files_with_null_facts": sum(1 for f in snap if nulls.get(f)),
+        "files_with_blooms": sum(1 for f in snap if blooms.get(f)),
+        "files_with_dvs": sum(1 for f in snap if dvs.get(f)),
+        "dv_deleted_rows": sum(dvs[f]["n"] for f in snap if f in dvs),
         "checkpoint_version": best["version"] if best else None,
     }
 
@@ -2508,6 +3292,18 @@ def clone_table(src: TxLogTable, dest_path: str, version: int | None = None,
         "file_nulls": {
             f: s for f, s in resolve_file_nulls(src, v).items() if f in live
         },
+        # bloom sidecar refs point into the SOURCE's data_dir, exactly
+        # like the shared data files — same shallow-clone retention
+        # caveat, same conservative degradation (an unreadable sidecar
+        # keeps the file; unreadable DATA raises)
+        "file_blooms": {
+            f: d for f, d in resolve_file_blooms(src, v).items() if f in live
+        },
+        # deletion vectors are CORRECTNESS facts: the clone must keep
+        # applying them or the source's deleted rows reappear in the fork
+        "file_dvs": {
+            f: d for f, d in resolve_file_dvs(src, v).items() if f in live
+        },
         "cloned_from": {"path": src.path, "version": v},
     }
     sj = _resolve_schema_json(src, v)
@@ -2524,6 +3320,8 @@ def clone_table(src: TxLogTable, dest_path: str, version: int | None = None,
             order_col=meta["order_col"],
             commit_backend=commit_backend,
             stats_cols=getattr(src, "stats_cols", None),
+            bloom_cols=getattr(src, "bloom_cols", None),
+            bloom_bits=getattr(src, "bloom_bits", BLOOM_BITS),
         )
     else:
         dest = TxLogTable(src.spark, dest_path, commit_backend=commit_backend)
@@ -2641,6 +3439,38 @@ def vacuum(
     ) + glob(  # bucket-pure staging nests one partition dir deeper
         os.path.join(table.data_dir, "stage-*", "*", "*.parquet")
     )
+    # Bloom sidecars follow the same lifecycle as data files: staged
+    # before the commit race, referenced only by winning entries. A
+    # sidecar is live exactly when its DATA FILE is live in some
+    # retained version — fact maps fold by file key and never forget
+    # dead files, so liveness keys on the live data-file set above,
+    # not on the fact map's own contents.
+    blooms_all = resolve_file_blooms(table, latest)
+    live_blooms: set[str] = {
+        b["path"]
+        for f in live
+        for b in blooms_all.get(f, {}).values()
+    }
+    candidates += glob(os.path.join(table.data_dir, "_bloom", "*.bf"))
+    live |= live_blooms
+    # DV sidecars: a cumulative vector is live while its data file is
+    # live in ANY retained version — including superseded vectors the
+    # horizon snapshot still references — and per-entry ``dv_added``
+    # event sidecars stay live for the retained suffix (mv_delta reads
+    # them); both resolve with the same bounded horizon + suffix walk.
+    live_dvs: set[str] = {
+        m["path"]
+        for f, m in resolve_file_dvs(table, horizon).items()
+        if f in live
+    }
+    for v in table._versions_between(horizon + 1, latest):
+        e = table._read_entry(v)
+        live_dvs.update(m["path"] for m in e.get("file_dvs", {}).values())
+        live_dvs.update(m["path"] for m in e.get("dv_added", {}).values())
+    candidates += glob(os.path.join(table.data_dir, "_dv", "*.dv")) + glob(
+        os.path.join(table.data_dir, "_dv", "*.dva")
+    )
+    live |= live_dvs
     for path in candidates:
         if path in live:
             continue

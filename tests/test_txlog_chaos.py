@@ -183,3 +183,104 @@ def test_lifecycle_walk_with_lazy_rebucket_clustering_and_skipping(spark, tmp_pa
         if step % 5 == 0:
             check(t)
     check(t)
+
+def test_lifecycle_walk_with_deletion_vectors_and_blooms(spark, tmp_path):
+    """Chaos walk #3: merge-on-read DELETEs and bloom-sidecar point
+    lookups join the lifecycle mix. delete_where's documented semantic
+    is modeled exactly — a DV delete erases the row AND its LSN history,
+    so a later event of ANY LSN (stale included) re-creates the key —
+    and both read_state and the bloom-backed read_state_where_in stay
+    model-exact at every checkpoint, through compactions that absorb
+    vectors, metadata-only rebuckets, migrations, vacuum, and reopens."""
+    from pyspark.sql import functions as F
+
+    from cdc_streaming_pipeline_spark.sources.txlog import (
+        BucketedTxLogTable,
+        vacuum,
+        write_checkpoint,
+    )
+
+    rng = random.Random(3313)
+    path = str(tmp_path / "chaos3")
+    t = BucketedTxLogTable(
+        spark, path, key_cols=["id"], n_buckets=8,
+        checkpoint_interval=5, stats_cols=["amount"], bloom_cols=["id"],
+    )
+
+    model: dict[int, tuple[float | None, str, bool]] = {}
+
+    def apply_model(events):
+        for k, amount, op, lsn, deleted in events:
+            cur = model.get(k)
+            if cur is None or lsn > cur[1]:
+                model[k] = (amount, lsn, deleted == "true")
+
+    def live():
+        return {k: a for k, (a, _, d) in model.items() if not d}
+
+    seed = [(i, float(i), "r", "0001-00", None) for i in range(40)]
+    t.init_from_events(spark.createDataFrame(seed, SCHEMA_V))
+    apply_model(seed)
+
+    def check(tbl):
+        got = {r["id"]: r["amount"] for r in tbl.read_state().collect()}
+        assert got == live(), f"divergence at step {step}"
+        # bloom-backed point lookups: 3 present-or-absent keys
+        for k in [rng.randrange(KEYS) for _ in range(3)]:
+            df, read, total = tbl.read_state_where_in("id", [k])
+            want = {k: live()[k]} if k in live() else {}
+            assert {r["id"]: r["amount"] for r in df.collect()} == want, (
+                f"bloom-read divergence at step {step} key {k} "
+                f"({read}/{total} files)"
+            )
+
+    n_now = 8
+    for step in range(1, 41):
+        roll = rng.random()
+        if roll < 0.45:
+            events = []
+            for i in range(rng.randint(1, 5)):
+                k = rng.randrange(KEYS)
+                op = rng.choice(["u", "u", "c", "d"])
+                stale = rng.random() < 0.15
+                lsn = f"0000-{step:02d}{i:02d}" if stale else f"{step:04d}-{i:02d}"
+                deleted = "true" if op == "d" else None
+                amount = None if op == "d" else float(step * 100 + i)
+                events.append((k, amount, op, lsn, deleted))
+            t.merge_cdc_batch(spark.createDataFrame(events, SCHEMA_V))
+            apply_model(events)
+        elif roll < 0.58:
+            # merge-on-read delete of a random amount band; the model
+            # FORGETS the keys entirely (history erased — stale events
+            # may re-create them, exactly the engine's semantic)
+            lo = float(rng.randrange(0, 4000))
+            hi = lo + float(rng.randrange(50, 800))
+            t.delete_where(F.col("amount").between(lo, hi))
+            for k in [k for k, a in live().items() if a is not None and lo <= a <= hi]:
+                del model[k]
+        elif roll < 0.66:
+            if rng.random() < 0.5:
+                t.compact_buckets(min_files=2)
+            else:
+                t.compact_buckets(min_files=1, cluster_cols=["amount"],
+                                  cluster_parts=n_now * 2)
+        elif roll < 0.74:
+            write_checkpoint(t)
+        elif roll < 0.80:
+            vacuum(t, retain_versions=3, min_age_seconds=0.0)
+        elif roll < 0.86:
+            if n_now < 32:
+                n_now *= 2
+                t.rebucket(n_now, rewrite=False)
+            else:
+                n_now = 8
+                t.rebucket(8, rewrite=True)
+        elif roll < 0.93:
+            t.migrate_buckets(max_files=rng.randint(1, 4))
+        else:
+            t = BucketedTxLogTable(spark, path, stats_cols=["amount"],
+                                   bloom_cols=["id"])
+            assert t.n_buckets == n_now
+        if step % 5 == 0:
+            check(t)
+    check(t)

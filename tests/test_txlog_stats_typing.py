@@ -407,12 +407,36 @@ def test_read_state_filtered_column_predicate_prunes_and_is_exact(spark, tmp_pat
     df, _, _ = t.read_state_filtered(F.col("amount").isNull())
     assert {r["id"] for r in df.collect()} == {i for i in range(300) if i % 19 == 0}
 
-    # unsupported OR: prunes nothing, still exact
+    # OR decomposes into the prune TREE: a file survives only if its
+    # facts keep EITHER side possible — after amount-clustering, files
+    # covering neither [<5] nor the dict value 'absent' are dropped
     pred = (F.col("amount") < 5.0) | (F.col("status") == "absent")
+    df, read, total = t.read_state_filtered(pred)
+    assert read < total
+    assert {r["id"] for r in df.collect()} == {
+        i for i in range(5) if i % 19 != 0
+    }
+
+    # an OR with an un-decomposable side can never prune (the unknown
+    # side might match anything) — still exact
+    pred = (F.col("amount") < 5.0) | ((F.col("amount") * 2) > 400.0)
     df, read, total = t.read_state_filtered(pred)
     assert read == total
     assert {r["id"] for r in df.collect()} == {
-        i for i in range(5) if i % 19 != 0
+        i for i in range(300) if i % 19 != 0 and (i < 5 or i * 2 > 400)
+    }
+
+    # nested AND-of-OR tree prunes and stays exact
+    pred = (
+        (F.col("amount").between(10.0, 20.0) | (F.col("amount") >= 280.0))
+        & F.col("status").isin("open")
+    )
+    df, read, total = t.read_state_filtered(pred)
+    assert read < total
+    assert {r["id"] for r in df.collect()} == {
+        i
+        for i in range(300)
+        if i % 19 != 0 and (10 <= i <= 20 or i >= 280) and i % 3 == 0
     }
 
     # property sweep: ANY predicate — pruned == unpruned
