@@ -2510,6 +2510,118 @@ def table_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_change_feed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED over the ACID table
+    (sources/txlog.py:table_changes — Delta CDF): per-version typed
+    change rows derived from the log at touched-files cost, the surface
+    a downstream CDC consumer tails when the table itself merges and
+    deletes. Fixture: the orders snapshot, then ONE merge wave (every
+    id%10==3 updated +1000, every id%10==6 tombstoned, two synthetic
+    inserts) and ONE merge-on-read delete of the 50k–100k amount band.
+    The feed must classify exactly — updates emit pre+post images with
+    old vs new sums, tombstones and DV deletes emit the deleted images,
+    unchanged rows of rewritten buckets emit NOTHING — with the
+    closed-form oracle restating each (version, change_type) group."""
+    import os
+    import tempfile
+
+    from cdc_streaming_pipeline_spark.sources.txlog import (
+        BucketedTxLogTable,
+        table_changes,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "cdf_table")
+    path = _TXLOG_MEMO.get(key)
+    o = _orders(spark, sf_dir)
+    k = F.col("o_orderkey")
+    if path is None:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"txlog-cdf-{spark.sparkContext.applicationId}-{abs(hash(sf_dir)) % 10**8}",
+        )
+        t = BucketedTxLogTable(spark, path, key_cols=["id"], n_buckets=16)
+        if t.latest_version() is None:
+            snap = o.select(
+                k.alias("id"),
+                F.col("o_totalprice").cast("double").alias("amount"),
+                F.lit("r").alias(OP_COL),
+                _lsn(k, 1).alias(LSN_COL),
+                F.lit(None).cast("string").alias(DELETED_COL),
+            )
+            t.init_from_events(snap)
+            upd = o.filter(k % 10 == 3).select(
+                k.alias("id"),
+                (F.col("o_totalprice").cast("double") + 1000.0).alias("amount"),
+                F.lit("u").alias(OP_COL),
+                _lsn(k, 2).alias(LSN_COL),
+                F.lit(None).cast("string").alias(DELETED_COL),
+            )
+            tomb = o.filter(k % 10 == 6).select(
+                k.alias("id"),
+                F.lit(None).cast("double").alias("amount"),
+                F.lit("d").alias(OP_COL),
+                _lsn(k, 2).alias(LSN_COL),
+                F.lit("true").alias(DELETED_COL),
+            )
+            ins = spark.createDataFrame(
+                [(-1, 11.5, "c", "00000000000002", None),
+                 (-2, 22.5, "c", "00000000000002", None)],
+                "id bigint, amount double, _op string, _lsn string, _deleted string",
+            )
+            t.merge_cdc_batch(upd.unionByName(tomb).unionByName(ins))
+            t.delete_where(F.col("amount").between(50_000.0, 100_000.0))
+        _TXLOG_MEMO[key] = path
+    t = BucketedTxLogTable(spark, path)
+    return (
+        table_changes(t, 0)
+        .groupBy("_commit_version", "_change_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("amount").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("amount"),
+        )
+    )
+
+
+QUERIES["cdc_change_feed_table"] = cdc_change_feed_table
+ORACLE["cdc_change_feed_table"] = """
+    WITH base AS (
+        SELECT o_orderkey AS id, CAST(o_totalprice AS DOUBLE) AS amount
+        FROM orders
+    ),
+    upd AS (SELECT id, amount FROM base WHERE id % 10 = 3),
+    tomb AS (SELECT id, amount FROM base WHERE id % 10 = 6),
+    post_merge AS (
+        SELECT id,
+               CASE WHEN id % 10 = 3 THEN amount + 1000 ELSE amount END AS amount
+        FROM base WHERE id % 10 <> 6
+        UNION ALL SELECT -1, 11.5 UNION ALL SELECT -2, 22.5
+    ),
+    band AS (
+        SELECT id, amount FROM post_merge WHERE amount BETWEEN 50000 AND 100000
+    )
+    SELECT CAST(1 AS BIGINT) AS _commit_version, 'delete' AS _change_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS amount
+    FROM tomb
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'insert', CAST(2 AS BIGINT), CAST(34.00 AS DOUBLE)
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'update_preimage', COUNT(*),
+           CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE)
+    FROM upd
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'update_postimage', COUNT(*),
+           CAST(SUM(CAST(amount + 1000 AS DECIMAL(18,2))) AS DOUBLE)
+    FROM upd
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'delete', COUNT(*),
+           CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE)
+    FROM band
+"""
+
+
 QUERIES["table_deletion_vectors"] = table_deletion_vectors
 ORACLE["table_deletion_vectors"] = """
     WITH st AS (

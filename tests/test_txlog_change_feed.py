@@ -1,0 +1,127 @@
+"""Change data feed (sources/txlog.py:table_changes — Delta CDF): typed
+per-version change rows derived from the log at touched-files cost.
+
+Invariants: merges classify exactly (new-only keys insert, vanished
+keys delete — a CDC tombstone landing — changed rows emit pre+post
+images, UNCHANGED rows of rewritten buckets emit NOTHING); DV deletes
+feed the deleted images; maintenance (compact / rebucket / migrate /
+vacuum) feeds nothing — a file rewrite is not a change; schema drift
+unions with null fill; the feed from before version 0 replays the
+initial load as inserts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_streaming_pipeline_spark.sources.txlog import (
+    BucketedTxLogTable,
+    table_changes,
+    write_checkpoint,
+)
+
+S = "id bigint, amount double, _op string, _lsn string, _deleted string"
+
+
+def _seed(spark, path, n=100):
+    t = BucketedTxLogTable(
+        spark, path, key_cols=["id"], n_buckets=4, stats_cols=["amount"]
+    )
+    t.init_from_events(
+        spark.createDataFrame(
+            [(i, float(i), "r", "000100", None) for i in range(n)], S
+        )
+    )
+    return t
+
+
+def test_merge_classification_and_dv_deletes(spark, tmp_path):
+    t = _seed(spark, str(tmp_path / "t"))
+    v0 = t.latest_version()
+    wave = (
+        [(k, float(k) + 1000.0, "u", "000200", None) for k in (3, 13, 23, 33, 43)]
+        + [(k, None, "d", "000200", "true") for k in (6, 16, 26)]
+        + [(1001, 1.0, "c", "000200", None), (1002, 2.0, "c", "000200", None)]
+    )
+    t.merge_cdc_batch(spark.createDataFrame(wave, S))
+    v1 = t.latest_version()
+    t.delete_where(F.col("amount").between(50.0, 59.0))
+    v2 = t.latest_version()
+    t.compact_buckets(min_files=1)  # must feed nothing
+    t.rebucket(8, rewrite=False)
+    t.migrate_buckets()
+    write_checkpoint(t)
+
+    feed = table_changes(t, v0)
+    res = {
+        (r["_commit_version"], r["_change_type"]): r["n"]
+        for r in feed.groupBy("_commit_version", "_change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert res == {
+        (v1, "insert"): 2,
+        (v1, "delete"): 3,
+        (v1, "update_preimage"): 5,
+        (v1, "update_postimage"): 5,
+        (v2, "delete"): 10,
+    }
+    pre = {
+        r["id"]: r["amount"]
+        for r in feed.filter(F.col("_change_type") == "update_preimage").collect()
+    }
+    post = {
+        r["id"]: r["amount"]
+        for r in feed.filter(F.col("_change_type") == "update_postimage").collect()
+    }
+    assert pre == {k: float(k) for k in (3, 13, 23, 33, 43)}
+    assert post == {k: float(k) + 1000.0 for k in (3, 13, 23, 33, 43)}
+    # DV-deleted images arrive intact
+    dv_rows = {
+        r["id"]
+        for r in feed.filter(
+            (F.col("_commit_version") == v2) & (F.col("_change_type") == "delete")
+        ).collect()
+    }
+    assert dv_rows == set(range(50, 60))
+
+
+def test_initial_load_replays_as_inserts(spark, tmp_path):
+    t = _seed(spark, str(tmp_path / "t"), n=40)
+    feed = table_changes(t, -1)
+    assert feed.count() == 40
+    assert feed.select("_change_type").distinct().collect()[0][0] == "insert"
+
+
+def test_identical_reimage_feeds_nothing(spark, tmp_path):
+    """Re-merging a key's CURRENT image rewrites its bucket but changes
+    no row — the feed must be empty for that version."""
+    t = _seed(spark, str(tmp_path / "t"), n=40)
+    v0 = t.latest_version()
+    t.merge_cdc_batch(
+        spark.createDataFrame([(7, 7.0, "u", "000100", None)], S)
+    )
+    assert table_changes(t, v0).count() == 0
+
+
+def test_schema_drift_unions_with_null_fill(spark, tmp_path):
+    t = _seed(spark, str(tmp_path / "t"), n=20)
+    v0 = t.latest_version()
+    S2 = "id bigint, amount double, region string, _op string, _lsn string, _deleted string"
+    t.merge_cdc_batch(
+        spark.createDataFrame([(5, 500.0, "emea", "u", "000200", None)], S2)
+    )
+    feed = table_changes(t, v0)
+    assert "region" in feed.columns
+    rows = {r["_change_type"]: r for r in feed.collect()}
+    assert rows["update_postimage"]["region"] == "emea"
+    assert rows["update_preimage"]["region"] is None
+
+
+def test_empty_feed_has_stable_schema(spark, tmp_path):
+    t = _seed(spark, str(tmp_path / "t"), n=10)
+    v = t.latest_version()
+    t.compact_buckets(min_files=1)
+    feed = table_changes(t, v)
+    assert feed.count() == 0
+    assert {"_change_type", "_commit_version", "id", "amount"} <= set(feed.columns)
