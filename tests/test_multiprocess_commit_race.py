@@ -267,3 +267,99 @@ def test_merges_race_lazy_rebucket_and_migration_across_processes(spark, tmp_pat
     snap, _, _ = resolve_snapshot_state(re, re.latest_version())
     layouts = resolve_file_layouts(re, re.latest_version())
     assert all(layouts.get(f, 16) == 16 for f in snap) or not stale
+
+DELETE_WORKER = textwrap.dedent(
+    """
+    import json, sys
+    from pyspark.sql import functions as F
+    from cdc_streaming_pipeline_spark.session import get_spark
+    from cdc_streaming_pipeline_spark.sources.txlog import (
+        BucketedTxLogTable, ConcurrentWriteError, SQLiteCommitBackend,
+    )
+
+    table_path, backend_kind, db_path, statuses_json = sys.argv[1:5]
+    statuses = json.loads(statuses_json)
+    spark = get_spark("race-deleter", cpus=2, shuffle_partitions=2)
+    backend = SQLiteCommitBackend(db_path) if backend_kind == "sqlite" else None
+    t = BucketedTxLogTable(spark, table_path, key_cols=["id"], commit_backend=backend)
+    done = []
+    for s in statuses:
+        for attempt in range(60):
+            try:
+                ver, nf, nd = t.delete_where(F.col("status") == s)
+                done.append([s, nd])
+                break
+            except ConcurrentWriteError:
+                continue  # recompute vectors from the new base
+        else:
+            print("GAVE UP", s, file=sys.stderr)
+            sys.exit(3)
+    print("DELETED " + json.dumps(done))
+    """
+)
+
+
+@pytest.mark.parametrize("backend_kind", ["posix", "sqlite"])
+def test_merges_race_deletion_vectors_across_processes(
+    spark, tmp_path, backend_kind
+):
+    """A merger hammering one key races a deleter sweeping predicate
+    bands through the SAME buckets, in separate OS processes. The
+    conflict matrix under test: a delete landing between a merge's plan
+    and commit must force the merge to replan (its staged output was
+    computed against the old vectors — committing would resurrect the
+    deleted rows), and vice versa a bucket rewrite invalidates computed
+    vectors. With app-level retries both workloads land fully; the
+    final state is the serial result regardless of interleaving."""
+    from cdc_streaming_pipeline_spark.sources.txlog import SQLiteCommitBackend
+
+    table_path = str(tmp_path / "dv_race_table")
+    db_path = str(tmp_path / "commits.sqlite")
+    backend = SQLiteCommitBackend(db_path) if backend_kind == "sqlite" else None
+    t = BucketedTxLogTable(
+        spark, table_path, key_cols=["id"], n_buckets=N_BUCKETS,
+        commit_backend=backend,
+    )
+    # statuses cycle doomed0..doomed4 across ALL buckets; key 0 is the
+    # merger's target and must never be swept
+    seed = spark.createDataFrame(
+        [
+            (i, "live" if i == 0 else f"doomed{i % 5}", "r", "0001", None)
+            for i in range(40)
+        ],
+        "id bigint, status string, _op string, _lsn string, _deleted string",
+    )
+    t.init_from_events(seed)
+
+    merge_keys = [[0, f"merged-{i}", f"1{i:03d}"] for i in range(5)]
+    env = dict(os.environ, PYTHONPATH=REPO, SPARK_GRAFT_DRIVER_MEM="3g")
+    merger = subprocess.Popen(
+        [
+            sys.executable, "-c", WORKER,
+            table_path, backend_kind, db_path, "m", json.dumps(merge_keys),
+        ],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    deleter = subprocess.Popen(
+        [
+            sys.executable, "-c", DELETE_WORKER,
+            table_path, backend_kind, db_path,
+            json.dumps([f"doomed{j}" for j in range(5)]),
+        ],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    m_out, m_err = merger.communicate(timeout=600)
+    d_out, d_err = deleter.communicate(timeout=600)
+    assert merger.returncode == 0, m_err[-2000:]
+    assert deleter.returncode == 0, d_err[-2000:]
+    deleted = json.loads(
+        [ln for ln in d_out.splitlines() if ln.startswith("DELETED ")][0][8:]
+    )
+    # every sweep found its full band exactly once — a merge never
+    # resurrected a swept row for a later sweep to find again
+    assert sum(n for _, n in deleted) == 39
+
+    rows = {r["id"]: r["status"] for r in t.read_state().collect()}
+    assert rows == {0: "merged-4"}  # serial result, whatever the interleaving
+    if backend_kind == "sqlite":
+        assert SQLiteCommitBackend(db_path).heal() == 0
