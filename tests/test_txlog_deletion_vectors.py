@@ -192,3 +192,25 @@ def test_delete_prunes_candidate_files(spark, tmp_path):
     ver, nf, nd = t.delete_where(F.col("amount").between(10.0, 20.0))
     assert nd == 11
     assert nf < n_files  # prune-tree kept only overlapping files
+
+
+def test_clone_raises_loudly_when_source_vacuums_vectors(spark, tmp_path):
+    """Shallow-clone retention caveat, DV edition: the clone references
+    the SOURCE's vector sidecars like it references its data files.
+    After the source compacts (absorbing its vectors) and vacuums past
+    the clone point, the clone's reads must RAISE on the missing
+    sidecar — a correctness fact gone missing is an error, NEVER a
+    silent return of the deleted rows."""
+    t = _seed(spark, str(tmp_path / "t"))
+    t.delete_where(F.col("amount").between(100.0, 150.0))
+    c = clone_table(t, str(tmp_path / "c"))
+    assert c.read_state().count() == 249
+
+    t.compact_buckets(min_files=1)
+    vacuum(t, retain_versions=1, min_age_seconds=0.0)
+    assert not glob.glob(os.path.join(t.data_dir, "_dv", "*"))
+
+    with pytest.raises(Exception) as ei:
+        c.read_state().count()
+    # loud and attributable: the sidecar (or the shared file) is gone
+    assert not isinstance(ei.value, AssertionError)

@@ -1,0 +1,235 @@
+"""Scale evidence for the round's storage features: merge-on-read
+DELETE vs copy-on-write, bloom point lookups, and change-feed
+derivation cost — measured on a 2M-row bucketed table.
+
+Sections (each prints one JSON line):
+  1. delete_0.1pct     — delete_where (deletion vectors: metadata-only)
+                         vs the copy-on-write equivalent (tombstone
+                         merge rewriting every touched bucket): wall
+                         seconds, bytes written, files rewritten; plus
+                         the post-delete read tax (DV anti-join) vs the
+                         pre-delete clean read.
+  2. bloom_point_probe — one-key equality probe on a high-cardinality
+                         column: files read and wall with bloom
+                         sidecars vs the unpruned filter; sidecar build
+                         cost and on-disk footprint at write time.
+  3. cdf_touched_cost  — table_changes for a single-key merge version:
+                         wall vs a full-table snapshot_diff (the
+                         non-log-aware way to get the same answer).
+
+Usage: python tools/dv_scale.py [n_rows]   (default 2000000)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from cdc_streaming_pipeline_spark.session import get_spark
+from cdc_streaming_pipeline_spark.sources.txlog import (
+    BucketedTxLogTable,
+    resolve_with_checkpoint,
+    table_changes,
+)
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+N_BUCKETS = 64
+
+
+def _staged_bytes(root: str) -> int:
+    return sum(
+        os.path.getsize(p)
+        for p in glob.glob(os.path.join(root, "stage-*", "**", "*.parquet"), recursive=True)
+        + glob.glob(os.path.join(root, "stage-*", "*.parquet"))
+    )
+
+
+def _events(spark, n):
+    return (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            (F.col("id") % 1_000_000).cast("double").alias("amount"),
+            (F.col("id") * 37).alias("customer"),
+            F.lit("r").alias("_op"),
+            F.lpad(F.col("id").cast("string"), 12, "0").alias("_lsn"),
+            F.lit(None).cast("string").alias("_deleted"),
+        )
+    )
+
+
+def main() -> None:
+    spark = get_spark("dv_scale")
+    root = tempfile.mkdtemp(prefix="dvscale-")
+    out: dict[str, dict] = {}
+    try:
+        # JVM/codegen warmup so the plain-vs-bloom build comparison
+        # isn't dominated by first-job costs
+        _events(spark, 100_000).groupBy((F.col("id") % 7)).count().collect()
+
+        # ---- build: two identical tables (DV path vs CoW path), one
+        # with bloom sidecars to also price their build. Sidecars follow
+        # the documented sizing rule (~10 bits per expected distinct
+        # value): N/64 buckets ≈ 31k distinct customers per file →
+        # bloom_bits = 2^20 (128 KiB/sidecar, gate 131k)
+        t0 = time.time()
+        t_dv = BucketedTxLogTable(
+            spark, os.path.join(root, "dv"), key_cols=["id"],
+            n_buckets=N_BUCKETS, stats_cols=["amount"],
+        )
+        t_dv.init_from_events(_events(spark, N))
+        build_plain = time.time() - t0
+
+        t0 = time.time()
+        t_bloom = BucketedTxLogTable(
+            spark, os.path.join(root, "bl"), key_cols=["id"],
+            n_buckets=N_BUCKETS, stats_cols=["amount"],
+            bloom_cols=["customer"], bloom_bits=1 << 20,
+        )
+        t_bloom.init_from_events(_events(spark, N))
+        build_bloom = time.time() - t0
+        bloom_disk = sum(
+            os.path.getsize(p)
+            for p in glob.glob(os.path.join(t_bloom.data_dir, "_bloom", "*.bf"))
+        )
+
+        t_cow = BucketedTxLogTable(
+            spark, os.path.join(root, "cow"), key_cols=["id"],
+            n_buckets=N_BUCKETS, stats_cols=["amount"],
+        )
+        t_cow.init_from_events(_events(spark, N))
+        data_bytes = _staged_bytes(t_cow.data_dir)
+
+        # ---- 1. delete 0.1% (a 1000-wide amount band = ~0.1% of the
+        # 1M-value domain), spread across every bucket by key hash —
+        # the CoW worst case and the DV sweet spot
+        band = (F.col("amount") >= 500_000.0) & (F.col("amount") < 501_000.0)
+        t0 = time.time()
+        clean_count = t_dv.read_state().count()
+        read_clean = time.time() - t0
+
+        t0 = time.time()
+        _, nf, nd = t_dv.delete_where(band)
+        dv_wall = time.time() - t0
+        dv_bytes = sum(
+            os.path.getsize(p)
+            for p in glob.glob(os.path.join(t_dv.data_dir, "_dv", "*.dv*"))
+        )
+        t0 = time.time()
+        dv_count = t_dv.read_state().count()
+        read_dv = time.time() - t0
+
+        doomed = t_cow.read_state().filter(band).select("id")
+        tomb = doomed.select(
+            "id",
+            F.lit(None).cast("double").alias("amount"),
+            F.lit(None).cast("long").alias("customer"),
+            F.lit("d").alias("_op"),
+            F.lit("9" * 12).alias("_lsn"),
+            F.lit("true").alias("_deleted"),
+        )
+        before = _staged_bytes(t_cow.data_dir)
+        t0 = time.time()
+        _, touched = t_cow.merge_cdc_batch(tomb)
+        cow_wall = time.time() - t0
+        cow_bytes = _staged_bytes(t_cow.data_dir) - before
+        out["delete_0.1pct"] = {
+            "n_rows": N,
+            "rows_deleted": nd,
+            "dv": {
+                "wall_s": round(dv_wall, 2),
+                "bytes_written": dv_bytes,
+                "files_rewritten": 0,
+                "files_touched": nf,
+            },
+            "cow_tombstone_merge": {
+                "wall_s": round(cow_wall, 2),
+                "bytes_written": cow_bytes,
+                "buckets_rewritten": len(touched),
+            },
+            "read_tax": {
+                "clean_read_s": round(read_clean, 2),
+                "dv_read_s": round(read_dv, 2),
+                "counts": [clean_count, dv_count],
+            },
+            "table_bytes": data_bytes,
+        }
+        print(json.dumps({"delete_0.1pct": out["delete_0.1pct"]}))
+
+        # ---- 2. bloom point probe: one present key, one absent
+        probe = 41_007 * 37
+        t0 = time.time()
+        full = t_bloom.read_state().filter(F.col("customer") == probe).count()
+        full_wall = time.time() - t0
+        t0 = time.time()
+        df, fr, ft = t_bloom.read_state_where_in("customer", [probe])
+        got = df.count()
+        bloom_wall = time.time() - t0
+        t0 = time.time()
+        dfa, fra, fta = t_bloom.read_state_where_in("customer", [-12345])
+        absent = dfa.count()
+        absent_wall = time.time() - t0
+        out["bloom_point_probe"] = {
+            "present": {
+                "files_read": fr,
+                "files_total": ft,
+                "wall_s": round(bloom_wall, 2),
+                "rows": got,
+            },
+            "absent": {
+                "files_read": fra,
+                "wall_s": round(absent_wall, 2),
+                "rows": absent,
+            },
+            "unpruned_filter": {"wall_s": round(full_wall, 2), "rows": full},
+            "build_overhead_s": round(build_bloom - build_plain, 2),
+            "build_plain_s": round(build_plain, 2),
+            "sidecar_disk_bytes": bloom_disk,
+        }
+        print(json.dumps({"bloom_point_probe": out["bloom_point_probe"]}))
+
+        # ---- 3. CDF cost for a single-key merge vs full snapshot_diff
+        pre_v = t_dv.latest_version()
+        one = spark.createDataFrame(
+            [(7, 123.0, 7 * 37, "u", "9" * 12, None)],
+            "id bigint, amount double, customer bigint, _op string, _lsn string, _deleted string",
+        )
+        t_dv.merge_cdc_batch(one)
+        t0 = time.time()
+        feed_n = table_changes(t_dv, pre_v).count()
+        cdf_wall = time.time() - t0
+
+        from cdc_streaming_pipeline_spark.operators.cdc import snapshot_diff
+
+        t0 = time.time()
+        diff_n = snapshot_diff(
+            t_dv.read_state(pre_v),
+            t_dv.read_state(),
+            ["id"],
+            ["amount", "customer"],
+        ).count()
+        diff_wall = time.time() - t0
+        out["cdf_touched_cost"] = {
+            "feed_rows": feed_n,
+            "cdf_wall_s": round(cdf_wall, 2),
+            "snapshot_diff_rows": diff_n,
+            "snapshot_diff_wall_s": round(diff_wall, 2),
+            "files_in_table": len(resolve_with_checkpoint(t_dv)),
+        }
+        print(json.dumps({"cdf_touched_cost": out["cdf_touched_cost"]}))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
