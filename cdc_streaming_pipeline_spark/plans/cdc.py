@@ -1837,6 +1837,118 @@ ORACLE["table_clustered_skipping"] = """
 """
 
 
+def table_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-dimensional clustering — OPTIMIZE ZORDER proper
+    (operators/layout.py:zorder_value through
+    compact_buckets(cluster_cols=[<morton expr>])): one-column
+    clustering makes stats tight on ONE column and scrambles the other;
+    interleaving the quantized bits of BOTH makes every file a small
+    2-D tile, so a conjunctive box predicate
+    (``amount BETWEEN .. AND customer BETWEEN ..``) prunes on BOTH
+    dimensions through ``read_state_pruned``'s intersected keep-sets.
+    Fixture: orders with (amount, customer), z-order-compacted into 64
+    tiles; probes: the 2-D box, plus each 1-D band alone — all three
+    must prune ('yes' asserted by the oracle) and be value-exact."""
+    import os
+    import tempfile
+
+    from cdc_streaming_pipeline_spark.functions.precision import dsum
+    from cdc_streaming_pipeline_spark.operators.layout import zorder_value
+    from cdc_streaming_pipeline_spark.sources.txlog import BucketedTxLogTable
+
+    key = (spark.sparkContext.applicationId, sf_dir, "zorder_skip")
+    memo = _TXLOG_MEMO.get(key)
+    o = _orders(spark, sf_dir)
+    k = F.col("o_orderkey")
+    if memo is None:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"txlog-zorder-{spark.sparkContext.applicationId}-{abs(hash(sf_dir)) % 10**8}",
+        )
+        cmax = int(o.agg(F.max("o_custkey")).collect()[0][0])
+        t = BucketedTxLogTable(
+            spark, path, key_cols=["id"], n_buckets=8,
+            stats_cols=["total_amount", "customer"],
+        )
+        if t.latest_version() is None:
+            snap = o.select(
+                k.alias("id"),
+                F.col("o_totalprice").cast("double").alias("total_amount"),
+                F.col("o_custkey").alias("customer"),
+                F.lit("r").alias(OP_COL),
+                _lsn(k, 1).alias(LSN_COL),
+                F.lit(None).cast("string").alias(DELETED_COL),
+            )
+            t.init_from_events(snap)
+            # quantize each dimension to 10 bits over its domain, then
+            # morton-interleave — the cluster expression IS a Column,
+            # which compact_buckets range-partitions on
+            q_amt = F.least(
+                F.lit(1023), (F.col("total_amount") / 600.0).cast("int")
+            )
+            q_cust = F.least(
+                F.lit(1023),
+                (F.col("customer") / F.lit(max(cmax // 1024, 1))).cast("int"),
+            )
+            t.compact_buckets(
+                min_files=1,
+                cluster_cols=[zorder_value([q_amt, q_cust], bits=10)],
+                cluster_parts=64,
+            )
+        _TXLOG_MEMO[key] = (path, cmax)
+        memo = (path, cmax)
+    path, cmax = memo
+    t = BucketedTxLogTable(spark, path, stats_cols=["total_amount", "customer"])
+
+    def probe(preds, name):
+        df, fr, ft = t.read_state_pruned(preds)
+        return df.agg(
+            F.lit(name).alias("probe"),
+            F.count("*").alias("n_rows"),
+            dsum(F.col("total_amount")).alias("total_amount"),
+            F.lit("yes" if fr < ft else "no").alias("pruned"),
+        )
+
+    hi_c = cmax // 20
+    return (
+        probe(
+            [
+                ("total_amount", "between", 1000.0, 30000.0),
+                ("customer", "between", 1, hi_c),
+            ],
+            "box_2d",
+        )
+        .unionByName(probe([("total_amount", "between", 1000.0, 30000.0)], "amount_1d"))
+        .unionByName(probe([("customer", "between", 1, hi_c)], "customer_1d"))
+    )
+
+
+QUERIES["table_zorder_skipping"] = table_zorder_skipping
+ORACLE["table_zorder_skipping"] = """
+    WITH mx AS (SELECT MAX(o_custkey) // 20 AS hi FROM orders)
+    SELECT 'box_2d' AS probe, COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+               AS total_amount,
+           'yes' AS pruned
+    FROM orders, mx
+    WHERE o_totalprice BETWEEN 1000 AND 30000 AND o_custkey BETWEEN 1 AND mx.hi
+    UNION ALL
+    SELECT 'amount_1d' AS probe, COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+               AS total_amount,
+           'yes' AS pruned
+    FROM orders
+    WHERE o_totalprice BETWEEN 1000 AND 30000
+    UNION ALL
+    SELECT 'customer_1d' AS probe, COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+               AS total_amount,
+           'yes' AS pruned
+    FROM orders, mx
+    WHERE o_custkey BETWEEN 1 AND mx.hi
+"""
+
+
 def table_dict_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dictionary-stats pruning on categoricals
     (sources/txlog.py:read_state_where_in): a status column's [min, max]

@@ -906,7 +906,16 @@ class TxLogTable:
 
     def _try_commit(self, version: int, entry: dict) -> bool:
         """Atomic create-if-absent with FULL content: True iff this
-        writer won ``version``. Delegates to the injected backend."""
+        writer won ``version``. Delegates to the injected backend.
+        Every winning entry carries a wall-clock ``ts`` (the ONE commit
+        choke point), which is what timestamp time travel resolves
+        against — same caveat as Delta's commit timestamps: wall clocks
+        across writers can skew, so ``version_at_timestamp`` treats the
+        sequence as monotone and callers wanting exactness pin versions."""
+        import time
+
+        entry = dict(entry)
+        entry.setdefault("ts", time.time())
         return self._put_if_absent(self._entry_path(version), json.dumps(entry))
 
     def txn_version(self, txn: tuple[str, int]) -> int | None:
@@ -2643,6 +2652,58 @@ def table_changes(
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
     return out
+
+
+def version_at_timestamp(table: TxLogTable, ts: float) -> int:
+    """The newest version committed AT OR BEFORE wall-clock ``ts``
+    (unix seconds) — Delta's ``TIMESTAMP AS OF``. Binary search over
+    the dense version range using each entry's recorded commit ``ts``
+    (legacy entries without one fall back to the entry file's mtime),
+    O(log age) entry reads. Commit timestamps are treated as monotone;
+    writer clock skew can reorder near-simultaneous commits by a few
+    seconds (Delta's caveat is identical) — pin versions when exactness
+    at a boundary matters. Raises when ``ts`` predates version 0."""
+    latest = table.latest_version()
+    if latest is None:
+        raise FileNotFoundError("timestamp travel on an uninitialized table")
+
+    def ts_of(v: int) -> float:
+        e = table._read_entry(v)
+        if "ts" in e:
+            return float(e["ts"])
+        return os.path.getmtime(table._entry_path(v))
+
+    if ts_of(0) > ts:
+        raise ValueError(
+            f"timestamp {ts} predates the table's first commit"
+        )
+    lo, hi = 0, latest
+    while lo < hi:  # greatest v with ts_of(v) <= ts
+        mid = (lo + hi + 1) // 2
+        if ts_of(mid) <= ts:
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
+
+
+def follow_changes(
+    table: "BucketedTxLogTable", cursor: int | None = None
+) -> tuple[DataFrame, int]:
+    """The polling CDC-consumer step over the change feed: returns
+    (typed change rows for versions (cursor, latest], new_cursor).
+    A downstream replica loops ``feed, cur = follow_changes(t, cur)``
+    and applies insert/update_postimage as upserts and delete as
+    removes — the feed is SUFFICIENT to reconstruct ``read_state``
+    exactly (pinned in tests), which is the contract that lets a
+    100 TB table feed consumers at touched-files cost instead of
+    snapshot diffs. ``cursor=None`` starts from before version 0
+    (full replay: the initial load arrives as inserts)."""
+    latest = table.latest_version()
+    if latest is None:
+        raise FileNotFoundError("follow_changes on an uninitialized table")
+    start = -1 if cursor is None else cursor
+    return table_changes(table, start, latest), latest
 
 
 def mv_delta(

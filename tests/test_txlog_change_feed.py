@@ -125,3 +125,70 @@ def test_empty_feed_has_stable_schema(spark, tmp_path):
     feed = table_changes(t, v)
     assert feed.count() == 0
     assert {"_change_type", "_commit_version", "id", "amount"} <= set(feed.columns)
+
+
+def test_follow_changes_reconstructs_state_exactly(spark, tmp_path):
+    """The CDC-consumer contract: a replica applying the feed's
+    insert/update_postimage upserts and delete removes equals
+    read_state after EVERY poll, through merges, DV deletes, and
+    maintenance — the feed is sufficient, not just descriptive."""
+    import random
+
+    from cdc_streaming_pipeline_spark.sources.txlog import follow_changes
+
+    rng = random.Random(99)
+    t = _seed(spark, str(tmp_path / "t"), n=60)
+    replica: dict[int, float] = {}
+    cursor = None
+
+    def poll():
+        nonlocal cursor
+        feed, cursor = follow_changes(t, cursor)
+        for r in feed.collect():
+            if r["_change_type"] in ("insert", "update_postimage"):
+                replica[r["id"]] = r["amount"]
+            elif r["_change_type"] == "delete":
+                replica.pop(r["id"], None)
+        got = {r["id"]: r["amount"] for r in t.read_state().collect()}
+        assert replica == got
+
+    poll()  # initial load arrives as inserts
+    for step in range(6):
+        roll = rng.random()
+        if roll < 0.5:
+            wave = [
+                (rng.randrange(100), float(1000 * step + i), "u",
+                 f"{step + 2:04d}{i:02d}", None)
+                for i in range(rng.randint(1, 4))
+            ]
+            t.merge_cdc_batch(spark.createDataFrame(wave, S))
+        elif roll < 0.75:
+            lo = float(rng.randrange(0, 4000))
+            t.delete_where(F.col("amount").between(lo, lo + 500.0))
+        else:
+            t.compact_buckets(min_files=1)
+        poll()
+
+
+def test_version_at_timestamp_binary_search(spark, tmp_path):
+    import time
+
+    from cdc_streaming_pipeline_spark.sources.txlog import version_at_timestamp
+
+    t = _seed(spark, str(tmp_path / "t"), n=20)
+    marks = [time.time()]
+    for i in range(3):
+        time.sleep(0.05)
+        t.merge_cdc_batch(
+            spark.createDataFrame([(i, 999.0 + i, "u", f"99{i:04d}", None)], S)
+        )
+        marks.append(time.time())
+    assert version_at_timestamp(t, marks[0]) == 0
+    for i in range(1, 4):
+        assert version_at_timestamp(t, marks[i]) == i
+    assert version_at_timestamp(t, time.time() + 100) == t.latest_version()
+    # read_state at the resolved version is the historical state
+    v = version_at_timestamp(t, marks[1])
+    assert t.read_state(v).filter(F.col("id") == 1).collect()[0]["amount"] != 1000.0
+    with pytest.raises(ValueError):
+        version_at_timestamp(t, marks[0] - 10_000)
