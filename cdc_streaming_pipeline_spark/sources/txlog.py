@@ -217,6 +217,15 @@ def _inc_last_char(s: str) -> str | None:
     return None
 
 
+def _uri_to_path(p: str) -> str:
+    """Decode a Spark-reported file URI (``input_file_name`` /
+    ``_metadata.file_path`` percent-encode reserved characters) to the
+    plain filesystem path log entries record. Idempotent on paths."""
+    from urllib.parse import unquote, urlparse
+
+    return unquote(urlparse(p).path) if "://" in p or p.startswith("file:") else p
+
+
 def _stat_norm(v, side: str):
     """Normalize ONE skipping statistic or probe bound to a JSON-
     primitive, ORDER-PRESERVING encoding — the shared write/read
@@ -520,12 +529,20 @@ def _dv_load(path: str) -> list[int]:
 
 
 def _fp_key_col():
-    """Normalize ``_metadata.file_path`` (a ``file://`` URI) to the
-    plain-path form log entries record, as a JVM expression — the DV
-    anti-join key. Matches ``norm()`` in the stats job for local paths."""
+    """Normalize ``_metadata.file_path`` (a ``file:`` URI with
+    percent-encoding — a path containing a space arrives as ``%20``)
+    to the DECODED plain-path form log entries record, as a JVM
+    expression — the DV anti-join key. Matches ``norm()`` in the stats
+    job; without the decode step a table under a path with any
+    URI-reserved character would silently MISS its vectors and return
+    deleted rows (pinned in tests/test_txlog_deletion_vectors.py)."""
     from pyspark.sql import functions as F
 
-    return F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
+    stripped = F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
+    # try_url_decode: a literal '%' not forming a valid escape decodes
+    # to NULL — fall back to the raw path (matching norm()'s unquote,
+    # which leaves malformed escapes alone)
+    return F.coalesce(F.try_url_decode(stripped), stripped)
 
 
 def _apply_dvs(spark, df: DataFrame, files: list[str], dvs: dict) -> DataFrame:
@@ -1527,7 +1544,6 @@ class BucketedTxLogTable(TxLogTable):
         ``DICT_VALUE_CAP`` drop the (file, column) pair to range-only
         pruning."""
         from pyspark.sql import functions as F
-        from urllib.parse import unquote, urlparse
 
         if (not self.stats_cols and not self.bloom_cols) or not adds:
             return {}
@@ -1543,11 +1559,23 @@ class BucketedTxLogTable(TxLogTable):
             for c in (self.bloom_cols or [])
             if c in columns and types.get(c) in bloomable
         ]
+        unbloomable = [
+            c
+            for c in (self.bloom_cols or [])
+            if c in columns and types.get(c) not in bloomable
+        ]
+        norm = _uri_to_path
         if not present and not bpresent:
-            return {}
-
-        def norm(p):
-            return unquote(urlparse(p).path) if "://" in p or p.startswith("file:") else p
+            if not unbloomable:
+                return {}
+            # typed None markers only (no aggregate job needed): the
+            # coverage fact that stops analyze_table rescanning files
+            # whose bloom column can never carry a sidecar
+            return {
+                "file_blooms": {
+                    norm(f): {c: None for c in unbloomable} for f in adds
+                }
+            }
 
         aggs = [F.count(F.lit(1)).alias("_rows")]
         for c in present:
@@ -1581,10 +1609,14 @@ class BucketedTxLogTable(TxLogTable):
                 norm(r["_f"]): {c: [r["_rows"] - r[f"_nn_{c}"], r["_rows"]] for c in present}
                 for r in rows
             }
+        blooms: dict = {}
         if bpresent:
             blooms = self._staged_blooms(rows, bpresent, types, norm)
-            if blooms:
-                out["file_blooms"] = blooms
+        for c in unbloomable:  # typed None marker: analyze converges
+            for r in rows:
+                blooms.setdefault(norm(r["_f"]), {})[c] = None
+        if blooms:
+            out["file_blooms"] = blooms
         if not present:
             return out
         margin = 2 * self.DICT_CAP  # sketch-safe candidate threshold
@@ -1626,7 +1658,10 @@ class BucketedTxLogTable(TxLogTable):
         collect_set wrapped in CASE WHEN)."""
         from pyspark.sql import functions as F
 
-        cand_files = sorted({f for fs in cand.values() for f in fs})
+        # decode for the RE-READ (a raw percent-encoded URI double-encodes
+        # and fails under paths with reserved characters); the isin gates
+        # keep the raw URI form input_file_name reports
+        cand_files = sorted({_uri_to_path(f) for fs in cand.values() for f in fs})
         fcol = F.input_file_name()
         return (
             self.spark.read.parquet(*cand_files)
@@ -1672,9 +1707,19 @@ class BucketedTxLogTable(TxLogTable):
         cand = {
             c: [r["_f"] for r in rows if r[f"_n_{c}"] <= gate] for c in bpresent
         }
+        # (file, col) pairs FAILING the gate record an explicit None
+        # marker: a saturated bloom prunes nothing, and the marker is
+        # what lets analyze_table's coverage check converge instead of
+        # rescanning gated-off files forever
+        out: dict = {}
+        for c in bpresent:
+            ok = set(cand[c])
+            for r in rows:
+                if r["_f"] not in ok:
+                    out.setdefault(norm(r["_f"]), {})[c] = None
         cand = {c: fs for c, fs in cand.items() if fs}
         if not cand:
-            return {}
+            return out
         m, k = self.bloom_bits, BLOOM_K
         brows = self._bloom_job(cand, m, k).collect()
         bloom_dir = os.path.join(self.data_dir, "_bloom")
@@ -1685,7 +1730,6 @@ class BucketedTxLogTable(TxLogTable):
             pending.extend(
                 (norm(f), c, []) for f in fs if (norm(f), c) not in got
             )
-        out: dict = {}
         for f, c, ps in pending:
             bm = bytearray(m // 8)
             for p in ps:
@@ -1724,7 +1768,7 @@ class BucketedTxLogTable(TxLogTable):
                 ]
             )
             parts.append(
-                self.spark.read.parquet(*sorted(set(fs)))
+                self.spark.read.parquet(*sorted({_uri_to_path(f) for f in fs}))
                 .where(F.col(c).isNotNull())
                 .select(
                     F.input_file_name().alias("_f"),
@@ -3422,7 +3466,14 @@ def analyze_table(
         raise FileNotFoundError("analyze of an uninitialized table")
     live = resolve_with_checkpoint(table, base)
     stats = resolve_file_stats(table, base)
-    missing = [f for f in live if any(c not in stats.get(f, {}) for c in cols)]
+    bcols = list(getattr(table, "bloom_cols", None) or [])
+    blooms = resolve_file_blooms(table, base) if bcols else {}
+    missing = [
+        f
+        for f in live
+        if any(c not in stats.get(f, {}) for c in cols)
+        or any(c not in blooms.get(f, {}) for c in bcols)
+    ]
     if max_files is not None:
         missing = missing[:max_files]
     if not missing:
@@ -3511,6 +3562,7 @@ def vacuum(
         b["path"]
         for f in live
         for b in blooms_all.get(f, {}).values()
+        if b is not None  # gated-off markers carry no sidecar
     }
     candidates += glob(os.path.join(table.data_dir, "_bloom", "*.bf"))
     live |= live_blooms

@@ -132,9 +132,14 @@ def test_bloom_gate_skips_high_cardinality_files(spark, tmp_path):
     )
     rows = [(i, i * 37, "x", "r", f"{i:08d}", None) for i in range(2000)]
     t.init_from_events(_events(spark, rows))
-    assert resolve_file_blooms(t) == {}
+    # gated-off pairs record an explicit None marker (no sidecar): the
+    # coverage fact analyze_table converges on
+    blooms = resolve_file_blooms(t)
+    assert blooms and all(
+        cols.get("customer") is None for cols in blooms.values()
+    )
     df, read, total = t.read_state_where_in("customer", [-1])
-    assert read == total  # no facts: conservative full read
+    assert read == total  # no usable facts: conservative full read
     assert df.count() == 0
 
 
@@ -170,7 +175,11 @@ def test_non_bloomable_types_build_no_sidecar(spark, tmp_path):
             rows, "id bigint, amount double, _op string, _lsn string, _deleted string"
         )
     )
-    assert resolve_file_blooms(t) == {}
+    blooms = resolve_file_blooms(t)  # typed None markers, no sidecars
+    assert blooms and all(
+        cols.get("amount") is None for cols in blooms.values()
+    )
+    assert not glob.glob(os.path.join(t.data_dir, "_bloom", "*.bf"))
 
 
 def test_all_null_candidate_gets_empty_bitmap(spark, tmp_path):
@@ -238,3 +247,36 @@ def test_column_predicate_equality_uses_bloom(spark, tmp_path):
     got = {r["id"] for r in df.collect()}
     assert got == {9} | {i for i in range(2000) if i % 997 == 13}
     assert read < total
+
+
+def test_analyze_backfills_blooms_for_legacy_files(spark, tmp_path):
+    """Files written by a bloom-less handle are point-lookup-blind
+    forever unless ANALYZE covers them: a bloom-policy handle's
+    analyze_table must build sidecars for exactly the uncovered files,
+    then report nothing left to do (gated-off pairs converge via their
+    None markers instead of rescanning every run)."""
+    from cdc_streaming_pipeline_spark.sources.txlog import analyze_table
+
+    plain = BucketedTxLogTable(
+        spark, str(tmp_path / "t"), key_cols=["id"], n_buckets=4,
+        stats_cols=["customer"],
+    )
+    rows = [(i, i * 37, f"tag-{i % 997}", "r", f"{i:08d}", None) for i in range(800)]
+    plain.init_from_events(_events(spark, rows))
+    assert all(
+        cols.get("customer") is None or "customer" not in cols
+        for cols in resolve_file_blooms(plain).values()
+    )
+
+    t = BucketedTxLogTable(
+        spark, plain.path, stats_cols=["customer"], bloom_cols=["customer"]
+    )
+    v = analyze_table(t)
+    assert v is not None
+    blooms = resolve_file_blooms(t)
+    assert blooms and all("customer" in cols for cols in blooms.values())
+    df, read, total = t.read_state_where_in("customer", [-5])
+    assert read == 0 and df.count() == 0  # absent key now prunes fully
+    df, read, total = t.read_state_where_in("customer", [41 * 37])
+    assert {r["id"] for r in df.collect()} == {41}
+    assert analyze_table(t) is None  # converged: nothing uncovered

@@ -214,3 +214,15 @@ def test_clone_raises_loudly_when_source_vacuums_vectors(spark, tmp_path):
         c.read_state().count()
     # loud and attributable: the sidecar (or the shared file) is gone
     assert not isinstance(ei.value, AssertionError)
+
+
+def test_vectors_survive_uri_reserved_characters_in_path(spark, tmp_path):
+    """``_metadata.file_path`` arrives percent-encoded (a space is
+    ``%20``) while log entries record decoded filesystem paths; the DV
+    anti-join key must decode or a table under such a path silently
+    returns deleted rows."""
+    t = _seed(spark, str(tmp_path / "sp ace" / "t"), n=60)
+    ver, nf, nd = t.delete_where(F.col("amount").between(10.0, 19.0))
+    assert nd == 10
+    assert t.read_state().count() == 50
+    assert t.read_state().filter(F.col("amount").between(10.0, 19.0)).count() == 0
