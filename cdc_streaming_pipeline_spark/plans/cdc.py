@@ -2622,6 +2622,106 @@ def table_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def table_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution WITHOUT rewrite
+    (sources/txlog.py:rename_column / drop_column — Delta column
+    mapping, name mode / Iceberg schema evolution): rename and drop are
+    each ONE metadata commit; files keep their physical names forever
+    and the versioned mapping translates at the API boundary. Fixture:
+    orders seeded as (id, amount, status); rename amount → revenue,
+    drop status, then merge a hot wave UNDER THE NEW NAME. Probes pin
+    the whole contract against the oracle: the post-evolution column
+    set is exactly (id, revenue); a pruned read probed by the NEW name
+    hits the physical stats ('yes'); and time travel to the pre-rename
+    version reads under the OLD names with the original values."""
+    import os
+    import tempfile
+
+    from cdc_streaming_pipeline_spark.sources.txlog import BucketedTxLogTable
+
+    key = (spark.sparkContext.applicationId, sf_dir, "colmap_table")
+    memo = _TXLOG_MEMO.get(key)
+    o = _orders(spark, sf_dir)
+    k = F.col("o_orderkey")
+    if memo is None:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"txlog-colmap-{spark.sparkContext.applicationId}-{abs(hash(sf_dir)) % 10**8}",
+        )
+        t = BucketedTxLogTable(
+            spark, path, key_cols=["id"], n_buckets=16, stats_cols=["amount"]
+        )
+        if t.latest_version() is None:
+            snap = o.select(
+                k.alias("id"),
+                F.col("o_totalprice").cast("double").alias("amount"),
+                F.col("o_orderstatus").alias("status"),
+                F.lit("r").alias(OP_COL),
+                _lsn(k, 1).alias(LSN_COL),
+                F.lit(None).cast("string").alias(DELETED_COL),
+            )
+            t.init_from_events(snap)
+            pre = t.latest_version()
+            t.rename_column("amount", "revenue")
+            t.drop_column("status")
+            hot = o.join(o.agg(F.min(k).alias("mk")), k == F.col("mk")).select(
+                k.alias("id"),
+                (F.col("o_totalprice").cast("double") + 10_000_000.0).alias(
+                    "revenue"
+                ),
+                F.lit("u").alias(OP_COL),
+                _lsn(k, 2).alias(LSN_COL),
+                F.lit(None).cast("string").alias(DELETED_COL),
+            )
+            t.merge_cdc_batch(hot)
+            _TXLOG_MEMO[key] = (path, pre)
+            memo = (path, pre)
+        else:
+            memo = _TXLOG_MEMO[key]
+    path, pre = memo
+    t = BucketedTxLogTable(spark, path)
+
+    df, fr, ft = t.read_state_where("revenue", 9_000_000.0, 20_000_000.0)
+    hot_probe = df.agg(
+        F.lit("hot_new_name").alias("probe"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("revenue").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        F.lit(",".join(sorted(t.read_state().columns))).alias("columns"),
+        F.lit("yes" if fr < ft else "no").alias("pruned"),
+    )
+    old = t.read_state(pre)
+    travel = old.agg(
+        F.lit("time_travel").alias("probe"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("amount").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        F.lit(",".join(sorted(old.columns))).alias("columns"),
+        F.lit("n/a").alias("pruned"),
+    )
+    return hot_probe.unionByName(travel)
+
+
+QUERIES["table_column_mapping"] = table_column_mapping
+ORACLE["table_column_mapping"] = """
+    WITH mk AS (SELECT MIN(o_orderkey) AS k FROM orders),
+    st AS (
+        SELECT o_orderkey AS id,
+               CASE WHEN o_orderkey = (SELECT k FROM mk)
+                    THEN CAST(o_totalprice AS DOUBLE) + 10000000
+                    ELSE CAST(o_totalprice AS DOUBLE) END AS revenue
+        FROM orders
+    )
+    SELECT 'hot_new_name' AS probe, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           'id,revenue' AS columns, 'yes' AS pruned
+    FROM st WHERE revenue >= 9000000
+    UNION ALL
+    SELECT 'time_travel' AS probe, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           'amount,id,status' AS columns, 'n/a' AS pruned
+    FROM orders
+"""
+
+
 def cdc_change_feed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHANGE DATA FEED over the ACID table
     (sources/txlog.py:table_changes — Delta CDF): per-version typed

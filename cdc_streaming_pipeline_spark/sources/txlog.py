@@ -781,6 +781,18 @@ def _tree_survives(f: str, tree, stats, dicts, nulls, blooms=None) -> bool:
     return l or _tree_survives(f, tree[2], stats, dicts, nulls, blooms)
 
 
+def _map_tree_cols(tree, fn) -> tuple:
+    """Rewrite every pred leaf's column name through ``fn`` — how a
+    logical-name predicate meets physical-name skipping facts under
+    column mapping."""
+    if tree[0] == "true":
+        return tree
+    if tree[0] == "pred":
+        p = tree[1]
+        return ("pred", (fn(p[0]),) + tuple(p[1:]))
+    return (tree[0], _map_tree_cols(tree[1], fn), _map_tree_cols(tree[2], fn))
+
+
 def _column_prune_tree(predicate) -> tuple:
     """Best-effort prune tree for a Spark Column predicate. NEVER raises
     on unsupported shapes — they become ``_TRUE`` leaves (no pruning;
@@ -1356,6 +1368,11 @@ class BucketedTxLogTable(TxLogTable):
         # conservatively — results stay exact either way, so mixed
         # writers need no coordination.
         self.stats_cols = list(stats_cols) if stats_cols else None
+        # Column mapping (rename/drop without rewrite): logical→physical
+        # name map + dropped physical names, owned by the log like the
+        # bucket layout. Identity ({} / []) for unmapped tables.
+        self.column_mapping = dict(meta.get("column_mapping") or {}) if meta else {}
+        self.dropped_cols = list(meta.get("dropped_columns") or []) if meta else []
         # Bloom-sidecar columns: the HIGH-cardinality complement of the
         # value dictionaries — per-file membership filters for
         # equality/IN point lookups on columns whose distinct count
@@ -1547,7 +1564,10 @@ class BucketedTxLogTable(TxLogTable):
 
         if (not self.stats_cols and not self.bloom_cols) or not adds:
             return {}
-        present = [c for c in (self.stats_cols or []) if c in columns]
+        cmap = getattr(self, "column_mapping", {}) or {}
+        stats_pol = [cmap.get(c, c) for c in (self.stats_cols or [])]
+        bloom_pol = [cmap.get(c, c) for c in (self.bloom_cols or [])]
+        present = [c for c in stats_pol if c in columns]
         staged = self.spark.read.parquet(*adds)
         types = {f.name: f.dataType.simpleString() for f in staged.schema.fields}
         # bloom columns must be a type whose probe-side hashing is
@@ -1555,14 +1575,10 @@ class BucketedTxLogTable(TxLogTable):
         # whatever range/dict facts stats_cols provide
         bloomable = set(_BLOOM_INT_TYPES) | {"string"}
         bpresent = [
-            c
-            for c in (self.bloom_cols or [])
-            if c in columns and types.get(c) in bloomable
+            c for c in bloom_pol if c in columns and types.get(c) in bloomable
         ]
         unbloomable = [
-            c
-            for c in (self.bloom_cols or [])
-            if c in columns and types.get(c) not in bloomable
+            c for c in bloom_pol if c in columns and types.get(c) not in bloomable
         ]
         norm = _uri_to_path
         if not present and not bpresent:
@@ -1782,17 +1798,23 @@ class BucketedTxLogTable(TxLogTable):
         return u.groupBy("_f", "_c").agg(F.collect_set("_p").alias("_ps"))
 
     def _meta_dict(self) -> dict:
-        return {
+        out = {
             "key_cols": self.key_cols,
             "n_buckets": self.n_buckets,
             "order_col": self.order_col,
         }
+        if self.column_mapping:
+            out["column_mapping"] = dict(self.column_mapping)
+        if self.dropped_cols:
+            out["dropped_columns"] = list(self.dropped_cols)
+        return out
 
     def _refresh_meta(self, version: int | None) -> None:
         """Adopt the layout recorded AT ``version`` before any operation
         that buckets rows — a long-lived handle must notice an
-        out-of-band ``rebucket`` (the log, not the constructor, owns the
-        layout). Key/order changes are never safe to adopt silently."""
+        out-of-band ``rebucket`` or column rename/drop (the log, not the
+        constructor, owns layout AND naming). Key/order changes are
+        never safe to adopt silently."""
         meta = resolve_table_meta(self, version)
         if meta is None:
             return  # legacy log: constructor intent stands
@@ -1802,6 +1824,151 @@ class BucketedTxLogTable(TxLogTable):
                 f"differ from this handle's {self.key_cols}/{self.order_col}"
             )
         self.n_buckets = int(meta["n_buckets"])
+        self.column_mapping = dict(meta.get("column_mapping") or {})
+        self.dropped_cols = list(meta.get("dropped_columns") or [])
+
+    # ---- column mapping (rename/drop without rewriting files) -----------
+
+    def _mapping_at(self, version: int | None) -> tuple[dict, list]:
+        """(logical→physical mapping, dropped physical names) recorded AT
+        ``version`` — versioned like the bucket layout, so time travel to
+        a pre-rename version reads under the names of that era."""
+        meta = resolve_table_meta(self, version)
+        if meta is None:
+            return {}, []
+        return dict(meta.get("column_mapping") or {}), list(
+            meta.get("dropped_columns") or []
+        )
+
+    def _to_logical(self, df: DataFrame, version: int | None = None) -> DataFrame:
+        """Present a PHYSICAL DataFrame (file column names) under the
+        logical names of ``version``: drop dropped physical columns,
+        rename mapped ones. Identity for unmapped tables — the zero-cost
+        default every pre-mapping table stays on."""
+        mapping, dropped = self._mapping_at(version)
+        if not mapping and not dropped:
+            return df
+        cols = set(df.columns)
+        for p in dropped:
+            if p in cols:
+                df = df.drop(p)
+                cols.discard(p)
+        for logical, physical in mapping.items():
+            if physical in cols and logical != physical:
+                df = df.withColumnRenamed(physical, logical)
+        return df
+
+    def _to_physical(self, df: DataFrame) -> DataFrame:
+        """Map an incoming LOGICAL batch to physical file names under the
+        CURRENT mapping. Loud on the two silent-aliasing traps: a batch
+        carrying both a logical name and its physical target, and a
+        batch re-introducing a DROPPED physical column (whose old data
+        still lives in unrewritten files and would resurrect)."""
+        self._refresh_meta(None)
+        cols = set(df.columns)
+        for p in self.dropped_cols:
+            if p in cols:
+                raise ValueError(
+                    f"column {p!r} was dropped from this table; its data "
+                    "still exists in unrewritten files, so re-adding the "
+                    "same physical name would resurrect it — pick a new "
+                    "name (rename_column) or rewrite the table first"
+                )
+        for logical, physical in self.column_mapping.items():
+            if logical in cols:
+                if physical in cols:
+                    raise ValueError(
+                        f"batch carries both logical {logical!r} and its "
+                        f"physical target {physical!r}"
+                    )
+                df = df.withColumnRenamed(logical, physical)
+        return df
+
+    def _phys_name(self, col: str, version: int | None = None) -> str:
+        mapping, _ = self._mapping_at(version)
+        return mapping.get(col, col)
+
+    def _logical_columns(self) -> list[str]:
+        sj = _resolve_schema_json(self, self.latest_version())
+        phys = [f["name"] for f in (sj or {}).get("fields", [])]
+        self._refresh_meta(None)
+        rev = {p: l for l, p in self.column_mapping.items()}
+        return [
+            rev.get(p, p) for p in phys if p not in set(self.dropped_cols)
+        ]
+
+    def _commit_alter(self, max_retries: int = 5) -> int:
+        for _ in range(max_retries):
+            base = self.latest_version()
+            version = base + 1
+            entry = {
+                "version": version,
+                "mode": "alter",
+                "adds": [],
+                "removes": [],
+                "n_files": 0,
+                "table_meta": self._meta_dict(),
+            }
+            if self._try_commit(version, entry):
+                return version
+        raise ConcurrentWriteError("alter gave up after retries")
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Rename a column as ONE metadata commit — no file rewrite
+        (Delta column mapping, name mode / Iceberg schema evolution).
+        The files keep their physical names forever; the log's
+        ``column_mapping`` translates at the API boundary: reads present
+        logical names, incoming batches are accepted under them, and
+        skipping-fact probes translate before fact lookup. Versioned
+        like the bucket layout — time travel to a pre-rename version
+        reads under the old name. At 100 TB this is the difference
+        between a JSON write and rewriting the table to change a
+        header."""
+        from cdc_streaming_pipeline_spark.schemas import DELETED_COL, OP_COL
+
+        self._refresh_meta(None)
+        logicals = set(self._logical_columns())
+        if old not in logicals:
+            raise ValueError(f"no such column {old!r} (have {sorted(logicals)})")
+        sj = _resolve_schema_json(self, self.latest_version())
+        phys_cols = {f["name"] for f in (sj or {}).get("fields", [])}
+        reserved = {OP_COL, DELETED_COL, self.order_col, "_is_deleted"}
+        if (
+            new in logicals
+            or new in phys_cols
+            or new in self.dropped_cols
+            or new in reserved
+        ):
+            raise ValueError(
+                f"target name {new!r} collides with an existing logical, "
+                "physical, dropped, or bookkeeping column"
+            )
+        phys = self._phys_name(old)
+        if phys in [self._phys_name(k) for k in self.key_cols]:
+            # key columns may be renamed: bucketing keys on the PHYSICAL
+            # name, which does not change
+            pass
+        self.column_mapping.pop(old, None)
+        self.column_mapping[new] = phys
+        return self._commit_alter()
+
+    def drop_column(self, name: str) -> int:
+        """Drop a column as ONE metadata commit — files keep the bytes
+        (Delta's drop under column mapping is identical); reads stop
+        projecting it, vacuum-by-rewrite reclaims the space eventually.
+        Re-introducing the same PHYSICAL name is refused loudly (the
+        unrewritten data would resurrect); key/order columns cannot be
+        dropped."""
+        self._refresh_meta(None)
+        logicals = set(self._logical_columns())
+        if name not in logicals:
+            raise ValueError(f"no such column {name!r}")
+        phys = self._phys_name(name)
+        if phys in self.key_cols or phys == self.order_col:
+            raise ValueError(f"cannot drop key/order column {name!r}")
+        self.column_mapping.pop(name, None)
+        self.dropped_cols.append(phys)
+        return self._commit_alter()
 
     def rebucket(self, new_n_buckets: int, rewrite: bool = True) -> int:
         """Change the table's bucket count — the layout-evolution
@@ -1980,6 +2147,7 @@ class BucketedTxLogTable(TxLogTable):
         if base is None:
             raise FileNotFoundError("merge into an uninitialized table; call init_from_events")
         self._refresh_meta(base)  # adopt an out-of-band rebucket's layout
+        batch = self._to_physical(batch)
         snap, bmap, txns = resolve_snapshot_state(self, base)
         if txn is not None:
             done = txns.get(txn[0])
@@ -2226,7 +2394,7 @@ class BucketedTxLogTable(TxLogTable):
         from cdc_streaming_pipeline_spark.schemas import DELETED_COL, OP_COL
         from pyspark.sql import functions as F
 
-        df = self.read(version)
+        df = self._to_logical(self.read(version), version)
         df = mark_deleted(df) if "_is_deleted" not in df.columns else df
         drop = [c for c in (OP_COL, self.order_col, DELETED_COL, "_is_deleted") if c in df.columns]
         return df.filter(~F.col("_is_deleted")).drop(*drop)
@@ -2312,7 +2480,13 @@ class BucketedTxLogTable(TxLogTable):
         dicts = resolve_file_dicts(self, version)
         nulls = resolve_file_nulls(self, version)
         blooms = resolve_file_blooms(self, version)
-        normd = [_normalize_pred(p) for p in predicates]
+        # facts are keyed by PHYSICAL column names; probe columns arrive
+        # logical — translate before fact lookup, keep the residual
+        # filters on the logical frame
+        normd = [
+            _normalize_pred((self._phys_name(p[0], version),) + tuple(p[1:]))
+            for p in predicates
+        ]
 
         keep = [
             f
@@ -2339,7 +2513,7 @@ class BucketedTxLogTable(TxLogTable):
 
         if not keep:
             return residual(self.read_state(version).filter(F.lit(False))), 0, len(files)
-        df = self._read_snapshot_files(keep, version)
+        df = self._to_logical(self._read_snapshot_files(keep, version), version)
         df = mark_deleted(df) if "_is_deleted" not in df.columns else df
         drop = [
             c
@@ -2381,7 +2555,9 @@ class BucketedTxLogTable(TxLogTable):
             dicts = resolve_file_dicts(self, version)
             nulls = resolve_file_nulls(self, version)
             blooms = resolve_file_blooms(self, version)
-            tree = _normalize_tree(tree)
+            tree = _map_tree_cols(
+                _normalize_tree(tree), lambda c: self._phys_name(c, version)
+            )
             keep = [
                 f
                 for f in files
@@ -2392,7 +2568,7 @@ class BucketedTxLogTable(TxLogTable):
         if not keep:
             empty = self.read_state(version).filter(F.lit(False))
             return empty.filter(predicate), 0, len(files)
-        df = self._read_snapshot_files(keep, version)
+        df = self._to_logical(self._read_snapshot_files(keep, version), version)
         df = mark_deleted(df) if "_is_deleted" not in df.columns else df
         drop = [
             c
@@ -2457,7 +2633,9 @@ class BucketedTxLogTable(TxLogTable):
             dicts = resolve_file_dicts(self, base)
             nulls = resolve_file_nulls(self, base)
             blooms = resolve_file_blooms(self, base)
-            ntree = _normalize_tree(tree)
+            ntree = _map_tree_cols(
+                _normalize_tree(tree), lambda c: self._phys_name(c, base)
+            )
             keep = [
                 f
                 for f in files
@@ -2490,6 +2668,7 @@ class BucketedTxLogTable(TxLogTable):
                     )
                 )
                 df = df.join(F.broadcast(old_dv), ["_dv_fp", "_dv_ri"], "left_anti")
+        df = self._to_logical(df, base)  # predicate speaks logical names
         vis = mark_deleted(df) if "_is_deleted" not in df.columns else df
         vis = vis.filter(~F.col("_is_deleted"))
         rows = (
@@ -2603,7 +2782,7 @@ def table_changes(
     for v in table._versions_between(from_version + 1, to_v):
         e = table._read_entry(v)
         mode = e.get("mode")
-        if mode in ("compact", "rebucket", "migrate", "analyze", "clone"):
+        if mode in ("compact", "rebucket", "migrate", "analyze", "clone", "alter", "delete_noop"):
             continue
         if mode == "append":
             new = visible(e.get("adds", []), v)
@@ -2688,13 +2867,21 @@ def table_changes(
             parts.append(typed(upd.select(*nimg), "update_postimage", v))
             continue
         raise ValueError(f"version {v} has unknown mode {mode!r}")
+    to_logical = getattr(table, "_to_logical", None)
     if not parts:
         base = table._empty_frame(to_v)
+        if to_logical is not None:
+            base = to_logical(base, to_v)
         drop = [c for c in book if c in base.columns]
         return typed(base.drop(*drop), "insert", to_v).limit(0)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
+    # classification ran on PHYSICAL frames (join keys = the stable
+    # physical key names); the feed presents the mapping of its END
+    # version so columns stay uniform across a mid-feed rename
+    if to_logical is not None:
+        out = to_logical(out, to_v)
     return out
 
 
@@ -2778,6 +2965,15 @@ def mv_delta(
     # accumulated vector) — negating the full file would double-count
     # the rows an earlier delete entry already subtracted
     dvs = resolve_file_dvs(table, version)
+    # caller names are LOGICAL under column mapping; frames read from
+    # files are physical — present them under the CURRENT (latest)
+    # mapping whatever the entry's era: physical names are stable, so
+    # the latest logical names address every version's files, and the
+    # caller's group/sum columns resolve uniformly across the fold
+    to_logical = getattr(table, "_to_logical", None)
+
+    def _logical(df: DataFrame) -> DataFrame:
+        return to_logical(df, None) if to_logical is not None else df
 
     def _agg(df: DataFrame, sign: int) -> DataFrame:
         df = mark_deleted(df) if deleted_col not in df.columns else df
@@ -2794,7 +2990,7 @@ def mv_delta(
         if not files:
             return None
         df = table.spark.read.option("mergeSchema", "true").parquet(*files)
-        return _agg(_apply_dvs(table.spark, df, files, dvs), sign)
+        return _agg(_logical(_apply_dvs(table.spark, df, files, dvs)), sign)
 
     pos = _live_agg(e.get("adds", []), 1)
     neg = _live_agg(e.get("removes", []), -1)
@@ -2823,7 +3019,7 @@ def mv_delta(
                 .join(F.broadcast(dvdf), ["_dv_fp", "_dv_ri"], "left_semi")
                 .drop("_dv_fp", "_dv_ri")
             )
-            negdv = _agg(ddf, -1)
+            negdv = _agg(_logical(ddf), -1)
     parts = [p for p in (pos, neg, negdv) if p is not None]
     if not parts:
         # an entry with neither adds nor removes still contributes a
@@ -2839,7 +3035,10 @@ def mv_delta(
         )
 
         try:
-            base = {f.name: f.dataType for f in table._empty_frame(version).schema}
+            base = {
+                f.name: f.dataType
+                for f in _logical(table._empty_frame(version)).schema
+            }
         except FileNotFoundError:
             base = {}
         fields = [StructField(c, base.get(c, StringType())) for c in group_cols]
@@ -3434,6 +3633,8 @@ def clone_table(src: TxLogTable, dest_path: str, version: int | None = None,
         raise FileExistsError(f"clone destination {dest_path} already has a log")
     if not dest._try_commit(0, entry):
         raise ConcurrentWriteError(f"clone destination {dest_path} raced")
+    if hasattr(dest, "_refresh_meta"):
+        dest._refresh_meta(None)  # adopt column mapping from the entry
     return dest
 
 
