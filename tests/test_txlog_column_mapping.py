@@ -192,3 +192,50 @@ def test_mv_and_clone_under_mapping(spark, tmp_path):
     c.rename_column("revenue", "gross")
     assert "gross" in c.read_state().columns
     assert "revenue" in t.read_state().columns
+
+
+def test_alter_interleaves_with_data_ops_model_exact(spark, tmp_path):
+    """Seeded walk interleaving renames with merges, merge-on-read
+    deletes, compactions and reopens. Alters are conflict-free with
+    data ops BY DESIGN — everything inside the engine is physical, a
+    rename changes only the boundary translation — so the walk checks
+    read_state stays model-exact under the CURRENT logical name at
+    every step."""
+    import random
+
+    rng = random.Random(4414)
+    t = _seed(spark, str(tmp_path / "t"), n=80)
+    model = {i: float(i) for i in range(80)}
+    name = "amount"
+    aliases = ["amount", "amt", "net_amount", "revenue_v2"]
+
+    for step in range(1, 16):
+        roll = rng.random()
+        if roll < 0.45:
+            rows = [
+                (rng.randrange(80), float(step * 100 + i), "open", "u",
+                 f"{step + 1:04d}{i:02d}", None)
+                for i in range(rng.randint(1, 3))
+            ]
+            sch = f"id bigint, {name} double, status string, _op string, _lsn string, _deleted string"
+            t.merge_cdc_batch(spark.createDataFrame(rows, sch))
+            for i, v, *_ in rows:
+                model[i] = v
+        elif roll < 0.65:
+            new = rng.choice([a for a in aliases if a != name])
+            try:
+                t.rename_column(name, new)
+                name = new
+            except ValueError:
+                pass  # collision with a past physical name: refused loudly
+        elif roll < 0.8:
+            lo = float(rng.randrange(0, 1500))
+            t.delete_where(F.col(name).between(lo, lo + 100.0))
+            for i in [i for i, v in model.items() if lo <= v <= lo + 100.0]:
+                del model[i]
+        elif roll < 0.9:
+            t.compact_buckets(min_files=1)
+        else:
+            t = BucketedTxLogTable(spark, t.path)
+        got = {r["id"]: r[name] for r in t.read_state().collect()}
+        assert got == model, f"divergence at step {step} under name {name!r}"
