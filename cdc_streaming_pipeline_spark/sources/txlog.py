@@ -1098,10 +1098,28 @@ class TxLogTable:
         VECTORS applied — the ONE raw-file read every consumer (reads,
         pruned reads, merge's old-file scan, compact / rebucket /
         migrate rewrites) goes through, so merge-on-read deletes are
-        invisible everywhere and every rewrite's output is born clean."""
-        df = self.spark.read.option("mergeSchema", "true").parquet(*files)
+        invisible everywhere and every rewrite's output is born clean.
+
+        The anti-join tax is paid ONLY by the files that carry vectors:
+        clean files scan plain and union back in. At 100 TB the dirty
+        fraction after a selective delete is a handful of files, so the
+        read costs what a clean read costs plus an anti-join over the
+        touched slice (measured in .benchmarks/SCALE10_r12.md)."""
         dvs = resolve_file_dvs(self, version)
-        return _apply_dvs(self.spark, df, files, dvs)
+        dirty = [f for f in files if f in dvs]
+        if not dirty:
+            return self.spark.read.option("mergeSchema", "true").parquet(*files)
+        clean = [f for f in files if f not in dvs]
+        ddf = _apply_dvs(
+            self.spark,
+            self.spark.read.option("mergeSchema", "true").parquet(*dirty),
+            dirty,
+            dvs,
+        )
+        if not clean:
+            return ddf
+        cdf = self.spark.read.option("mergeSchema", "true").parquet(*clean)
+        return cdf.unionByName(ddf, allowMissingColumns=True)
 
     def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Incremental consumption: the rows APPENDED in versions

@@ -165,6 +165,40 @@ def main() -> None:
         }
         print(json.dumps({"delete_0.1pct": out["delete_0.1pct"]}))
 
+        # ---- 1b. the same delete on an amount-CLUSTERED table: the
+        # vectors land in only the overlapping slices, and the split
+        # read (clean files scan plain, only dirty files pay the
+        # anti-join) keeps the post-delete read at clean cost
+        t_cl = BucketedTxLogTable(
+            spark, os.path.join(root, "cl"), key_cols=["id"],
+            n_buckets=N_BUCKETS, stats_cols=["amount"],
+        )
+        t_cl.init_from_events(_events(spark, N))
+        t_cl.compact_buckets(
+            min_files=1, cluster_cols=["amount"], cluster_parts=N_BUCKETS * 2
+        )
+        t0 = time.time()
+        cl_clean = t_cl.read_state().count()
+        read_cl_clean = time.time() - t0
+        t0 = time.time()
+        _, nf_cl, nd_cl = t_cl.delete_where(band)
+        cl_wall = time.time() - t0
+        t0 = time.time()
+        cl_count = t_cl.read_state().count()
+        read_cl_dv = time.time() - t0
+        out["delete_clustered"] = {
+            "rows_deleted": nd_cl,
+            "files_with_vectors": nf_cl,
+            "files_total": len(resolve_with_checkpoint(t_cl)),
+            "delete_wall_s": round(cl_wall, 2),
+            "read_tax": {
+                "clean_read_s": round(read_cl_clean, 2),
+                "dv_read_s": round(read_cl_dv, 2),
+                "counts": [cl_clean, cl_count],
+            },
+        }
+        print(json.dumps({"delete_clustered": out["delete_clustered"]}))
+
         # ---- 2. bloom point probe: one present key, one absent
         probe = 41_007 * 37
         t0 = time.time()
