@@ -164,6 +164,37 @@ def test_bloom_out_of_domain_probe_is_provably_absent(spark, tmp_path):
     assert {r["id"] for r in df.collect()} == {41}
 
 
+def test_bloom_large_float_probe_never_prunes(spark, tmp_path):
+    """Above 2^53, double equality is LOSSY: several distinct bigints
+    compare equal to one float probe under Spark's bigint→double cast
+    (9007199254740993 == 9007199254740992.0 as doubles), so hashing the
+    probe's single truncated integer image could bloom-prune a file
+    whose NEIGHBOR bigint the residual filter would have matched. Such
+    probes must keep the file."""
+    t = BucketedTxLogTable(
+        spark, str(tmp_path / "t"), key_cols=["id"], n_buckets=2,
+        bloom_cols=["customer"],
+    )
+    big = 2**53 + 1  # stored bigint; NOT representable as a double
+    rows = [(i, i * 37, "x", "r", f"{i:08d}", None) for i in range(300)]
+    rows.append((9001, big, "big", "r", "00009001", None))
+    t.init_from_events(_events(spark, rows))
+
+    probe = float(2**53)  # equals `big` under double comparison
+    # unit: the sidecar itself must refuse to prune on this probe
+    blooms = resolve_file_blooms(t)
+    metas = [m for fm in blooms.values() for c, m in fm.items() if m]
+    assert metas and all(not _bloom_pruned(m, [probe]) for m in metas)
+    # end-to-end: Spark's residual equality MATCHES the neighbor bigint,
+    # so the row must come back — a prune here would lose it
+    df, read, total = t.read_state_where_in("customer", [probe])
+    assert read >= 1
+    assert {r["id"] for r in df.collect()} == {9001}
+    # sanity: in-range integral floats still prune normally
+    df, read, total = t.read_state_where_in("customer", [-5.0])
+    assert read == 0
+
+
 def test_non_bloomable_types_build_no_sidecar(spark, tmp_path):
     t = BucketedTxLogTable(
         spark, str(tmp_path / "t"), key_cols=["id"], n_buckets=2,

@@ -249,7 +249,7 @@ def test_lifecycle_walk_with_deletion_vectors_and_blooms(spark, tmp_path):
                 events.append((k, amount, op, lsn, deleted))
             t.merge_cdc_batch(spark.createDataFrame(events, SCHEMA_V))
             apply_model(events)
-        elif roll < 0.58:
+        elif roll < 0.53:
             # merge-on-read delete of a random amount band; the model
             # FORGETS the keys entirely (history erased — stale events
             # may re-create them, exactly the engine's semantic)
@@ -258,6 +258,19 @@ def test_lifecycle_walk_with_deletion_vectors_and_blooms(spark, tmp_path):
             t.delete_where(F.col("amount").between(lo, hi))
             for k in [k for k, a in live().items() if a is not None and lo <= a <= hi]:
                 del model[k]
+        elif roll < 0.60:
+            # merge-on-read UPDATE of a random band: the postimage keeps
+            # the row's LSN (fencing undisturbed), so the model edits the
+            # amount in place and leaves the lsn alone
+            lo = float(rng.randrange(0, 4000))
+            hi = lo + float(rng.randrange(50, 800))
+            t.update_where(
+                F.col("amount").between(lo, hi),
+                {"amount": F.col("amount") + 0.5},
+            )
+            for k, a in list(live().items()):
+                if a is not None and lo <= a <= hi:
+                    model[k] = (a + 0.5, model[k][1], False)
         elif roll < 0.66:
             if rng.random() < 0.5:
                 t.compact_buckets(min_files=2)

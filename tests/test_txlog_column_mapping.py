@@ -239,3 +239,72 @@ def test_alter_interleaves_with_data_ops_model_exact(spark, tmp_path):
             t = BucketedTxLogTable(spark, t.path)
         got = {r["id"]: r[name] for r in t.read_state().collect()}
         assert got == model, f"divergence at step {step} under name {name!r}"
+
+
+def test_alter_race_keeps_both_changes(spark, tmp_path):
+    """Lost-update protection: an alter that loses the version race must
+    re-resolve the winner's meta and re-apply its own mutation on top —
+    the committed table_meta carries BOTH changes, never a stale
+    in-memory copy that reverts the winner's rename or bucket count."""
+    from cdc_streaming_pipeline_spark.sources.txlog import resolve_table_meta
+
+    t1 = _seed(spark, str(tmp_path / "t"))
+    t2 = BucketedTxLogTable(spark, t1.path)
+
+    orig = t1._try_commit
+    fired = {"n": 0}
+
+    def race(version, entry):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            # the interleaved winner: a rename AND a lazy rebucket land
+            # between t1's meta resolution and its commit attempt
+            t2.rename_column("status", "state")
+            t2.rebucket(8, rewrite=False)
+        return orig(version, entry)
+
+    t1._try_commit = race
+    t1.rename_column("amount", "amt")
+    meta = resolve_table_meta(t1)
+    # both renames survive, and the winner's bucket count is adopted
+    assert meta["column_mapping"] == {"state": "status", "amt": "amount"}
+    assert int(meta["n_buckets"]) == 8
+    st = t1.read_state()
+    assert {"amt", "state"} <= set(st.columns)
+    assert {"amount", "status"} & set(st.columns) == set()
+
+
+def test_alter_race_with_conflicting_rename_raises(spark, tmp_path):
+    """When the race winner makes this alter impossible (it renamed the
+    same source column), the retry must raise loudly instead of
+    committing a mapping for a column that no longer exists."""
+    t1 = _seed(spark, str(tmp_path / "t"))
+    t2 = BucketedTxLogTable(spark, t1.path)
+
+    orig = t1._try_commit
+    fired = {"n": 0}
+
+    def race(version, entry):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            t2.rename_column("amount", "revenue")
+        return orig(version, entry)
+
+    t1._try_commit = race
+    with pytest.raises(ValueError, match="no such column"):
+        t1.rename_column("amount", "amt")
+
+
+def test_analyze_converges_after_rename(spark, tmp_path):
+    """Fact maps key on PHYSICAL names; analyze's coverage check must
+    translate its (logical) policy columns before the membership test,
+    or a post-rename handle sees every file as missing forever and
+    rescans all live files on each call."""
+    from cdc_streaming_pipeline_spark.sources.txlog import analyze_table
+
+    t = _seed(spark, str(tmp_path / "t"))  # stats_cols=["amount"]
+    t.rename_column("amount", "revenue")
+    # all live files already carry facts under physical name "amount":
+    # an analyze under the new logical name must be a no-op, twice
+    assert analyze_table(t, stats_cols=["revenue"]) is None
+    assert analyze_table(t, stats_cols=["revenue"]) is None

@@ -226,3 +226,26 @@ def test_vectors_survive_uri_reserved_characters_in_path(spark, tmp_path):
     assert nd == 10
     assert t.read_state().count() == 50
     assert t.read_state().filter(F.col("amount").between(10.0, 19.0)).count() == 0
+
+
+def test_vectors_survive_plus_and_percent_in_path(spark, tmp_path):
+    """'+' is the trap the space test missed: URL-decoding treats a
+    literal '+' as SPACE under form-encoding rules, while Spark's path
+    encoding and Python's unquote both preserve it — a table under a
+    path containing '+' would record DV keys in space-form, resolve-side
+    lookups would never match, and deleted rows would silently
+    reappear. '%' additionally exercises the escape round-trip (the
+    directory's literal '%' arrives as '%25')."""
+    t = _seed(spark, str(tmp_path / "a+b %pct" / "t"), n=60)
+    ver, nf, nd = t.delete_where(F.col("amount").between(10.0, 19.0))
+    assert nd == 10
+    assert t.read_state().count() == 50
+    assert t.read_state().filter(F.col("amount").between(10.0, 19.0)).count() == 0
+    # cumulative second delete: resolve-side key lookup must find the
+    # prior vector (the silent-miss failure mode composes vectors wrong)
+    t.delete_where(F.col("amount") < 5.0)
+    assert t.read_state().count() == 45
+    # rewrites under the same path stay clean
+    t.compact_buckets(min_files=1)
+    assert t.read_state().count() == 45
+    assert t.read_state().filter(F.col("amount").between(10.0, 19.0)).count() == 0
