@@ -2622,6 +2622,172 @@ def table_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def table_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE (sources/txlog.py:update_where — Delta's
+    DV-backed UPDATE): ONE commit marks the old images deleted via
+    per-file deletion-vector sidecars and appends the new images as
+    bucket-pure files — no touched bucket is rewritten, making the
+    reference's ``UPDATE ... WHERE`` workload
+    (test-generator/generate_test_data.py:183-219) O(touched rows) at
+    lake scale. Sidecars compose EXECUTOR-side; the driver holds one
+    metadata row per touched file. Fixture: the orders snapshot as a
+    bucketed state table; update the mid-range band (+1e6 and a BUMPED
+    status). Probes: post-update state, TIME TRAVEL to the pre-update
+    version (vectors + appended files are versioned facts), and the
+    CHANGE FEED's update_preimage/update_postimage rows — each stated
+    closed-form by the oracle."""
+    import os
+    import tempfile
+
+    from cdc_streaming_pipeline_spark.sources.txlog import (
+        BucketedTxLogTable,
+        table_changes,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "upd_table")
+    memo = _TXLOG_MEMO.get(key)
+    o = _orders(spark, sf_dir)
+    k = F.col("o_orderkey")
+    if memo is None:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"txlog-upd-{spark.sparkContext.applicationId}-{abs(hash(sf_dir)) % 10**8}",
+        )
+        t = BucketedTxLogTable(
+            spark, path, key_cols=["id"], n_buckets=16, stats_cols=["total_amount"]
+        )
+        if t.latest_version() is None:
+            snap = o.select(
+                k.alias("id"),
+                F.col("o_totalprice").cast("double").alias("total_amount"),
+                F.col("o_orderstatus").alias("status"),
+                F.lit("r").alias(OP_COL),
+                _lsn(k, 1).alias(LSN_COL),
+                F.lit(None).cast("string").alias(DELETED_COL),
+            )
+            t.init_from_events(snap)
+            pre = t.latest_version()
+            t.update_where(
+                F.col("total_amount").between(50_000.0, 100_000.0),
+                {
+                    "total_amount": F.col("total_amount") + 1_000_000.0,
+                    "status": F.lit("BUMPED"),
+                },
+            )
+            memo = (path, pre)
+            _TXLOG_MEMO[key] = memo
+        else:
+            memo = _TXLOG_MEMO[key]
+    path, pre = memo
+    t = BucketedTxLogTable(spark, path)
+
+    def probe(df, name):
+        return df.agg(
+            F.lit(name).alias("probe"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("total_amount").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_amount"),
+            F.count(F.when(F.col("status") == "BUMPED", 1)).alias("n_bumped"),
+        )
+
+    feed = table_changes(t, pre)
+    return (
+        probe(t.read_state(), "after_update")
+        .unionByName(probe(t.read_state(pre), "time_travel"))
+        .unionByName(
+            probe(
+                feed.filter(F.col("_change_type") == "update_preimage"), "feed_pre"
+            )
+        )
+        .unionByName(
+            probe(
+                feed.filter(F.col("_change_type") == "update_postimage"), "feed_post"
+            )
+        )
+    )
+
+
+def table_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type widening as a metadata commit
+    (sources/txlog.py:widen_column — Delta type widening / Iceberg
+    schema evolution): INT→BIGINT and DECIMAL(10,2)→DECIMAL(12,2) as
+    one JSON write, zero files rewritten — where `ALTER COLUMN TYPE`
+    classically rewrites the table. Files keep narrow bytes; reads use
+    the explicit widened schema (Spark 4 parquet widening promotion);
+    batches land wide; pre-widen files' skipping stats still prune
+    post-widen probes (``_stat_norm``'s one numeric domain). Fixture:
+    orders with qty = o_orderkey % 100000 (int) and the totalprice as
+    decimal(10,2); widen both; merge a hot row whose qty (2^40) and
+    amount (>10^10) NEED the wide types. Probes pin the value surface,
+    the presented TYPES per era (time travel reads narrow), and a
+    stats-pruned point read of the hot value."""
+    import os
+    import tempfile
+
+    from cdc_streaming_pipeline_spark.sources.txlog import BucketedTxLogTable
+
+    HOT_QTY = 1 << 40
+    key = (spark.sparkContext.applicationId, sf_dir, "widen_table")
+    memo = _TXLOG_MEMO.get(key)
+    o = _orders(spark, sf_dir)
+    k = F.col("o_orderkey")
+    if memo is None:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"txlog-widen-{spark.sparkContext.applicationId}-{abs(hash(sf_dir)) % 10**8}",
+        )
+        t = BucketedTxLogTable(
+            spark, path, key_cols=["id"], n_buckets=16, stats_cols=["qty"]
+        )
+        if t.latest_version() is None:
+            snap = o.select(
+                k.alias("id"),
+                (k % 100_000).cast("int").alias("qty"),
+                F.col("o_totalprice").cast("decimal(10,2)").alias("amount"),
+                F.lit("r").alias(OP_COL),
+                _lsn(k, 1).alias(LSN_COL),
+                F.lit(None).cast("string").alias(DELETED_COL),
+            )
+            t.init_from_events(snap)
+            pre = t.latest_version()
+            t.widen_column("qty", "bigint")
+            t.widen_column("amount", "decimal(12,2)")
+            hot = o.join(o.agg(F.min(k).alias("mk")), k == F.col("mk")).select(
+                k.alias("id"),
+                F.lit(HOT_QTY).cast("bigint").alias("qty"),
+                F.lit("9999999999.99").cast("decimal(12,2)").alias("amount"),
+                F.lit("u").alias(OP_COL),
+                _lsn(k, 2).alias(LSN_COL),
+                F.lit(None).cast("string").alias(DELETED_COL),
+            )
+            t.merge_cdc_batch(hot)
+            memo = (path, pre)
+            _TXLOG_MEMO[key] = memo
+        else:
+            memo = _TXLOG_MEMO[key]
+    path, pre = memo
+    t = BucketedTxLogTable(spark, path)
+
+    def probe(df, name, pruned):
+        types = dict(df.dtypes)
+        return df.agg(
+            F.lit(name).alias("probe"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("qty").cast("decimal(28,0)")).cast("double").alias("qty_total"),
+            F.lit(types["qty"]).alias("qty_type"),
+            F.lit(types["amount"]).alias("amount_type"),
+            F.lit(pruned).alias("pruned"),
+        )
+
+    hot_df, fr, ft = t.read_state_where("qty", HOT_QTY - 1, HOT_QTY + 1)
+    return (
+        probe(t.read_state(), "after_widen", "-")
+        .unionByName(probe(t.read_state(pre), "time_travel", "-"))
+        .unionByName(probe(hot_df, "hot_probe", "yes" if fr < ft else "no"))
+    )
+
+
 def table_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution WITHOUT rewrite
     (sources/txlog.py:rename_column / drop_column — Delta column
@@ -2849,6 +3015,63 @@ ORACLE["table_deletion_vectors"] = """
            CAST(SUM(CAST(amt AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,
            'no' AS rewrote
     FROM st
+"""
+
+
+QUERIES["table_type_widening"] = table_type_widening
+ORACLE["table_type_widening"] = """
+    WITH st AS (
+        SELECT o_orderkey AS id, o_orderkey % 100000 AS qty FROM orders
+    ),
+    mk AS (SELECT MIN(id) AS m FROM st)
+    SELECT 'after_widen' AS probe, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN id = (SELECT m FROM mk)
+                         THEN 1099511627776 ELSE qty END) AS DOUBLE)
+               AS qty_total,
+           'bigint' AS qty_type, 'decimal(12,2)' AS amount_type,
+           '-' AS pruned
+    FROM st
+    UNION ALL
+    SELECT 'time_travel' AS probe, COUNT(*) AS n_rows,
+           CAST(SUM(qty) AS DOUBLE) AS qty_total,
+           'int' AS qty_type, 'decimal(10,2)' AS amount_type, '-' AS pruned
+    FROM st
+    UNION ALL
+    SELECT 'hot_probe' AS probe, 1 AS n_rows,
+           CAST(1099511627776 AS DOUBLE) AS qty_total,
+           'bigint' AS qty_type, 'decimal(12,2)' AS amount_type,
+           'yes' AS pruned
+"""
+
+
+QUERIES["table_update_where"] = table_update_where
+ORACLE["table_update_where"] = """
+    WITH st AS (
+        SELECT o_orderkey AS id, CAST(o_totalprice AS DOUBLE) AS amt
+        FROM orders
+    )
+    SELECT 'after_update' AS probe, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(CASE WHEN amt BETWEEN 50000 AND 100000
+                              THEN amt + 1000000.0 ELSE amt END
+                         AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,
+           COUNT(*) FILTER (WHERE amt BETWEEN 50000 AND 100000) AS n_bumped
+    FROM st
+    UNION ALL
+    SELECT 'time_travel' AS probe, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(amt AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,
+           0 AS n_bumped
+    FROM st
+    UNION ALL
+    SELECT 'feed_pre' AS probe, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(amt AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,
+           0 AS n_bumped
+    FROM st WHERE amt BETWEEN 50000 AND 100000
+    UNION ALL
+    SELECT 'feed_post' AS probe, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(amt + 1000000.0 AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_amount,
+           COUNT(*) AS n_bumped
+    FROM st WHERE amt BETWEEN 50000 AND 100000
 """
 
 

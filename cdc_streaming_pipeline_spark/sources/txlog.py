@@ -42,6 +42,7 @@ import datetime as _dt
 import json
 import math
 import os
+import re
 import uuid
 from decimal import Decimal, InvalidOperation
 from glob import glob
@@ -917,6 +918,108 @@ def _column_prune_tree(predicate) -> tuple:
     return _walk_pred_node(node)
 
 
+#: JSON-schema atomic type name → Spark simpleString (the domain the
+#: widening map speaks; decimal(p,s) strings pass through unchanged)
+_JSON_TO_SIMPLE = {
+    "integer": "int",
+    "long": "bigint",
+    "short": "smallint",
+    "byte": "tinyint",
+}
+
+_INT_CHAIN = ["tinyint", "smallint", "int", "bigint"]
+
+
+def _widen_allowed(cur: str | None, new: str) -> bool:
+    """Delta-style type-widening rules: promotions that every existing
+    parquet value survives EXACTLY — the integer chain, float→double,
+    and decimal precision growth at the SAME scale. Anything else
+    (narrowing, scale change, cross-family) is a rewrite, not metadata."""
+    if cur is None:
+        return False
+    cur = _JSON_TO_SIMPLE.get(cur, cur)
+    new = _JSON_TO_SIMPLE.get(new, new)
+    if cur in _INT_CHAIN and new in _INT_CHAIN:
+        return _INT_CHAIN.index(new) > _INT_CHAIN.index(cur)
+    if cur == "float" and new == "double":
+        return True
+    mc = re.fullmatch(r"decimal\((\d+),(\d+)\)", cur)
+    mn = re.fullmatch(r"decimal\((\d+),(\d+)\)", new)
+    if mc and mn:
+        pc, sc = int(mc.group(1)), int(mc.group(2))
+        pn, sn = int(mn.group(1)), int(mn.group(2))
+        return sn == sc and pc < pn <= 38
+    return False
+
+
+#: simpleString → JSON-schema atomic name (inverse of _JSON_TO_SIMPLE)
+_SIMPLE_TO_JSON = {v: k for k, v in _JSON_TO_SIMPLE.items()}
+
+
+def _wider_of(a, b):
+    """The wider of two atomic JSON type strings under the widening
+    rules; None when neither widens to the other (a real conflict)."""
+    if a == b:
+        return a
+    if isinstance(a, str) and isinstance(b, str):
+        if _widen_allowed(a, b):
+            return b
+        if _widen_allowed(b, a):
+            return a
+    return None
+
+
+def _schema_union(aj: dict | None, bj: dict) -> dict:
+    """Union of two schema-JSON documents, field by field — what keeps
+    the log's recorded schema MONOTONE (a merge that touches only
+    drift-less buckets must not shrink the recorded schema back below
+    a column some other bucket carries). Type conflicts resolve to the
+    WIDER type when the widening rules allow it; incomparable
+    conflicts keep the NEW type (the new entry reflects its own files
+    — the pre-monotone behavior, preserved for exotic evolutions like
+    union-coerced string columns)."""
+    if aj is None:
+        return bj
+    out_fields: list[dict] = []
+    by_name: dict[str, dict] = {}
+    for f in aj.get("fields", []):
+        g = dict(f)
+        out_fields.append(g)
+        by_name[f["name"]] = g
+    for f in bj.get("fields", []):
+        cur = by_name.get(f["name"])
+        if cur is None:
+            g = dict(f)
+            out_fields.append(g)
+            by_name[f["name"]] = g
+            continue
+        if cur["type"] != f["type"]:
+            cur["type"] = _wider_of(cur["type"], f["type"]) or f["type"]
+        cur["nullable"] = bool(cur.get("nullable", True)) or bool(
+            f.get("nullable", True)
+        )
+    return {"type": "struct", "fields": out_fields}
+
+
+def _widened_struct(sj: dict, wid: dict):
+    """The recorded schema with the widening map applied, every field
+    nullable — the EXPLICIT read schema for widened tables (mergeSchema
+    refuses to merge INT32 and INT64 footers, but Spark 4's parquet
+    reader performs widening promotions when handed the wide schema
+    up front; files missing a drifted column read as null)."""
+    from pyspark.sql.types import StructType
+
+    fields = []
+    for f in sj.get("fields", []):
+        g = dict(f)
+        if g["name"] in wid:
+            t = wid[g["name"]]
+            g["type"] = _SIMPLE_TO_JSON.get(t, t)
+        g["nullable"] = True
+        fields.append(g)
+    return StructType.fromJson({"type": "struct", "fields": fields})
+
+
 def _bucket_overlap(t: int, n_ours: int, tag: int, n_theirs: int) -> bool:
     """May bucket ``t`` under layout ``n_ours`` share keys with a file
     tagged ``tag`` under write-time layout ``n_theirs``? Both layouts
@@ -1219,18 +1322,34 @@ class TxLogTable:
         dvs = resolve_file_dvs(self, version)
         dirty = [f for f in files if f in dvs]
         if not dirty:
-            return self.spark.read.option("mergeSchema", "true").parquet(*files)
+            return self._raw_read(files, version)
         clean = [f for f in files if f not in dvs]
-        ddf = _apply_dvs(
-            self.spark,
-            self.spark.read.option("mergeSchema", "true").parquet(*dirty),
-            dirty,
-            dvs,
-        )
+        ddf = _apply_dvs(self.spark, self._raw_read(dirty, version), dirty, dvs)
         if not clean:
             return ddf
-        cdf = self.spark.read.option("mergeSchema", "true").parquet(*clean)
+        cdf = self._raw_read(clean, version)
         return cdf.unionByName(ddf, allowMissingColumns=True)
+
+    def _raw_read(self, files: list[str], version: int | None = None) -> DataFrame:
+        """The one multi-file parquet read every consumer builds on.
+        Unwidened tables read with mergeSchema (additive drift unions
+        by footer merge, today's behavior, no metadata cost). Widened
+        tables read with an EXPLICIT schema — the recorded (monotone)
+        union schema with the widening map applied — because parquet
+        footer merging refuses INT32-vs-INT64 while the Spark 4 reader
+        happily performs the promotion when handed the wide schema up
+        front. Plan-time cost: zero footer reads (cheaper than
+        mergeSchema); files missing a drifted column read as null,
+        exactly like the mergeSchema path."""
+        wid_at = getattr(self, "_widening_at", None)
+        wid = wid_at(version) if wid_at is not None else {}
+        if not wid:
+            return self.spark.read.option("mergeSchema", "true").parquet(*files)
+        target = self.latest_version() if version is None else version
+        sj = _resolve_schema_json(self, target)
+        if sj is None:
+            return self.spark.read.option("mergeSchema", "true").parquet(*files)
+        return self.spark.read.schema(_widened_struct(sj, wid)).parquet(*files)
 
     def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Incremental consumption: the rows APPENDED in versions
@@ -1502,6 +1621,10 @@ class BucketedTxLogTable(TxLogTable):
         # bucket layout. Identity ({} / []) for unmapped tables.
         self.column_mapping = dict(meta.get("column_mapping") or {}) if meta else {}
         self.dropped_cols = list(meta.get("dropped_columns") or []) if meta else []
+        # Type widening (Delta type widening / Iceberg schema evolution):
+        # versioned physical-name → widened-type map; files keep their
+        # narrow bytes, reads cast at the boundary, rewrites migrate.
+        self.type_widening = dict(meta.get("type_widening") or {}) if meta else {}
         # Bloom-sidecar columns: the HIGH-cardinality complement of the
         # value dictionaries — per-file membership filters for
         # equality/IN point lookups on columns whose distinct count
@@ -1697,7 +1820,14 @@ class BucketedTxLogTable(TxLogTable):
         stats_pol = [cmap.get(c, c) for c in (self.stats_cols or [])]
         bloom_pol = [cmap.get(c, c) for c in (self.bloom_cols or [])]
         present = [c for c in stats_pol if c in columns]
-        staged = self.spark.read.parquet(*adds)
+        # analyze passes LIVE files, which can mix narrow/wide footers
+        # on a widened table — the explicit-schema read handles that;
+        # fresh staged adds are always width-uniform so the plain read
+        # (which sees columns the schema record may not carry yet)
+        # stays the default
+        staged = (
+            self._raw_read(adds) if self.type_widening else self.spark.read.parquet(*adds)
+        )
         types = {f.name: f.dataType.simpleString() for f in staged.schema.fields}
         # bloom columns must be a type whose probe-side hashing is
         # bit-stable (ints and strings); others silently degrade to
@@ -1809,7 +1939,11 @@ class BucketedTxLogTable(TxLogTable):
         cand_files = sorted({_uri_to_path(f) for fs in cand.values() for f in fs})
         fcol = F.input_file_name()
         return (
-            self.spark.read.parquet(*cand_files)
+            (
+                self._raw_read(cand_files)
+                if self.type_widening
+                else self.spark.read.parquet(*cand_files)
+            )
             .groupBy(fcol.alias("_f"))
             .agg(
                 *[
@@ -1912,8 +2046,13 @@ class BucketedTxLogTable(TxLogTable):
                     for i in range(k)
                 ]
             )
+            bfiles = sorted({_uri_to_path(f) for f in fs})
             parts.append(
-                self.spark.read.parquet(*sorted({_uri_to_path(f) for f in fs}))
+                (
+                    self._raw_read(bfiles)
+                    if self.type_widening
+                    else self.spark.read.parquet(*bfiles)
+                )
                 .where(F.col(c).isNotNull())
                 .select(
                     F.input_file_name().alias("_f"),
@@ -1936,6 +2075,8 @@ class BucketedTxLogTable(TxLogTable):
             out["column_mapping"] = dict(self.column_mapping)
         if self.dropped_cols:
             out["dropped_columns"] = list(self.dropped_cols)
+        if self.type_widening:
+            out["type_widening"] = dict(self.type_widening)
         return out
 
     def _refresh_meta(self, version: int | None) -> None:
@@ -1955,6 +2096,7 @@ class BucketedTxLogTable(TxLogTable):
         self.n_buckets = int(meta["n_buckets"])
         self.column_mapping = dict(meta.get("column_mapping") or {})
         self.dropped_cols = list(meta.get("dropped_columns") or [])
+        self.type_widening = dict(meta.get("type_widening") or {})
 
     # ---- column mapping (rename/drop without rewriting files) -----------
 
@@ -2011,11 +2153,100 @@ class BucketedTxLogTable(TxLogTable):
                         f"physical target {physical!r}"
                     )
                 df = df.withColumnRenamed(logical, physical)
+        if self.type_widening:
+            from pyspark.sql import functions as F
+
+            cols = set(df.columns)
+            for p, typ in self.type_widening.items():
+                if p in cols:
+                    # incoming batches are born WIDE, so every staged file
+                    # from now on carries the widened type and rewrites
+                    # migrate the table lazily
+                    df = df.withColumn(p, F.col(p).cast(typ))
         return df
 
     def _phys_name(self, col: str, version: int | None = None) -> str:
         mapping, _ = self._mapping_at(version)
         return mapping.get(col, col)
+
+    # ---- type widening (grow a column's type without rewriting files) ----
+
+    def _widening_at(self, version: int | None) -> dict:
+        """{physical name: widened simpleString type} recorded AT
+        ``version`` — versioned like the column mapping, so time travel
+        to a pre-widen version reads the narrow type of that era."""
+        meta = resolve_table_meta(self, version)
+        if meta is None:
+            return {}
+        return dict(meta.get("type_widening") or {})
+
+    def widen_column(self, name: str, new_type: str) -> int:
+        """Widen a column's type as ONE metadata commit — no file
+        rewrite (Delta type widening / Iceberg schema evolution).
+        Allowed promotions are the ones every stored value survives
+        exactly: tinyint→smallint→int→bigint, float→double, and
+        decimal(p,s)→decimal(p+k,s). Files keep their narrow bytes;
+        reads cast at the API boundary, incoming batches are cast
+        before staging (so new files are born wide and rewrites migrate
+        the table lazily), and SKIPPING FACTS survive unchanged because
+        ``_stat_norm`` already collapses every numeric type into one
+        comparable domain — a pre-widen file's stats still prune
+        post-widen probes, and a pre-widen bloom sidecar still answers
+        probes under its own recorded dtype (out-of-domain probes are
+        provably absent). Key columns are refused: the bucket layout
+        hashes the key's BYTES, and Spark hashes int (4-byte) and
+        bigint (8-byte) differently — widening a key would scatter
+        every file's rows across foreign buckets. At 100 TB this is a
+        JSON write where `ALTER COLUMN TYPE` classically rewrites the
+        table."""
+
+        def mutate():
+            self._refresh_meta(None)
+            logicals = set(self._logical_columns())
+            if name not in logicals:
+                raise ValueError(f"no such column {name!r} (have {sorted(logicals)})")
+            phys = self._phys_name(name)
+            if phys in self.key_cols:
+                raise ValueError(
+                    f"cannot widen key column {name!r}: bucket hashing is "
+                    "width-sensitive (int and bigint hash differently), so a "
+                    "widened key would scatter rows across foreign buckets — "
+                    "rebucket(rewrite=True) after a schema rewrite instead"
+                )
+            sj = _resolve_schema_json(self, self.latest_version())
+            ftypes = {}
+            for f in (sj or {}).get("fields", []):
+                t = f["type"]
+                ftypes[f["name"]] = t if isinstance(t, str) else None
+            eff = self.type_widening.get(phys, ftypes.get(phys))
+            if not _widen_allowed(eff, new_type):
+                raise ValueError(
+                    f"cannot widen {name!r} from {eff!r} to {new_type!r}: only "
+                    "the integer chain, float->double, and same-scale decimal "
+                    "precision growth are metadata-safe"
+                )
+            self.type_widening[phys] = new_type
+            # record a VERIFIED union schema with the alter: post-widen
+            # reads use an explicit schema (mergeSchema refuses mixed
+            # widths), which silently drops any live-file column the
+            # record misses — a possibility on pre-monotone logs. One
+            # footer-merge over the live files closes it (the files are
+            # all readable together exactly because nothing is widened
+            # mid-flight on THEM); if a prior widen already mixed
+            # widths, the record has been a verified union since then.
+            live = resolve_with_checkpoint(self, self.latest_version())
+            try:
+                sj = self.spark.read.option("mergeSchema", "true").parquet(*live).schema.jsonValue() if live else None
+            except Exception:
+                sj = None  # widths already mixed: record is already a union
+            base_sj = _resolve_schema_json(self, self.latest_version())
+            if sj is not None:
+                merged = _schema_union(base_sj, sj)
+            else:
+                merged = base_sj
+            return {"schema": merged} if merged is not None else None
+
+        return self._commit_alter(mutate)
 
     def _logical_columns(self) -> list[str]:
         sj = _resolve_schema_json(self, self.latest_version())
@@ -2034,10 +2265,12 @@ class BucketedTxLogTable(TxLogTable):
         races a rename/drop/rebucket commits the WINNER's meta plus this
         mutation instead of silently reverting the winner's change (and
         a mutation the winner made impossible raises loudly inside
-        ``mutate`` instead of committing garbage)."""
+        ``mutate`` instead of committing garbage). ``mutate`` may return
+        a dict of extra entry fields (widen records the verified union
+        schema)."""
         for _ in range(max_retries):
             base = self.latest_version()
-            mutate()
+            extra = mutate()
             version = base + 1
             entry = {
                 "version": version,
@@ -2047,6 +2280,8 @@ class BucketedTxLogTable(TxLogTable):
                 "n_files": 0,
                 "table_meta": self._meta_dict(),
             }
+            if extra:
+                entry.update(extra)
             if self._try_commit(version, entry):
                 return version
         raise ConcurrentWriteError("alter gave up after retries")
@@ -2367,11 +2602,16 @@ class BucketedTxLogTable(TxLogTable):
                 "file_bytes": self._staged_bytes(adds),
                 "file_layout_n": {f: self.n_buckets for f in adds},
                 "buckets": sorted(touched),
-                # the MERGED schema: a batch arriving with an added
-                # column (additive drift) evolves the table here, and
-                # recording it keeps _empty_frame/_resolve_schema_json
-                # exact and checkpoint-bounded on bucketed tables
-                "schema": new_state.schema.jsonValue(),
+                # the MERGED schema, unioned with the previously
+                # recorded one so the record stays MONOTONE: a merge
+                # touching only drift-less buckets must not shrink the
+                # recorded schema below a column other buckets carry —
+                # the invariant the widened-table explicit-schema read
+                # (and _empty_frame generally) relies on
+                "schema": _schema_union(
+                    _resolve_schema_json(self, base),
+                    new_state.schema.jsonValue(),
+                ),
             }
             entry.update(staged_facts)
             if txn is not None:
@@ -2798,8 +3038,7 @@ class BucketedTxLogTable(TxLogTable):
             return None, 0, 0
         dvs = resolve_file_dvs(self, base)
         df = (
-            self.spark.read.option("mergeSchema", "true")
-            .parquet(*keep)
+            self._raw_read(keep, base)
             .withColumn("_dv_fp", _fp_key_col())
             .withColumn("_dv_ri", F.col("_metadata.row_index"))
         )
@@ -2922,8 +3161,7 @@ class BucketedTxLogTable(TxLogTable):
             return None, 0, 0
         dvs = resolve_file_dvs(self, base)
         df = (
-            self.spark.read.option("mergeSchema", "true")
-            .parquet(*keep)
+            self._raw_read(keep, base)
             .withColumn("_dv_fp", _fp_key_col())
             .withColumn("_dv_ri", F.col("_metadata.row_index"))
         )
@@ -2955,37 +3193,43 @@ class BucketedTxLogTable(TxLogTable):
             if c not in types:
                 raise ValueError(f"no such column {c!r} (have {sorted(types)})")
 
-        # old positions → executor-side sidecars (one scan)
-        dv_dir = os.path.join(self.data_dir, "_dv")
-        os.makedirs(dv_dir, exist_ok=True)
-        rows = _dv_stage_executor_side(
-            matched.select("_dv_fp", "_dv_ri"), prior, dv_dir
-        )
-        if not rows:
-            return None, 0, 0
-        file_dvs = {
-            r["file"]: {"path": r["cum_path"], "n": r["n_cum"]} for r in rows
-        }
-        dv_added = {
-            r["file"]: {"path": r["add_path"], "n": r["n_add"]} for r in rows
-        }
-        n_updated = sum(r["n_add"] for r in rows)
+        # ONE scan of the pruned files feeds both halves: persist the
+        # matched slice (sized by rows TOUCHED, not table size), build
+        # sidecars from it, stage postimages from it
+        matched = matched.persist()
+        try:
+            dv_dir = os.path.join(self.data_dir, "_dv")
+            os.makedirs(dv_dir, exist_ok=True)
+            rows = _dv_stage_executor_side(
+                matched.select("_dv_fp", "_dv_ri"), prior, dv_dir
+            )
+            if not rows:
+                return None, 0, 0
+            file_dvs = {
+                r["file"]: {"path": r["cum_path"], "n": r["n_cum"]} for r in rows
+            }
+            dv_added = {
+                r["file"]: {"path": r["add_path"], "n": r["n_add"]} for r in rows
+            }
+            n_updated = sum(r["n_add"] for r in rows)
 
-        # new images → bucket-pure appended files (second scan of the
-        # same pruned, immutable file set — deterministic, so the
-        # postimage rows are exactly the DV'd rows)
-        post = matched
-        for c, expr in assignments.items():
-            colx = expr if isinstance(expr, Column) else F.lit(expr)
-            post = post.withColumn(c, colx.cast(types[c]))
-        post = post.drop("_dv_fp", "_dv_ri")
-        if not had_marker:
-            # derived visibility marker: staging it would add a column
-            # the table's files never carried (spurious schema drift)
-            post = post.drop("_is_deleted")
-        post_phys = self._to_physical(post)
-        adds, buckets = self._stage_bucketed(post_phys)
-        staged_facts = self._staged_skipping_facts(adds, post_phys.columns)
+            # new images → bucket-pure appended files (from the cached
+            # matched slice, so the postimage rows are exactly the DV'd
+            # rows)
+            post = matched
+            for c, expr in assignments.items():
+                colx = expr if isinstance(expr, Column) else F.lit(expr)
+                post = post.withColumn(c, colx.cast(types[c]))
+            post = post.drop("_dv_fp", "_dv_ri")
+            if not had_marker:
+                # derived visibility marker: staging it would add a column
+                # the table's files never carried (spurious schema drift)
+                post = post.drop("_is_deleted")
+            post_phys = self._to_physical(post)
+            adds, buckets = self._stage_bucketed(post_phys)
+            staged_facts = self._staged_skipping_facts(adds, post_phys.columns)
+        finally:
+            matched.unpersist()
 
         for _ in range(max_retries):
             version = base + 1
@@ -3115,8 +3359,7 @@ def table_changes(
                         )
                     )
                     ddf = (
-                        table.spark.read.option("mergeSchema", "true")
-                        .parquet(*sorted(dvadd))
+                        table._raw_read(sorted(dvadd), v)
                         .withColumn("_dv_fp", _fp_key_col())
                         .withColumn("_dv_ri", F.col("_metadata.row_index"))
                         .join(F.broadcast(dvdf), ["_dv_fp", "_dv_ri"], "left_semi")
@@ -3310,7 +3553,7 @@ def mv_delta(
     def _live_agg(files: list[str], sign: int) -> DataFrame | None:
         if not files:
             return None
-        df = table.spark.read.option("mergeSchema", "true").parquet(*files)
+        df = table._raw_read(files, version)
         return _agg(_logical(_apply_dvs(table.spark, df, files, dvs)), sign)
 
     pos = _live_agg(e.get("adds", []), 1)
@@ -3333,8 +3576,7 @@ def mv_delta(
                 pd.DataFrame({"_dv_fp": fps, "_dv_ri": pd.array(ris, dtype="int64")})
             )
             ddf = (
-                table.spark.read.option("mergeSchema", "true")
-                .parquet(*sorted(dvadd))
+                table._raw_read(sorted(dvadd), version)
                 .withColumn("_dv_fp", _fp_key_col())
                 .withColumn("_dv_ri", F.col("_metadata.row_index"))
                 .join(F.broadcast(dvdf), ["_dv_fp", "_dv_ri"], "left_semi")

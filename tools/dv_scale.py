@@ -260,6 +260,76 @@ def main() -> None:
             "files_in_table": len(resolve_with_checkpoint(t_dv)),
         }
         print(json.dumps({"cdf_touched_cost": out["cdf_touched_cost"]}))
+
+        # ---- 4. WIDE delete: 25% of the table in one predicate — the
+        # compliance-erasure shape the r12 verdict flagged. Positions
+        # group per file and sidecars are composed EXECUTOR-side
+        # (_dv_stage_executor_side); the driver's working set is ONE
+        # metadata row per touched file (reported below), never a
+        # position list — the path that used to collect ~500k longs
+        # driver-side now collects 64 file rows.
+        wide = (F.col("amount") >= 100_000.0) & (F.col("amount") < 350_000.0)
+        t0 = time.time()
+        _, nf_w, nd_w = t_dv.delete_where(wide)
+        wide_wall = time.time() - t0
+        wide_dv_bytes = sum(
+            os.path.getsize(p)
+            for p in glob.glob(os.path.join(t_dv.data_dir, "_dv", "*.dv"))
+        )
+        t0 = time.time()
+        wide_count = t_dv.read_state().count()
+        wide_read = time.time() - t0
+        out["delete_wide_25pct"] = {
+            "rows_deleted": nd_w,
+            "pct_of_table": round(100.0 * nd_w / N, 1),
+            "driver_metadata_rows": nf_w,  # == files touched, NOT positions
+            "wall_s": round(wide_wall, 2),
+            "dv_bytes_on_disk": wide_dv_bytes,
+            "files_rewritten": 0,
+            "post_read_s": round(wide_read, 2),
+            "post_count": wide_count,
+        }
+        print(json.dumps({"delete_wide_25pct": out["delete_wide_25pct"]}))
+
+        # ---- 5. merge-on-read UPDATE of a 0.1% band vs the CoW merge:
+        # update_where appends postimage files + vectors (O(touched
+        # rows)); the bucketed MERGE rewrites every touched bucket
+        # (O(touched buckets) — all 64 here, since key-hash spreads the
+        # band everywhere)
+        uband = (F.col("amount") >= 600_000.0) & (F.col("amount") < 601_000.0)
+        before = _staged_bytes(t_cl.data_dir)
+        t0 = time.time()
+        _, nf_u, nu = t_cl.update_where(uband, {"amount": F.col("amount") + 0.25})
+        upd_wall = time.time() - t0
+        upd_bytes = _staged_bytes(t_cl.data_dir) - before
+        new_images = t_cow.read_state().filter(uband).select(
+            "id",
+            (F.col("amount") + 0.25).alias("amount"),
+            "customer",
+            F.lit("u").alias("_op"),
+            F.lit("8" * 12).alias("_lsn"),
+            F.lit(None).cast("string").alias("_deleted"),
+        )
+        before = _staged_bytes(t_cow.data_dir)
+        t0 = time.time()
+        _, touched_u = t_cow.merge_cdc_batch(new_images)
+        cow_u_wall = time.time() - t0
+        cow_u_bytes = _staged_bytes(t_cow.data_dir) - before
+        out["update_0.1pct"] = {
+            "rows_updated": nu,
+            "mor_update": {
+                "wall_s": round(upd_wall, 2),
+                "bytes_written": upd_bytes,
+                "files_marked": nf_u,
+                "buckets_rewritten": 0,
+            },
+            "cow_merge": {
+                "wall_s": round(cow_u_wall, 2),
+                "bytes_written": cow_u_bytes,
+                "buckets_rewritten": len(touched_u),
+            },
+        }
+        print(json.dumps({"update_0.1pct": out["update_0.1pct"]}))
     finally:
         shutil.rmtree(root, ignore_errors=True)
         spark.stop()
