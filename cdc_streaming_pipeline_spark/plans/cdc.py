@@ -2708,6 +2708,77 @@ def table_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_feed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feed as a CDC SOURCE
+    (sources/txlog.py:ChangeFeedSource + feed_as_cdc_events): table A's
+    commits stream through the polling adapter as Debezium-shaped
+    events (op r/c/u/d, zero-padded version LSN, rewrite-style deletes
+    — SURVEY §1.2's record shape) and MERGE into table B exactly-once
+    (cursor = txn epoch) — one txlog table feeding a downstream replica
+    the way the reference's Kafka topics feed its HDFS sink, with no
+    broker. Fixture: A seeded from orders, replicated to B (snapshot
+    poll), then an update wave + a MoR delete + a MoR update land on A
+    and a second poll carries them over. Returns B's state — the oracle
+    states A's expected state closed-form, so hash-equality proves the
+    feed is SUFFICIENT to reconstruct the table."""
+    import os
+    import tempfile
+
+    from cdc_streaming_pipeline_spark.sources.txlog import (
+        BucketedTxLogTable,
+        ChangeFeedSource,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "feed_rt")
+    memo = _TXLOG_MEMO.get(key)
+    o = _orders(spark, sf_dir)
+    k = F.col("o_orderkey")
+    if memo is None:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"txlog-feedrt-{spark.sparkContext.applicationId}-{abs(hash(sf_dir)) % 10**8}",
+        )
+        apath, bpath = os.path.join(root, "a"), os.path.join(root, "b")
+        a = BucketedTxLogTable(spark, apath, key_cols=["id"], n_buckets=16)
+        if a.latest_version() is None:
+            snap = o.select(
+                k.alias("id"),
+                F.lit("pending").alias("status"),
+                F.col("o_totalprice").cast("double").alias("total_amount"),
+                F.lit("r").alias(OP_COL),
+                _lsn(k, 1).alias(LSN_COL),
+                F.lit(None).cast("string").alias(DELETED_COL),
+            )
+            a.init_from_events(snap)
+            src = ChangeFeedSource(a)
+            events, cur = src.poll()
+            b = BucketedTxLogTable(spark, bpath, key_cols=["id"], n_buckets=16)
+            b.init_from_events(events, txn=("feed", cur))
+            src.advance(cur)
+            # upstream wave: CDC merge, MoR delete, MoR update
+            upd = o.filter(k % 3 == 0).select(
+                k.alias("id"),
+                F.col("o_orderstatus").alias("status"),
+                (F.col("o_totalprice").cast("double") + 100.0).alias("total_amount"),
+                F.lit("u").alias(OP_COL),
+                _lsn(k, 2).alias(LSN_COL),
+                F.lit(None).cast("string").alias(DELETED_COL),
+            )
+            a.merge_cdc_batch(upd)
+            a.delete_where(F.col("total_amount") > 400_000.0)
+            a.update_where(
+                F.col("total_amount").between(1_000.0, 2_000.0),
+                {"status": F.lit("AUDITED")},
+            )
+            events, cur = src.poll()
+            b.merge_cdc_batch(events, txn=("feed", cur))
+            src.advance(cur)
+        memo = bpath
+        _TXLOG_MEMO[key] = memo
+    b = BucketedTxLogTable(spark, memo)
+    return b.read_state().select("id", "status", "total_amount")
+
+
 def table_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type widening as a metadata commit
     (sources/txlog.py:widen_column — Delta type widening / Iceberg
@@ -3015,6 +3086,26 @@ ORACLE["table_deletion_vectors"] = """
            CAST(SUM(CAST(amt AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,
            'no' AS rewrote
     FROM st
+"""
+
+
+QUERIES["cdc_feed_roundtrip"] = cdc_feed_roundtrip
+ORACLE["cdc_feed_roundtrip"] = """
+    WITH st AS (
+        SELECT o_orderkey AS id,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus
+                    ELSE 'pending' END AS status,
+               CASE WHEN o_orderkey % 3 = 0
+                    THEN CAST(o_totalprice AS DOUBLE) + 100.0
+                    ELSE CAST(o_totalprice AS DOUBLE) END AS total_amount
+        FROM orders
+    )
+    SELECT id,
+           CASE WHEN total_amount BETWEEN 1000 AND 2000
+                THEN 'AUDITED' ELSE status END AS status,
+           total_amount
+    FROM st
+    WHERE total_amount <= 400000
 """
 
 

@@ -3501,6 +3501,93 @@ def follow_changes(
     return table_changes(table, start, latest), latest
 
 
+def feed_as_cdc_events(feed: DataFrame) -> DataFrame:
+    """Map typed change-feed rows to DEBEZIUM-SHAPED CDC events — the
+    same record shape the reference's Kafka topics carry (SURVEY §1.2:
+    flattened after-image + ``_op``/``_lsn``/``_deleted``,
+    delete.handling.mode=rewrite), so a txlog table can FEED the CDC
+    pipeline anywhere a Kafka topic could:
+
+    - ``insert`` at version 0 → op 'r' (the snapshot phase), later
+      inserts → 'c';
+    - ``update_postimage`` → 'u' (preimages drop — Debezium's unwrap
+      emits only the after-image);
+    - ``delete`` → 'd' carrying the LAST-KNOWN row image plus
+      ``_deleted='true'`` (rewrite semantics).
+
+    ``_lsn`` is the zero-padded commit version: within one version a
+    key nets at most one change, so per-key event order is total —
+    the property the reference gets from single-partition topics."""
+    from cdc_streaming_pipeline_spark.schemas import DELETED_COL, LSN_COL, OP_COL
+    from pyspark.sql import functions as F
+
+    f = feed.filter(F.col("_change_type") != "update_preimage")
+    op = (
+        F.when(F.col("_change_type") == "delete", F.lit("d"))
+        .when(F.col("_commit_version") == 0, F.lit("r"))
+        .when(F.col("_change_type") == "insert", F.lit("c"))
+        .otherwise(F.lit("u"))
+    )
+    return (
+        f.withColumn(OP_COL, op)
+        .withColumn(
+            LSN_COL, F.lpad(F.col("_commit_version").cast("string"), 12, "0")
+        )
+        .withColumn(
+            DELETED_COL,
+            F.when(F.col("_change_type") == "delete", F.lit("true")).cast("string"),
+        )
+        .drop("_change_type", "_commit_version")
+    )
+
+
+class ChangeFeedSource:
+    """Polling CDC SOURCE over a table's change feed (micro-batch per
+    poll) — closes the produce side of the loop the Kafka env-block
+    leaves open: writes to table A stream through this adapter into any
+    CDC consumer exactly the way the reference's Debezium topics feed
+    its HDFS sink. Same shape as ``JdbcIncrementalSource``: one scalar
+    of state (the version cursor), durable when ``cursor_path`` is
+    given.
+
+    Exactly-once replication recipe (pinned in tests): merge each poll
+    into the destination with the CURSOR as the txn epoch, then
+    advance —
+
+    >>> src = ChangeFeedSource(a, cursor_path)
+    >>> events, cur = src.poll()
+    >>> b.merge_cdc_batch(events, txn=("feed", cur))   # or init_from_events
+    >>> src.advance(cur)
+
+    a crash between merge and advance replays the poll, and the txn tag
+    no-ops it — the streaming-checkpoint contract without a broker.
+    Cost per poll is the feed's: O(files touched since the cursor),
+    never O(table)."""
+
+    def __init__(self, table: "BucketedTxLogTable", cursor_path: str | None = None):
+        self.table = table
+        self.cursor_path = cursor_path
+        self.cursor: int | None = None
+        if cursor_path and os.path.exists(cursor_path):
+            with open(cursor_path) as f:
+                self.cursor = json.load(f)["cursor"]
+
+    def poll(self) -> tuple[DataFrame, int]:
+        """(Debezium-shaped events since the cursor, new cursor). Does
+        NOT advance — call ``advance`` after the consumer has durably
+        applied the batch."""
+        feed, cur = follow_changes(self.table, self.cursor)
+        return feed_as_cdc_events(feed), cur
+
+    def advance(self, cursor: int) -> None:
+        self.cursor = cursor
+        if self.cursor_path:
+            tmp = self.cursor_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"cursor": cursor}, f)
+            os.replace(tmp, self.cursor_path)
+
+
 def mv_delta(
     table: TxLogTable,
     version: int,

@@ -454,6 +454,9 @@ def bucketed_merge_stream_sink(
     conflict_retries: int = 5,
     stats_cols: list[str] | None = None,
     cluster_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    max_dv_fraction: float | None = 0.3,
+    analyze_every: int | None = None,
 ):
     """Continuous CDC → queryable current state, exactly once — the
     reference's actual end-to-end shape (reference:
@@ -498,8 +501,21 @@ def bucketed_merge_stream_sink(
     ``cluster_cols`` additionally range-clusters the buckets the
     maintenance pass folds (the OPTIMIZE ZORDER cadence riding the
     compaction that already runs — hot buckets degrade per merge and
-    re-cluster on their next fold). Returns the DataStreamWriter
-    (caller picks trigger and starts)."""
+    re-cluster on their next fold).
+
+    The STORAGE LAYER rides along (r12 verdict item 5: a stream-written
+    table must get the same point-lookup/delete story as a batch one):
+    ``bloom_cols`` gives every landed AND every compacted file a bloom
+    sidecar; ``max_dv_fraction`` bounds live deletion-vector debt — when
+    interleaved ``delete_where``/``update_where`` calls push a live
+    file's deleted fraction past the threshold, its bucket is folded on
+    the next batch (compaction reads DV-applied rows, so the rewrite
+    absorbs the vectors and vacuum reclaims the sidecars; files whose
+    row count the log does not record fold on ANY vector — conservative,
+    and still bounded because folding clears them). ``analyze_every=K``
+    backfills stats/bloom facts every K batches for files landed by
+    stats-less writers (requires ``stats_cols``). Returns the
+    DataStreamWriter (caller picks trigger and starts)."""
     from cdc_streaming_pipeline_spark.sources.txlog import (
         BucketedTxLogTable,
         vacuum,
@@ -522,6 +538,7 @@ def bucketed_merge_stream_sink(
             order_col=order_col,
             target_file_bytes=target_file_bytes,
             stats_cols=stats_cols,
+            bloom_cols=bloom_cols,
         )
         if resolve_table_meta(table) is None:
             table.n_buckets = n_buckets
@@ -549,6 +566,49 @@ def bucketed_merge_stream_sink(
                 )
             except ConcurrentWriteError:
                 pass  # raced an external commit: the next batch folds
+        if max_dv_fraction is not None:
+            # deletion-vector debt fold: a live file whose deleted
+            # fraction crossed the threshold drags every read through
+            # its anti-join forever — fold its bucket (the rewrite
+            # reads DV-applied rows, absorbing the vectors; vacuum
+            # reclaims the sidecars). Metadata-only check: vectors,
+            # row counts and bucket tags all come from the log.
+            from cdc_streaming_pipeline_spark.sources.txlog import (
+                resolve_file_dvs,
+                resolve_file_nulls,
+                resolve_snapshot_state,
+            )
+
+            dvs = resolve_file_dvs(table)
+            if dvs:
+                live, bmap, _ = resolve_snapshot_state(table)
+                live_set = set(live)
+                nulls = resolve_file_nulls(table)
+                dirty: set[int] = set()
+                for f, m in dvs.items():
+                    if f not in live_set or f not in bmap:
+                        continue
+                    nu = nulls.get(f)
+                    rows = next((rc for _, rc in nu.values()), None) if nu else None
+                    frac = (m["n"] / rows) if rows else 1.0
+                    if frac > max_dv_fraction:
+                        dirty.add(bmap[f])
+                if dirty:
+                    try:
+                        table.compact_buckets(
+                            buckets=sorted(dirty),
+                            min_files=1,
+                            cluster_cols=cluster_cols,
+                        )
+                    except ConcurrentWriteError:
+                        pass  # raced: the next batch folds
+        if analyze_every and stats_cols and (int(batch_id) + 1) % analyze_every == 0:
+            from cdc_streaming_pipeline_spark.sources.txlog import analyze_table
+
+            try:
+                analyze_table(table, stats_cols=stats_cols)
+            except ConcurrentWriteError:
+                pass  # facts-only commit lost a race: next cadence retries
         if vacuum_every and (int(batch_id) + 1) % vacuum_every == 0:
             vacuum(
                 table,

@@ -192,3 +192,74 @@ def test_version_at_timestamp_binary_search(spark, tmp_path):
     assert t.read_state(v).filter(F.col("id") == 1).collect()[0]["amount"] != 1000.0
     with pytest.raises(ValueError):
         version_at_timestamp(t, marks[0] - 10_000)
+
+
+def test_change_feed_source_replicates_exactly_once(spark, tmp_path):
+    """r12 verdict item 6: the change feed as a STREAMING SOURCE — a
+    txlog table feeds the CDC pipeline the way the reference's Kafka
+    topics do. ChangeFeedSource polls Debezium-shaped events
+    (op 'r'/'c'/'u'/'d' + zero-padded version LSN + rewrite-style
+    deletes); merging each poll into a destination with the cursor as
+    txn epoch is exactly-once: a crash between merge and advance
+    replays the poll and the txn tag no-ops it. B's read_state must
+    equal A's after every poll, through merges, MoR deletes and MoR
+    updates upstream."""
+    from cdc_streaming_pipeline_spark.sources.txlog import ChangeFeedSource
+
+    a = _seed(spark, str(tmp_path / "a"), n=80)
+    bpath = str(tmp_path / "b")
+    cpath = str(tmp_path / "cursor.json")
+
+    def apply_poll():
+        src = ChangeFeedSource(a, cpath)  # fresh handle: durable cursor
+        events, cur = src.poll()
+        b = BucketedTxLogTable(spark, bpath, key_cols=["id"], n_buckets=4)
+        if b.latest_version() is None:
+            b.init_from_events(events, txn=("feed", cur))
+        else:
+            b.merge_cdc_batch(events, txn=("feed", cur))
+        src.advance(cur)
+        return b
+
+    def states_equal(b):
+        sa = {r["id"]: r["amount"] for r in a.read_state().collect()}
+        sb = {r["id"]: r["amount"] for r in b.read_state().collect()}
+        assert sa == sb
+
+    b = apply_poll()  # initial load arrives as op='r'
+    states_equal(b)
+
+    # upstream wave: CDC merge + MoR delete + MoR update
+    a.merge_cdc_batch(
+        spark.createDataFrame(
+            [(3, 1003.0, "u", "000300", None), (81, 81.0, "c", "000300", None)], S
+        )
+    )
+    a.delete_where(F.col("amount").between(10.0, 19.0))
+    a.update_where(F.col("amount").between(30.0, 39.0), {"amount": F.col("amount") + 0.5})
+    b = apply_poll()
+    states_equal(b)
+
+    # crash between merge and advance: redo the SAME poll with a stale
+    # cursor file — the merge must no-op via its txn tag
+    a.merge_cdc_batch(
+        spark.createDataFrame([(5, 2005.0, "u", "000400", None)], S)
+    )
+    src = ChangeFeedSource(a, cpath)
+    events, cur = src.poll()
+    b.merge_cdc_batch(events, txn=("feed", cur))
+    v_after = b.latest_version()
+    # crash HERE: advance never ran; a restarted consumer re-polls
+    src2 = ChangeFeedSource(a, cpath)
+    assert src2.cursor == src.cursor and src2.cursor < cur
+    events2, cur2 = src2.poll()
+    assert cur2 == cur
+    b.merge_cdc_batch(events2, txn=("feed", cur2))  # replayed: no-op
+    assert b.latest_version() == v_after
+    src2.advance(cur2)
+    states_equal(b)
+
+    # caught up: an empty poll is a no-op and the cursor holds
+    src3 = ChangeFeedSource(a, cpath)
+    events3, cur3 = src3.poll()
+    assert events3.count() == 0 and cur3 == cur
