@@ -209,3 +209,54 @@ def test_bound_oracles_hold_on_adversarial_skew(spark, tmp_path):
     ):
         ok, detail = BOUND_ORACLES[name](con, None, df.toPandas())
         assert ok, f"{name}: {detail}"
+
+
+def test_sketch_merge_order_invariance(spark):
+    """r12 verdict item 7: persisted sketch STATE must merge to the
+    same answer whatever order (or nesting) the partial states arrive
+    in — the property that makes store-and-merge rollups safe at any
+    batch topology. HLL union is register-wise max (associative +
+    commutative), so estimates must be BIT-IDENTICAL across shuffled
+    merge orders and equal to the single-scan sketch; KLL merges must
+    stay within the published rank bound for every order."""
+    import random
+
+    ev = load_table(spark, SF_DIR, "events")
+    # level-1 partial states under three different batch keys — the
+    # same data partitioned three different ways
+    single = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).alias("e")
+    ).collect()[0]["e"]
+    exact = ev.select("user_id").distinct().count()
+    vals = sorted(r["value"] for r in ev.select("value").collect())
+    n = len(vals)
+
+    for seed, nb in ((1, 4), (2, 8), (3, 13)):
+        parts = (
+            ev.withColumn("_b", F.pmod(F.col("event_id") + seed, F.lit(nb)))
+            .groupBy("_b")
+            .agg(
+                F.hll_sketch_agg("user_id", F.lit(14)).alias("hll"),
+                F.expr("kll_sketch_agg_double(value)").alias("kll"),
+            )
+        )
+        # shuffle the merge order driver-side, then merge level 2 in
+        # that order via an explicit fold over per-row frames
+        rows = parts.collect()
+        random.Random(seed).shuffle(rows)
+        df = spark.createDataFrame(rows, parts.schema)
+        est = df.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("e")
+        ).collect()[0]["e"]
+        assert est == single, (seed, nb, est, single)
+        assert abs(est - exact) <= max(3 * (1.0389 / 2.0**7) * exact, 5.0)
+        for p, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            q = df.agg(
+                F.expr(f"kll_sketch_get_quantile_double(kll_merge_agg_double(kll), {p})").alias("q")
+            ).collect()[0]["q"]
+            import bisect
+
+            lo = bisect.bisect_left(vals, q) / n
+            hi = bisect.bisect_right(vals, q) / n
+            tol = 2 * 0.0165 + 2.0 / n
+            assert (lo - tol) <= p <= (hi + tol), (seed, col, q, lo, hi)

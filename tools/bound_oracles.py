@@ -119,6 +119,21 @@ def kll_value_rollup_bounds(con, sf_dir, pdf):
     return _quantile_bounds(con, pdf, eps=0.0165)  # KLL k=200 published
 
 
+@_register("hll_users_rollup_merged")
+def hll_users_rollup_merged_bounds(con, sf_dir, pdf):
+    # two-level merge of stored register state: HLL union is lossless,
+    # so the SAME published bound applies as to the single-scan rollup
+    rsd = 1.0389 / (2.0**14) ** 0.5  # lgK=14
+    return _cardinality_bounds(con, pdf, rsd=rsd, est_col="approx_users")
+
+
+@_register("kll_value_rollup_merged")
+def kll_value_rollup_merged_bounds(con, sf_dir, pdf):
+    # KLL merge preserves the published rank-error bound through any
+    # number of merge levels — same ε gate as the single-scan rollup
+    return _quantile_bounds(con, pdf, eps=0.0165)
+
+
 @_register("theta_user_overlap")
 def theta_user_overlap_bounds(con, sf_dir, pdf):
     rse = 1.0 / (2.0**12) ** 0.5  # lgNomEntries=12 default
