@@ -843,6 +843,42 @@ def cdc_txlog_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read_state().select("id", "status", "total_amount")
 
 
+def cdc_txlog_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read CDC MERGE
+    (sources/txlog.py:merge_cdc_batch_mor — Delta's DV-backed MERGE):
+    land the change wave by deletion-vectoring the stored images of the
+    batch's keys and appending their winners — ONE commit, ZERO bucket
+    rewrites, bytes written O(batch) instead of O(touched buckets)
+    (measured 45 MB → ~150 KB for a 0.1% batch at 2M rows,
+    .benchmarks/SCALE10_r13.md). Semantics identical to the rewrite
+    merge — latest-LSN wins, tombstones fence stale replays — so the
+    final state must equal the SAME closed-form oracle the rewrite
+    path is certified against, proving the two merge strategies
+    interchangeable per batch."""
+    import os
+    import tempfile
+
+    from cdc_streaming_pipeline_spark.sources.txlog import BucketedTxLogTable
+
+    key = (spark.sparkContext.applicationId, sf_dir, "cdc_merge_mor")
+    path = _TXLOG_MEMO.get(key)
+    if path is None:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"txlog-mormerge-{spark.sparkContext.applicationId}-{abs(hash(sf_dir)) % 10**8}",
+        )
+        log = _order_event_log(_orders(spark, sf_dir))
+        flat = filter_tombstones(log).select("value.*")
+        off = F.substring(F.col(LSN_COL), -1, 1).cast("int")
+        t = BucketedTxLogTable(spark, path, key_cols=["id"], n_buckets=16)
+        if t.latest_version() is None:
+            t.init_from_events(flat.filter(off == 1))
+            t.merge_cdc_batch_mor(flat.filter(off > 1))
+        _TXLOG_MEMO[key] = path
+    t = BucketedTxLogTable(spark, path, key_cols=["id"], n_buckets=16)
+    return t.read_state().select("id", "status", "total_amount")
+
+
 def cdc_stream_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous CDC → queryable current state, exactly once — the
     reference's end-to-end capability (reference:
@@ -1008,6 +1044,7 @@ QUERIES = {
     "cdc_txlog_merge": cdc_txlog_merge,
     "table_pruned_range_read": table_pruned_range_read,
     "cdc_txlog_merge_incremental": cdc_txlog_merge_incremental,
+    "cdc_txlog_merge_mor": cdc_txlog_merge_mor,
     "cdc_stream_merge_state": cdc_stream_merge_state,
 }
 
@@ -1311,6 +1348,8 @@ ORACLE["cdc_txlog_merge"] = (
 )
 # The bucket-pruned merge must land the exact same final state.
 ORACLE["cdc_txlog_merge_incremental"] = ORACLE["cdc_txlog_merge"]
+# MoR merge: same semantics, same closed-form final state
+ORACLE["cdc_txlog_merge_mor"] = ORACLE["cdc_txlog_merge"]
 # the streamed merge converges to the SAME final state as the batch merge
 ORACLE["cdc_stream_merge_state"] = ORACLE["cdc_txlog_merge"]
 ORACLE["table_pruned_range_read"] = """

@@ -2682,6 +2682,199 @@ class BucketedTxLogTable(TxLogTable):
             )
         raise ConcurrentWriteError(f"merge gave up after {max_retries} retries")
 
+    def merge_cdc_batch_mor(
+        self,
+        batch: DataFrame,
+        max_retries: int = 20,
+        txn: tuple[str, int] | None = None,
+    ) -> tuple[int, list[int]]:
+        """Merge-on-read MERGE (Delta's DV-backed MERGE): apply one CDC
+        batch by deletion-vectoring the stored images of the BATCH'S
+        KEYS and appending their new winners as bucket-pure files — ONE
+        commit, zero bucket rewrites. Write amplification drops from
+        O(touched-bucket bytes) (``merge_cdc_batch`` rewrites every
+        touched bucket's files) to O(batch keys' rows): at 100 TB a
+        64-bucket-spread trickle batch stops re-writing 1/1 of a
+        64-bucket table per merge and writes kilobytes instead. The
+        scan side is unchanged (the touched buckets' files are still
+        read to find the stored images); the rewrite side is what MoR
+        removes — and the maintenance fold (compaction absorbs vectors
+        + folds small postimage files) keeps sustained MoR ingest
+        bounded, exactly the Delta lifecycle.
+
+        Semantics are IDENTICAL to ``merge_cdc_batch``: per key the
+        greatest ``order_col`` wins among (stored image, batch events),
+        tombstones are stored (a stale replay still loses), schema
+        drift unions. Even a stale-only batch re-appends the unchanged
+        winner (correct, slightly wasteful — the change feed emits
+        NOTHING for it because pre- and post-image compare equal).
+
+        Conflict rule is merge's file-granular rule PLUS the DV rule:
+        retry after a lost race only if the read set (touched buckets'
+        files) is still live with unchanged vectors, no foreign file
+        landed in our buckets, and no untagged foreign commit appeared.
+
+        Returns (version, touched buckets); replayed ``txn`` batches
+        no-op exactly like the rewrite path."""
+        from cdc_streaming_pipeline_spark.operators.cdc import latest_state
+        from cdc_streaming_pipeline_spark.operators.merge import touched_buckets
+        from pyspark.sql import functions as F
+
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(
+                "merge into an uninitialized table; call init_from_events"
+            )
+        self._refresh_meta(base)
+        batch = self._to_physical(batch)
+        snap, bmap, txns = resolve_snapshot_state(self, base)
+        if txn is not None:
+            done = txns.get(txn[0])
+            if done is not None and txn[1] <= done[0]:
+                return done[1], []  # replayed micro-batch: already applied
+        touched = set(touched_buckets(batch, self.key_cols, self.n_buckets))
+        if not touched:
+            return base, []
+        untagged = [f for f in snap if f not in bmap]
+        if untagged:
+            raise ValueError(
+                f"{len(untagged)} snapshot files carry no bucket tag — not a "
+                "bucket-pure table (mixed with plain commits?)"
+            )
+        layouts = resolve_file_layouts(self, base)
+        old = [
+            f
+            for f in snap
+            if any(
+                _bucket_overlap(
+                    t, self.n_buckets, bmap[f], layouts.get(f, self.n_buckets)
+                )
+                for t in touched
+            )
+        ]
+        dvs = resolve_file_dvs(self, base)
+        dv_ours = {f: m for f, m in dvs.items() if f in set(old)}
+        dv_dir = os.path.join(self.data_dir, "_dv")
+        os.makedirs(dv_dir, exist_ok=True)
+        if old:
+            df = (
+                self._raw_read(old, base)
+                .withColumn("_dv_fp", _fp_key_col())
+                .withColumn("_dv_ri", F.col("_metadata.row_index"))
+            )
+            prior = {f: m["path"] for f, m in dv_ours.items()}
+            pairs = _dv_pairs_df(self.spark, prior)
+            if pairs is not None:
+                df = df.join(pairs, ["_dv_fp", "_dv_ri"], "left_anti")
+            # only the BATCH'S KEYS' stored images participate — the
+            # whole point: untouched keys of the same bucket are never
+            # rewritten (AQE broadcasts the key set when it is small)
+            bkeys = batch.select(*self.key_cols).distinct()
+            oldk = df.join(bkeys, self.key_cols, "left_semi").persist()
+        else:
+            oldk = None
+        try:
+            prev_rows = (
+                oldk.drop("_dv_fp", "_dv_ri") if oldk is not None else None
+            )
+            merged = (
+                batch
+                if prev_rows is None
+                else prev_rows.unionByName(batch, allowMissingColumns=True)
+            )
+            new_state = latest_state(
+                merged,
+                key_cols=self.key_cols,
+                order_col=self.order_col,
+                drop_deleted=False,
+            )
+            adds, buckets = self._stage_bucketed(
+                new_state, n_buckets_hint=len(touched)
+            )
+            staged_facts = self._staged_skipping_facts(adds, new_state.columns)
+            if oldk is not None:
+                rows = _dv_stage_executor_side(
+                    oldk.select("_dv_fp", "_dv_ri"),
+                    {f: m["path"] for f, m in dv_ours.items()},
+                    dv_dir,
+                )
+            else:
+                rows = []
+        finally:
+            if oldk is not None:
+                oldk.unpersist()
+        file_dvs = {
+            r["file"]: {"path": r["cum_path"], "n": r["n_cum"]} for r in rows
+        }
+        dv_added = {
+            r["file"]: {"path": r["add_path"], "n": r["n_add"]} for r in rows
+        }
+        for _ in range(max_retries):
+            version = base + 1
+            entry = {
+                "version": version,
+                "mode": "merge_mor",
+                "adds": adds,
+                "removes": [],
+                "n_files": len(adds),
+                "file_buckets": buckets,
+                "file_bytes": self._staged_bytes(adds),
+                "file_layout_n": {f: self.n_buckets for f in adds},
+                "file_dvs": file_dvs,
+                "dv_added": dv_added,
+                "buckets": sorted(touched),
+                "schema": _schema_union(
+                    _resolve_schema_json(self, base),
+                    new_state.schema.jsonValue(),
+                ),
+            }
+            entry.update(staged_facts)
+            if txn is not None:
+                entry["txn"] = [txn[0], txn[1]]
+            if self._try_commit(version, entry):
+                if self.checkpoint_interval and version % self.checkpoint_interval == 0:
+                    write_checkpoint(self, version)
+                return version, sorted(touched)
+            new_base = self.latest_version()
+            new_snap_l, new_bmap, new_txns = resolve_snapshot_state(self, new_base)
+            if txn is not None:
+                done = new_txns.get(txn[0])
+                if done is not None and txn[1] <= done[0]:
+                    return done[1], []
+            new_snap = set(new_snap_l)
+            ours = set(old)
+            still_there = ours <= new_snap
+            new_layouts = resolve_file_layouts(self, new_base)
+            others_in_our_buckets = any(
+                f not in ours
+                and f in new_bmap
+                and any(
+                    _bucket_overlap(
+                        t, self.n_buckets, new_bmap[f], new_layouts.get(f, self.n_buckets)
+                    )
+                    for t in touched
+                )
+                for f in new_snap
+            )
+            foreign_untagged = any(
+                f not in ours and f not in new_bmap for f in new_snap
+            )
+            new_dvs = resolve_file_dvs(self, new_base)
+            dvs_changed = any(new_dvs.get(f) != dv_ours.get(f) for f in ours)
+            if (
+                still_there
+                and not others_in_our_buckets
+                and not foreign_untagged
+                and not dvs_changed
+            ):
+                base = new_base  # disjoint-bucket interleave: safe retry
+                continue
+            raise ConcurrentWriteError(
+                f"merge_mor of buckets {sorted(touched)} conflicts with a "
+                f"commit at version {new_base}"
+            )
+        raise ConcurrentWriteError(f"merge_mor gave up after {max_retries} retries")
+
     def compact_buckets(
         self,
         buckets: list[int] | None = None,
@@ -3322,6 +3515,38 @@ def table_changes(
         drop = [c for c in book if c in df.columns]
         return df.filter(~F.col("_is_deleted")).drop(*drop)
 
+    def dvadd_visible(e: dict, v: int) -> DataFrame | None:
+        """The rows this commit's vectors newly marked (``dv_added``
+        positions semi-joined back out of the unrewritten files),
+        VISIBLE ones only — a delete's net change, an update's
+        preimages, a MoR merge's replaced images (whose stored
+        tombstones must not resurface as feed rows)."""
+        dvadd = e.get("dv_added", {})
+        if not dvadd:
+            return None
+        import pandas as pd
+
+        fps, ris = [], []
+        for f, m in dvadd.items():
+            for p in _dv_load(m["path"]):
+                fps.append(f)
+                ris.append(p)
+        if not fps:
+            return None
+        dvdf = table.spark.createDataFrame(
+            pd.DataFrame({"_dv_fp": fps, "_dv_ri": pd.array(ris, dtype="int64")})
+        )
+        ddf = (
+            table._raw_read(sorted(dvadd), v)
+            .withColumn("_dv_fp", _fp_key_col())
+            .withColumn("_dv_ri", F.col("_metadata.row_index"))
+            .join(F.broadcast(dvdf), ["_dv_fp", "_dv_ri"], "left_semi")
+            .drop("_dv_fp", "_dv_ri")
+        )
+        ddf = mark_deleted(ddf) if "_is_deleted" not in ddf.columns else ddf
+        drop = [c for c in book if c in ddf.columns]
+        return ddf.filter(~F.col("_is_deleted")).drop(*drop)
+
     def typed(df: DataFrame, ctype: str, v: int) -> DataFrame:
         return df.withColumn("_change_type", F.lit(ctype)).withColumn(
             "_commit_version", F.lit(v).cast("long")
@@ -3339,36 +3564,7 @@ def table_changes(
                 parts.append(typed(new, "insert", v))
             continue
         if mode in ("delete", "update"):
-            # the rows this commit's vectors newly marked (``dv_added``
-            # positions, semi-joined back out of the unrewritten files):
-            # a delete's net change, an update's PREIMAGES
-            dvadd = e.get("dv_added", {})
-            ddf = None
-            if dvadd:
-                import pandas as pd
-
-                fps, ris = [], []
-                for f, m in dvadd.items():
-                    for p in _dv_load(m["path"]):
-                        fps.append(f)
-                        ris.append(p)
-                if fps:
-                    dvdf = table.spark.createDataFrame(
-                        pd.DataFrame(
-                            {"_dv_fp": fps, "_dv_ri": pd.array(ris, dtype="int64")}
-                        )
-                    )
-                    ddf = (
-                        table._raw_read(sorted(dvadd), v)
-                        .withColumn("_dv_fp", _fp_key_col())
-                        .withColumn("_dv_ri", F.col("_metadata.row_index"))
-                        .join(F.broadcast(dvdf), ["_dv_fp", "_dv_ri"], "left_semi")
-                        .drop("_dv_fp", "_dv_ri")
-                    )
-                    ddf = (
-                        mark_deleted(ddf) if "_is_deleted" not in ddf.columns else ddf
-                    )
-                    ddf = ddf.drop(*[c for c in book if c in ddf.columns])
+            ddf = dvadd_visible(e, v)
             if mode == "delete":
                 if ddf is not None:
                     parts.append(typed(ddf, "delete", v))
@@ -3381,8 +3577,17 @@ def table_changes(
             if post is not None:
                 parts.append(typed(post, "update_postimage", v))
             continue
-        if mode in ("merge", "overwrite"):
-            old = visible(e.get("removes", []), v)
+        if mode in ("merge", "overwrite", "merge_mor"):
+            # merge_mor replaces rows by VECTORING them instead of
+            # removing files, so its old side is the dv_added rows —
+            # the same key-join classification then applies unchanged
+            # (a stale-only batch re-appends an identical winner and
+            # correctly feeds NOTHING: pre == post)
+            old = (
+                dvadd_visible(e, v)
+                if mode == "merge_mor"
+                else visible(e.get("removes", []), v)
+            )
             new = visible(e.get("adds", []), v)
             if old is None and new is None:
                 continue

@@ -457,6 +457,7 @@ def bucketed_merge_stream_sink(
     bloom_cols: list[str] | None = None,
     max_dv_fraction: float | None = 0.3,
     analyze_every: int | None = None,
+    merge_mode: str = "rewrite",
 ):
     """Continuous CDC → queryable current state, exactly once — the
     reference's actual end-to-end shape (reference:
@@ -514,7 +515,12 @@ def bucketed_merge_stream_sink(
     row count the log does not record fold on ANY vector — conservative,
     and still bounded because folding clears them). ``analyze_every=K``
     backfills stats/bloom facts every K batches for files landed by
-    stats-less writers (requires ``stats_cols``). Returns the
+    stats-less writers (requires ``stats_cols``). ``merge_mode="mor"``
+    lands each batch with ``merge_cdc_batch_mor`` — deletion-vector
+    the stored images of the batch's keys and append their winners,
+    O(batch) bytes written instead of O(touched buckets); the
+    compaction policy and the DV-debt fold are what make sustained MoR
+    ingest bounded, so pair it with both. Returns the
     DataStreamWriter (caller picks trigger and starts)."""
     from cdc_streaming_pipeline_spark.sources.txlog import (
         BucketedTxLogTable,
@@ -553,6 +559,8 @@ def bucketed_merge_stream_sink(
             try:
                 if table.latest_version() is None:
                     table.init_from_events(batch_df, txn=tag)
+                elif merge_mode == "mor":
+                    table.merge_cdc_batch_mor(batch_df, txn=tag)
                 else:
                     table.merge_cdc_batch(batch_df, txn=tag)
                 break

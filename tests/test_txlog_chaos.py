@@ -247,7 +247,12 @@ def test_lifecycle_walk_with_deletion_vectors_and_blooms(spark, tmp_path):
                 deleted = "true" if op == "d" else None
                 amount = None if op == "d" else float(step * 100 + i)
                 events.append((k, amount, op, lsn, deleted))
-            t.merge_cdc_batch(spark.createDataFrame(events, SCHEMA_V))
+            # rewrite and merge-on-read merges interchange per batch —
+            # identical semantics is exactly what the walk pins
+            if rng.random() < 0.5:
+                t.merge_cdc_batch(spark.createDataFrame(events, SCHEMA_V))
+            else:
+                t.merge_cdc_batch_mor(spark.createDataFrame(events, SCHEMA_V))
             apply_model(events)
         elif roll < 0.53:
             # merge-on-read delete of a random amount band; the model

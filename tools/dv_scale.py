@@ -330,6 +330,49 @@ def main() -> None:
             },
         }
         print(json.dumps({"update_0.1pct": out["update_0.1pct"]}))
+
+        # ---- 6. CDC MERGE, merge-on-read vs rewrite: the same 0.1%
+        # change batch (2k keys spread over all 64 buckets by hash —
+        # the steady-state CDC worst case) landed via
+        # merge_cdc_batch_mor (DV old images + append winners) vs the
+        # bucket-rewrite merge. Bytes written is the headline: CoW
+        # rewrites every touched bucket, MoR writes the batch.
+        batch = (
+            spark.range(700_000, 702_000)
+            .select(
+                F.col("id"),
+                F.lit(-1.0).alias("amount"),
+                (F.col("id") * 37).alias("customer"),
+                F.lit("u").alias("_op"),
+                F.lit("7" * 12).alias("_lsn"),
+                F.lit(None).cast("string").alias("_deleted"),
+            )
+        )
+        before = _staged_bytes(t_bloom.data_dir)
+        t0 = time.time()
+        _, touched_m = t_bloom.merge_cdc_batch_mor(batch)
+        mor_wall = time.time() - t0
+        mor_bytes = _staged_bytes(t_bloom.data_dir) - before
+        before = _staged_bytes(t_cow.data_dir)
+        t0 = time.time()
+        _, touched_c = t_cow.merge_cdc_batch(batch)
+        cowm_wall = time.time() - t0
+        cowm_bytes = _staged_bytes(t_cow.data_dir) - before
+        out["merge_0.1pct"] = {
+            "batch_rows": 2000,
+            "mor_merge": {
+                "wall_s": round(mor_wall, 2),
+                "bytes_written": mor_bytes,
+                "buckets_rewritten": 0,
+                "buckets_touched": len(touched_m),
+            },
+            "cow_merge": {
+                "wall_s": round(cowm_wall, 2),
+                "bytes_written": cowm_bytes,
+                "buckets_rewritten": len(touched_c),
+            },
+        }
+        print(json.dumps({"merge_0.1pct": out["merge_0.1pct"]}))
     finally:
         shutil.rmtree(root, ignore_errors=True)
         spark.stop()
