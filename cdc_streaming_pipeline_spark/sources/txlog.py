@@ -3102,6 +3102,30 @@ class BucketedTxLogTable(TxLogTable):
         df = df.filter(~F.col("_is_deleted")).drop(*drop)
         return residual(df), len(keep), len(files)
 
+    def _pruned_files(
+        self, predicate, version: int | None
+    ) -> tuple[list[str], list[str]]:
+        """(surviving files, all snapshot files) for a plain Spark
+        Column predicate — the ONE prune-tree evaluation shared by
+        ``read_state_filtered``, ``delete_where`` and ``update_where``:
+        walk the Column into a prune tree, translate probe columns to
+        physical names, keep every file the facts cannot rule out."""
+        files = resolve_with_checkpoint(self, version)
+        tree = _column_prune_tree(predicate)
+        if tree is _TRUE or not files:
+            return list(files), files
+        stats = resolve_file_stats(self, version)
+        dicts = resolve_file_dicts(self, version)
+        nulls = resolve_file_nulls(self, version)
+        blooms = resolve_file_blooms(self, version)
+        ntree = _map_tree_cols(
+            _normalize_tree(tree), lambda c: self._phys_name(c, version)
+        )
+        keep = [
+            f for f in files if _tree_survives(f, ntree, stats, dicts, nulls, blooms)
+        ]
+        return keep, files
+
     def read_state_filtered(
         self,
         predicate,
@@ -3125,25 +3149,9 @@ class BucketedTxLogTable(TxLogTable):
         from cdc_streaming_pipeline_spark.schemas import DELETED_COL, OP_COL
         from pyspark.sql import functions as F
 
-        files = resolve_with_checkpoint(self, version)
+        keep, files = self._pruned_files(predicate, version)
         if not files:
             raise FileNotFoundError(f"no committed data at version {version}")
-        tree = _column_prune_tree(predicate)
-        if tree is not _TRUE:
-            stats = resolve_file_stats(self, version)
-            dicts = resolve_file_dicts(self, version)
-            nulls = resolve_file_nulls(self, version)
-            blooms = resolve_file_blooms(self, version)
-            tree = _map_tree_cols(
-                _normalize_tree(tree), lambda c: self._phys_name(c, version)
-            )
-            keep = [
-                f
-                for f in files
-                if _tree_survives(f, tree, stats, dicts, nulls, blooms)
-            ]
-        else:
-            keep = list(files)
         if not keep:
             empty = self.read_state(version).filter(F.lit(False))
             return empty.filter(predicate), 0, len(files)
@@ -3210,23 +3218,7 @@ class BucketedTxLogTable(TxLogTable):
         base = self.latest_version()
         if base is None:
             raise FileNotFoundError("delete_where on an uninitialized table")
-        files = resolve_with_checkpoint(self, base)
-        tree = _column_prune_tree(predicate)
-        if tree is not _TRUE:
-            stats = resolve_file_stats(self, base)
-            dicts = resolve_file_dicts(self, base)
-            nulls = resolve_file_nulls(self, base)
-            blooms = resolve_file_blooms(self, base)
-            ntree = _map_tree_cols(
-                _normalize_tree(tree), lambda c: self._phys_name(c, base)
-            )
-            keep = [
-                f
-                for f in files
-                if _tree_survives(f, ntree, stats, dicts, nulls, blooms)
-            ]
-        else:
-            keep = list(files)
+        keep, _ = self._pruned_files(predicate, base)
         if not keep:
             return None, 0, 0
         dvs = resolve_file_dvs(self, base)
@@ -3333,23 +3325,7 @@ class BucketedTxLogTable(TxLogTable):
         if base is None:
             raise FileNotFoundError("update_where on an uninitialized table")
         self._refresh_meta(base)
-        files = resolve_with_checkpoint(self, base)
-        tree = _column_prune_tree(predicate)
-        if tree is not _TRUE:
-            stats = resolve_file_stats(self, base)
-            dicts = resolve_file_dicts(self, base)
-            nulls = resolve_file_nulls(self, base)
-            blooms = resolve_file_blooms(self, base)
-            ntree = _map_tree_cols(
-                _normalize_tree(tree), lambda c: self._phys_name(c, base)
-            )
-            keep = [
-                f
-                for f in files
-                if _tree_survives(f, ntree, stats, dicts, nulls, blooms)
-            ]
-        else:
-            keep = list(files)
+        keep, _ = self._pruned_files(predicate, base)
         if not keep:
             return None, 0, 0
         dvs = resolve_file_dvs(self, base)

@@ -161,6 +161,34 @@ def test_analyze_and_update_on_widened_mixed_files(spark, tmp_path):
     assert float(row["ratio"]) == pytest.approx(9.5)
 
 
+def test_clone_carries_widening(spark, tmp_path):
+    """A shallow clone of a widened table must read under the widened
+    types (its version-0 entry carries table_meta incl. the widening
+    map and the verified union schema)."""
+    from cdc_streaming_pipeline_spark.sources.txlog import clone_table
+
+    t = _seed(spark, str(tmp_path / "t"), n=50)
+    t.widen_column("qty", "bigint")
+    # wide ONLY in qty: other columns keep their narrow types so the
+    # clone-side further-widen below exercises a real promotion
+    t.merge_cdc_batch(
+        spark.createDataFrame(
+            [(2, 1 << 42, Decimal("1.00"), 0.3, "u", "999999", None)],
+            "id bigint, qty bigint, amount decimal(10,2), ratio float, "
+            "_op string, _lsn string, _deleted string",
+        )
+    )
+    c = clone_table(t, str(tmp_path / "c"))
+    st = c.read_state()
+    assert dict(st.dtypes)["qty"] == "bigint"
+    assert st.filter(F.col("id") == 2).collect()[0]["qty"] == 1 << 42
+    assert st.count() == 50
+    # the clone can widen further, independently of the source
+    c.widen_column("ratio", "double")
+    assert dict(c.read_state().dtypes)["ratio"] == "double"
+    assert dict(t.read_state().dtypes)["ratio"] == "float"
+
+
 def test_widen_interleaves_with_data_ops_model_exact(spark, tmp_path):
     """Seeded walk: widen ops interleave with merges, DV deletes,
     MoR updates, compactions and reopens — read_state stays
