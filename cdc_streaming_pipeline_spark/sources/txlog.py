@@ -2752,6 +2752,35 @@ class BucketedTxLogTable(TxLogTable):
                 for t in touched
             )
         ]
+        # Bloom-assisted scan pruning: bucket overlap bounds the files
+        # that COULD hold the batch's keys; when the leading key column
+        # carries bloom sidecars and the key set is small (the CDC
+        # trickle case — the reference's per-row UPDATE workload), skip
+        # every candidate file whose sidecar PROVES it holds none of
+        # them. Sound because a skipped file contributes no stored
+        # image to DV and no rows to the winners; a sustained-MoR
+        # bucket with many postimage files then costs a point merge
+        # one file, not the bucket.
+        if old and self.bloom_cols:
+            cmap = self.column_mapping or {}
+            key0 = self.key_cols[0]
+            if key0 in {cmap.get(c, c) for c in self.bloom_cols}:
+                cap = 4096
+                kv = [
+                    r[0]
+                    for r in batch.select(key0).distinct().limit(cap + 1).collect()
+                ]
+                if len(kv) <= cap:
+                    vals = [_dict_norm(v) for v in kv]
+                    blooms = resolve_file_blooms(self, base)
+                    old = [
+                        f
+                        for f in old
+                        if not (
+                            (bf := blooms.get(f, {}).get(key0))
+                            and _bloom_pruned(bf, vals)
+                        )
+                    ]
         dvs = resolve_file_dvs(self, base)
         dv_ours = {f: m for f, m in dvs.items() if f in set(old)}
         dv_dir = os.path.join(self.data_dir, "_dv")

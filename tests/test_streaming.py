@@ -605,9 +605,10 @@ def test_stream_sink_absorbs_dvs_and_maintains_blooms_over_long_run(spark, tmp_p
     assert max(per_bucket.values()) <= 2, per_bucket
 
     # live DV debt bounded: the folds absorbed every over-threshold
-    # vector; at most a straggler from the final batches may remain
+    # vector; a straggler from the final batches and a file sitting
+    # exactly AT the fold threshold may legitimately remain
     live_dvs = [f for f in snap if f in resolve_file_dvs(t)]
-    assert len(live_dvs) <= 2, live_dvs
+    assert len(live_dvs) <= 3, live_dvs
     # on-disk sidecars bounded by retention, not by delete count
     on_disk = glob.glob(os.path.join(table_path, "data", "_dv", "*"))
     assert len(on_disk) <= 40, len(on_disk)
