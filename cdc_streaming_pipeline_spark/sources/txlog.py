@@ -657,35 +657,52 @@ def _fp_key_col():
     return F.coalesce(F.try_url_decode(esc), stripped)
 
 
+#: positions above which a read's DV anti-join relation is built
+#: executor-side (binaryFile + mapInPandas) instead of materialized on
+#: the driver for a broadcast — after a WIDE delete (millions of
+#: positions), reads must not re-pay the driver funnel the write path
+#: eliminated. The count comes from resolved metadata, so the choice
+#: costs no I/O.
+DV_BROADCAST_MAX_POSITIONS = 1 << 18
+
+
 def _apply_dvs(spark, df: DataFrame, files: list[str], dvs: dict) -> DataFrame:
     """Anti-join out each file's deleted row indices. ``dvs`` is the
     resolved {file: {"path", "n"}} map; files without a DV pass through
-    untouched (the join is against only the relevant pairs). The DV
-    relation is broadcast — its size is the number of deleted rows in
-    the files THIS read touches, the same working set Delta's DV scan
-    materializes per task."""
+    untouched (the join is against only the relevant pairs). Small
+    vectors broadcast (their size is the deleted rows in the files THIS
+    read touches — the working set Delta's DV scan materializes per
+    task); past ``DV_BROADCAST_MAX_POSITIONS`` the relation is read and
+    expanded EXECUTOR-side so a post-wide-delete read never funnels
+    positions through the driver."""
     from pyspark.sql import functions as F
 
     rel = {f: m for f, m in dvs.items() if f in set(files)}
     if not rel:
         return df
+    keyed = df.withColumn("_dv_fp", _fp_key_col()).withColumn(
+        "_dv_ri", F.col("_metadata.row_index")
+    )
+    total = sum(int(m.get("n", 0)) for m in rel.values())
+    if total > DV_BROADCAST_MAX_POSITIONS:
+        pairs = _dv_pairs_df(spark, {f: m["path"] for f, m in rel.items()})
+        return keyed.join(pairs, ["_dv_fp", "_dv_ri"], "left_anti").drop(
+            "_dv_fp", "_dv_ri"
+        )
     fps, ris = [], []
     for f, m in rel.items():
         for p in _dv_load(m["path"]):
             fps.append(f)
             ris.append(p)
     if not fps:
-        return df
+        return df  # every relevant vector is empty: nothing to join out
     import pandas as pd
 
     dvdf = spark.createDataFrame(
         pd.DataFrame({"_dv_fp": fps, "_dv_ri": pd.array(ris, dtype="int64")})
     )
-    return (
-        df.withColumn("_dv_fp", _fp_key_col())
-        .withColumn("_dv_ri", F.col("_metadata.row_index"))
-        .join(F.broadcast(dvdf), ["_dv_fp", "_dv_ri"], "left_anti")
-        .drop("_dv_fp", "_dv_ri")
+    return keyed.join(F.broadcast(dvdf), ["_dv_fp", "_dv_ri"], "left_anti").drop(
+        "_dv_fp", "_dv_ri"
     )
 
 
@@ -1400,6 +1417,11 @@ class TxLogTable:
             )
         sj = _resolve_schema_json(self, target)
         if sj is not None:
+            wid_at = getattr(self, "_widening_at", None)
+            wid = wid_at(target) if wid_at is not None else {}
+            if wid:
+                # present widened types like every other read path
+                return self.spark.createDataFrame([], _widened_struct(sj, wid))
             return self.spark.createDataFrame([], StructType.fromJson(sj))
         # last resort (pre-schema-recording logs): newest-first scan for
         # any referenced file still on disk — inherently O(age), only

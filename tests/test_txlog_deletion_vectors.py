@@ -228,6 +228,37 @@ def test_vectors_survive_uri_reserved_characters_in_path(spark, tmp_path):
     assert t.read_state().filter(F.col("amount").between(10.0, 19.0)).count() == 0
 
 
+def test_wide_delete_reads_use_distributed_pairs(spark, tmp_path, monkeypatch):
+    """Past DV_BROADCAST_MAX_POSITIONS, every read's anti-join relation
+    is built EXECUTOR-side (binaryFile + mapInPandas) instead of
+    materialized on the driver — the read-side twin of the
+    partition-parallel delete. Forced here by dropping the threshold;
+    results must be exact on both paths, and the driver must load no
+    vector (driver-process spy)."""
+    from cdc_streaming_pipeline_spark.sources import txlog
+
+    t = _seed(spark, str(tmp_path / "t"))
+    t.delete_where(F.col("amount").between(100.0, 150.0))
+
+    monkeypatch.setattr(txlog, "DV_BROADCAST_MAX_POSITIONS", 4)
+    driver_calls: list[str] = []
+    real = txlog._dv_load
+
+    def spy(path):
+        driver_calls.append(path)
+        return real(path)
+
+    monkeypatch.setattr(txlog, "_dv_load", spy)
+    st = t.read_state()
+    assert st.count() == 249
+    assert st.filter(F.col("amount").between(100.0, 150.0)).count() == 0
+    df, fr, ft = t.read_state_where("amount", 90.0, 160.0)
+    assert {int(r["amount"]) for r in df.collect()} == set(range(90, 100)) | set(
+        range(151, 161)
+    )
+    assert driver_calls == [], "read path loaded vectors driver-side"
+
+
 def test_vectors_survive_plus_and_percent_in_path(spark, tmp_path):
     """'+' is the trap the space test missed: URL-decoding treats a
     literal '+' as SPACE under form-encoding rules, while Spark's path
