@@ -706,6 +706,60 @@ def _apply_dvs(spark, df: DataFrame, files: list[str], dvs: dict) -> DataFrame:
     )
 
 
+def _dv_added_relation(spark, dvadd: dict) -> DataFrame | None:
+    """One commit's newly-marked (file, row_index) pairs as a join
+    relation, threshold-gated exactly like ``_apply_dvs``: small
+    commits materialize driver-side and broadcast (the working set is
+    that commit's added positions, usually tiny); past
+    ``DV_BROADCAST_MAX_POSITIONS`` the ``.dva`` sidecars are read with
+    the binaryFile source and expanded EXECUTOR-side, so the CDF/MV
+    consumer of a WIDE delete never re-pays the driver position funnel
+    the write path eliminated. The branch decision reads only resolved
+    metadata (``n`` per file) — no sidecar I/O. Returns a
+    (_dv_fp, _dv_ri) frame ready to semi-join, or None if the commit
+    marked nothing."""
+    from pyspark.sql import functions as F
+
+    if not dvadd:
+        return None
+    total = sum(int(m.get("n", 0)) for m in dvadd.values())
+    if total > DV_BROADCAST_MAX_POSITIONS:
+        return _dv_pairs_df(spark, {f: m["path"] for f, m in dvadd.items()})
+    import pandas as pd
+
+    fps, ris = [], []
+    for f, m in dvadd.items():
+        for p in _dv_load(m["path"]):
+            fps.append(f)
+            ris.append(p)
+    if not fps:
+        return None
+    return F.broadcast(
+        spark.createDataFrame(
+            pd.DataFrame({"_dv_fp": fps, "_dv_ri": pd.array(ris, dtype="int64")})
+        )
+    )
+
+
+def _dv_added_semi(table: "TxLogTable", dvadd: dict, version: int) -> DataFrame | None:
+    """The rows a commit's vectors newly marked, semi-joined back out
+    of the (unrewritten) files — the shared read path under
+    ``table_changes`` and ``mv_delta``, riding ``_dv_added_relation``'s
+    broadcast-or-distributed gate."""
+    from pyspark.sql import functions as F
+
+    rel = _dv_added_relation(table.spark, dvadd)
+    if rel is None:
+        return None
+    return (
+        table._raw_read(sorted(dvadd), version)
+        .withColumn("_dv_fp", _fp_key_col())
+        .withColumn("_dv_ri", F.col("_metadata.row_index"))
+        .join(rel, ["_dv_fp", "_dv_ri"], "left_semi")
+        .drop("_dv_fp", "_dv_ri")
+    )
+
+
 def _pred_survives(
     f: str, pred, stats: dict, dicts: dict, nulls: dict, blooms: dict | None = None
 ) -> bool:
@@ -3547,29 +3601,12 @@ def table_changes(
         positions semi-joined back out of the unrewritten files),
         VISIBLE ones only — a delete's net change, an update's
         preimages, a MoR merge's replaced images (whose stored
-        tombstones must not resurface as feed rows)."""
-        dvadd = e.get("dv_added", {})
-        if not dvadd:
+        tombstones must not resurface as feed rows). Threshold-gated
+        via ``_dv_added_semi``: a wide delete's positions expand
+        executor-side, never on the driver."""
+        ddf = _dv_added_semi(table, e.get("dv_added", {}), v)
+        if ddf is None:
             return None
-        import pandas as pd
-
-        fps, ris = [], []
-        for f, m in dvadd.items():
-            for p in _dv_load(m["path"]):
-                fps.append(f)
-                ris.append(p)
-        if not fps:
-            return None
-        dvdf = table.spark.createDataFrame(
-            pd.DataFrame({"_dv_fp": fps, "_dv_ri": pd.array(ris, dtype="int64")})
-        )
-        ddf = (
-            table._raw_read(sorted(dvadd), v)
-            .withColumn("_dv_fp", _fp_key_col())
-            .withColumn("_dv_ri", F.col("_metadata.row_index"))
-            .join(F.broadcast(dvdf), ["_dv_fp", "_dv_ri"], "left_semi")
-            .drop("_dv_fp", "_dv_ri")
-        )
         ddf = mark_deleted(ddf) if "_is_deleted" not in ddf.columns else ddf
         drop = [c for c in book if c in ddf.columns]
         return ddf.filter(~F.col("_is_deleted")).drop(*drop)
@@ -3881,27 +3918,9 @@ def mv_delta(
     # vectors newly marked (the entry records them as ``dv_added``) —
     # semi-join those (file, row_index) pairs back out of the files
     negdv = None
-    dvadd = e.get("dv_added", {})
-    if dvadd:
-        import pandas as pd
-
-        fps, ris = [], []
-        for f, m in dvadd.items():
-            for p in _dv_load(m["path"]):
-                fps.append(f)
-                ris.append(p)
-        if fps:
-            dvdf = table.spark.createDataFrame(
-                pd.DataFrame({"_dv_fp": fps, "_dv_ri": pd.array(ris, dtype="int64")})
-            )
-            ddf = (
-                table._raw_read(sorted(dvadd), version)
-                .withColumn("_dv_fp", _fp_key_col())
-                .withColumn("_dv_ri", F.col("_metadata.row_index"))
-                .join(F.broadcast(dvdf), ["_dv_fp", "_dv_ri"], "left_semi")
-                .drop("_dv_fp", "_dv_ri")
-            )
-            negdv = _agg(_logical(ddf), -1)
+    ddf = _dv_added_semi(table, e.get("dv_added", {}), version)
+    if ddf is not None:
+        negdv = _agg(_logical(ddf), -1)
     parts = [p for p in (pos, neg, negdv) if p is not None]
     if not parts:
         # an entry with neither adds nor removes still contributes a

@@ -1,0 +1,135 @@
+"""The r13 verdict's one `weak` item, closed: CDF/MV consumers of a
+wide delete must not re-pay the driver position funnel the write path
+eliminated. ``table_changes``' dvadd rows and ``mv_delta``'s delete
+negation both route one commit's ``dv_added`` sidecars through
+``_dv_added_relation``, which — past ``DV_BROADCAST_MAX_POSITIONS``,
+decided from resolved metadata alone — reads the ``.dva`` sidecars with
+the binaryFile source and expands them EXECUTOR-side
+(``_dv_pairs_df``), semi-joining a distributed pairs frame instead of
+broadcasting a driver-built one.
+
+Pins: (1) a driver-process spy on ``_dv_load`` stays empty while
+``table_changes`` and ``fold_mv`` consume a delete/update commit above
+the threshold; (2) the distributed path returns bit-identical results
+to the broadcast path; (3) merge_mor's old-image side rides the same
+gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_streaming_pipeline_spark.sources import txlog
+from cdc_streaming_pipeline_spark.sources.txlog import (
+    BucketedTxLogTable,
+    fold_mv,
+    table_changes,
+)
+
+SCHEMA = "id bigint, amount double, g string, _op string, _lsn string, _deleted string"
+
+
+def _seed(spark, path, n=300, **kw):
+    t = BucketedTxLogTable(
+        spark, path, key_cols=["id"], n_buckets=4, stats_cols=["amount"], **kw
+    )
+    rows = [
+        (i, float(i), ["a", "b", "c"][i % 3], "r", f"{i:06d}", None)
+        for i in range(n)
+    ]
+    t.init_from_events(spark.createDataFrame(rows, SCHEMA))
+    return t
+
+
+def _cdf_rows(t, from_v, to_v):
+    return sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["amount"], r["g"])
+        for r in table_changes(t, from_v, to_v).collect()
+    )
+
+
+def _mv_rows(t):
+    return sorted(
+        (r["g"], r["n_rows"], str(r["total"]))
+        for r in fold_mv(t, ["g"], "amount").collect()
+    )
+
+
+def test_cdf_and_mv_never_load_positions_driver_side(
+    spark, tmp_path, monkeypatch
+):
+    """Above the threshold, a driver-process spy on ``_dv_load`` stays
+    empty through table_changes AND fold_mv over delete + update
+    commits — executor workers are separate processes, so only a
+    driver-side load could append to this list."""
+    t = _seed(spark, str(tmp_path / "t"))
+    v0 = t.latest_version()
+    t.delete_where(F.col("amount").between(100.0, 199.0))  # 100 positions
+    t.update_where(
+        F.col("amount").between(200.0, 249.0), {"g": F.lit("upd")}
+    )  # 50 more
+    v2 = t.latest_version()
+
+    # metadata-only gate: make every commit "wide" without writing 2^18
+    # rows — the branch reads resolved "n", not the sidecars
+    monkeypatch.setattr(txlog, "DV_BROADCAST_MAX_POSITIONS", 8)
+    driver_calls: list[str] = []
+    real = txlog._dv_load
+
+    def spy(path):
+        driver_calls.append(path)
+        return real(path)
+
+    monkeypatch.setattr(txlog, "_dv_load", spy)
+
+    cdf = _cdf_rows(t, v0, v2)
+    mv = _mv_rows(t)
+    assert driver_calls == [], "dv_added positions were loaded driver-side"
+    monkeypatch.undo()
+
+    # distributed path == broadcast path, bit for bit
+    assert cdf == _cdf_rows(t, v0, v2)
+    assert mv == _mv_rows(t)
+
+    # and the feed content is right: 100 deletes, 50 pre/post pairs
+    kinds = {}
+    for _, ct, *_ in cdf:
+        kinds[ct] = kinds.get(ct, 0) + 1
+    assert kinds == {
+        "delete": 100,
+        "update_preimage": 50,
+        "update_postimage": 50,
+    }
+
+
+def test_merge_mor_old_side_gated(spark, tmp_path, monkeypatch):
+    """merge_mor's CDF old side is its dv_added rows — same gate, same
+    spy, pre/post classification unchanged on the distributed path."""
+    t = _seed(spark, str(tmp_path / "t"), n=60)
+    v0 = t.latest_version()
+    batch = spark.createDataFrame(
+        [(i, float(i) + 0.5, "m", "u", f"{i + 1000:06d}", None) for i in range(20)],
+        SCHEMA,
+    )
+    t.merge_cdc_batch_mor(batch)
+    v1 = t.latest_version()
+
+    monkeypatch.setattr(txlog, "DV_BROADCAST_MAX_POSITIONS", 4)
+    driver_calls: list[str] = []
+    real = txlog._dv_load
+
+    def spy(path):
+        driver_calls.append(path)
+        return real(path)
+
+    monkeypatch.setattr(txlog, "_dv_load", spy)
+    rows = table_changes(t, v0, v1).collect()
+    assert driver_calls == []
+    monkeypatch.undo()
+
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    assert len(by_type.get("update_preimage", [])) == 20
+    assert len(by_type.get("update_postimage", [])) == 20
+    assert all(r["amount"] == float(r["id"]) for r in by_type["update_preimage"])
+    assert all(r["amount"] == float(r["id"]) + 0.5 for r in by_type["update_postimage"])

@@ -269,6 +269,7 @@ def main() -> None:
         # position list — the path that used to collect ~500k longs
         # driver-side now collects 64 file rows.
         wide = (F.col("amount") >= 100_000.0) & (F.col("amount") < 350_000.0)
+        pre_wide_v = t_dv.latest_version()
         t0 = time.time()
         _, nf_w, nd_w = t_dv.delete_where(wide)
         wide_wall = time.time() - t0
@@ -290,6 +291,36 @@ def main() -> None:
             "post_count": wide_count,
         }
         print(json.dumps({"delete_wide_25pct": out["delete_wide_25pct"]}))
+
+        # ---- 4b. CDF read OF that wide-delete commit: table_changes
+        # must expand the 500k dv_added positions without the driver
+        # ever seeing one — past DV_BROADCAST_MAX_POSITIONS the .dva
+        # sidecars are read with binaryFile and expanded executor-side
+        # (_dv_added_relation → _dv_pairs_df), semi-joined distributed.
+        # The count asserts the gate fired (n > threshold) and times
+        # the consumer-side read the r13 verdict flagged as the last
+        # driver position funnel.
+        from cdc_streaming_pipeline_spark.sources.txlog import (
+            DV_BROADCAST_MAX_POSITIONS,
+        )
+
+        post_wide_v = t_dv.latest_version()
+        wide_entry = t_dv._read_entry(post_wide_v)
+        wide_positions = sum(
+            int(m.get("n", 0)) for m in wide_entry.get("dv_added", {}).values()
+        )
+        t0 = time.time()
+        cdf_wide_n = table_changes(t_dv, pre_wide_v, post_wide_v).count()
+        cdf_wide_wall = time.time() - t0
+        out["cdf_read_wide_delete"] = {
+            "dv_added_positions": wide_positions,
+            "broadcast_threshold": DV_BROADCAST_MAX_POSITIONS,
+            "distributed_path": wide_positions > DV_BROADCAST_MAX_POSITIONS,
+            "feed_rows": cdf_wide_n,
+            "cdf_wall_s": round(cdf_wide_wall, 2),
+            "driver_working_set": "file-level sidecar paths only",
+        }
+        print(json.dumps({"cdf_read_wide_delete": out["cdf_read_wide_delete"]}))
 
         # ---- 5. merge-on-read UPDATE of a 0.1% band vs the CoW merge:
         # update_where appends postimage files + vectors (O(touched
