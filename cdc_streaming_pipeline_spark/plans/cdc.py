@@ -44,12 +44,14 @@ from cdc_streaming_pipeline_spark.schemas import (
 )
 from cdc_streaming_pipeline_spark.sources.tables import load_table
 
-_LSN_PAD = 12
+from cdc_streaming_pipeline_spark.schemas import LSN_WIDTH as _LSN_PAD
+from cdc_streaming_pipeline_spark.schemas import pad_lsn
+
 _SQL_LSN = "LPAD(CAST(o_orderkey * 10 + {off} AS VARCHAR), 12, '0')"
 
 
 def _lsn(k: Column, off: int) -> Column:
-    return F.lpad((k * 10 + off).cast("string"), _LSN_PAD, "0")
+    return pad_lsn(k * 10 + off)
 
 
 def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:

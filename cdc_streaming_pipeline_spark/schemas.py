@@ -27,6 +27,28 @@ LSN_COL = "_lsn"  # zero-padded numeric string; monotone per stream
 DELETED_COL = "_deleted"  # 'true' on delete-rewrite records
 CORRUPT_COL = "_corrupt_record"
 
+#: The pipeline-wide LSN pad width. ``_lsn`` is a STRING whose total
+#: order must equal the numeric order of the underlying sequence —
+#: which holds lexicographically iff every producer zero-pads to the
+#: SAME width. Every in-repo producer (fixtures, workload generator,
+#: change-feed source) pads to this constant; a mixed-width stream
+#: silently mis-fences ('45' > '000123' lexicographically while
+#: 45 < 123), so external producers must match it or consumers must
+#: re-pad with ``pad_lsn`` before comparing.
+LSN_WIDTH = 12
+
+
+def pad_lsn(col):
+    """Normalize an LSN (numeric or string) to the pipeline's
+    zero-padded ``LSN_WIDTH`` string form — idempotent on conforming
+    values, repairs shorter pads, and the safe way to stamp ``_lsn``
+    from a numeric sequence."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.lpad(c.cast("string"), LSN_WIDTH, "0")
+
 _META_FIELDS = [
     T.StructField(OP_COL, T.StringType(), False),
     T.StructField(TABLE_COL, T.StringType(), False),

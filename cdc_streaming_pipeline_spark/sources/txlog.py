@@ -3770,7 +3770,7 @@ def follow_changes(
     return table_changes(table, start, latest), latest
 
 
-def feed_as_cdc_events(feed: DataFrame) -> DataFrame:
+def feed_as_cdc_events(feed: DataFrame, lsn_as: str = "padded") -> DataFrame:
     """Map typed change-feed rows to DEBEZIUM-SHAPED CDC events — the
     same record shape the reference's Kafka topics carry (SURVEY §1.2:
     flattened after-image + ``_op``/``_lsn``/``_deleted``,
@@ -3784,12 +3784,27 @@ def feed_as_cdc_events(feed: DataFrame) -> DataFrame:
     - ``delete`` → 'd' carrying the LAST-KNOWN row image plus
       ``_deleted='true'`` (rewrite semantics).
 
-    ``_lsn`` is the zero-padded commit version: within one version a
-    key nets at most one change, so per-key event order is total —
-    the property the reference gets from single-partition topics."""
-    from cdc_streaming_pipeline_spark.schemas import DELETED_COL, LSN_COL, OP_COL
+    ``_lsn`` is the COMMIT VERSION of the source table: within one
+    version a key nets at most one change, so per-key event order is
+    total — the property the reference gets from single-partition
+    topics. ``lsn_as='padded'`` (default) stamps it as the pipeline's
+    zero-padded ``LSN_WIDTH`` string (``schemas.pad_lsn``) — the same
+    contract every native producer follows, so feed events UNION and
+    merge with native events directly (pinned in
+    tests/test_txlog_change_feed.py). ``lsn_as='long'`` emits a bigint
+    for consumers that compare numerically; note the value is in
+    commit-version space, NOT the upstream database's LSN space — two
+    sources' LSNs are only comparable stream-internally either way."""
+    from cdc_streaming_pipeline_spark.schemas import (
+        DELETED_COL,
+        LSN_COL,
+        OP_COL,
+        pad_lsn,
+    )
     from pyspark.sql import functions as F
 
+    if lsn_as not in ("padded", "long"):
+        raise ValueError(f"lsn_as must be 'padded' or 'long', got {lsn_as!r}")
     f = feed.filter(F.col("_change_type") != "update_preimage")
     op = (
         F.when(F.col("_change_type") == "delete", F.lit("d"))
@@ -3797,11 +3812,14 @@ def feed_as_cdc_events(feed: DataFrame) -> DataFrame:
         .when(F.col("_change_type") == "insert", F.lit("c"))
         .otherwise(F.lit("u"))
     )
+    lsn = (
+        pad_lsn(F.col("_commit_version"))
+        if lsn_as == "padded"
+        else F.col("_commit_version").cast("long")
+    )
     return (
         f.withColumn(OP_COL, op)
-        .withColumn(
-            LSN_COL, F.lpad(F.col("_commit_version").cast("string"), 12, "0")
-        )
+        .withColumn(LSN_COL, lsn)
         .withColumn(
             DELETED_COL,
             F.when(F.col("_change_type") == "delete", F.lit("true")).cast("string"),

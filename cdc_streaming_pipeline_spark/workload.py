@@ -29,6 +29,8 @@ import random
 from datetime import datetime, timedelta
 from typing import Any
 
+from cdc_streaming_pipeline_spark.schemas import LSN_WIDTH
+
 TABLES = ("customer", "product", "order", "order_item")
 
 _BASE_TS = datetime(2024, 1, 1, 0, 0, 0)
@@ -68,7 +70,7 @@ class CdcWorkloadGenerator:
         event.setdefault("created_at", event["updated_at"])
         event["_op"] = op
         event["_table"] = table
-        event["_lsn"] = f"{self.lsn:012d}"
+        event["_lsn"] = f"{self.lsn:0{LSN_WIDTH}d}"
         if deleted:
             event["_deleted"] = "true"
         self.events.append(event)

@@ -263,3 +263,73 @@ def test_change_feed_source_replicates_exactly_once(spark, tmp_path):
     src3 = ChangeFeedSource(a, cpath)
     events3, cur3 = src3.poll()
     assert events3.count() == 0 and cur3 == cur
+
+
+def test_feed_events_compose_with_native_events(spark, tmp_path):
+    """r13 verdict item 2 (the `_lsn` cast trap): feed events carry the
+    SAME zero-padded LSN_WIDTH string contract every native producer
+    follows (schemas.pad_lsn), so a consumer can UNION a change feed
+    with a native CDC stream and fence on `_lsn` directly — no cast,
+    no width mismatch. Pins: (1) union merges without type error and
+    latest-row-wins picks the numerically-greater LSN in BOTH
+    directions (feed beats older native, native beats older feed);
+    (2) `lsn_as='long'` emits bigint commit versions that pad_lsn
+    round-trips to the padded form bit-for-bit."""
+    from cdc_streaming_pipeline_spark.operators.cdc import latest_state
+    from cdc_streaming_pipeline_spark.schemas import pad_lsn
+    from cdc_streaming_pipeline_spark.sources.txlog import (
+        ChangeFeedSource,
+        feed_as_cdc_events,
+        follow_changes,
+    )
+
+    a = _seed(spark, str(tmp_path / "a"), n=10)
+    # upstream commits: v1 touches ids 3 and 4 (feed LSN = pad(1))
+    a.merge_cdc_batch(
+        spark.createDataFrame(
+            [(3, 1003.0, "u", "000200", None), (4, 1004.0, "u", "000200", None)], S
+        )
+    )
+    src = ChangeFeedSource(a)
+    events, cur = src.poll()
+    assert events.schema["_lsn"].dataType.typeName() == "string"
+
+    # native stream, padded per the shared contract: id 3's native
+    # event is OLDER than the feed's (version 0 < 1), id 4's is NEWER
+    native = spark.createDataFrame(
+        [(3, 555.0, "u", 0), (4, 444.0, "u", 2)],
+        "id bigint, amount double, _op string, _v long",
+    ).select(
+        "id", "amount", "_op",
+        pad_lsn(F.col("_v")).alias("_lsn"),
+        F.lit(None).cast("string").alias("_deleted"),
+    )
+    mixed = events.select(*native.columns).unionByName(native)
+    got = {
+        r["id"]: r["amount"]
+        for r in latest_state(mixed, ["id"]).collect()
+    }
+    assert got[3] == 1003.0  # feed (v1) beat native (v0)
+    assert got[4] == 444.0   # native (v2) beat feed (v1)
+    assert len(got) == 10
+
+    # numeric variant: bigint commit versions, pad_lsn round-trip exact
+    feed, _ = follow_changes(a, None)
+    longs = feed_as_cdc_events(feed, lsn_as="long")
+    assert longs.schema["_lsn"].dataType.typeName() == "long"
+    padded = sorted(
+        (r["id"], r["_lsn"])
+        for r in feed_as_cdc_events(feed).select("id", "_lsn").collect()
+    )
+    rt = sorted(
+        (r["id"], r["_lsn_rt"])
+        for r in longs.select(
+            "id", pad_lsn(F.col("_lsn")).alias("_lsn_rt")
+        ).collect()
+    )
+    assert padded == rt
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        feed_as_cdc_events(feed, lsn_as="int")
