@@ -2900,6 +2900,104 @@ def table_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def table_widen_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-verb KEY widening (sources/txlog.py:widen_key — the
+    migration widen_column refuses, packaged as a single planned
+    transaction): bucket hashing is width-sensitive, so widening a key
+    REQUIRES a rewrite; the verb reads the snapshot (vectors applied),
+    casts the key wide, re-stages bucket-pure under the WIDE hash (and
+    a new bucket count in the same commit), and records the widening so
+    every future batch's key is cast wide before it hashes. Fixture:
+    orders keyed by an INT id; DV-delete a band (the rewrite absorbs
+    the vectors); widen_key id INT→BIGINT with 16→32 buckets; then a
+    NARROW-typed (int) single-key update — which must hash into exactly
+    ONE wide-layout bucket (flag '1', structural: one key, one bucket)
+    — and an insert whose key only a bigint can hold. Probes: final
+    state (count/sum/type/bucket-spread), time travel to the pre-widen
+    era (narrow type, pre-update values), and the wide-key row."""
+    import os
+    import tempfile
+
+    from cdc_streaming_pipeline_spark.sources.txlog import BucketedTxLogTable
+
+    WIDE_ID = (1 << 42) + 7
+    key = (spark.sparkContext.applicationId, sf_dir, "widen_key_table")
+    memo = _TXLOG_MEMO.get(key)
+    o = _orders(spark, sf_dir)
+    k = F.col("o_orderkey")
+    if memo is None:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"txlog-widenkey-{spark.sparkContext.applicationId}-{abs(hash(sf_dir)) % 10**8}",
+        )
+        t = BucketedTxLogTable(
+            spark, path, key_cols=["id"], n_buckets=16, stats_cols=["amount"]
+        )
+        if t.latest_version() is None:
+            snap = o.select(
+                k.cast("int").alias("id"),
+                F.col("o_totalprice").cast("double").alias("amount"),
+                F.lit("r").alias(OP_COL),
+                _lsn(k, 1).alias(LSN_COL),
+                F.lit(None).cast("string").alias(DELETED_COL),
+            )
+            t.init_from_events(snap)
+            t.delete_where(F.col("id") % 10 == 3)  # vectors live pre-widen
+            pre = t.latest_version()
+            t.widen_key("id", "bigint", n_buckets=32)
+            # narrow-typed post-widen batch: one surviving key, cast INT
+            surv = o.filter(k % 10 != 3)
+            hot = surv.join(surv.agg(F.min(k).alias("mk")), k == F.col("mk")).select(
+                k.cast("int").alias("id"),
+                (F.col("o_totalprice").cast("double") + 5_000_000.0).alias(
+                    "amount"
+                ),
+                F.lit("u").alias(OP_COL),
+                _lsn(k, 2).alias(LSN_COL),
+                F.lit(None).cast("string").alias(DELETED_COL),
+            )
+            t.merge_cdc_batch(hot)
+            nb = len(t._read_entry(t.latest_version())["buckets"])
+            wide_row = spark.range(1).select(
+                F.lit(WIDE_ID).cast("bigint").alias("id"),
+                F.lit(424242.5).alias("amount"),
+                F.lit("c").alias(OP_COL),
+                F.lpad(F.lit(str(WIDE_ID * 10 + 2)), 12, "0").alias(LSN_COL),
+                F.lit(None).cast("string").alias(DELETED_COL),
+            )
+            t.merge_cdc_batch(wide_row)
+            memo = (path, pre, nb)
+            _TXLOG_MEMO[key] = memo
+        else:
+            memo = _TXLOG_MEMO[key]
+    path, pre, nb = memo
+    t = BucketedTxLogTable(spark, path)
+
+    def probe(df, name, flag):
+        types = dict(df.dtypes)
+        return df.agg(
+            F.lit(name).alias("probe"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("amount").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("amt_total"),
+            F.lit(types["id"]).alias("id_type"),
+            F.lit(flag).alias("flag"),
+        )
+
+    return (
+        probe(t.read_state(), "after_widen", str(nb))
+        .unionByName(probe(t.read_state(pre), "time_travel", "-"))
+        .unionByName(
+            probe(
+                t.read_state().filter(F.col("id") == WIDE_ID),
+                "wide_key_row",
+                "yes",
+            )
+        )
+    )
+
+
 def table_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution WITHOUT rewrite
     (sources/txlog.py:rename_column / drop_column — Delta column
@@ -3173,6 +3271,35 @@ ORACLE["table_type_widening"] = """
            CAST(1099511627776 AS DOUBLE) AS qty_total,
            'bigint' AS qty_type, 'decimal(12,2)' AS amount_type,
            'yes' AS pruned
+"""
+
+
+QUERIES["table_widen_key"] = table_widen_key
+ORACLE["table_widen_key"] = """
+    WITH st AS (
+        SELECT CAST(o_orderkey AS BIGINT) AS id,
+               CAST(o_totalprice AS DOUBLE) AS amount
+        FROM orders
+    ),
+    surv AS (SELECT * FROM st WHERE id % 10 <> 3),
+    mk AS (SELECT MIN(id) AS m FROM surv)
+    SELECT 'after_widen' AS probe,
+           COUNT(*) + 1 AS n_rows,
+           CAST(SUM(CAST(CASE WHEN id = (SELECT m FROM mk)
+                              THEN amount + 5000000.0 ELSE amount END
+                         AS DECIMAL(18,2)))
+                + CAST(424242.50 AS DECIMAL(18,2)) AS DOUBLE) AS amt_total,
+           'bigint' AS id_type, '1' AS flag
+    FROM surv
+    UNION ALL
+    SELECT 'time_travel' AS probe, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS amt_total,
+           'int' AS id_type, '-' AS flag
+    FROM surv
+    UNION ALL
+    SELECT 'wide_key_row' AS probe, 1 AS n_rows,
+           CAST(424242.50 AS DOUBLE) AS amt_total,
+           'bigint' AS id_type, 'yes' AS flag
 """
 
 

@@ -2287,7 +2287,8 @@ class BucketedTxLogTable(TxLogTable):
                     f"cannot widen key column {name!r}: bucket hashing is "
                     "width-sensitive (int and bigint hash differently), so a "
                     "widened key would scatter rows across foreign buckets — "
-                    "rebucket(rewrite=True) after a schema rewrite instead"
+                    "use widen_key(), which widens and re-buckets as ONE "
+                    "planned rewrite commit"
                 )
             sj = _resolve_schema_json(self, self.latest_version())
             ftypes = {}
@@ -2524,6 +2525,89 @@ class BucketedTxLogTable(TxLogTable):
         if not self._try_commit(version, entry):
             self.n_buckets = old_n
             raise ConcurrentWriteError(f"rebucket lost the race at {version}")
+        if self.checkpoint_interval and version % self.checkpoint_interval == 0:
+            write_checkpoint(self, version)
+        return version
+
+    def widen_key(
+        self, name: str, new_type: str, n_buckets: int | None = None
+    ) -> int:
+        """Widen a KEY column's type as ONE planned operation — the
+        migration ``widen_column`` refuses (bucket hashing is
+        width-sensitive: Spark hashes an int's 4 bytes and a bigint's 8
+        bytes differently, so a metadata-only widen would strand every
+        stored row in a foreign bucket). This verb pays the rewrite
+        explicitly and atomically: the current snapshot is read (vectors
+        applied — the output is born clean), the key cast wide, and the
+        whole table re-staged bucket-pure under the WIDE hash, committed
+        as one remove-all+add entry with the widening recorded in
+        ``table_meta`` so every future batch's key is cast wide BEFORE
+        it hashes (``_to_physical``) — post-migration merges prune to
+        exactly their touched buckets again. Optional ``n_buckets``
+        changes the bucket count in the same rewrite (the rewrite is
+        being paid anyway). Time travel to pre-widen versions still
+        reads the narrow era exactly; a writer racing the rewrite
+        conflicts loudly (``ConcurrentWriteError``) rather than
+        committing files under a stale layout. At 100 TB this is the one
+        schema change that genuinely costs a table rewrite — the verb
+        makes that cost a single planned transaction instead of a
+        hand-assembled widen+rebucket recipe."""
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError("widen_key of an uninitialized table")
+        self._refresh_meta(base)
+        phys = self._phys_name(name)
+        if phys not in self.key_cols:
+            raise ValueError(
+                f"{name!r} is not a key column — widen_column() handles "
+                "non-key columns as a pure metadata commit"
+            )
+        sj = _resolve_schema_json(self, base)
+        ftypes = {
+            f["name"]: (f["type"] if isinstance(f["type"], str) else None)
+            for f in (sj or {}).get("fields", [])
+        }
+        eff = self.type_widening.get(phys, ftypes.get(phys))
+        if not _widen_allowed(eff, new_type):
+            raise ValueError(
+                f"cannot widen {name!r} from {eff!r} to {new_type!r}: only "
+                "the integer chain, float->double, and same-scale decimal "
+                "precision growth are value-preserving"
+            )
+        from pyspark.sql import functions as F
+
+        from cdc_streaming_pipeline_spark.operators.merge import BUCKET_COL
+
+        snap = resolve_with_checkpoint(self, base)
+        df = self._read_snapshot_files(snap, base).drop(BUCKET_COL)
+        df = df.withColumn(phys, F.col(phys).cast(new_type))
+        old_n, old_wid = self.n_buckets, dict(self.type_widening)
+        if n_buckets is not None:
+            self.n_buckets = n_buckets
+        self.type_widening[phys] = new_type  # future batches hash WIDE
+        try:
+            adds, buckets = self._stage_bucketed(df, salt_n=1)
+        except BaseException:
+            self.n_buckets, self.type_widening = old_n, old_wid
+            raise
+        version = base + 1
+        entry = {
+            "version": version,
+            "mode": "rebucket",
+            "adds": adds,
+            "removes": sorted(snap),
+            "n_files": len(adds),
+            "file_buckets": buckets,
+            "file_bytes": self._staged_bytes(adds),
+            "file_layout_n": {f: self.n_buckets for f in adds},
+            "buckets": sorted(set(buckets.values())),
+            "schema": df.schema.jsonValue(),
+            "table_meta": self._meta_dict(),
+        }
+        entry.update(self._staged_skipping_facts(adds, df.columns))
+        if not self._try_commit(version, entry):
+            self.n_buckets, self.type_widening = old_n, old_wid
+            raise ConcurrentWriteError(f"widen_key lost the race at {version}")
         if self.checkpoint_interval and version % self.checkpoint_interval == 0:
             write_checkpoint(self, version)
         return version
