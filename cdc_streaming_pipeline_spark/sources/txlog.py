@@ -665,6 +665,14 @@ def _fp_key_col():
 #: costs no I/O.
 DV_BROADCAST_MAX_POSITIONS = 1 << 18
 
+#: per-file size under which a write's skipping facts fuse the
+#: dictionary collect_set into the stats aggregate (one job instead of
+#: two) — the executor aggregation state is then bounded by the small
+#: files themselves, so the approx-distinct gate the two-phase plan
+#: needs is unnecessary. 4 MiB of parquet is comfortably below any
+#: memory concern and covers the MoR trickle's postimage files.
+SMALL_FACTS_FILE_BYTES = 4 << 20
+
 
 def _apply_dvs(spark, df: DataFrame, files: list[str], dvs: dict) -> DataFrame:
     """Anti-join out each file's deleted row indices. ``dvs`` is the
@@ -706,29 +714,32 @@ def _apply_dvs(spark, df: DataFrame, files: list[str], dvs: dict) -> DataFrame:
     )
 
 
-def _dv_added_relation(spark, dvadd: dict) -> DataFrame | None:
-    """One commit's newly-marked (file, row_index) pairs as a join
-    relation, threshold-gated exactly like ``_apply_dvs``: small
-    commits materialize driver-side and broadcast (the working set is
-    that commit's added positions, usually tiny); past
-    ``DV_BROADCAST_MAX_POSITIONS`` the ``.dva`` sidecars are read with
-    the binaryFile source and expanded EXECUTOR-side, so the CDF/MV
-    consumer of a WIDE delete never re-pays the driver position funnel
-    the write path eliminated. The branch decision reads only resolved
-    metadata (``n`` per file) — no sidecar I/O. Returns a
-    (_dv_fp, _dv_ri) frame ready to semi-join, or None if the commit
-    marked nothing."""
+def _dv_relation(spark, dvmap: dict) -> DataFrame | None:
+    """A set of deletion-vector sidecars' (file, row_index) pairs as a
+    join relation, threshold-gated exactly like ``_apply_dvs``: small
+    vector sets materialize driver-side and BROADCAST — the anti/semi
+    join then adds no shuffle to the scan it guards (the MoR wall-
+    parity lever: a broadcast anti-join keeps update_where's candidate
+    scan exchange-free, where a distributed pairs join sort-merges the
+    whole slice); past ``DV_BROADCAST_MAX_POSITIONS`` the sidecars are
+    read with the binaryFile source and expanded EXECUTOR-side, so no
+    consumer of a WIDE delete ever funnels positions through the
+    driver. The branch decision reads only resolved metadata (``n``
+    per file) — no sidecar I/O. ``dvmap`` is {data file: {"path",
+    "n"}} (an entry's ``dv_added`` or a resolved prior-vector subset).
+    Returns a (_dv_fp, _dv_ri) frame ready to join, or None if the
+    map holds no positions."""
     from pyspark.sql import functions as F
 
-    if not dvadd:
+    if not dvmap:
         return None
-    total = sum(int(m.get("n", 0)) for m in dvadd.values())
+    total = sum(int(m.get("n", 0)) for m in dvmap.values())
     if total > DV_BROADCAST_MAX_POSITIONS:
-        return _dv_pairs_df(spark, {f: m["path"] for f, m in dvadd.items()})
+        return _dv_pairs_df(spark, {f: m["path"] for f, m in dvmap.items()})
     import pandas as pd
 
     fps, ris = [], []
-    for f, m in dvadd.items():
+    for f, m in dvmap.items():
         for p in _dv_load(m["path"]):
             fps.append(f)
             ris.append(p)
@@ -748,7 +759,7 @@ def _dv_added_semi(table: "TxLogTable", dvadd: dict, version: int) -> DataFrame 
     broadcast-or-distributed gate."""
     from pyspark.sql import functions as F
 
-    rel = _dv_added_relation(table.spark, dvadd)
+    rel = _dv_relation(table.spark, dvadd)
     if rel is None:
         return None
     return (
@@ -1928,6 +1939,17 @@ class BucketedTxLogTable(TxLogTable):
                 }
             }
 
+        # SMALL-BATCH FUSE (MoR wall parity): when every staged file is
+        # tiny (the update/merge trickle shape — postimage files of a
+        # 0.1% band), the dictionary sets are bounded by the files
+        # themselves, so collect_set can ride the SAME aggregate as the
+        # stats — one job instead of two, and the approx-distinct gate
+        # is replaced by the exact cap check on the collected set. Big
+        # files keep the two-phase plan whose gate bounds executor
+        # aggregation state (the r11 fix).
+        fuse_dicts = bool(present) and all(
+            os.path.getsize(f) <= SMALL_FACTS_FILE_BYTES for f in adds
+        )
         aggs = [F.count(F.lit(1)).alias("_rows")]
         for c in present:
             aggs += [
@@ -1936,6 +1958,17 @@ class BucketedTxLogTable(TxLogTable):
                 F.count(c).alias(f"_nn_{c}"),
                 F.approx_count_distinct(c).alias(f"_n_{c}"),
             ]
+            if fuse_dicts:
+                # slice to CAP+1 EXECUTOR-side: a qualifying set arrives
+                # whole (exact fact), an oversized one arrives as CAP+1
+                # values (dropped by the cap check) — the driver never
+                # receives an unbounded value set even on a bulk load of
+                # many small files
+                aggs.append(
+                    F.slice(
+                        F.sort_array(F.collect_set(c)), 1, self.DICT_CAP + 1
+                    ).alias(f"_set_{c}")
+                )
         for c in bpresent:
             if c not in present:
                 aggs.append(F.approx_count_distinct(c).alias(f"_n_{c}"))
@@ -1970,6 +2003,11 @@ class BucketedTxLogTable(TxLogTable):
             out["file_blooms"] = blooms
         if not present:
             return out
+        if fuse_dicts:
+            dicts = self._dicts_from_sets(rows, {c: None for c in present}, norm)
+            if dicts:
+                out["file_dicts"] = dicts
+            return out
         margin = 2 * self.DICT_CAP  # sketch-safe candidate threshold
         # per-COLUMN candidate file sets (raw URIs — the second job
         # matches on input_file_name again)
@@ -1980,8 +2018,17 @@ class BucketedTxLogTable(TxLogTable):
         if not cand:
             return out
         drows = self._dict_job(cand).collect()
-        dicts = {}
-        for r in drows:
+        dicts = self._dicts_from_sets(drows, cand, norm)
+        if dicts:
+            out["file_dicts"] = dicts
+        return out
+
+    def _dicts_from_sets(self, rows, cand: dict, norm) -> dict:
+        """Shared cap/normalize step for both dictionary plans (fused
+        single-job and gated two-phase): keep a (file, column) set only
+        if it fits DICT_CAP and no value exceeds DICT_VALUE_CAP."""
+        dicts: dict = {}
+        for r in rows:
             d = {}
             for c in cand:
                 s = r[f"_set_{c}"]
@@ -1993,9 +2040,7 @@ class BucketedTxLogTable(TxLogTable):
                 d[c] = sorted(vals)
             if d:
                 dicts[norm(r["_f"])] = d
-        if dicts:
-            out["file_dicts"] = dicts
-        return out
+        return dicts
 
     def _dict_job(self, cand: dict[str, list[str]]) -> DataFrame:
         """The dictionary collect_set aggregate with the approx-distinct
@@ -2952,9 +2997,12 @@ class BucketedTxLogTable(TxLogTable):
                 .withColumn("_dv_ri", F.col("_metadata.row_index"))
             )
             prior = {f: m["path"] for f, m in dv_ours.items()}
-            pairs = _dv_pairs_df(self.spark, prior)
-            if pairs is not None:
-                df = df.join(pairs, ["_dv_fp", "_dv_ri"], "left_anti")
+            # threshold-gated: small prior vectors broadcast (keeps the
+            # stored-image scan exchange-free), wide ones expand
+            # executor-side — metadata-only decision
+            rel = _dv_relation(self.spark, dv_ours)
+            if rel is not None:
+                df = df.join(rel, ["_dv_fp", "_dv_ri"], "left_anti")
             # only the BATCH'S KEYS' stored images participate — the
             # whole point: untouched keys of the same bucket are never
             # rewritten (AQE broadcasts the key set when it is small)
@@ -3524,12 +3572,14 @@ class BucketedTxLogTable(TxLogTable):
             .withColumn("_dv_ri", F.col("_metadata.row_index"))
         )
         # postimages must NOT resurrect already-deleted rows, so prior
-        # vectors are anti-joined out — as a distributed pairs frame
-        # (binaryFile + mapInPandas), not a driver-built broadcast
+        # vectors are anti-joined out — broadcast below
+        # DV_BROADCAST_MAX_POSITIONS (no shuffle added to the candidate
+        # scan), distributed pairs frame (binaryFile + mapInPandas)
+        # past it so a wide delete's positions never cross the driver
         prior = {f: m["path"] for f, m in dvs.items() if f in set(keep)}
-        pairs = _dv_pairs_df(self.spark, prior)
-        if pairs is not None:
-            df = df.join(pairs, ["_dv_fp", "_dv_ri"], "left_anti")
+        rel = _dv_relation(self.spark, {f: dvs[f] for f in prior})
+        if rel is not None:
+            df = df.join(rel, ["_dv_fp", "_dv_ri"], "left_anti")
         df = self._to_logical(df, base)  # predicate/assignments: logical names
         had_marker = "_is_deleted" in df.columns
         vis = df if had_marker else mark_deleted(df)

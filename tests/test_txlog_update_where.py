@@ -219,14 +219,18 @@ def test_concurrent_merge_vs_update_conflicts(spark, tmp_path):
 
 def test_driver_never_loads_positions(spark, tmp_path, monkeypatch):
     """The r12 verdict's `weak` item, pinned: with prior vectors
-    PRESENT, a second delete_where and an update_where must never load
-    a vector driver-side — composition happens in executor tasks
-    (which import the module fresh and are immune to this driver-side
-    monkeypatch), and the driver's working set is one metadata row per
-    touched file."""
+    PRESENT and ABOVE the broadcast threshold, a second delete_where
+    and an update_where must never load a vector driver-side —
+    composition happens in executor tasks (which import the module
+    fresh and are immune to this driver-side monkeypatch), and the
+    driver's working set is one metadata row per touched file. (Below
+    the threshold update_where's prior anti-join legitimately
+    broadcasts a driver-built frame — the r14 wall-parity gate — so
+    the threshold is pinned to 0 here to force the wide path.)"""
     t = _seed(spark, str(tmp_path / "t"))
     t.delete_where(F.col("amount").between(100.0, 120.0))
     assert resolve_file_dvs(t)  # prior vectors exist
+    monkeypatch.setattr(txlog, "DV_BROADCAST_MAX_POSITIONS", 0)
 
     # spy on DRIVER-process loads only: executor workers are separate
     # processes, so a pickled copy of this wrapper appends to THEIR
