@@ -67,6 +67,21 @@ def _events(spark, n):
     )
 
 
+def _fresh(spark):
+    """Section isolation: a long local[32] session accumulates state
+    (broadcast blobs pending GC-driven cleanup, shuffle files, codegen
+    caches) that inflates LATER sections' walls up to ~10× — a
+    local-mode measurement artifact, not an operator property (the
+    same op isolated in a fresh session reproduces its true cost).
+    Stop the session and start a clean one per section, with a small
+    warmup so first-job costs don't masquerade as operator cost;
+    tables reopen from their on-disk meta."""
+    spark.stop()
+    spark = get_spark("dv_scale")
+    _events(spark, 100_000).groupBy((F.col("id") % 7)).count().collect()
+    return spark
+
+
 def main() -> None:
     spark = get_spark("dv_scale")
     root = tempfile.mkdtemp(prefix="dvscale-")
@@ -112,6 +127,13 @@ def main() -> None:
         # ---- 1. delete 0.1% (a 1000-wide amount band = ~0.1% of the
         # 1M-value domain), spread across every bucket by key hash —
         # the CoW worst case and the DV sweet spot
+        spark = _fresh(spark)
+        t_dv = BucketedTxLogTable(
+            spark, os.path.join(root, "dv"), stats_cols=["amount"]
+        )
+        t_cow = BucketedTxLogTable(
+            spark, os.path.join(root, "cow"), stats_cols=["amount"]
+        )
         band = (F.col("amount") >= 500_000.0) & (F.col("amount") < 501_000.0)
         t0 = time.time()
         clean_count = t_dv.read_state().count()
@@ -169,6 +191,7 @@ def main() -> None:
         # vectors land in only the overlapping slices, and the split
         # read (clean files scan plain, only dirty files pay the
         # anti-join) keeps the post-delete read at clean cost
+        spark = _fresh(spark)
         t_cl = BucketedTxLogTable(
             spark, os.path.join(root, "cl"), key_cols=["id"],
             n_buckets=N_BUCKETS, stats_cols=["amount"],
@@ -200,6 +223,11 @@ def main() -> None:
         print(json.dumps({"delete_clustered": out["delete_clustered"]}))
 
         # ---- 2. bloom point probe: one present key, one absent
+        spark = _fresh(spark)
+        t_bloom = BucketedTxLogTable(
+            spark, os.path.join(root, "bl"), stats_cols=["amount"],
+            bloom_cols=["customer"], bloom_bits=1 << 20,
+        )
         probe = 41_007 * 37
         t0 = time.time()
         full = t_bloom.read_state().filter(F.col("customer") == probe).count()
@@ -232,6 +260,10 @@ def main() -> None:
         print(json.dumps({"bloom_point_probe": out["bloom_point_probe"]}))
 
         # ---- 3. CDF cost for a single-key merge vs full snapshot_diff
+        spark = _fresh(spark)
+        t_dv = BucketedTxLogTable(
+            spark, os.path.join(root, "dv"), stats_cols=["amount"]
+        )
         pre_v = t_dv.latest_version()
         one = spark.createDataFrame(
             [(7, 123.0, 7 * 37, "u", "9" * 12, None)],
@@ -268,6 +300,10 @@ def main() -> None:
         # metadata row per touched file (reported below), never a
         # position list — the path that used to collect ~500k longs
         # driver-side now collects 64 file rows.
+        spark = _fresh(spark)
+        t_dv = BucketedTxLogTable(
+            spark, os.path.join(root, "dv"), stats_cols=["amount"]
+        )
         wide = (F.col("amount") >= 100_000.0) & (F.col("amount") < 350_000.0)
         pre_wide_v = t_dv.latest_version()
         t0 = time.time()
@@ -327,6 +363,13 @@ def main() -> None:
         # rows)); the bucketed MERGE rewrites every touched bucket
         # (O(touched buckets) — all 64 here, since key-hash spreads the
         # band everywhere)
+        spark = _fresh(spark)
+        t_cl = BucketedTxLogTable(
+            spark, os.path.join(root, "cl"), stats_cols=["amount"]
+        )
+        t_cow = BucketedTxLogTable(
+            spark, os.path.join(root, "cow"), stats_cols=["amount"]
+        )
         uband = (F.col("amount") >= 600_000.0) & (F.col("amount") < 601_000.0)
         before = _staged_bytes(t_cl.data_dir)
         t0 = time.time()
@@ -368,6 +411,14 @@ def main() -> None:
         # merge_cdc_batch_mor (DV old images + append winners) vs the
         # bucket-rewrite merge. Bytes written is the headline: CoW
         # rewrites every touched bucket, MoR writes the batch.
+        spark = _fresh(spark)
+        t_bloom = BucketedTxLogTable(
+            spark, os.path.join(root, "bl"), stats_cols=["amount"],
+            bloom_cols=["customer"], bloom_bits=1 << 20,
+        )
+        t_cow = BucketedTxLogTable(
+            spark, os.path.join(root, "cow"), stats_cols=["amount"]
+        )
         batch = (
             spark.range(700_000, 702_000)
             .select(
