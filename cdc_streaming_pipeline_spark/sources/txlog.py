@@ -417,17 +417,18 @@ _BLOOM_CACHE: dict[str, bytes] = {}
 _BLOOM_CACHE_CAP = 512
 
 
-def _bloom_bits(path: str) -> bytes | None:
+def _bloom_bits(path: str, blob=None) -> bytes | None:
     """Load (and cache) one sidecar bitmap; None when unreadable —
     callers then keep the file (conservative, e.g. a shallow clone
     whose source was vacuumed out from under it still errors on DATA,
     not silently on metadata)."""
+    from cdc_streaming_pipeline_spark.blob import DEFAULT_BLOB
+
     bits = _BLOOM_CACHE.get(path)
     if bits is not None:
         return bits
     try:
-        with open(path, "rb") as fh:
-            bits = fh.read()
+        bits = (blob or DEFAULT_BLOB).get(path)
     except OSError:
         return None
     if len(_BLOOM_CACHE) >= _BLOOM_CACHE_CAP:
@@ -447,7 +448,7 @@ def _bloom_positions(v, width: int, m: int, k: int) -> list[int]:
     return [spark_xxhash64(typed, i) % m for i in range(k)]
 
 
-def _bloom_pruned(meta: dict, values: list) -> bool:
+def _bloom_pruned(meta: dict, values: list, blob=None) -> bool:
     """True iff the sidecar PROVES every probe value absent from the
     file. Any value the bloom cannot speak about — an incompatible
     probe type, an unreadable sidecar — keeps the file (returns False);
@@ -490,7 +491,7 @@ def _bloom_pruned(meta: dict, values: list) -> bool:
         else:
             return False  # unknown dtype fact: never prune on it
         if bits is None:
-            bits = _bloom_bits(meta["path"])
+            bits = _bloom_bits(meta["path"], blob)
             if bits is None or len(bits) * 8 < m:
                 return False  # missing/short sidecar: must read
         width = _BLOOM_INT_TYPES[dtype][0] if dtype != "string" else 0
@@ -513,22 +514,22 @@ def _bloom_pruned(meta: dict, values: list) -> bool:
 _DV_MAGIC = b"DV01"
 
 
-def _dv_write(path: str, positions: list[int]) -> None:
+def _dv_write(path: str, positions: list[int], blob=None) -> None:
+    from cdc_streaming_pipeline_spark.blob import DEFAULT_BLOB
+
     buf = bytearray(_DV_MAGIC)
     for p in sorted(set(positions)):
         buf += int(p).to_bytes(8, "little")
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as fh:
-        fh.write(bytes(buf))
-    os.replace(tmp, path)
+    (blob or DEFAULT_BLOB).put(path, bytes(buf))
 
 
-def _dv_load(path: str) -> list[int]:
+def _dv_load(path: str, blob=None) -> list[int]:
     """Unlike a bloom sidecar, a DV is CORRECTNESS-critical: reading a
     file while ignoring its DV returns deleted rows, so an unreadable
     sidecar raises instead of degrading."""
-    with open(path, "rb") as fh:
-        raw = fh.read()
+    from cdc_streaming_pipeline_spark.blob import DEFAULT_BLOB
+
+    raw = (blob or DEFAULT_BLOB).get(path)
     if raw[:4] != _DV_MAGIC:
         raise ValueError(f"corrupt deletion vector at {path}")
     body = raw[4:]
@@ -538,7 +539,7 @@ def _dv_load(path: str) -> list[int]:
 
 
 def _dv_stage_executor_side(
-    matched: DataFrame, prior: dict[str, str], dv_dir: str
+    matched: DataFrame, prior: dict[str, str], dv_dir: str, blob=None
 ) -> list:
     """Write per-file DV sidecars EXECUTOR-side — the 100 TB delete
     path: ``matched`` is a DataFrame of (_dv_fp, _dv_ri) pairs for the
@@ -564,7 +565,7 @@ def _dv_stage_executor_side(
 
         f = key[0]
         newpos = {int(p) for p in pdf["_dv_ri"]}
-        oldpos = set(_dv_load(prior[f])) if f in prior else set()
+        oldpos = set(_dv_load(prior[f], blob)) if f in prior else set()
         added = sorted(newpos - oldpos)
         if not added:
             return pd.DataFrame(
@@ -572,9 +573,9 @@ def _dv_stage_executor_side(
             )
         cum = sorted(oldpos | newpos)
         cpath = os.path.join(dv_dir, f"{uuid.uuid4().hex}.dv")
-        _dv_write(cpath, cum)
+        _dv_write(cpath, cum, blob)
         apath = os.path.join(dv_dir, f"{uuid.uuid4().hex}.dva")
-        _dv_write(apath, added)
+        _dv_write(apath, added, blob)
         return pd.DataFrame(
             {
                 "file": [f],
@@ -674,7 +675,7 @@ DV_BROADCAST_MAX_POSITIONS = 1 << 18
 SMALL_FACTS_FILE_BYTES = 4 << 20
 
 
-def _apply_dvs(spark, df: DataFrame, files: list[str], dvs: dict) -> DataFrame:
+def _apply_dvs(spark, df: DataFrame, files: list[str], dvs: dict, blob=None) -> DataFrame:
     """Anti-join out each file's deleted row indices. ``dvs`` is the
     resolved {file: {"path", "n"}} map; files without a DV pass through
     untouched (the join is against only the relevant pairs). Small
@@ -699,7 +700,7 @@ def _apply_dvs(spark, df: DataFrame, files: list[str], dvs: dict) -> DataFrame:
         )
     fps, ris = [], []
     for f, m in rel.items():
-        for p in _dv_load(m["path"]):
+        for p in _dv_load(m["path"], blob):
             fps.append(f)
             ris.append(p)
     if not fps:
@@ -714,7 +715,7 @@ def _apply_dvs(spark, df: DataFrame, files: list[str], dvs: dict) -> DataFrame:
     )
 
 
-def _dv_relation(spark, dvmap: dict) -> DataFrame | None:
+def _dv_relation(spark, dvmap: dict, blob=None) -> DataFrame | None:
     """A set of deletion-vector sidecars' (file, row_index) pairs as a
     join relation, threshold-gated exactly like ``_apply_dvs``: small
     vector sets materialize driver-side and BROADCAST — the anti/semi
@@ -740,7 +741,7 @@ def _dv_relation(spark, dvmap: dict) -> DataFrame | None:
 
     fps, ris = [], []
     for f, m in dvmap.items():
-        for p in _dv_load(m["path"]):
+        for p in _dv_load(m["path"], blob):
             fps.append(f)
             ris.append(p)
     if not fps:
@@ -759,7 +760,7 @@ def _dv_added_semi(table: "TxLogTable", dvadd: dict, version: int) -> DataFrame 
     broadcast-or-distributed gate."""
     from pyspark.sql import functions as F
 
-    rel = _dv_relation(table.spark, dvadd)
+    rel = _dv_relation(table.spark, dvadd, getattr(table, 'blob', None))
     if rel is None:
         return None
     return (
@@ -772,7 +773,13 @@ def _dv_added_semi(table: "TxLogTable", dvadd: dict, version: int) -> DataFrame 
 
 
 def _pred_survives(
-    f: str, pred, stats: dict, dicts: dict, nulls: dict, blooms: dict | None = None
+    f: str,
+    pred,
+    stats: dict,
+    dicts: dict,
+    nulls: dict,
+    blooms: dict | None = None,
+    blob=None,
 ) -> bool:
     """One predicate's per-file keep test, shared by every pruned read.
     ``pred`` is the NORMALIZED form from ``_normalize_pred``. Missing
@@ -801,7 +808,7 @@ def _pred_survives(
         return not _dict_pruned(d, dvals, col)
     if blooms is not None:
         bf = blooms.get(f, {}).get(col)
-        if bf is not None and _bloom_pruned(bf, pred[2]):
+        if bf is not None and _bloom_pruned(bf, pred[2], blob):
             return False
     st = stats.get(f, {}).get(col)
     if st is None or st[0] is None or st[1] is None:
@@ -962,17 +969,19 @@ def _normalize_tree(tree) -> tuple:
     return (tree[0], _normalize_tree(tree[1]), _normalize_tree(tree[2]))
 
 
-def _tree_survives(f: str, tree, stats, dicts, nulls, blooms=None) -> bool:
+def _tree_survives(
+    f: str, tree, stats, dicts, nulls, blooms=None, blob=None
+) -> bool:
     """Evaluate a NORMALIZED prune tree for one file: may the file hold
     a row satisfying the predicate? ``_TRUE`` leaves always survive."""
     if tree[0] == "true":
         return True
     if tree[0] == "pred":
-        return _pred_survives(f, tree[1], stats, dicts, nulls, blooms)
-    l = _tree_survives(f, tree[1], stats, dicts, nulls, blooms)
+        return _pred_survives(f, tree[1], stats, dicts, nulls, blooms, blob)
+    l = _tree_survives(f, tree[1], stats, dicts, nulls, blooms, blob)
     if tree[0] == "and":
-        return l and _tree_survives(f, tree[2], stats, dicts, nulls, blooms)
-    return l or _tree_survives(f, tree[2], stats, dicts, nulls, blooms)
+        return l and _tree_survives(f, tree[2], stats, dicts, nulls, blooms, blob)
+    return l or _tree_survives(f, tree[2], stats, dicts, nulls, blooms, blob)
 
 
 def _map_tree_cols(tree, fn) -> tuple:
@@ -1127,12 +1136,22 @@ class TxLogTable:
     in the protocol changes — the log entry content, replay, and
     conflict rules are backend-independent."""
 
-    def __init__(self, spark: SparkSession, path: str, commit_backend=None):
+    def __init__(
+        self, spark: SparkSession, path: str, commit_backend=None, blob_backend=None
+    ):
+        from cdc_streaming_pipeline_spark.blob import DEFAULT_BLOB
+
         self.spark = spark
         self.path = path
         self.log_dir = os.path.join(path, "_txlog")
         self.data_dir = os.path.join(path, "data")
-        self._put_if_absent = commit_backend or posix_put_if_absent
+        # ``blob`` owns every METADATA object the engine reads/writes
+        # itself (log entries, checkpoints, DV + bloom sidecars) — the
+        # object-store seam (blob.py); data parquet and the distributed
+        # sidecar scan go through Spark's own FS layer. The commit
+        # decision defaults to the blob store's conditional put.
+        self.blob = blob_backend or DEFAULT_BLOB
+        self._put_if_absent = commit_backend or self.blob.put_if_absent
         os.makedirs(self.log_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
 
@@ -1155,12 +1174,15 @@ class TxLogTable:
             versions = self._versions()
             return versions[-1] if versions else None
         v = ck
-        while os.path.exists(self._entry_path(v + 1)):
+        while self.blob.exists(self._entry_path(v + 1)):
             v += 1
         return v
 
     def _versions(self) -> list[int]:
-        names = (os.path.basename(p)[:-5] for p in glob(os.path.join(self.log_dir, "*.json")))
+        names = (
+            os.path.basename(p)[:-5]
+            for p in self.blob.list(self.log_dir, "*.json")
+        )
         return sorted(int(n) for n in names if n.isdigit())  # skips checkpoints
 
     def _versions_between(self, start: int, target: int | None) -> list[int]:
@@ -1169,14 +1191,15 @@ class TxLogTable:
         full directory listing. ``target=None`` probes to the end."""
         out: list[int] = []
         v = max(start, 0)
-        while (target is None or v <= target) and os.path.exists(self._entry_path(v)):
+        while (target is None or v <= target) and self.blob.exists(
+            self._entry_path(v)
+        ):
             out.append(v)
             v += 1
         return out
 
     def _read_entry(self, version: int) -> dict:
-        with open(self._entry_path(version)) as f:
-            return json.load(f)
+        return json.loads(self.blob.get_text(self._entry_path(version)))
 
     def history(self, limit: int | None = None) -> list[dict]:
         """Committed entries, oldest first. ``limit`` keeps only the
@@ -1262,7 +1285,7 @@ class TxLogTable:
         if epoch == rec[0]:
             return rec[1]
         for v in range(rec[1] - 1, -1, -1):
-            if not os.path.exists(self._entry_path(v)):
+            if not self.blob.exists(self._entry_path(v)):
                 continue
             e = self._read_entry(v)
             if e.get("txn") == [writer, epoch]:
@@ -1406,7 +1429,9 @@ class TxLogTable:
         if not dirty:
             return self._raw_read(files, version)
         clean = [f for f in files if f not in dvs]
-        ddf = _apply_dvs(self.spark, self._raw_read(dirty, version), dirty, dvs)
+        ddf = _apply_dvs(
+            self.spark, self._raw_read(dirty, version), dirty, dvs, self.blob
+        )
         if not clean:
             return ddf
         cdf = self._raw_read(clean, version)
@@ -1492,7 +1517,7 @@ class TxLogTable:
         # any referenced file still on disk — inherently O(age), only
         # reachable on logs that never recorded a schema anywhere
         for v in range(target, -1, -1):
-            if not os.path.exists(self._entry_path(v)):
+            if not self.blob.exists(self._entry_path(v)):
                 continue
             for f in self._read_entry(v).get("adds", []):
                 if os.path.exists(f):
@@ -1651,8 +1676,11 @@ class BucketedTxLogTable(TxLogTable):
         stats_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None,
         bloom_bits: int = BLOOM_BITS,
+        blob_backend=None,
     ):
-        super().__init__(spark, path, commit_backend=commit_backend)
+        super().__init__(
+            spark, path, commit_backend=commit_backend, blob_backend=blob_backend
+        )
         # The LOG records the layout contract (init_from_events /
         # rebucket write ``table_meta``); opening an existing table
         # validates explicit arguments against it — a writer merging
@@ -2135,10 +2163,7 @@ class BucketedTxLogTable(TxLogTable):
             for p in ps:
                 bm[p >> 3] |= 1 << (p & 7)
             path = os.path.join(bloom_dir, f"{uuid.uuid4().hex}-{c}.bf")
-            tmp = path + ".tmp"
-            with open(tmp, "wb") as fh:
-                fh.write(bytes(bm))
-            os.replace(tmp, path)
+            self.blob.put(path, bytes(bm))
             out.setdefault(f, {})[c] = {
                 "path": path,
                 "m": m,
@@ -2983,7 +3008,7 @@ class BucketedTxLogTable(TxLogTable):
                         for f in old
                         if not (
                             (bf := blooms.get(f, {}).get(key0))
-                            and _bloom_pruned(bf, vals)
+                            and _bloom_pruned(bf, vals, self.blob)
                         )
                     ]
         dvs = resolve_file_dvs(self, base)
@@ -3000,7 +3025,7 @@ class BucketedTxLogTable(TxLogTable):
             # threshold-gated: small prior vectors broadcast (keeps the
             # stored-image scan exchange-free), wide ones expand
             # executor-side — metadata-only decision
-            rel = _dv_relation(self.spark, dv_ours)
+            rel = _dv_relation(self.spark, dv_ours, self.blob)
             if rel is not None:
                 df = df.join(rel, ["_dv_fp", "_dv_ri"], "left_anti")
             # only the BATCH'S KEYS' stored images participate — the
@@ -3034,6 +3059,7 @@ class BucketedTxLogTable(TxLogTable):
                     oldk.select("_dv_fp", "_dv_ri"),
                     {f: m["path"] for f, m in dv_ours.items()},
                     dv_dir,
+                    self.blob,
                 )
             else:
                 rows = []
@@ -3307,7 +3333,10 @@ class BucketedTxLogTable(TxLogTable):
         keep = [
             f
             for f in files
-            if all(_pred_survives(f, p, stats, dicts, nulls, blooms) for p in normd)
+            if all(
+                _pred_survives(f, p, stats, dicts, nulls, blooms, self.blob)
+                for p in normd
+            )
         ]
 
         def residual(df):
@@ -3359,7 +3388,9 @@ class BucketedTxLogTable(TxLogTable):
             _normalize_tree(tree), lambda c: self._phys_name(c, version)
         )
         keep = [
-            f for f in files if _tree_survives(f, ntree, stats, dicts, nulls, blooms)
+            f
+            for f in files
+            if _tree_survives(f, ntree, stats, dicts, nulls, blooms, self.blob)
         ]
         return keep, files
 
@@ -3475,7 +3506,7 @@ class BucketedTxLogTable(TxLogTable):
         dv_dir = os.path.join(self.data_dir, "_dv")
         os.makedirs(dv_dir, exist_ok=True)
         prior = {f: m["path"] for f, m in dvs.items() if f in set(keep)}
-        rows = _dv_stage_executor_side(matched, prior, dv_dir)
+        rows = _dv_stage_executor_side(matched, prior, dv_dir, self.blob)
         if not rows:
             return None, 0, 0
         file_dvs = {
@@ -3577,7 +3608,7 @@ class BucketedTxLogTable(TxLogTable):
         # scan), distributed pairs frame (binaryFile + mapInPandas)
         # past it so a wide delete's positions never cross the driver
         prior = {f: m["path"] for f, m in dvs.items() if f in set(keep)}
-        rel = _dv_relation(self.spark, {f: dvs[f] for f in prior})
+        rel = _dv_relation(self.spark, {f: dvs[f] for f in prior}, self.blob)
         if rel is not None:
             df = df.join(rel, ["_dv_fp", "_dv_ri"], "left_anti")
         df = self._to_logical(df, base)  # predicate/assignments: logical names
@@ -3609,7 +3640,7 @@ class BucketedTxLogTable(TxLogTable):
             dv_dir = os.path.join(self.data_dir, "_dv")
             os.makedirs(dv_dir, exist_ok=True)
             rows = _dv_stage_executor_side(
-                matched.select("_dv_fp", "_dv_ri"), prior, dv_dir
+                matched.select("_dv_fp", "_dv_ri"), prior, dv_dir, self.blob
             )
             if not rows:
                 return None, 0, 0
@@ -3869,7 +3900,7 @@ def version_at_timestamp(table: TxLogTable, ts: float) -> int:
         e = table._read_entry(v)
         if "ts" in e:
             return float(e["ts"])
-        return os.path.getmtime(table._entry_path(v))
+        return table.blob.mtime(table._entry_path(v))
 
     if ts_of(0) > ts:
         raise ValueError(
@@ -3989,9 +4020,8 @@ class ChangeFeedSource:
         self.table = table
         self.cursor_path = cursor_path
         self.cursor: int | None = None
-        if cursor_path and os.path.exists(cursor_path):
-            with open(cursor_path) as f:
-                self.cursor = json.load(f)["cursor"]
+        if cursor_path and table.blob.exists(cursor_path):
+            self.cursor = json.loads(table.blob.get_text(cursor_path))["cursor"]
 
     def poll(self) -> tuple[DataFrame, int]:
         """(Debezium-shaped events since the cursor, new cursor). Does
@@ -4003,10 +4033,9 @@ class ChangeFeedSource:
     def advance(self, cursor: int) -> None:
         self.cursor = cursor
         if self.cursor_path:
-            tmp = self.cursor_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({"cursor": cursor}, f)
-            os.replace(tmp, self.cursor_path)
+            self.table.blob.put_text(
+                self.cursor_path, json.dumps({"cursor": cursor})
+            )
 
 
 def mv_delta(
@@ -4062,7 +4091,9 @@ def mv_delta(
         if not files:
             return None
         df = table._raw_read(files, version)
-        return _agg(_logical(_apply_dvs(table.spark, df, files, dvs)), sign)
+        return _agg(
+            _logical(_apply_dvs(table.spark, df, files, dvs, table.blob)), sign
+        )
 
     pos = _live_agg(e.get("adds", []), 1)
     neg = _live_agg(e.get("removes", []), -1)
@@ -4214,10 +4245,7 @@ def write_checkpoint(table: TxLogTable, version: int | None = None) -> int:
     tm = resolve_table_meta(table, v)
     if tm is not None:
         ck["table_meta"] = tm
-    tmp = _checkpoint_path(table, v) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(ck, f)
-    os.replace(tmp, _checkpoint_path(table, v))
+    table.blob.put_text(_checkpoint_path(table, v), json.dumps(ck))
     # the _last_checkpoint POINTER (Delta's): O(1) checkpoint discovery
     # instead of listing the accumulated checkpoint files (at CDC
     # cadence with a checkpoint every 10 merges, those are O(age)/10 —
@@ -4226,17 +4254,17 @@ def write_checkpoint(table: TxLogTable, version: int | None = None) -> int:
     ptr = os.path.join(table.log_dir, "_last_checkpoint")
     cur = _last_checkpoint_version(table)
     if cur is None or v >= cur:
-        ptmp = f"{ptr}.{uuid.uuid4().hex[:12]}.tmp"
-        with open(ptmp, "w") as f:
-            json.dump({"version": v}, f)
-        os.replace(ptmp, ptr)
+        table.blob.put_text(ptr, json.dumps({"version": v}))
     return v
 
 
 def _last_checkpoint_version(table: TxLogTable) -> int | None:
     try:
-        with open(os.path.join(table.log_dir, "_last_checkpoint")) as f:
-            return int(json.load(f)["version"])
+        return int(
+            json.loads(
+                table.blob.get_text(os.path.join(table.log_dir, "_last_checkpoint"))
+            )["version"]
+        )
     except (OSError, ValueError, KeyError, json.JSONDecodeError):
         return None  # pointer absent/torn: derived state, callers fall back
 
@@ -4248,8 +4276,7 @@ def _best_checkpoint(table: TxLogTable, target: int) -> dict | None:
     start = target
     if ptr is not None and ptr <= target:
         try:
-            with open(_checkpoint_path(table, ptr)) as f:
-                return json.load(f)
+            return json.loads(table.blob.get_text(_checkpoint_path(table, ptr)))
         except (OSError, json.JSONDecodeError):
             start = ptr - 1  # torn checkpoint behind a valid pointer
     # Newest checkpoint <= target WITHOUT listing-and-parsing every
@@ -4263,11 +4290,10 @@ def _best_checkpoint(table: TxLogTable, target: int) -> dict | None:
     # far below parsing each checkpoint's full file list.
     for v in range(start, -1, -1):
         p = _checkpoint_path(table, v)
-        if not os.path.exists(p):
+        if not table.blob.exists(p):
             continue
         try:
-            with open(p) as f:
-                return json.load(f)
+            return json.loads(table.blob.get_text(p))
         except (OSError, json.JSONDecodeError):
             continue  # torn/unreadable checkpoint: derived state, skip
     return None
@@ -4504,7 +4530,7 @@ def _resolve_schema_json(table: TxLogTable, target: int) -> dict | None:
     best = _best_checkpoint(table, target)
     floor = best["version"] if best is not None else -1
     for v in range(target, floor, -1):
-        if not os.path.exists(table._entry_path(v)):
+        if not table.blob.exists(table._entry_path(v)):
             continue
         e = table._read_entry(v)
         if "schema" in e:
@@ -4513,7 +4539,7 @@ def _resolve_schema_json(table: TxLogTable, target: int) -> dict | None:
         if "schema" in best:
             return best["schema"]
         for v in range(floor, -1, -1):  # legacy checkpoint: keep probing
-            if not os.path.exists(table._entry_path(v)):
+            if not table.blob.exists(table._entry_path(v)):
                 continue
             e = table._read_entry(v)
             if "schema" in e:
@@ -4537,7 +4563,7 @@ def resolve_table_meta(table: TxLogTable, version: int | None = None) -> dict | 
     best = _best_checkpoint(table, target)
     floor = best["version"] if best is not None else -1
     for v in range(target, floor, -1):
-        if not os.path.exists(table._entry_path(v)):
+        if not table.blob.exists(table._entry_path(v)):
             continue
         e = table._read_entry(v)
         if "table_meta" in e:
@@ -4546,7 +4572,7 @@ def resolve_table_meta(table: TxLogTable, version: int | None = None) -> dict | 
         if "table_meta" in best:
             return best["table_meta"]
         for v in range(floor, -1, -1):  # legacy checkpoint: keep probing
-            if not os.path.exists(table._entry_path(v)):
+            if not table.blob.exists(table._entry_path(v)):
                 continue
             e = table._read_entry(v)
             if "table_meta" in e:
@@ -4604,7 +4630,7 @@ def describe_detail(table: TxLogTable, version: int | None = None) -> dict:
 
 
 def clone_table(src: TxLogTable, dest_path: str, version: int | None = None,
-                commit_backend=None) -> TxLogTable:
+                commit_backend=None, blob_backend=None) -> TxLogTable:
     """SHALLOW clone (Delta CLONE, zero-copy table fork): commit the
     source's resolved snapshot — file list plus every skipping fact
     (buckets, layouts, bytes, stats, dicts) and the table meta — as the
@@ -4679,9 +4705,15 @@ def clone_table(src: TxLogTable, dest_path: str, version: int | None = None,
             stats_cols=getattr(src, "stats_cols", None),
             bloom_cols=getattr(src, "bloom_cols", None),
             bloom_bits=getattr(src, "bloom_bits", BLOOM_BITS),
+            blob_backend=blob_backend or getattr(src, "blob", None),
         )
     else:
-        dest = TxLogTable(src.spark, dest_path, commit_backend=commit_backend)
+        dest = TxLogTable(
+            src.spark,
+            dest_path,
+            commit_backend=commit_backend,
+            blob_backend=blob_backend or getattr(src, "blob", None),
+        )
     if dest.latest_version() is not None:
         raise FileExistsError(f"clone destination {dest_path} already has a log")
     if not dest._try_commit(0, entry):
@@ -4825,7 +4857,7 @@ def vacuum(
         for b in blooms_all.get(f, {}).values()
         if b is not None  # gated-off markers carry no sidecar
     }
-    candidates += glob(os.path.join(table.data_dir, "_bloom", "*.bf"))
+    meta_candidates = table.blob.list(os.path.join(table.data_dir, "_bloom"), "*.bf")
     live |= live_blooms
     # DV sidecars: a cumulative vector is live while its data file is
     # live in ANY retained version — including superseded vectors the
@@ -4841,19 +4873,27 @@ def vacuum(
         e = table._read_entry(v)
         live_dvs.update(m["path"] for m in e.get("file_dvs", {}).values())
         live_dvs.update(m["path"] for m in e.get("dv_added", {}).values())
-    candidates += glob(os.path.join(table.data_dir, "_dv", "*.dv")) + glob(
-        os.path.join(table.data_dir, "_dv", "*.dva")
-    )
+    meta_candidates += table.blob.list(
+        os.path.join(table.data_dir, "_dv"), "*.dv"
+    ) + table.blob.list(os.path.join(table.data_dir, "_dv"), "*.dva")
     live |= live_dvs
-    for path in candidates:
-        if path in live:
-            continue
-        try:
-            age = now - os.path.getmtime(path)
-        except OSError:
-            continue  # raced with another cleaner
-        if age < min_age_seconds:
-            continue  # possibly staged by an in-flight commit
-        os.remove(path)
-        deleted.append(path)
+
+    def _reap(paths, mt, rm):
+        for path in paths:
+            if path in live:
+                continue
+            try:
+                age = now - mt(path)
+            except OSError:
+                continue  # raced with another cleaner
+            if age < min_age_seconds:
+                continue  # possibly staged by an in-flight commit
+            rm(path)
+            deleted.append(path)
+
+    # data parquet lives in SPARK's storage namespace (written by its
+    # FS layer) — reaped with direct filesystem calls; metadata
+    # sidecars live behind the blob seam — reaped through it
+    _reap(candidates, os.path.getmtime, os.remove)
+    _reap(meta_candidates, table.blob.mtime, table.blob.delete)
     return sorted(deleted)

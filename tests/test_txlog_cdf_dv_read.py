@@ -75,9 +75,9 @@ def test_cdf_and_mv_never_load_positions_driver_side(
     driver_calls: list[str] = []
     real = txlog._dv_load
 
-    def spy(path):
+    def spy(path, *a):
         driver_calls.append(path)
-        return real(path)
+        return real(path, *a)
 
     monkeypatch.setattr(txlog, "_dv_load", spy)
 
@@ -117,9 +117,9 @@ def test_merge_mor_old_side_gated(spark, tmp_path, monkeypatch):
     driver_calls: list[str] = []
     real = txlog._dv_load
 
-    def spy(path):
+    def spy(path, *a):
         driver_calls.append(path)
-        return real(path)
+        return real(path, *a)
 
     monkeypatch.setattr(txlog, "_dv_load", spy)
     rows = table_changes(t, v0, v1).collect()

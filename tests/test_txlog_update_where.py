@@ -238,9 +238,9 @@ def test_driver_never_loads_positions(spark, tmp_path, monkeypatch):
     driver_calls: list[str] = []
     real = txlog._dv_load
 
-    def spy(path):
+    def spy(path, *a):
         driver_calls.append(path)
-        return real(path)
+        return real(path, *a)
 
     monkeypatch.setattr(txlog, "_dv_load", spy)
     ver, nf, nd = t.delete_where(F.col("amount").between(110.0, 130.0))
