@@ -3639,3 +3639,67 @@ ORACLE["split_drift_wasserstein"] = f"""
            MAX(na) AS n_train, MAX(nb) AS n_val
     FROM c, t
 """
+
+
+def dedup_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingestion with ONLINE exact dedup
+    (streaming/dedup_sink.py — the live half of the batch dedup
+    family): documents stream in THREE waves (doc_id % 3) through the
+    file source; each wave's micro-batch lands in a txlog corpus via
+    the dedup sink — within-wave duplicates keep the lowest id, later
+    waves drop every fingerprint already landed (the novelty probe is
+    the bloom-pruned ``read_state_where_in`` point read, never a
+    corpus scan), exactly once via txn tags under Spark's checkpoint.
+    The oracle states the winner closed-form: per fingerprint, the doc
+    with the smallest (wave, doc_id). Crash-replay and the minhash
+    (near-dup) mode are pinned in tests/test_dedup_stream.py."""
+    import os
+    import tempfile
+
+    from cdc_streaming_pipeline_spark.sources.txlog import BucketedTxLogTable
+    from cdc_streaming_pipeline_spark.streaming.dedup_sink import dedup_stream_sink
+
+    key = (spark.sparkContext.applicationId, sf_dir, "dedup_stream")
+    memo = _STREAM_MEMO.get(key)
+    if memo is None:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"dedupstream-{spark.sparkContext.applicationId}-{abs(hash(sf_dir)) % 10**8}",
+        )
+        spool = os.path.join(root, "spool")
+        ckpt = os.path.join(root, "ckpt")
+        corpus_path = os.path.join(root, "corpus")
+        if not os.path.exists(corpus_path):
+            os.makedirs(spool, exist_ok=True)
+            docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+            for w in range(3):
+                docs.filter(F.col("doc_id") % 3 == w).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(spool, f"wave{w}"))
+                q = dedup_stream_sink(
+                    spark.readStream.schema("doc_id bigint, text string")
+                    .parquet(os.path.join(spool, "*")),
+                    ckpt,
+                    mode="exact",
+                    available_now=True,
+                    corpus_path=corpus_path,
+                )
+                q.awaitTermination(600)
+        memo = corpus_path
+        _STREAM_MEMO[key] = memo
+    c = BucketedTxLogTable(spark, memo)
+    return c.read_state().select("fp", "doc_id")
+
+
+_STREAM_MEMO: dict = {}
+QUERIES["dedup_stream_ingest"] = dedup_stream_ingest
+ORACLE["dedup_stream_ingest"] = f"""
+    WITH d AS (
+        SELECT doc_id, doc_id % 3 AS wave, md5({_NORM}) AS fp FROM documents
+    ), r AS (
+        SELECT fp, doc_id,
+               row_number() OVER (PARTITION BY fp ORDER BY wave, doc_id) AS rn
+        FROM d
+    )
+    SELECT fp, doc_id FROM r WHERE rn = 1
+"""
