@@ -30,7 +30,22 @@ tagged ``txn=(writer, batch_id)``, and the table the DETECTION reads
 commits LAST — a crash between commits replays the batch, the
 detection re-reads unchanged state, recomputes the SAME novel set, and
 the already-committed merges no-op on their tags (pinned with a
-mid-batch crash in tests/test_dedup_stream.py)."""
+mid-batch crash in tests/test_dedup_stream.py).
+
+The LANDING is merge-on-read (``merge_cdc_batch_mor``), so the write
+side is O(batch) like the probe side: novel rows append as bucket-pure
+files and NO existing bucket file is rewritten (r14 verdict item 1 —
+the copy-on-write ``merge_cdc_batch`` rewrote every touched bucket,
+O(corpus) per trickle batch once ids spread across all buckets). The
+MoR stored-image scan is ALSO O(batch): every state table blooms its
+leading key column, and a novel id's sidecar lookup prunes every
+candidate file, so a pure-insert merge reads zero stored files. What
+keeps a forever-stream bounded is the MAINTENANCE that rides the same
+foreachBatch (the ``streaming/pipeline.py`` cadence): any bucket whose
+file count grew past ``max_files_per_bucket`` folds to one file after
+the batch's commits, and ``vacuum_every`` reclaims dead files on a
+batch-count cadence — per-bucket file count (and hence probe plan
+size) stays flat over an unbounded run."""
 
 from __future__ import annotations
 
@@ -49,6 +64,63 @@ def _cdc_shape(df: DataFrame, batch_id: int) -> DataFrame:
     )
 
 
+def _open_table(spark: SparkSession, path: str, key_cols: list[str], **kw):
+    """Open/create a state table with the sink's preferred key layout;
+    an EXISTING table's recorded layout wins (a stream resumed over a
+    table created by an older sink version must not die on the
+    leading-key reorder — bucketing is a table property)."""
+    from cdc_streaming_pipeline_spark.sources.txlog import BucketedTxLogTable
+
+    try:
+        return BucketedTxLogTable(spark, path, key_cols=key_cols, **kw)
+    except ValueError:
+        kw.pop("n_buckets", None)
+        return BucketedTxLogTable(spark, path, **kw)
+
+
+def _land_mor(table, df: DataFrame, batch_id: int, txn: tuple[str, int]) -> None:
+    """Land one table's novel rows O(batch): bootstrap on first batch,
+    merge-on-read after — appended bucket-pure files, zero bucket
+    rewrites, and (keys being novel + leading-key blooms) a stored-image
+    scan the sidecars prune to nothing."""
+    shaped = _cdc_shape(df, batch_id)
+    if table.latest_version() is None:
+        table.init_from_events(shaped, txn=txn)
+    else:
+        table.merge_cdc_batch_mor(shaped, txn=txn)
+
+
+def _maintain(
+    table,
+    batch_id: int,
+    max_files_per_bucket: int | None,
+    vacuum_every: int | None,
+    vacuum_retain_versions: int = 10,
+    vacuum_min_age_seconds: float = 3600.0,
+) -> None:
+    """Post-commit maintenance (the streaming/pipeline.py cadence): fold
+    overgrown buckets so sustained MoR appends never degrade the probe
+    plan, and reclaim dead files on a batch cadence. Maintenance commits
+    are untagged — a replayed batch no-ops its merges via the txn tag
+    and re-folding/vacuuming is a logical no-op."""
+    from cdc_streaming_pipeline_spark.sources.txlog import (
+        ConcurrentWriteError,
+        vacuum,
+    )
+
+    if max_files_per_bucket is not None:
+        try:
+            table.compact_buckets(min_files=max_files_per_bucket + 1)
+        except ConcurrentWriteError:
+            pass  # raced an external commit: the next batch folds
+    if vacuum_every and (int(batch_id) + 1) % vacuum_every == 0:
+        vacuum(
+            table,
+            retain_versions=vacuum_retain_versions,
+            min_age_seconds=vacuum_min_age_seconds,
+        )
+
+
 class ExactDedupSink:
     """foreachBatch body for ``mode='exact'``. Holds only paths and
     policy — all state is in the corpus table, so a restarted query
@@ -64,6 +136,10 @@ class ExactDedupSink:
         probe_cap: int = 4096,
         writer_id: str = "dedup_stream",
         bloom_bits: int = 1 << 17,
+        max_files_per_bucket: int | None = 8,
+        vacuum_every: int | None = None,
+        vacuum_retain_versions: int = 10,
+        vacuum_min_age_seconds: float = 3600.0,
     ):
         self.spark = spark
         self.corpus_path = corpus_path
@@ -72,16 +148,21 @@ class ExactDedupSink:
         self.probe_cap = probe_cap
         self.writer_id = writer_id
         self.bloom_bits = bloom_bits
+        self.max_files_per_bucket = max_files_per_bucket
+        self.vacuum_every = vacuum_every
+        self.vacuum_retain_versions = vacuum_retain_versions
+        self.vacuum_min_age_seconds = vacuum_min_age_seconds
 
     def _corpus(self):
-        from cdc_streaming_pipeline_spark.sources.txlog import BucketedTxLogTable
-
-        return BucketedTxLogTable(
+        # bloom on fp (the novelty probe) AND on the key itself — the
+        # id bloom is what makes the MoR landing's stored-image scan
+        # O(batch): novel ids prune every candidate file.
+        return _open_table(
             self.spark,
             self.corpus_path,
             key_cols=[self.id_col],
             n_buckets=self.n_buckets,
-            bloom_cols=["fp"],
+            bloom_cols=["fp", self.id_col],
             bloom_bits=self.bloom_bits,
         )
 
@@ -100,10 +181,9 @@ class ExactDedupSink:
         ).dropDuplicates([self.id_col])
 
         corpus = self._corpus()
+        tag = (self.writer_id, int(batch_id))
         if corpus.latest_version() is None:
-            corpus.init_from_events(
-                _cdc_shape(reps, batch_id), txn=(self.writer_id, int(batch_id))
-            )
+            corpus.init_from_events(_cdc_shape(reps, batch_id), txn=tag)
             return
         # novelty probe: bloom-pruned point-IN read when the batch is
         # small (files_read ∝ probe hits, never corpus size); ids-only
@@ -115,8 +195,18 @@ class ExactDedupSink:
         else:
             seen = corpus.read_state().select("fp").distinct()
         novel = reps.join(seen, "fp", "left_anti")
-        corpus.merge_cdc_batch(
-            _cdc_shape(novel, batch_id), txn=(self.writer_id, int(batch_id))
+        # O(batch) landing: MoR appends the novel rows as bucket-pure
+        # files; no existing file is read (id blooms prune the stored-
+        # image scan) or rewritten. Maintenance keeps the append trail
+        # folded so the probe plan stays flat over an unbounded run.
+        _land_mor(corpus, novel, batch_id, tag)
+        _maintain(
+            corpus,
+            batch_id,
+            self.max_files_per_bucket,
+            self.vacuum_every,
+            self.vacuum_retain_versions,
+            self.vacuum_min_age_seconds,
         )
 
 
@@ -143,6 +233,10 @@ class MinHashDedupSink:
         probe_cap: int = 8192,
         writer_id: str = "minhash_stream",
         bloom_bits: int = 1 << 17,
+        max_files_per_bucket: int | None = 8,
+        vacuum_every: int | None = None,
+        vacuum_retain_versions: int = 10,
+        vacuum_min_age_seconds: float = 3600.0,
     ):
         self.spark = spark
         self.paths = (corpus_path, index_path, sigs_path)
@@ -157,25 +251,36 @@ class MinHashDedupSink:
         self.probe_cap = probe_cap
         self.writer_id = writer_id
         self.bloom_bits = bloom_bits
+        self.max_files_per_bucket = max_files_per_bucket
+        self.vacuum_every = vacuum_every
+        self.vacuum_retain_versions = vacuum_retain_versions
+        self.vacuum_min_age_seconds = vacuum_min_age_seconds
 
     def _tables(self):
-        from cdc_streaming_pipeline_spark.sources.txlog import BucketedTxLogTable
-
-        corpus_path, index_path, sigs_path = self.paths
-        corpus = BucketedTxLogTable(
-            self.spark, corpus_path, key_cols=[self.id_col], n_buckets=self.n_buckets
-        )
-        index = BucketedTxLogTable(
+        # Every table blooms its LEADING key column so the MoR landing's
+        # stored-image scan prunes to zero files for novel keys; the
+        # index keys lead with doc_id for exactly that reason (band has
+        # ~4 distinct values — useless as a bloom), while its bucket
+        # bloom serves the detection probe (read_state_where_in).
+        corpus = _open_table(
             self.spark,
-            index_path,
-            key_cols=["band", "bucket", self.id_col],
+            self.paths[0],
+            key_cols=[self.id_col],
             n_buckets=self.n_buckets,
-            bloom_cols=["bucket"],
+            bloom_cols=[self.id_col],
             bloom_bits=self.bloom_bits,
         )
-        sigs = BucketedTxLogTable(
+        index = _open_table(
             self.spark,
-            sigs_path,
+            self.paths[1],
+            key_cols=[self.id_col, "band", "bucket"],
+            n_buckets=self.n_buckets,
+            bloom_cols=[self.id_col, "bucket"],
+            bloom_bits=self.bloom_bits,
+        )
+        sigs = _open_table(
+            self.spark,
+            self.paths[2],
             key_cols=[self.id_col],
             n_buckets=self.n_buckets,
             bloom_cols=[self.id_col],
@@ -298,14 +403,23 @@ class MinHashDedupSink:
             ).select(F.col("_id").alias(self.id_col), "band", "bucket")
 
             # commit order: detection reads INDEX (and sigs for verify,
-            # but only for ids the index yielded) — index lands LAST
+            # but only for ids the index yielded) — index lands LAST.
+            # Each landing is MoR (O(batch) appended bytes, zero bucket
+            # rewrites); maintenance folds AFTER all three commits so a
+            # crash mid-maintenance still replays into tagged no-ops.
             tag = (self.writer_id, int(batch_id))
-            for t, df in ((corpus, novel_docs), (sigs, novel_sigs), (index, novel_index)):
-                shaped = _cdc_shape(df, batch_id)
-                if t.latest_version() is None:
-                    t.init_from_events(shaped, txn=tag)
-                else:
-                    t.merge_cdc_batch(shaped, txn=tag)
+            tables = ((corpus, novel_docs), (sigs, novel_sigs), (index, novel_index))
+            for t, df in tables:
+                _land_mor(t, df, batch_id, tag)
+            for t, _ in tables:
+                _maintain(
+                    t,
+                    batch_id,
+                    self.max_files_per_bucket,
+                    self.vacuum_every,
+                    self.vacuum_retain_versions,
+                    self.vacuum_min_age_seconds,
+                )
         finally:
             base.unpersist()
 

@@ -138,7 +138,7 @@ def test_minhash_stream_dedup_and_crash_replay(spark, tmp_path, monkeypatch):
     # doc — CRASH injected between the corpus commit and the index
     # commit on the first attempt
     _write_wave(spark, spool, [(10, NEAR_A2), (11, "yet another novel body entirely")], "w2")
-    real = BucketedTxLogTable.merge_cdc_batch
+    real = BucketedTxLogTable.merge_cdc_batch_mor
     state = {"armed": True}
 
     def crashing(self, batch, *a, **k):
@@ -147,7 +147,7 @@ def test_minhash_stream_dedup_and_crash_replay(spark, tmp_path, monkeypatch):
             raise RuntimeError("injected crash before the index commit")
         return real(self, batch, *a, **k)
 
-    monkeypatch.setattr(BucketedTxLogTable, "merge_cdc_batch", crashing)
+    monkeypatch.setattr(BucketedTxLogTable, "merge_cdc_batch_mor", crashing)
     try:
         _run(spark, spool, ckpt, **kw)
         raise AssertionError("query should have failed on the injected crash")
@@ -175,3 +175,83 @@ def test_minhash_stream_dedup_and_crash_replay(spark, tmp_path, monkeypatch):
     _run(spark, spool, ckpt, **kw)
     got = sorted(r["doc_id"] for r in corpus.read_state().collect())
     assert got == [1, 2, 11], got  # all three wave-3 docs are dups
+
+    # every post-bootstrap landing on every state table was MoR: zero
+    # bucket rewrites (r14 verdict item 1)
+    for p in paths.values():
+        t = BucketedTxLogTable(spark, p)
+        merges = [e for e in t.history() if str(e.get("mode", "")).startswith("merge")]
+        assert all(e.get("mode") == "merge_mor" for e in merges), p
+        assert all(e.get("removes") == [] for e in merges), p
+
+
+def test_exact_landing_is_o_batch(spark, tmp_path):
+    """r14 verdict item 1: the landing must be merge-on-read — a trickle
+    batch appends O(batch) bytes with ZERO bucket rewrites and (novel
+    ids + leading-key blooms) zero stored images touched, independent of
+    corpus size."""
+    spool = str(tmp_path / "spool")
+    ckpt = str(tmp_path / "ckpt")
+    corpus_path = str(tmp_path / "corpus")
+    os.makedirs(spool)
+    # a corpus whose ids spread across every bucket
+    _write_wave(
+        spark, spool,
+        [(i, f"corpus body {i} " * 20) for i in range(400)],
+        "w1",
+    )
+    _run(spark, spool, ckpt, mode="exact", corpus_path=corpus_path)
+    c = BucketedTxLogTable(spark, corpus_path)
+    base_bytes = sum(
+        b for e in c.history() for b in (e.get("file_bytes") or {}).values()
+    )
+
+    _write_wave(spark, spool, [(1000, "a single novel trickle document")], "w2")
+    _run(spark, spool, ckpt, mode="exact", corpus_path=corpus_path)
+    merges = [e for e in c.history() if str(e.get("mode", "")).startswith("merge")]
+    assert merges and all(e["mode"] == "merge_mor" for e in merges)
+    for e in merges:
+        assert e["removes"] == []  # zero bucket rewrites
+        assert not e.get("file_dvs")  # no stored image touched (pure insert)
+    trickle_bytes = sum(b for e in merges for b in e["file_bytes"].values())
+    # one tiny appended file, not a rewrite of the touched bucket
+    assert trickle_bytes < base_bytes / 20, (trickle_bytes, base_bytes)
+    assert c.read_state().filter(F.col("doc_id") == 1000).count() == 1
+
+
+def test_long_trickle_bounded_files_and_flat_probe(spark, tmp_path):
+    """Maintenance cadence (r14 verdict item 2): over a long trickle the
+    per-bucket live file count stays bounded (overgrown buckets fold
+    after each batch) and a point probe reads files ∝ hits, not batch
+    count."""
+    from cdc_streaming_pipeline_spark.sources.txlog import resolve_snapshot_state
+
+    spool = str(tmp_path / "spool")
+    ckpt = str(tmp_path / "ckpt")
+    corpus_path = str(tmp_path / "corpus")
+    os.makedirs(spool)
+    n_waves = 24
+    for w in range(n_waves):
+        _write_wave(
+            spark, spool,
+            [(100 * w + j, f"unique body {w}-{j}") for j in range(3)],
+            f"w{w:03d}",
+        )
+    _run(
+        spark, spool, ckpt, mode="exact", corpus_path=corpus_path,
+        n_buckets=4, max_files_per_bucket=3,
+        vacuum_every=8, vacuum_min_age_seconds=0.0, vacuum_retain_versions=5,
+    )
+    c = BucketedTxLogTable(spark, corpus_path)
+    assert c.read_state().count() == n_waves * 3
+    live, bmap, _ = resolve_snapshot_state(c)
+    per_bucket: dict[int, int] = {}
+    for f in live:
+        per_bucket[bmap[f]] = per_bucket.get(bmap[f], 0) + 1
+    # 24 appending batches but every bucket folded back to <= the
+    # policy bound — the probe plan cannot degrade with stream age
+    assert max(per_bucket.values()) <= 4, per_bucket
+    probe_fp = c.read_state().select("fp").first()["fp"]
+    df, files_read, files_total = c.read_state_where_in("fp", [probe_fp])
+    assert df.count() == 1
+    assert files_read <= 4, (files_read, files_total)
