@@ -3691,8 +3691,64 @@ def dedup_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.read_state().select("fp", "doc_id")
 
 
+def dedup_stream_ingest_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingestion with ONLINE NEAR-dup dedup
+    (streaming/dedup_sink.py, mode='minhash'): documents stream in
+    THREE waves (doc_id % 3); each micro-batch LSH-buckets itself
+    (within-batch near-dups drop, lower id wins a verified pair),
+    probes the persisted banded index with its survivors' band keys
+    (bloom-pruned point read), exact-Jaccard-verifies candidates
+    against the persisted shingle sets, and lands the novel docs in
+    corpus + sigs + index via O(batch) MoR merges (index commits last
+    for crash-replay exactly-once). Certified by a pure-Python replay
+    of the same xxhash64 shingle/signature/band kernels
+    (tools/py_oracles.py:dedup_stream_ingest_minhash_oracle) — the
+    hash-seeded family has no SQL closed form."""
+    import os
+    import tempfile
+
+    from cdc_streaming_pipeline_spark.sources.txlog import BucketedTxLogTable
+    from cdc_streaming_pipeline_spark.streaming.dedup_sink import dedup_stream_sink
+
+    key = (spark.sparkContext.applicationId, sf_dir, "dedup_stream_minhash")
+    memo = _STREAM_MEMO.get(key)
+    if memo is None:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"dedupstreammh-{spark.sparkContext.applicationId}-{abs(hash(sf_dir)) % 10**8}",
+        )
+        spool = os.path.join(root, "spool")
+        ckpt = os.path.join(root, "ckpt")
+        paths = dict(
+            corpus_path=os.path.join(root, "corpus"),
+            index_path=os.path.join(root, "index"),
+            sigs_path=os.path.join(root, "sigs"),
+        )
+        if not os.path.exists(paths["corpus_path"]):
+            os.makedirs(spool, exist_ok=True)
+            docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+            for w in range(3):
+                docs.filter(F.col("doc_id") % 3 == w).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(spool, f"wave{w}"))
+                q = dedup_stream_sink(
+                    spark.readStream.schema("doc_id bigint, text string")
+                    .parquet(os.path.join(spool, "*")),
+                    ckpt,
+                    mode="minhash",
+                    available_now=True,
+                    **paths,
+                )
+                q.awaitTermination(900)
+        memo = paths["corpus_path"]
+        _STREAM_MEMO[key] = memo
+    c = BucketedTxLogTable(spark, memo)
+    return c.read_state().select("doc_id")
+
+
 _STREAM_MEMO: dict = {}
 QUERIES["dedup_stream_ingest"] = dedup_stream_ingest
+QUERIES["dedup_stream_ingest_minhash"] = dedup_stream_ingest_minhash
 ORACLE["dedup_stream_ingest"] = f"""
     WITH d AS (
         SELECT doc_id, doc_id % 3 AS wave, md5({_NORM}) AS fp FROM documents

@@ -908,7 +908,75 @@ def embedding_near_dup_lsh_oracle(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"])
 
 
+def dedup_stream_ingest_minhash_oracle(sf_dir: str) -> pd.DataFrame:
+    """streaming/dedup_sink.py:MinHashDedupSink replay — three waves
+    (doc_id % 3) of the documents table through the online near-dup
+    sink, sequentially: per wave (micro-batch) the sink (1) LSH-buckets
+    the batch and drops every id that is the HIGHER side of a verified
+    within-batch candidate pair (a._id < b._id join, exact Jaccard
+    rounded to 4 >= 0.5), (2) probes the persisted index with the
+    survivors' band keys and drops every survivor whose candidate
+    verifies against a stored shingle set, (3) lands the rest. Same
+    shingling / signature / banding kernels as minhash_dedup_pairs
+    (default shingle 3, 16 hashes, 4 bands). Returns the landed corpus
+    ids — the registry query's read_state projection."""
+    threshold = 0.5
+    docs = _docs_lsh(sf_dir)
+    sh_store: dict[int, set[int]] = {}
+    index: dict[tuple[int, int], list[int]] = {}
+    landed: list[int] = []
+    for w in range(3):
+        wave = [(i, t) for i, t in docs if i % 3 == w]
+        sh = {i: _shingle_hash_set(t) for i, t in wave}
+        bb = {i: _band_buckets(_minhash_sig(sh[i])) for i, t in wave if sh[i]}
+
+        # (1) within-batch: bucket self-join, higher id of a verified
+        # pair drops (NOT transitive-representative semantics — the
+        # sink's single-pass anti-join, replayed faithfully)
+        buckets: dict[tuple[int, int], list[int]] = {}
+        for i in bb:
+            for key in bb[i]:
+                buckets.setdefault(key, []).append(i)
+        cand: set[tuple[int, int]] = set()
+        for ids in buckets.values():
+            ids = sorted(ids)
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    cand.add((ids[x], ids[y]))
+        dup: set[int] = set()
+        for a, b in cand:
+            sa, sb = set(sh[a]), set(sh[b])
+            inter = len(sa & sb)
+            if _round4(inter / (len(sa) + len(sb) - inter)) >= threshold:
+                dup.add(b)
+        survivors = [i for i in bb if i not in dup]
+
+        # (2) vs corpus: survivors' band keys probe the index; exact
+        # Jaccard against the PERSISTED shingle sets
+        novel = []
+        for i in survivors:
+            cids = {c for key in bb[i] for c in index.get(key, [])}
+            is_dup = False
+            for c in cids:
+                sa, sb = set(sh[i]), sh_store[c]
+                inter = len(sa & sb)
+                if _round4(inter / (len(sa) + len(sb) - inter)) >= threshold:
+                    is_dup = True
+                    break
+            if not is_dup:
+                novel.append(i)
+
+        # (3) land
+        for i in novel:
+            landed.append(i)
+            sh_store[i] = set(sh[i])
+            for key in bb[i]:
+                index.setdefault(key, []).append(i)
+    return pd.DataFrame(sorted(landed), columns=["doc_id"])
+
+
 _register_lsh_family()
+PY_ORACLES["dedup_stream_ingest_minhash"] = dedup_stream_ingest_minhash_oracle
 
 
 # -------------------------------------------- IVF / PQ family replays --
