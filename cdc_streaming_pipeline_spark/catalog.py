@@ -61,6 +61,40 @@ def create_bucketed_table(
     writer.saveAsTable(table)
 
 
+def register_txlog_table(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    version: int | None = None,
+    timestamp: float | None = None,
+    global_view: bool = False,
+) -> DataFrame:
+    """Make an engine-owned transactional table SQL-queryable by name —
+    the missing half of the reference's Hive-DDL surface for the
+    engine's OWN storage layer (external parquet tables come from
+    ``create_external_table``; this is the txlog equivalent): opens the
+    table at ``path`` (layout resolved from its log) and registers its
+    queryable snapshot (DVs applied, tombstones filtered, column
+    mapping resolved) as a temp view, optionally AS OF a version or
+    timestamp. The view then shows up in ``SHOW TABLES`` like any other
+    relation, so a beeline-persona user's ``SELECT COUNT(*) FROM t``
+    works verbatim. Pinned at registration (snapshot isolation) —
+    re-register after new commits, the same cadence as the reference's
+    partition-recovery step."""
+    from cdc_streaming_pipeline_spark.sources.txlog import (
+        BucketedTxLogTable,
+        TxLogTable,
+        resolve_table_meta,
+    )
+
+    t: TxLogTable = TxLogTable(spark, path)
+    if resolve_table_meta(t) is not None:
+        t = BucketedTxLogTable(spark, path)
+    return t.to_view(
+        name, version=version, timestamp=timestamp, global_view=global_view
+    )
+
+
 def show_databases(spark: SparkSession) -> DataFrame:
     return spark.sql("SHOW DATABASES")
 

@@ -1458,6 +1458,45 @@ class TxLogTable:
             return self.spark.read.option("mergeSchema", "true").parquet(*files)
         return self.spark.read.schema(_widened_struct(sj, wid)).parquet(*files)
 
+    def _queryable_snapshot(self, version: int | None = None) -> DataFrame:
+        """What SQL should see: the committed snapshot AS OF ``version``
+        with deletion vectors applied. BucketedTxLogTable overrides this
+        with ``read_state`` (tombstones filtered, column mapping
+        resolved, bookkeeping dropped)."""
+        return self.read(version)
+
+    def to_view(
+        self,
+        name: str,
+        version: int | None = None,
+        timestamp: float | None = None,
+        global_view: bool = False,
+    ) -> DataFrame:
+        """Register this table's queryable snapshot as a SQL view — the
+        reference's actual query modality (beeline SQL over a declared
+        table, reference: scripts/monitor-pipeline.sh:109-113,
+        airflow/dags/cdc_pipeline_dag.py:358-387): after
+        ``t.to_view("cdc_events_v")`` a SQL-speaking user runs
+        ``spark.sql("SELECT COUNT(*) FROM cdc_events_v")`` with no
+        Python handle in sight. ``version=`` / ``timestamp=`` pins an
+        AS-OF snapshot (SQL time travel); the view is ALWAYS pinned to
+        the file list resolved at registration — snapshot isolation, so
+        a later commit is invisible until ``to_view`` runs again (call
+        it per landing cycle, exactly where the reference re-runs its
+        MSCK/DDL refresh). ``global_view=True`` registers in
+        ``global_temp`` for cross-session visibility within the app.
+        Returns the registered DataFrame."""
+        if version is not None and timestamp is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        if timestamp is not None:
+            version = version_at_timestamp(self, timestamp)
+        df = self._queryable_snapshot(version)
+        if global_view:
+            df.createOrReplaceGlobalTempView(name)
+        else:
+            df.createOrReplaceTempView(name)
+        return df
+
     def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Incremental consumption: the rows APPENDED in versions
         (from_version, to_version] — the change-feed a downstream
@@ -3228,6 +3267,12 @@ class BucketedTxLogTable(TxLogTable):
         if self.checkpoint_interval and version % self.checkpoint_interval == 0:
             write_checkpoint(self, version)
         return version, targets
+
+    def _queryable_snapshot(self, version: int | None = None) -> DataFrame:
+        """SQL sees the latest-state view: deletion vectors applied,
+        tombstones filtered, column mapping resolved to logical names,
+        CDC bookkeeping dropped."""
+        return self.read_state(version)
 
     def read_state(self, version: int | None = None) -> DataFrame:
         """The queryable latest-state view: delete markers filtered, CDC
