@@ -1581,8 +1581,9 @@ def search_after_delete_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         write_inverted_index(docs, path)
         cohort = docs.filter(F.col("doc_id") % 97 == 3)
-        ids = [r["doc_id"] for r in cohort.select("doc_id").collect()]
-        delete_from_index(spark, path, ids)
+        # predicate-driven deletion stays distributed: the ids frame
+        # goes straight into the tombstone join, no driver collect
+        delete_from_index(spark, path, cohort.select("doc_id"))
         updated = cohort.withColumn(
             "text", F.concat(F.col("text"), F.lit(" merge merge"))
         )

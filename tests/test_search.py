@@ -210,6 +210,27 @@ def test_delete_then_readd_serves_new_version(spark, tmp_path):
     assert [tuple(r) for r in pa] == [tuple(r) for r in pb]
 
 
+def test_delete_from_index_accepts_ids_dataframe(spark, tmp_path):
+    """r14 verdict wrong #2: predicate-driven deletion must stay
+    distributed — delete_from_index takes an ids DataFrame (first
+    column = ids, any name) and the result matches the list form."""
+    from cdc_streaming_pipeline_spark.operators.search import delete_from_index
+
+    docs = spark.createDataFrame(
+        [(i, f"body {'even' if i % 2 == 0 else 'odd'} term{i}") for i in range(10)],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "idx_df")
+    write_inverted_index(docs, path)
+
+    cohort = docs.filter("doc_id % 2 = 0").selectExpr("doc_id AS victim")
+    assert delete_from_index(spark, path, cohort) == 5
+    hits = {r["doc_id"] for r in search_topk(spark, path, ["even", "odd"], k=20).collect()}
+    assert hits == {1, 3, 5, 7, 9}
+    # absent ids (already deleted) no-op in the DataFrame form too
+    assert delete_from_index(spark, path, cohort) == 0
+
+
 def test_torn_delete_self_heals(spark, tmp_path):
     """ADVICE r9: delete_from_index's two sidecar writes are not atomic —
     a crash AFTER the tombstone append (the commit point) but BEFORE the
