@@ -34,6 +34,7 @@ WORKER = textwrap.dedent(
     """
     import json, sys
     from cdc_streaming_pipeline_spark.session import get_spark
+    from cdc_streaming_pipeline_spark.blob import MappedBlobStore
     from cdc_streaming_pipeline_spark.sources.txlog import (
         BucketedTxLogTable, ConcurrentWriteError, SQLiteCommitBackend,
     )
@@ -42,12 +43,17 @@ WORKER = textwrap.dedent(
     keys = json.loads(keys_json)  # [[key, status, lsn], ...]
     spark = get_spark(f"race-{writer}", cpus=2, shuffle_partitions=2)
     backend = SQLiteCommitBackend(db_path) if backend_kind == "sqlite" else None
+    # 'mapped': db_path doubles as the object-store root — commits
+    # arbitrate through blob.put_if_absent (tmp+link conditional PUT),
+    # the object-store seam, with NO posix fallback in the path
+    blob = MappedBlobStore(table_path, db_path) if backend_kind == "mapped" else None
     # layout resolves FROM THE LOG: an explicit n_buckets here raced the
     # maintenance worker's lazy rebucket at open time (validation fired
     # before the first merge could adopt the new layout) — a real writer
     # opens layout-from-log and lets _refresh_meta adopt evolutions
     t = BucketedTxLogTable(
         spark, table_path, key_cols=["id"], commit_backend=backend,
+        blob_backend=blob,
     )
     committed = []
     for key, status, lsn in keys:
@@ -77,18 +83,31 @@ def _buckets_of(spark, keys):
     return {r["id"]: r["_kb"] for r in df.collect()}
 
 
-@pytest.mark.parametrize("backend_kind", ["posix", "sqlite"])
+@pytest.mark.parametrize("backend_kind", ["posix", "sqlite", "mapped"])
 def test_three_processes_race_disjoint_and_overlapping(
     spark, tmp_path, backend_kind
 ):
+    """'mapped' (r14 verdict #7) runs the same race with MappedBlobStore
+    as the table's blob backend in EVERY process: the conditional put
+    (blob.py tmp+link) is then the sole commit arbiter across OS
+    processes — losers observe the winner's entry through the store,
+    re-resolve from the new base, and retry; no logical-path metadata
+    object may exist afterwards (a bypass would silently win races on
+    local disk and corrupt the log on a real object store)."""
+    from cdc_streaming_pipeline_spark.blob import MappedBlobStore
     from cdc_streaming_pipeline_spark.sources.txlog import SQLiteCommitBackend
 
     table_path = str(tmp_path / "race_table")
-    db_path = str(tmp_path / "commits.sqlite")
+    db_path = (
+        str(tmp_path / "OBJECTS")
+        if backend_kind == "mapped"
+        else str(tmp_path / "commits.sqlite")
+    )
     backend = SQLiteCommitBackend(db_path) if backend_kind == "sqlite" else None
+    blob = MappedBlobStore(table_path, db_path) if backend_kind == "mapped" else None
     t = BucketedTxLogTable(
         spark, table_path, key_cols=["id"], n_buckets=N_BUCKETS,
-        commit_backend=backend,
+        commit_backend=backend, blob_backend=blob,
     )
     seed = spark.createDataFrame(
         [(i, f"s{i}", "r", "0001", None) for i in range(40)],
@@ -158,6 +177,17 @@ def test_three_processes_race_disjoint_and_overlapping(
 
     if backend_kind == "sqlite":
         assert SQLiteCommitBackend(db_path).heal() == 0  # all materialized
+    if backend_kind == "mapped":
+        # every metadata byte from all 4 processes went through the
+        # store: nothing exists at a logical metadata path, and the
+        # dense committed log lives under the object root
+        from glob import glob
+
+        leaks = glob(os.path.join(table_path, "_txlog", "*")) + glob(
+            os.path.join(table_path, "data", "_dv", "*")
+        )
+        assert leaks == [], f"metadata bypassed the blob seam: {leaks}"
+        assert len(glob(os.path.join(db_path, "_txlog", "*.json"))) >= 10
 
 
 MAINT_WORKER = textwrap.dedent(
