@@ -596,6 +596,61 @@ def _dv_stage_executor_side(
     )
 
 
+def _dv_stage(
+    matched: DataFrame,
+    prior: dict[str, str],
+    dv_dir: str,
+    blob=None,
+    prior_n: dict[str, int] | None = None,
+    small_hint: bool = True,
+) -> list:
+    """Threshold-gated DV staging — the WRITE-side twin of
+    ``_dv_relation``'s read gate: when the commit's position volume is
+    provably small (``small_hint`` callers hold ``matched`` cached, the
+    capped collect finds ≤ ``DV_BROADCAST_MAX_POSITIONS`` pairs, and
+    the touched PRIOR vectors' recorded sizes sum under the same cap —
+    a metadata-only check), sidecars are composed DRIVER-side: a
+    trickle merge's worth of longs plus a handful of tiny sidecar
+    reads, skipping the applyInPandas round trip whose fixed
+    Python-worker job cost (~2.5 s at 2M on local[32],
+    .benchmarks/SCALE10_r15.md) dominated the MoR MERGE wall. Anything
+    wider — or any caller that does not hold the pairs cached
+    (``small_hint=False``, the compliance-erasure delete) — takes the
+    executor-side path unchanged, so the driver never materializes an
+    unbounded position list. Same return contract as
+    ``_dv_stage_executor_side``."""
+    cap = DV_BROADCAST_MAX_POSITIONS
+    if small_hint and sum((prior_n or {}).values()) <= cap:
+        head = matched.select("_dv_fp", "_dv_ri").limit(cap + 1).collect()
+        if len(head) <= cap:
+            by_file: dict[str, set] = {}
+            for r in head:
+                by_file.setdefault(r["_dv_fp"], set()).add(int(r["_dv_ri"]))
+            out = []
+            for f in sorted(by_file):
+                newpos = by_file[f]
+                oldpos = set(_dv_load(prior[f], blob)) if f in prior else set()
+                added = sorted(newpos - oldpos)
+                if not added:
+                    continue  # idempotent re-delete: nothing to commit
+                cum = sorted(oldpos | newpos)
+                cpath = os.path.join(dv_dir, f"{uuid.uuid4().hex}.dv")
+                _dv_write(cpath, cum, blob)
+                apath = os.path.join(dv_dir, f"{uuid.uuid4().hex}.dva")
+                _dv_write(apath, added, blob)
+                out.append(
+                    {
+                        "file": f,
+                        "cum_path": cpath,
+                        "n_cum": len(cum),
+                        "add_path": apath,
+                        "n_add": len(added),
+                    }
+                )
+            return out
+    return _dv_stage_executor_side(matched, prior, dv_dir, blob)
+
+
 def _dv_pairs_df(spark, dv_paths: dict[str, str]) -> DataFrame | None:
     """The (file, row_index) pairs of prior deletion vectors as a
     DISTRIBUTED DataFrame: read the sidecars with the binaryFile source
@@ -673,6 +728,12 @@ DV_BROADCAST_MAX_POSITIONS = 1 << 18
 #: needs is unnecessary. 4 MiB of parquet is comfortably below any
 #: memory concern and covers the MoR trickle's postimage files.
 SMALL_FACTS_FILE_BYTES = 4 << 20
+#: bloom-position fuse gate: when a write's TOTAL staged bytes fit
+#: here, the k bloom position sets per column ride the stats aggregate
+#: (state bounded by batch bytes × k ints) instead of a second scan job
+#: — the MoR trickle shape. Deliberately much tighter than the per-file
+#: SMALL_FACTS gate: collect_set state for blooms is k× the value set.
+BLOOM_FUSE_TOTAL_BYTES = 1 << 20
 
 
 def _apply_dvs(spark, df: DataFrame, files: list[str], dvs: dict, blob=None) -> DataFrame:
@@ -2014,10 +2075,32 @@ class BucketedTxLogTable(TxLogTable):
         # is replaced by the exact cap check on the collected set. Big
         # files keep the two-phase plan whose gate bounds executor
         # aggregation state (the r11 fix).
+        sizes = [os.path.getsize(f) for f in adds]
         fuse_dicts = bool(present) and all(
-            os.path.getsize(f) <= SMALL_FACTS_FILE_BYTES for f in adds
+            s <= SMALL_FACTS_FILE_BYTES for s in sizes
         )
+        # BLOOM FUSE (MoR MERGE wall parity, SCALE10_r15): when the
+        # whole staged batch is tiny (the trickle-postimage shape), the
+        # k bloom positions per value ride the SAME aggregate as k
+        # bounded collect_sets per column — the separate _bloom_job
+        # re-scan (a whole second Spark job for kilobytes of files)
+        # disappears. Aggregation state is bounded by the batch bytes
+        # themselves (total ≤ 1 MiB) times k ints; big batches keep the
+        # two-job plan whose per-(file,column) gate bounds state.
+        fuse_blooms = bool(bpresent) and sum(sizes) <= BLOOM_FUSE_TOTAL_BYTES
         aggs = [F.count(F.lit(1)).alias("_rows")]
+        if fuse_blooms:
+            m = self.bloom_bits
+            for c in bpresent:
+                for i in range(BLOOM_K):
+                    pos = F.pmod(
+                        F.xxhash64(F.col(c), F.lit(i)), F.lit(m).cast("long")
+                    ).cast("int")
+                    aggs.append(
+                        F.collect_set(
+                            F.when(F.col(c).isNotNull(), pos)
+                        ).alias(f"_bp_{i}_{c}")
+                    )
         for c in present:
             aggs += [
                 F.min(c).alias(f"_min_{c}"),
@@ -2062,7 +2145,9 @@ class BucketedTxLogTable(TxLogTable):
             }
         blooms: dict = {}
         if bpresent:
-            blooms = self._staged_blooms(rows, bpresent, types, norm)
+            blooms = self._staged_blooms(
+                rows, bpresent, types, norm, fused=fuse_blooms
+            )
         for c in unbloomable:  # typed None marker: analyze converges
             for r in rows:
                 blooms.setdefault(norm(r["_f"]), {})[c] = None
@@ -2143,7 +2228,9 @@ class BucketedTxLogTable(TxLogTable):
             )
         )
 
-    def _staged_blooms(self, rows, bpresent: list[str], types: dict, norm) -> dict:
+    def _staged_blooms(
+        self, rows, bpresent: list[str], types: dict, norm, fused: bool = False
+    ) -> dict:
         """Build per-(file, column) BLOOM FILTER sidecars for one write's
         staged files — the high-cardinality complement of the value
         dictionaries: a point lookup on an id-shaped column (whose
@@ -2188,15 +2275,32 @@ class BucketedTxLogTable(TxLogTable):
         if not cand:
             return out
         m, k = self.bloom_bits, BLOOM_K
-        brows = self._bloom_job(cand, m, k).collect()
+        if fused:
+            # positions already rode the stats aggregate (one job for
+            # the whole facts pass): union the k per-hash sets per
+            # (file, column) driver-side — bounded by the fuse's total-
+            # bytes gate. All-null columns yield empty sets → the same
+            # all-zero bitmap the two-job plan writes.
+            pending = []
+            for c, fs in cand.items():
+                ok = {_uri_to_path(f) for f in fs}
+                for r in rows:
+                    if _uri_to_path(r["_f"]) not in ok:
+                        continue
+                    ps: set = set()
+                    for i in range(k):
+                        ps.update(r[f"_bp_{i}_{c}"] or [])
+                    pending.append((norm(r["_f"]), c, sorted(ps)))
+        else:
+            brows = self._bloom_job(cand, m, k).collect()
+            got = {(norm(r["_f"]), r["_c"]) for r in brows}
+            pending = [(norm(r["_f"]), r["_c"], r["_ps"]) for r in brows]
+            for c, fs in cand.items():  # all-null candidates: empty bitmap
+                pending.extend(
+                    (norm(f), c, []) for f in fs if (norm(f), c) not in got
+                )
         bloom_dir = os.path.join(self.data_dir, "_bloom")
         os.makedirs(bloom_dir, exist_ok=True)
-        got = {(norm(r["_f"]), r["_c"]) for r in brows}
-        pending = [(norm(r["_f"]), r["_c"], r["_ps"]) for r in brows]
-        for c, fs in cand.items():  # all-null candidates: empty bitmap
-            pending.extend(
-                (norm(f), c, []) for f in fs if (norm(f), c) not in got
-            )
         for f, c, ps in pending:
             bm = bytearray(m // 8)
             for p in ps:
@@ -2986,7 +3090,11 @@ class BucketedTxLogTable(TxLogTable):
         Returns (version, touched buckets); replayed ``txn`` batches
         no-op exactly like the rewrite path."""
         from cdc_streaming_pipeline_spark.operators.cdc import latest_state
-        from cdc_streaming_pipeline_spark.operators.merge import touched_buckets
+        from cdc_streaming_pipeline_spark.operators.merge import (
+            BUCKET_COL,
+            touched_buckets,
+            with_key_bucket,
+        )
         from pyspark.sql import functions as F
 
         base = self.latest_version()
@@ -3001,7 +3109,29 @@ class BucketedTxLogTable(TxLogTable):
             done = txns.get(txn[0])
             if done is not None and txn[1] <= done[0]:
                 return done[1], []  # replayed micro-batch: already applied
-        touched = set(touched_buckets(batch, self.key_cols, self.n_buckets))
+        # Fused batch probe (MoR wall parity, SCALE10_r15): ONE capped
+        # collect yields BOTH the touched buckets and the leading-key
+        # values the bloom prune needs — a trickle merge pays one tiny
+        # job where it paid two (touched_buckets + the bloom key
+        # collect). Past the cap the distinct-bucket aggregate runs as
+        # before and bloom pruning is skipped (its existing bulk rule).
+        _probe_cap = 4096
+        kb = with_key_bucket(
+            batch.select(*self.key_cols), self.key_cols, self.n_buckets
+        ).select(self.key_cols[0], BUCKET_COL)
+        # first try RAW rows (no distinct → no exchange, CollectLimit
+        # early-exits): a trickle batch resolves in one narrow job and
+        # Python dedups; a mid-size batch retries with distinct; only a
+        # bulk batch (> cap distinct keys) pays the full aggregate.
+        probe = kb.limit(_probe_cap + 1).collect()
+        if len(probe) > _probe_cap:
+            probe = kb.distinct().limit(_probe_cap + 1).collect()
+        if len(probe) <= _probe_cap:
+            touched = {int(r[BUCKET_COL]) for r in probe}
+            probe_keys: list | None = list({r[self.key_cols[0]] for r in probe})
+        else:
+            touched = set(touched_buckets(batch, self.key_cols, self.n_buckets))
+            probe_keys = None
         if not touched:
             return base, []
         untagged = [f for f in snap if f not in bmap]
@@ -3030,26 +3160,22 @@ class BucketedTxLogTable(TxLogTable):
         # image to DV and no rows to the winners; a sustained-MoR
         # bucket with many postimage files then costs a point merge
         # one file, not the bucket.
-        if old and self.bloom_cols:
+        if old and self.bloom_cols and probe_keys is not None:
             cmap = self.column_mapping or {}
             key0 = self.key_cols[0]
             if key0 in {cmap.get(c, c) for c in self.bloom_cols}:
-                cap = 4096
-                kv = [
-                    r[0]
-                    for r in batch.select(key0).distinct().limit(cap + 1).collect()
+                # key values come from the fused probe above — no
+                # second batch job
+                vals = [_dict_norm(v) for v in probe_keys]
+                blooms = resolve_file_blooms(self, base)
+                old = [
+                    f
+                    for f in old
+                    if not (
+                        (bf := blooms.get(f, {}).get(key0))
+                        and _bloom_pruned(bf, vals, self.blob)
+                    )
                 ]
-                if len(kv) <= cap:
-                    vals = [_dict_norm(v) for v in kv]
-                    blooms = resolve_file_blooms(self, base)
-                    old = [
-                        f
-                        for f in old
-                        if not (
-                            (bf := blooms.get(f, {}).get(key0))
-                            and _bloom_pruned(bf, vals, self.blob)
-                        )
-                    ]
         dvs = resolve_file_dvs(self, base)
         dv_ours = {f: m for f, m in dvs.items() if f in set(old)}
         dv_dir = os.path.join(self.data_dir, "_dv")
@@ -3094,11 +3220,16 @@ class BucketedTxLogTable(TxLogTable):
             )
             staged_facts = self._staged_skipping_facts(adds, new_state.columns)
             if oldk is not None:
-                rows = _dv_stage_executor_side(
+                # oldk is cached and sized by the batch's keys, so the
+                # threshold gate's capped collect is cheap; a trickle
+                # merge stages its vectors driver-side (one Python job
+                # saved), a bulk one stays executor-side
+                rows = _dv_stage(
                     oldk.select("_dv_fp", "_dv_ri"),
                     {f: m["path"] for f, m in dv_ours.items()},
                     dv_dir,
                     self.blob,
+                    prior_n={f: m["n"] for f, m in dv_ours.items()},
                 )
             else:
                 rows = []
@@ -3684,8 +3815,12 @@ class BucketedTxLogTable(TxLogTable):
         try:
             dv_dir = os.path.join(self.data_dir, "_dv")
             os.makedirs(dv_dir, exist_ok=True)
-            rows = _dv_stage_executor_side(
-                matched.select("_dv_fp", "_dv_ri"), prior, dv_dir, self.blob
+            rows = _dv_stage(
+                matched.select("_dv_fp", "_dv_ri"),
+                prior,
+                dv_dir,
+                self.blob,
+                prior_n={f: dvs[f]["n"] for f in prior},
             )
             if not rows:
                 return None, 0, 0
