@@ -95,6 +95,32 @@ def register_txlog_table(
     )
 
 
+def register_txlog_changes(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """The CHANGE DATA FEED as SQL: registers
+    ``table_changes(table, from_version, to_version)`` — typed change
+    rows (`_change_type` ∈ insert/update_preimage/update_postimage/
+    delete, `_commit_version`) — as a temp view, so the reference's
+    SQL persona audits what changed with a plain ``SELECT``, the same
+    way Delta exposes ``table_changes(...)`` as a table-valued
+    function. Pinned to the log window resolved at registration, like
+    ``register_txlog_table``."""
+    from cdc_streaming_pipeline_spark.sources.txlog import (
+        BucketedTxLogTable,
+        table_changes,
+    )
+
+    t = BucketedTxLogTable(spark, path)
+    df = table_changes(t, from_version, to_version)
+    df.createOrReplaceTempView(name)
+    return df
+
+
 def show_databases(spark: SparkSession) -> DataFrame:
     return spark.sql("SHOW DATABASES")
 

@@ -821,6 +821,32 @@ def table_sql_topn_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def table_sql_cdf_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED through SQL (catalog.register_txlog_changes —
+    Delta's ``table_changes`` table-valued function as a registered
+    view): the DV fixture's deletion-vector commit is audited entirely
+    by ``spark.sql`` — per change type, row count and exact-decimal
+    total of the changed rows. The feed rows come from the dv_added
+    positions semi-joined back out of the unrewritten files, so SQL
+    reads straight through the merge-on-read layer."""
+    from cdc_streaming_pipeline_spark.catalog import register_txlog_changes
+
+    table_deletion_vectors(spark, sf_dir)  # build/memoize the DV fixture
+    key = (spark.sparkContext.applicationId, sf_dir, "dv_table")
+    path, pre, _ = _TXLOG_MEMO[key]
+    register_txlog_changes(spark, path, "dv_sql_cdf", from_version=pre)
+    return spark.sql(
+        """
+        SELECT _change_type AS change_type, COUNT(*) AS n_rows,
+               CAST(ROUND(SUM(CAST(total_amount AS DECIMAL(28,6))), 2) AS DOUBLE)
+                   AS total_amount
+        FROM dv_sql_cdf
+        GROUP BY _change_type
+        ORDER BY change_type
+        """
+    )
+
+
 def cdc_txlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lakehouse CDC landing (sources/txlog.py:merge_cdc_batch_txlog):
     seed a TxLogTable from the snapshot wave (op='r'), then MERGE the
@@ -1391,6 +1417,16 @@ ORACLE["table_sql_count_view"] = """
     FROM orders WHERE o_orderkey % 3 IN (1, 2)
 """
 
+
+QUERIES["table_sql_cdf_view"] = table_sql_cdf_view
+ORACLE["table_sql_cdf_view"] = """
+    SELECT 'delete' AS change_type, COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+               AS total_amount
+    FROM orders
+    WHERE CAST(o_totalprice AS DOUBLE) BETWEEN 50000.0 AND 100000.0
+    ORDER BY change_type
+"""
 
 QUERIES["table_sql_topn_view"] = table_sql_topn_view
 ORACLE["table_sql_topn_view"] = """

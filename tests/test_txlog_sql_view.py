@@ -96,6 +96,31 @@ def test_register_txlog_table_catalog_listing(spark, tmp_path):
     assert "_lsn" not in spark.table("sqlv_cat_bucketed").columns
 
 
+def test_register_txlog_changes_cdf_via_sql(spark, tmp_path):
+    """The change feed as a SQL view: a MoR delete's dv_added rows and
+    a merge's inserts are auditable with plain SELECTs."""
+    from cdc_streaming_pipeline_spark.catalog import register_txlog_changes
+
+    t = BucketedTxLogTable(spark, str(tmp_path / "cdf"), key_cols=["id"], n_buckets=2)
+    t.init_from_events(_events(spark, list(range(10))))  # v0
+    t.delete_where(F.col("amount") >= 70.0)  # v1: DV delete of ids 7..9
+
+    register_txlog_changes(spark, str(tmp_path / "cdf"), "cdf_sql_v", from_version=0)
+    rows = {
+        r["change_type"]: r["n"]
+        for r in spark.sql(
+            "SELECT _change_type AS change_type, COUNT(*) AS n "
+            "FROM cdf_sql_v GROUP BY _change_type"
+        ).collect()
+    }
+    assert rows == {"delete": 3}
+    ids = {
+        r["id"]
+        for r in spark.sql("SELECT id FROM cdf_sql_v WHERE _change_type = 'delete'").collect()
+    }
+    assert ids == {7, 8, 9}
+
+
 def test_to_view_rejects_version_and_timestamp(spark, tmp_path):
     t = TxLogTable(spark, str(tmp_path / "t2"))
     t.commit(spark.range(1).select("id"))
