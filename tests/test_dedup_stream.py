@@ -177,10 +177,14 @@ def test_minhash_stream_dedup_and_crash_replay(spark, tmp_path, monkeypatch):
     assert got == [1, 2, 11], got  # all three wave-3 docs are dups
 
     # every post-bootstrap landing on every state table was MoR: zero
-    # bucket rewrites (r14 verdict item 1)
+    # bucket rewrites (r14 verdict item 1) — scoped to txn-tagged
+    # landings (untagged entries would be maintenance folds)
     for p in paths.values():
         t = BucketedTxLogTable(spark, p)
-        merges = [e for e in t.history() if str(e.get("mode", "")).startswith("merge")]
+        merges = [
+            e for e in t.history()
+            if e.get("txn") and str(e.get("mode", "")).startswith("merge")
+        ]
         assert all(e.get("mode") == "merge_mor" for e in merges), p
         assert all(e.get("removes") == [] for e in merges), p
 
@@ -217,6 +221,53 @@ def test_exact_landing_is_o_batch(spark, tmp_path):
     # one tiny appended file, not a rewrite of the touched bucket
     assert trickle_bytes < base_bytes / 20, (trickle_bytes, base_bytes)
     assert c.read_state().filter(F.col("doc_id") == 1000).count() == 1
+
+
+def test_minhash_trickle_maintains_all_three_tables(spark, tmp_path):
+    """Maintenance must cover corpus AND index AND sigs: a minhash
+    trickle stream's per-bucket file count stays bounded on every
+    state table, and every landing is MoR."""
+    from cdc_streaming_pipeline_spark.sources.txlog import resolve_snapshot_state
+
+    spool = str(tmp_path / "spool")
+    ckpt = str(tmp_path / "ckpt")
+    paths = dict(
+        corpus_path=str(tmp_path / "corpus"),
+        index_path=str(tmp_path / "index"),
+        sigs_path=str(tmp_path / "sigs"),
+    )
+    os.makedirs(spool)
+    n_waves = 10
+    for w in range(n_waves):
+        _write_wave(
+            spark, spool,
+            [(100 * w + j,
+              f"wave {w} document {j} about topic {w * 3 + j} entirely distinct")
+             for j in range(2)],
+            f"w{w:03d}",
+        )
+    _run(
+        spark, spool, ckpt, mode="minhash", n_buckets=4,
+        max_files_per_bucket=3, **paths,
+    )
+    corpus = BucketedTxLogTable(spark, paths["corpus_path"])
+    assert corpus.read_state().count() == n_waves * 2
+    for p in paths.values():
+        t = BucketedTxLogTable(spark, p)
+        live, bmap, _ = resolve_snapshot_state(t)
+        per_bucket: dict[int, int] = {}
+        for f in live:
+            per_bucket[bmap[f]] = per_bucket.get(bmap[f], 0) + 1
+        assert max(per_bucket.values()) <= 4, (p, per_bucket)
+        # every txn-tagged LANDING is MoR; untagged "merge" entries are
+        # the maintenance folds themselves (compact_buckets' replay rule)
+        landings = [
+            e for e in t.history()
+            if e.get("txn") and str(e.get("mode", "")).startswith("merge")
+        ]
+        assert landings and all(e["mode"] == "merge_mor" for e in landings), p
+        folds = [e for e in t.history() if e.get("mode") == "merge" and not e.get("txn")]
+        assert folds, f"{p}: trickle never folded — maintenance did not run"
 
 
 def test_long_trickle_bounded_files_and_flat_probe(spark, tmp_path):
