@@ -121,6 +121,48 @@ def register_txlog_changes(
     return df
 
 
+def register_txlog_history(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    limit: int | None = None,
+) -> DataFrame:
+    """DESCRIBE HISTORY as SQL: the table's committed log — version,
+    mode, wall-clock timestamp, files added/removed, bytes, txn tag —
+    registered as a view, so the audit queries the reference runs over
+    connector/offset state land on the engine's commit history with
+    plain SELECTs (Delta's ``DESCRIBE HISTORY`` shape). ``limit`` keeps
+    only the newest N entries (O(limit) log reads, the audit-UI case).
+    One row per commit; file-level metadata only — never data rows."""
+    from cdc_streaming_pipeline_spark.sources.txlog import TxLogTable
+
+    t = TxLogTable(spark, path)
+    rows = [
+        (
+            int(e["version"]),
+            str(e.get("mode", "append")),
+            float(e["ts"]) if e.get("ts") is not None else None,
+            len(e.get("adds", [])),
+            len(e.get("removes", [])),
+            int(sum((e.get("file_bytes") or {}).values())),
+            (e.get("txn") or [None, None])[0],
+            (
+                int(e["txn"][1])
+                if e.get("txn") and e["txn"][1] is not None
+                else None
+            ),
+        )
+        for e in t.history(limit)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "version long, mode string, ts double, n_added int, n_removed int, "
+        "bytes_added long, txn_writer string, txn_epoch long",
+    )
+    df.createOrReplaceTempView(name)
+    return df
+
+
 def show_databases(spark: SparkSession) -> DataFrame:
     return spark.sql("SHOW DATABASES")
 

@@ -121,6 +121,36 @@ def test_register_txlog_changes_cdf_via_sql(spark, tmp_path):
     assert ids == {7, 8, 9}
 
 
+def test_register_txlog_history_describe_history_via_sql(spark, tmp_path):
+    """DESCRIBE HISTORY shape: one row per commit, mode/bytes/txn tag
+    queryable by SQL, limit = newest N."""
+    from cdc_streaming_pipeline_spark.catalog import register_txlog_history
+
+    t = BucketedTxLogTable(spark, str(tmp_path / "h"), key_cols=["id"], n_buckets=2)
+    t.init_from_events(_events(spark, [1, 2, 3]), txn=("w", 0))
+    t.merge_cdc_batch_mor(_events(spark, [4], lsn=2), txn=("w", 1))
+    t.delete_where(F.col("amount") >= 30.0)
+
+    register_txlog_history(spark, str(tmp_path / "h"), "hist_v")
+    rows = spark.sql(
+        "SELECT version, mode, txn_writer, txn_epoch FROM hist_v ORDER BY version"
+    ).collect()
+    assert [(r["version"], r["mode"]) for r in rows] == [
+        (0, "append"), (1, "merge_mor"), (2, "delete"),
+    ]
+    assert [(r["txn_writer"], r["txn_epoch"]) for r in rows[:2]] == [
+        ("w", 0), ("w", 1),
+    ]
+    n = spark.sql(
+        "SELECT COUNT(*) AS n FROM hist_v WHERE mode = 'merge_mor' AND bytes_added > 0"
+    ).first()["n"]
+    assert n == 1
+    # limit keeps only the newest entries
+    register_txlog_history(spark, str(tmp_path / "h"), "hist_v1", limit=1)
+    only = spark.sql("SELECT version FROM hist_v1").collect()
+    assert [r["version"] for r in only] == [2]
+
+
 def test_to_view_rejects_version_and_timestamp(spark, tmp_path):
     t = TxLogTable(spark, str(tmp_path / "t2"))
     t.commit(spark.range(1).select("id"))
