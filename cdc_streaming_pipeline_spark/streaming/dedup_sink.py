@@ -78,16 +78,35 @@ def _open_table(spark: SparkSession, path: str, key_cols: list[str], **kw):
         return BucketedTxLogTable(spark, path, **kw)
 
 
-def _land_mor(table, df: DataFrame, batch_id: int, txn: tuple[str, int]) -> None:
+def _land_mor(
+    table,
+    df: DataFrame,
+    batch_id: int,
+    txn: tuple[str, int],
+    conflict_retries: int = 5,
+) -> None:
     """Land one table's novel rows O(batch): bootstrap on first batch,
     merge-on-read after — appended bucket-pure files, zero bucket
     rewrites, and (keys being novel + leading-key blooms) a stored-image
-    scan the sidecars prune to nothing."""
+    scan the sidecars prune to nothing. A commit lost to an EXTERNAL
+    writer (a manual compaction window, another maintenance process)
+    retries: the merge re-resolves from the new base and the txn tag
+    keeps even a retried-after-partial-visibility batch exactly-once —
+    the stream must not die on a losable race
+    (streaming/pipeline.py's rule)."""
+    from cdc_streaming_pipeline_spark.sources.txlog import ConcurrentWriteError
+
     shaped = _cdc_shape(df, batch_id)
-    if table.latest_version() is None:
-        table.init_from_events(shaped, txn=txn)
-    else:
-        table.merge_cdc_batch_mor(shaped, txn=txn)
+    for attempt in range(conflict_retries + 1):
+        try:
+            if table.latest_version() is None:
+                table.init_from_events(shaped, txn=txn)
+            else:
+                table.merge_cdc_batch_mor(shaped, txn=txn)
+            return
+        except ConcurrentWriteError:
+            if attempt == conflict_retries:
+                raise
 
 
 def _maintain(

@@ -223,6 +223,35 @@ def test_exact_landing_is_o_batch(spark, tmp_path):
     assert c.read_state().filter(F.col("doc_id") == 1000).count() == 1
 
 
+def test_landing_retries_through_lost_commit_race(spark, tmp_path, monkeypatch):
+    """A landing that loses one commit race to an external writer
+    retries (re-resolving from the new base) instead of killing the
+    stream; the txn tag keeps the retried batch exactly-once."""
+    from cdc_streaming_pipeline_spark.sources.txlog import ConcurrentWriteError
+
+    spool = str(tmp_path / "spool")
+    corpus_path = str(tmp_path / "corpus")
+    os.makedirs(spool)
+    _write_wave(spark, spool, [(1, "alpha"), (2, "beta")], "w1")
+    _run(spark, spool, str(tmp_path / "c1"), mode="exact", corpus_path=corpus_path)
+
+    real = BucketedTxLogTable.merge_cdc_batch_mor
+    state = {"armed": True}
+
+    def flaky(self, batch, *a, **k):
+        if state["armed"]:
+            state["armed"] = False
+            raise ConcurrentWriteError("injected lost race")
+        return real(self, batch, *a, **k)
+
+    monkeypatch.setattr(BucketedTxLogTable, "merge_cdc_batch_mor", flaky)
+    _write_wave(spark, spool, [(3, "gamma")], "w2")
+    _run(spark, spool, str(tmp_path / "c1"), mode="exact", corpus_path=corpus_path)
+    monkeypatch.undo()
+    c = BucketedTxLogTable(spark, corpus_path)
+    assert sorted(r["doc_id"] for r in c.read_state().collect()) == [1, 2, 3]
+
+
 def test_minhash_trickle_maintains_all_three_tables(spark, tmp_path):
     """Maintenance must cover corpus AND index AND sigs: a minhash
     trickle stream's per-bucket file count stays bounded on every
