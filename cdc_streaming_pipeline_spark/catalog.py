@@ -112,9 +112,17 @@ def register_txlog_changes(
     ``register_txlog_table``."""
     from cdc_streaming_pipeline_spark.sources.txlog import (
         BucketedTxLogTable,
-        table_changes,
+        TxLogTable,
+        resolve_table_meta,
     )
+    from cdc_streaming_pipeline_spark.sources.txlog import table_changes
 
+    if resolve_table_meta(TxLogTable(spark, path)) is None:
+        raise ValueError(
+            f"table at {path} records no bucket layout — the typed change "
+            "feed is a BucketedTxLogTable surface; a plain append-only "
+            "table tails read_changes() instead"
+        )
     t = BucketedTxLogTable(spark, path)
     df = table_changes(t, from_version, to_version)
     df.createOrReplaceTempView(name)

@@ -120,6 +120,16 @@ def test_register_txlog_changes_cdf_via_sql(spark, tmp_path):
     }
     assert ids == {7, 8, 9}
 
+    # plain append-only table: loud contract error, not a confusing
+    # constructor failure
+    p = TxLogTable(spark, str(tmp_path / "plain"))
+    p.commit(spark.range(2).select("id"))
+    try:
+        register_txlog_changes(spark, str(tmp_path / "plain"), "nope", 0)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "read_changes" in str(e)
+
 
 def test_register_txlog_history_describe_history_via_sql(spark, tmp_path):
     """DESCRIBE HISTORY shape: one row per commit, mode/bytes/txn tag
