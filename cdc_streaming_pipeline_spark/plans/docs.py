@@ -1327,6 +1327,72 @@ def ann_topk_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cl.ivf_topk_from_index(spark, path, queries, k=5, n_probe=8)
 
 
+_IVF_STREAM_MEMO: dict[tuple, tuple] = {}
+
+
+def ann_topk_ivf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving from a STREAM-BUILT index
+    (streaming/ann_sink.py:IvfStreamSink): embeddings arrive in three
+    waves (vec_id % 3) under Structured Streaming; the bootstrap batch
+    fits the centroids (seeded distributed Lloyd, then FROZEN — the
+    batch path's contract), later batches assign against the committed
+    centroids and land exactly-once into a txlog-backed vector store
+    (MoR appends, cell-clustered maintenance folds). Serving probes
+    the committed centroids and reads only the probed cells' slice
+    through the skipping layer. Because assignment is a pure function
+    of the frozen centroids, the result is output-identical to the
+    batch ivf_topk over the full corpus with the same
+    (bootstrap-wave-fit) centroids — which is exactly what the
+    pure-Python replay recomputes (tools/py_oracles.py:
+    ann_topk_ivf_stream_oracle)."""
+    import os
+    import tempfile
+
+    from cdc_streaming_pipeline_spark.streaming.ann_sink import (
+        ann_stream_sink,
+        ivf_topk_stream_store,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _IVF_STREAM_MEMO.get(key)
+    if memo is None:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"ivfstream-{spark.sparkContext.applicationId}-{abs(hash(sf_dir)) % 10**8}",
+        )
+        spool = os.path.join(root, "spool")
+        ckpt = os.path.join(root, "ckpt")
+        cells_path = os.path.join(root, "cells")
+        vectors_path = os.path.join(root, "vectors")
+        if not os.path.exists(vectors_path):
+            os.makedirs(spool, exist_ok=True)
+            emb = load_table(spark, sf_dir, "embeddings").select(
+                "vec_id", "embedding"
+            )
+            for w in range(3):
+                emb.filter(F.col("vec_id") % 3 == w).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(spool, f"wave{w}"))
+                q = ann_stream_sink(
+                    spark.readStream.schema(
+                        "vec_id bigint, embedding array<double>"
+                    ).parquet(os.path.join(spool, "*")),
+                    ckpt,
+                    available_now=True,
+                    cells_path=cells_path,
+                    vectors_path=vectors_path,
+                )
+                q.awaitTermination(900)
+        memo = (cells_path, vectors_path)
+        _IVF_STREAM_MEMO[key] = memo
+    cells_path, vectors_path = memo
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_topk_stream_store(
+        spark, cells_path, vectors_path, queries, k=5, n_probe=8
+    )
+
+
 _BPE_MEMO: dict[tuple[str, str], list] = {}
 
 
@@ -1816,6 +1882,7 @@ QUERIES = {
     "minhash_incremental_batch": minhash_incremental_batch,
     "ann_topk_ivf_persisted": ann_topk_ivf_persisted,
     "ann_topk_ivf_appended": ann_topk_ivf_appended,
+    "ann_topk_ivf_stream": ann_topk_ivf_stream,
     "split_drift_psi": split_drift_psi,
     "ann_topk_ivf_pq": ann_topk_ivf_pq,
     "keyword_search_topk": keyword_search_topk,

@@ -53,91 +53,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _cdc_shape(df: DataFrame, batch_id: int) -> DataFrame:
-    """Stamp the CDC bookkeeping columns a txlog merge expects."""
-    from cdc_streaming_pipeline_spark.schemas import pad_lsn
-
-    return (
-        df.withColumn("_op", F.lit("c"))
-        .withColumn("_lsn", pad_lsn(F.lit(int(batch_id))))
-        .withColumn("_deleted", F.lit(None).cast("string"))
-    )
-
-
-def _open_table(spark: SparkSession, path: str, key_cols: list[str], **kw):
-    """Open/create a state table with the sink's preferred key layout;
-    an EXISTING table's recorded layout wins (a stream resumed over a
-    table created by an older sink version must not die on the
-    leading-key reorder — bucketing is a table property)."""
-    from cdc_streaming_pipeline_spark.sources.txlog import BucketedTxLogTable
-
-    try:
-        return BucketedTxLogTable(spark, path, key_cols=key_cols, **kw)
-    except ValueError:
-        kw.pop("n_buckets", None)
-        return BucketedTxLogTable(spark, path, **kw)
-
-
-def _land_mor(
-    table,
-    df: DataFrame,
-    batch_id: int,
-    txn: tuple[str, int],
-    conflict_retries: int = 5,
-) -> None:
-    """Land one table's novel rows O(batch): bootstrap on first batch,
-    merge-on-read after — appended bucket-pure files, zero bucket
-    rewrites, and (keys being novel + leading-key blooms) a stored-image
-    scan the sidecars prune to nothing. A commit lost to an EXTERNAL
-    writer (a manual compaction window, another maintenance process)
-    retries: the merge re-resolves from the new base and the txn tag
-    keeps even a retried-after-partial-visibility batch exactly-once —
-    the stream must not die on a losable race
-    (streaming/pipeline.py's rule)."""
-    from cdc_streaming_pipeline_spark.sources.txlog import ConcurrentWriteError
-
-    shaped = _cdc_shape(df, batch_id)
-    for attempt in range(conflict_retries + 1):
-        try:
-            if table.latest_version() is None:
-                table.init_from_events(shaped, txn=txn)
-            else:
-                table.merge_cdc_batch_mor(shaped, txn=txn)
-            return
-        except ConcurrentWriteError:
-            if attempt == conflict_retries:
-                raise
-
-
-def _maintain(
-    table,
-    batch_id: int,
-    max_files_per_bucket: int | None,
-    vacuum_every: int | None,
-    vacuum_retain_versions: int = 10,
-    vacuum_min_age_seconds: float = 3600.0,
-) -> None:
-    """Post-commit maintenance (the streaming/pipeline.py cadence): fold
-    overgrown buckets so sustained MoR appends never degrade the probe
-    plan, and reclaim dead files on a batch cadence. Maintenance commits
-    are untagged — a replayed batch no-ops its merges via the txn tag
-    and re-folding/vacuuming is a logical no-op."""
-    from cdc_streaming_pipeline_spark.sources.txlog import (
-        ConcurrentWriteError,
-        vacuum,
-    )
-
-    if max_files_per_bucket is not None:
-        try:
-            table.compact_buckets(min_files=max_files_per_bucket + 1)
-        except ConcurrentWriteError:
-            pass  # raced an external commit: the next batch folds
-    if vacuum_every and (int(batch_id) + 1) % vacuum_every == 0:
-        vacuum(
-            table,
-            retain_versions=vacuum_retain_versions,
-            min_age_seconds=vacuum_min_age_seconds,
-        )
+from cdc_streaming_pipeline_spark.streaming.sink_util import (
+    cdc_shape as _cdc_shape,
+    land_mor as _land_mor,
+    maintain as _maintain,
+    open_table as _open_table,
+)
 
 
 class ExactDedupSink:

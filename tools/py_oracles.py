@@ -336,7 +336,7 @@ def _np_normalize(mat):
     return mat / norms[:, None]
 
 
-def _kmeans_replay(sf_dir: str, k: int, iters: int, seed: int = 42):
+def _kmeans_replay(sf_dir: str, k: int, iters: int, seed: int = 42, fit_mask_fn=None):
     """Pure-numpy replay of operators/cluster.py:kmeans_fit — exact for
     the parts that determine the discrete outputs. The k-means++
     seeding is BIT-exact (driver-side numpy in both paths: same
@@ -359,15 +359,19 @@ def _kmeans_replay(sf_dir: str, k: int, iters: int, seed: int = 42):
     ).to_pandas()
     ids = t["vec_id"].to_numpy(np.int64)
     mat = _np_normalize(np.array([list(v) for v in t["embedding"]], dtype=np.float64))
-    # the seeding sample: md5-bucket order, first 32768 (the whole corpus
-    # at oracle scale)
+    # ``fit_mask_fn`` restricts the FIT corpus (streaming bootstrap:
+    # centroids come from the first wave only); ids/mat stay full
+    fm = fit_mask_fn(ids) if fit_mask_fn is not None else np.ones(len(ids), bool)
+    fit_ids, fit_mat = ids[fm], mat[fm]
+    # the seeding sample: md5-bucket order, first 32768 (the whole fit
+    # corpus at oracle scale)
     buckets = np.array(
         [
             int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16) % (1 << 16)
-            for i in ids
+            for i in fit_ids
         ]
     )
-    smat = mat[np.lexsort((ids, buckets))][:32768]
+    smat = fit_mat[np.lexsort((fit_ids, buckets))][:32768]
     rng = np.random.default_rng(seed)
     centroids = [smat[rng.integers(len(smat))]]
     for _ in range(1, k):
@@ -377,11 +381,11 @@ def _kmeans_replay(sf_dir: str, k: int, iters: int, seed: int = 42):
         centroids.append(smat[rng.choice(len(smat), p=probs)])
     cent = np.array(centroids)
     for _ in range(iters):
-        assign = np.argmax(mat @ cent.T, axis=1)
+        assign = np.argmax(fit_mat @ cent.T, axis=1)
         sums = np.zeros_like(cent)
         counts = np.zeros(k)
         for ci in np.unique(assign):
-            members = mat[assign == ci]
+            members = fit_mat[assign == ci]
             sums[ci] = members.sum(axis=0)
             counts[ci] = len(members)
         nonempty = counts > 0
@@ -987,10 +991,10 @@ PY_ORACLES["dedup_stream_ingest_minhash"] = dedup_stream_ingest_minhash_oracle
 # append_to_ivf_index, operators/similarity.py:pq_fit/pq_assign/pq_topk.
 
 
-def _ivf_topk_replay(sf_dir: str, qmask_fn, k: int = 5, n_probe: int = 8):
+def _ivf_topk_replay(sf_dir: str, qmask_fn, k: int = 5, n_probe: int = 8, fit_mask_fn=None):
     import numpy as np
 
-    ids, mat, cent = _kmeans_replay(sf_dir, k=16, iters=5)
+    ids, mat, cent = _kmeans_replay(sf_dir, k=16, iters=5, fit_mask_fn=fit_mask_fn)
     qm = qmask_fn(ids)
     q_ids, q_mat = ids[qm], mat[qm]
     probed = np.argsort(-(q_mat @ cent.T), axis=1)[:, :n_probe]  # (nq, p)
@@ -1026,6 +1030,22 @@ def ann_topk_ivf_appended_oracle(sf_dir: str) -> pd.DataFrame:
     rebuild with the same (full-corpus) centroids, so the replay is the
     same ivf_topk over the union; queries vec_id % 50 == 0."""
     return _ivf_topk_replay(sf_dir, lambda ids: ids % 50 == 0)
+
+
+def ann_topk_ivf_stream_oracle(sf_dir: str) -> pd.DataFrame:
+    """plans/docs.py:ann_topk_ivf_stream
+    (streaming/ann_sink.py:IvfStreamSink): the stream-built store
+    serves identically to ivf_topk over the full corpus with centroids
+    fit ON THE BOOTSTRAP WAVE ONLY (vec_id % 3 == 0 — the sink freezes
+    them after the first micro-batch), so the replay is the same
+    masked-GEMM top-k with the fit restricted to that wave; queries
+    vec_id % 50 == 0, probe 8 of 16 cells, top-5 by (cosine desc,
+    id asc)."""
+    return _ivf_topk_replay(
+        sf_dir,
+        lambda ids: ids % 50 == 0,
+        fit_mask_fn=lambda ids: ids % 3 == 0,
+    )
 
 
 def embedding_cluster_purity_oracle(sf_dir: str) -> pd.DataFrame:
@@ -1177,6 +1197,7 @@ def _register_ivf_pq_family() -> None:
             "ann_topk_ivf": ann_topk_ivf_oracle,
             "ann_topk_ivf_persisted": ann_topk_ivf_persisted_oracle,
             "ann_topk_ivf_appended": ann_topk_ivf_appended_oracle,
+            "ann_topk_ivf_stream": ann_topk_ivf_stream_oracle,
             "embedding_cluster_purity": embedding_cluster_purity_oracle,
             "embedding_pq_codes": embedding_pq_codes_oracle,
             "ann_topk_pq": ann_topk_pq_oracle,
