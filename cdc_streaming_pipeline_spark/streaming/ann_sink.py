@@ -78,9 +78,18 @@ class IvfStreamSink:
         vacuum_every: int | None = None,
         vacuum_retain_versions: int = 10,
         vacuum_min_age_seconds: float = 3600.0,
+        centroids=None,
     ):
+        """``centroids`` (optional (k, dim) array-like) bootstraps the
+        cells table from a PRE-TRAINED codebook instead of fitting on
+        the first micro-batch — the production shape when the first
+        batch may be unrepresentative (a trickle, one skewed source);
+        fit offline with ``kmeans_fit`` over a real sample, hand the
+        matrix to the sink. Ignored once the cells table exists — the
+        committed centroids always win (frozen-codebook contract)."""
         self.spark = spark
         self.cells_path, self.vectors_path = cells_path, vectors_path
+        self.centroids = centroids
         self.id_col, self.vec_col = id_col, vec_col
         self.k_cells, self.kmeans_iters, self.seed = k_cells, kmeans_iters, seed
         self.n_buckets = n_buckets
@@ -117,16 +126,22 @@ class IvfStreamSink:
         cells, vectors = self._tables()
         tag = (self.writer_id, int(batch_id))
         if cells.latest_version() is None:
-            # bootstrap: fit on the first batch (seeded Lloyd, the batch
-            # path's exact kernel), commit the frozen centroids
-            cent = kmeans_fit(
-                batch,
-                k=self.k_cells,
-                iters=self.kmeans_iters,
-                id_col=self.id_col,
-                vec_col=self.vec_col,
-                seed=self.seed,
-            )
+            # bootstrap: a pre-trained codebook wins; otherwise fit on
+            # the first batch (seeded Lloyd, the batch path's exact
+            # kernel). Either way the committed centroids are frozen.
+            if self.centroids is not None:
+                import numpy as np
+
+                cent = np.asarray(self.centroids, dtype=np.float64)
+            else:
+                cent = kmeans_fit(
+                    batch,
+                    k=self.k_cells,
+                    iters=self.kmeans_iters,
+                    id_col=self.id_col,
+                    vec_col=self.vec_col,
+                    seed=self.seed,
+                )
             cent_df = self.spark.createDataFrame(
                 [(int(i), [float(v) for v in c]) for i, c in enumerate(cent)],
                 "cell int, centroid array<double>",

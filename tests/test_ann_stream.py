@@ -107,6 +107,32 @@ def test_stream_store_serves_identical_to_batch_ivf(spark, tmp_path):
     assert max(per_bucket.values()) <= 3, per_bucket
 
 
+def test_pretrained_codebook_bootstraps_cells(spark, tmp_path):
+    """A pre-trained codebook handed to the sink is what the cells
+    table commits — no first-batch fit; serving probes those exact
+    centroids."""
+    import numpy as np
+
+    spool = str(tmp_path / "spool")
+    cells_path = str(tmp_path / "cells")
+    vectors_path = str(tmp_path / "vectors")
+    os.makedirs(spool)
+    codebook = np.eye(4)  # 4 axis-aligned cells
+    _write_wave(_vectors(spark, n=30), spool, "w0")
+    _run(
+        spark, spool, str(tmp_path / "ckpt"),
+        cells_path=cells_path, vectors_path=vectors_path,
+        n_buckets=2, centroids=codebook,
+    )
+    stored = _stored_centroids(BucketedTxLogTable(spark, cells_path))
+    assert np.allclose(stored, codebook)
+    got = ivf_topk_stream_store(
+        spark, cells_path, vectors_path,
+        _vectors(spark, n=30).filter("vec_id = 0"), k=3, n_probe=1,
+    ).collect()
+    assert len(got) == 3
+
+
 def test_probed_read_prunes_after_fold(spark, tmp_path):
     """After the cell-clustered fold, the serving read's cell-IN probe
     must skip files (value-pure files -> dictionary pruning)."""
