@@ -81,6 +81,7 @@ def with_global_ranks(
     n_buckets: int = 64,
     n_col: str = _N,
     materialize_input: bool = True,
+    bucket_impl: str = "fold",
 ) -> DataFrame:
     """Add every spec's exact global rank (and optional running sum) to
     ``df``, plus the frame's total row count in ``n_col`` — distributed
@@ -92,6 +93,27 @@ def with_global_ranks(
     0 under either direction (the cutoff comparison is null), which
     matches Spark's NULLS FIRST only for ascending order. The callers
     here rank aggregate outputs (sums/counts), non-null by construction.
+
+    ``bucket_impl`` picks the per-row bucket-assignment expression; both
+    produce IDENTICAL bucket ids (first-match index over a sorted cutoff
+    array == the strict-compare count; NaN orders largest either way):
+
+    - ``"chain"`` — one flat literal CASE WHEN chain per spec: shallow
+      CaseWhen node, codegen'd branch-predictable comparisons with early
+      exit. The per-ROW winner; pass it when the ranked frame is
+      fact-scan-scale (interleaved A/B at sf0.1, min of 3:
+      lineitem_spearman 9.29→3.49 s, equidepth bands 3.68→1.92 s).
+    - ``"fold"`` (default) — the higher-order aggregate-fold over a
+      literal array: a single compact expression node. The per-ACTION
+      winner: the operator triggers 3 actions, and Catalyst re-walks
+      every bucket expression (specs × consumers × 64 branches for the
+      chain) on each; on bounded aggregate frames that planning cost
+      dominates row work (chain measured +0.17..0.54 s per query on the
+      RFM/deciles/drift family with execution-stage walls identical).
+
+    The crossover is ~1M input rows per spec at this host's ~0.1 s per
+    extra planning pass; callers ranking genuinely fact-scale frames
+    should pass "chain".
     """
     # The cutoff aggregate, the size-table job, and the main chain each
     # consume ``df``; exchange reuse cannot dedup them (the branches
@@ -129,20 +151,43 @@ def with_global_ranks(
             bucketed = bucketed.withColumn(f"_bkt_{i}", F.lit(0))
             continue
         keyd = F.col(s.key).cast("double")
-        arr = F.array(*[F.lit(float(v)) for v in vals])
         # strict comparison ⇒ boundary-valued rows all land in ONE bucket.
-        # aggregate-fold, not size(filter(...)): the fold counts without
-        # materializing a filtered copy of the cutoff array per row —
-        # this expression runs once per row per consuming branch, so
-        # allocation here is the hot spot on fact-scale frames.
-        def counter(cmp):
-            return F.aggregate(
-                arr, F.lit(0), lambda acc, c: acc + cmp(c).cast("int")
-            )
+        # See the docstring's bucket_impl contract: both forms compute
+        # the count of cutoffs strictly below (ascending) / above
+        # (descending) the key; chain = flat first-match CASE over the
+        # sorted cutoffs (codegen'd, per-row cheap), fold = higher-order
+        # aggregate (compact node, per-action cheap).
+        svals = [float(v) for v in vals]
+        n_cuts = len(svals)
+        if bucket_impl == "chain":
+            if s.ascending:
+                # first b with keyd <= vals[b]  ==  #{v < keyd}
+                in_bucket = F.when(keyd <= F.lit(svals[0]), F.lit(0))
+                for b in range(1, n_cuts):
+                    in_bucket = in_bucket.when(keyd <= F.lit(svals[b]), F.lit(b))
+                in_bucket = in_bucket.otherwise(F.lit(n_cuts))
+            else:
+                # first b with keyd < vals[b] leaves n_cuts-b cutoffs
+                # above the key  ==  #{v > keyd}
+                in_bucket = F.when(keyd < F.lit(svals[0]), F.lit(n_cuts))
+                for b in range(1, n_cuts):
+                    in_bucket = in_bucket.when(
+                        keyd < F.lit(svals[b]), F.lit(n_cuts - b)
+                    )
+                in_bucket = in_bucket.otherwise(F.lit(0))
+        else:
+            arr = F.array(*[F.lit(v) for v in svals])
 
-        in_bucket = counter(lambda c: keyd > c) if s.ascending else counter(
-            lambda c: keyd < c
-        )
+            def counter(cmp):
+                return F.aggregate(
+                    arr, F.lit(0), lambda acc, c: acc + cmp(c).cast("int")
+                )
+
+            in_bucket = (
+                counter(lambda c: keyd > c)
+                if s.ascending
+                else counter(lambda c: keyd < c)
+            )
         bucketed = bucketed.withColumn(f"_bkt_{i}", in_bucket)
 
     # ONE bounded job computes every spec's per-bucket size table: each
@@ -264,6 +309,7 @@ def with_global_rank(
     n_col: str = _N,
     total_col: str = _TOT,
     materialize_input: bool = True,
+    bucket_impl: str = "fold",
 ) -> DataFrame:
     """Single-key convenience wrapper over ``with_global_ranks``."""
     return with_global_ranks(
@@ -282,6 +328,7 @@ def with_global_rank(
         n_buckets=n_buckets,
         n_col=n_col,
         materialize_input=materialize_input,
+        bucket_impl=bucket_impl,
     )
 
 

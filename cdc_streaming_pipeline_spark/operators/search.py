@@ -266,15 +266,25 @@ def delete_from_index(
     victims = _live(
         spark, path, spark.read.parquet(_doclens_path(path))
     ).join(ids_df, "doc_id", "left_semi")
-    row = victims.agg(
-        F.count("*").alias("n"), F.sum("doc_len").alias("t")
-    ).collect()[0]
-    n_deleted, len_deleted = row["n"], int(row["t"] or 0)
-    if n_deleted == 0:
-        return 0
-    victims.select("doc_id", F.lit(gen).alias("gen")).write.mode("append").parquet(
-        _tombstones_path(path)
-    )
+    # r15 ADVICE: the uncached victims plan used to be evaluated twice
+    # (stats agg + tombstone write) — a non-deterministic ids frame
+    # (sample()/limit()) could yield a DIFFERENT victim set on the second
+    # evaluation, desyncing the tombstones from the n_docs/total_len
+    # decrement. Pin ONE evaluation with a persist for the two consumers,
+    # release it after the write.
+    victims = victims.persist()
+    try:
+        row = victims.agg(
+            F.count("*").alias("n"), F.sum("doc_len").alias("t")
+        ).collect()[0]
+        n_deleted, len_deleted = row["n"], int(row["t"] or 0)
+        if n_deleted == 0:
+            return 0
+        victims.select("doc_id", F.lit(gen).alias("gen")).write.mode(
+            "append"
+        ).parquet(_tombstones_path(path))
+    finally:
+        victims.unpersist()
     _write_stats(
         spark,
         path,

@@ -1195,7 +1195,10 @@ def lineitem_price_equidepth_bands(spark: SparkSession, sf_dir: str) -> DataFram
     # stays rows/32 — retune upward at real scale
     ranked = with_global_rank(
         li, key="l_extendedprice", tiebreak="_rid", ascending=True,
-        materialize_input=False, n_buckets=32,
+        materialize_input=False, n_buckets=32, bucket_impl="chain",
+        # chain: the bucket expr runs per FACT row in three consuming
+        # branches — the codegen'd CASE chain halves this query
+        # (interleaved A/B 3.68→1.92 s; rank.py docstring)
     )
     return (
         ranked.withColumn("band", exact_ntile("_g_rank", "_g_n", 20))
@@ -1892,6 +1895,9 @@ def lineitem_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         [RankSpec(key="l_extendedprice", rank_col="r_p")],
         tiebreak="rid",
         materialize_input=True,
+        bucket_impl="chain",
+        # chain: fact-scale input — the codegen'd CASE chain cut this
+        # query 9.29→3.49 s in the interleaved A/B (rank.py docstring)
         # the OUTPUT feeds three subplans (tie groupBy, join probe,
         # final corr) — checkpoint it once so the bucketed window runs
         # once, not per consumer
