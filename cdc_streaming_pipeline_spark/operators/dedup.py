@@ -268,7 +268,16 @@ def _verify_jaccard(cand_ids: DataFrame, shingle_df: DataFrame, threshold: float
     timing; controlled re-measurement reversed the verdict."""
     sh_a = shingle_df.select(F.col("_id").alias("id_a"), F.col("sh_h").alias("sh_a"))
     sh_b = shingle_df.select(F.col("_id").alias("id_b"), F.col("sh_h").alias("sh_b"))
-    cand = cand_ids.join(sh_a, "id_a").join(sh_b, "id_b")
+    # Width must follow COMPUTE, not bytes: the verify stage's cost is
+    # array_intersect over two shingle arrays per candidate pair, but
+    # AQE coalesces the candidate exchange by its (tiny) id-pair bytes —
+    # profiled at sf0.1: 4 post-coalesce tasks, max task 1.19 s while 28
+    # cores idle. An explicit keyed repartition (not AQE-coalescible)
+    # spreads the pairs; it moves only 16-byte id rows, never arrays.
+    par = cand_ids.sparkSession.sparkContext.defaultParallelism
+    cand = cand_ids.repartition(par, "id_a", "id_b").join(sh_a, "id_a").join(
+        sh_b, "id_b"
+    )
     # |A∪B| = |A| + |B| - |A∩B| — never array_union: building the deduped
     # union ARRAY per candidate pair is pure allocation (the sizes are
     # all we need) and measured 3-4x the whole verify stage at 436k
@@ -637,7 +646,12 @@ def ngram_containment_pairs(
     )
     sh_a = base.select(F.col("_id").alias("id_a"), F.col("sh_h").alias("sh_a"))
     sh_b = base.select(F.col("_id").alias("id_b"), F.col("sh_h").alias("sh_b"))
-    cand = cand_ids.join(sh_a, "id_a").join(sh_b, "id_b")
+    # same compute-not-bytes width rule as _verify_jaccard: spread the
+    # candidate pairs before attaching arrays (id rows only)
+    par = cand_ids.sparkSession.sparkContext.defaultParallelism
+    cand = cand_ids.repartition(par, "id_a", "id_b").join(sh_a, "id_a").join(
+        sh_b, "id_b"
+    )
     na, nb = F.size("sh_a"), F.size("sh_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     a_small = (na < nb) | ((na == nb) & (F.col("id_a") < F.col("id_b")))

@@ -171,16 +171,24 @@ def fuzzy_join(
     (the entity-resolution regime; larger radii need a different plan).
     Returns (l_id, r_id, l_val, r_val, edit_dist)."""
     d = max_distance
+    # Spread rows across all cores BEFORE the deletion-variant / q-gram
+    # expansion (the dedup._parallelize policy): the per-row expansion is
+    # Σ C(len, i) substring builds — hundreds of strings per row — and a
+    # small input arrives as ONE scan partition, serializing that work
+    # onto one core (profiled: a 2.3 s single-task stage on the 20k-row
+    # part catalog). One cheap narrow-row shuffle; at 100 TB inputs are
+    # already many-partitioned and AQE keeps this a no-op-ish rebalance.
+    par = left.sparkSession.sparkContext.defaultParallelism
     L = left.select(
         F.col(left_id).alias("l_id"),
         F.col(left_val).alias("l_val"),
         F.length(left_val).alias("_l_len"),
-    )
+    ).repartition(par)
     R = right.select(
         F.col(right_id).alias("r_id"),
         F.col(right_val).alias("r_val"),
         F.length(right_val).alias("_r_len"),
-    )
+    ).repartition(par)
     cap = symdel_max_len
     l_short, l_long = L.filter(F.col("_l_len") <= cap), L.filter(F.col("_l_len") > cap)
     r_short, r_long = R.filter(F.col("_r_len") <= cap), R.filter(F.col("_r_len") > cap)

@@ -56,15 +56,28 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
     tests/test_graph_pagerank.py pins both paths: constant plan size on
     the fast path, and result parity + bounded-round usability on the
     fallback."""
+    return _truncate_lineage_count(df)[0]
+
+
+def _truncate_lineage_count(df: DataFrame) -> tuple[DataFrame, int]:
+    """``_truncate_lineage`` that also RETURNS the row count its
+    materialization already computed. The frontier loops below
+    (bfs/sssp/kcore) all follow truncate-then-test-empty; as two calls
+    that is two jobs per round — the count job inside the checkpoint and
+    an ``isEmpty``/``count`` action over the materialized frame — and on
+    round-bounded loops the second job's fixed scheduling latency is
+    pure serial overhead (guide §1.2: remove work you throw away).
+    One call, one job, same number."""
     spark = df.sparkSession
     handles = _classic_handles(df)
     if handles is None:  # Spark Connect / future-version guard
-        return df.localCheckpoint(eager=True)
+        out = df.localCheckpoint(eager=True)
+        return out, out.count()
     jdf, jspark = handles
     jrdd = jdf.rdd()
     jrdd.localCheckpoint()
-    jrdd.count()
-    return DataFrame(jspark.createDataFrame(jrdd, jdf.schema()), spark)
+    cnt = jrdd.count()
+    return DataFrame(jspark.createDataFrame(jrdd, jdf.schema()), spark), cnt
 
 
 def _classic_handles(df: DataFrame):
@@ -109,14 +122,29 @@ def pagerank(
     # degree shuffles from the source (measured 2.4x wall on the
     # supplier-part graph).
     e = e.distinct().persist()
-    nodes = (
-        e.select(F.col("_s").alias("node")).unionByName(e.select(F.col("_d").alias("node"))).distinct().persist()
-    )
-    n = nodes.count()  # scalar driver value: the graph's node count
     # out-degrees are a per-round constant: join them onto the edges
     # ONCE instead of onto the rank frame every round (one join per
     # round saved; the widened edge frame is +8 bytes/edge).
     deg = e.groupBy(F.col("_s").alias("node")).agg(F.count("*").alias("_deg"))
+    if directed:
+        nodes = (
+            e.select(F.col("_s").alias("node"))
+            .unionByName(e.select(F.col("_d").alias("node")))
+            .distinct()
+            .persist()
+        )
+        n = nodes.count()  # scalar driver value: the graph's node count
+    else:
+        # undirected: the mirrored+distinct edge frame contains every
+        # node as a SOURCE, so the degree aggregate already IS the node
+        # set — the separate union+distinct pass (a second full shuffle
+        # of the edge frame, guide §2.4 "remove shuffles outright") is
+        # only needed when directed nodes can lack out-edges. The
+        # node-sized deg frame is persisted; it seeds the rank frame
+        # AND the widened-edge join below.
+        deg = deg.persist()
+        nodes = deg.select("node")
+        n = deg.count()
     e_deg = e.join(deg.withColumnRenamed("node", "_s"), "_s").persist()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     teleport = (1.0 - damping) / n
@@ -154,7 +182,7 @@ def pagerank(
         ranks = ranks.localCheckpoint(eager=True)
     finally:
         e.unpersist()
-        nodes.unpersist()
+        (nodes if directed else deg).unpersist()
         e_deg.unpersist()
     return ranks
 
@@ -286,9 +314,10 @@ def kcore(
         # RESETS there — deep peels stay safe).
         if it < 8:
             nxt = nxt.localCheckpoint(eager=True)
+            n = nxt.count()
         else:
-            nxt = _truncate_lineage(nxt)
-        n = nxt.count()
+            # fused truncate+count: one job per round, not two
+            nxt, n = _truncate_lineage_count(nxt)
         if n_prev is not None and n == n_prev:
             cur = nxt
             break
@@ -346,8 +375,11 @@ def bfs_hops(
             .select(F.col("_v").alias("node"))
             .distinct()
         )
-        new = _truncate_lineage(nbrs.join(visited, "node", "left_anti"))
-        if new.isEmpty():
+        # fused truncate+count: the materializing job already counts the
+        # frontier, so the separate isEmpty action (one extra job's fixed
+        # scheduling latency per LEVEL — the loop's serial dimension) goes
+        new, n_new = _truncate_lineage_count(nbrs.join(visited, "node", "left_anti"))
+        if n_new == 0:
             break
         visited = _truncate_lineage(
             visited.unionByName(new.withColumn("hop", F.lit(hop)))
@@ -419,8 +451,9 @@ def sssp(
         improved = joined.filter(
             F.col("dist").isNull() | (F.col("_cand") < F.col("dist"))
         ).select("node", F.col("_cand").alias("dist"))
-        improved = _truncate_lineage(improved)
-        if improved.isEmpty():
+        # fused truncate+count — one job per round instead of two
+        improved, n_improved = _truncate_lineage_count(improved)
+        if n_improved == 0:
             break
         dist = _truncate_lineage(
             dist.join(

@@ -1588,7 +1588,12 @@ def part_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers and round at the end, so the ranking is
     engine-deterministic. Top 10 by lift with id tiebreaks."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    n_orders = li.select("l_orderkey").distinct().count()
+    # basket count as a broadcast 1-row aggregate, not a separate count()
+    # action: keeps the whole query ONE job (the count cost a full extra
+    # distinct pass over the fact scan before the real plan even started)
+    n_orders_df = li.select("l_orderkey").distinct().agg(
+        F.count("*").cast("double").alias("_n_orders")
+    )
     item = li.groupBy(F.col("l_partkey").alias("pk")).agg(F.count("*").alias("n_item"))
     a, b = li.alias("a"), li.alias("b")
     pairs = (
@@ -1605,10 +1610,11 @@ def part_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ia = item.select(F.col("pk").alias("part_a"), F.col("n_item").alias("_na"))
     ib = item.select(F.col("pk").alias("part_b"), F.col("n_item").alias("_nb"))
-    n = float(n_orders)
+    n = F.col("_n_orders")
     scored = (
         pairs.join(ia, "part_a")
         .join(ib, "part_b")
+        .crossJoin(F.broadcast(n_orders_df))
         .select(
             "part_a",
             "part_b",
