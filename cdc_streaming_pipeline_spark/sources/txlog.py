@@ -3121,17 +3121,32 @@ class BucketedTxLogTable(TxLogTable):
         ).select(self.key_cols[0], BUCKET_COL)
         # first try RAW rows (no distinct → no exchange, CollectLimit
         # early-exits): a trickle batch resolves in one narrow job and
-        # Python dedups; a mid-size batch retries with distinct; only a
-        # bulk batch (> cap distinct keys) pays the full aggregate.
+        # Python dedups; a mid-size batch retries with a LEADING-KEY
+        # grouping; only a bulk batch (> cap distinct key0 values) pays
+        # the full bucket aggregate.
         probe = kb.limit(_probe_cap + 1).collect()
-        if len(probe) > _probe_cap:
-            probe = kb.distinct().limit(_probe_cap + 1).collect()
         if len(probe) <= _probe_cap:
             touched = {int(r[BUCKET_COL]) for r in probe}
             probe_keys: list | None = list({r[self.key_cols[0]] for r in probe})
         else:
-            touched = set(touched_buckets(batch, self.key_cols, self.n_buckets))
-            probe_keys = None
+            # r15 ADVICE: cap the retry on DISTINCT key0 values, not
+            # distinct (key0, bucket) pairs — a composite-key batch
+            # hashes one key0 into many buckets, so the pair-distinct
+            # form could blow the cap (losing bloom pruning) while the
+            # key0 set itself fits. Each group carries its bucket set,
+            # so one job still yields BOTH probe outputs.
+            grouped = (
+                kb.groupBy(self.key_cols[0])
+                .agg(F.collect_set(BUCKET_COL).alias("_bkts"))
+                .limit(_probe_cap + 1)
+                .collect()
+            )
+            if len(grouped) <= _probe_cap:
+                touched = {int(b) for r in grouped for b in r["_bkts"]}
+                probe_keys = [r[self.key_cols[0]] for r in grouped]
+            else:
+                touched = set(touched_buckets(batch, self.key_cols, self.n_buckets))
+                probe_keys = None
         if not touched:
             return base, []
         untagged = [f for f in snap if f not in bmap]

@@ -47,6 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdc_streaming_pipeline_spark.sources.txlog import ConcurrentWriteError
 from cdc_streaming_pipeline_spark.streaming.sink_util import (
     cdc_shape,
     land_mor,
@@ -146,7 +147,14 @@ class IvfStreamSink:
                 [(int(i), [float(v) for v in c]) for i, c in enumerate(cent)],
                 "cell int, centroid array<double>",
             )
-            cells.init_from_events(cdc_shape(cent_df, batch_id), txn=tag)
+            try:
+                cells.init_from_events(cdc_shape(cent_df, batch_id), txn=tag)
+            except ConcurrentWriteError:
+                # r15 ADVICE: a lost version-0 race (external writer /
+                # duplicate concurrent query) must not kill the stream —
+                # mirror land_mor's posture and serve the COMMITTED
+                # centroids (frozen-bootstrap semantics unchanged).
+                cent = _stored_centroids(cells)
         else:
             cent = _stored_centroids(cells)
         assigned = _assign_cells(batch, cent, self.id_col, self.vec_col)

@@ -32,7 +32,14 @@ def open_table(spark: SparkSession, path: str, key_cols: list[str], **kw):
 
     try:
         return BucketedTxLogTable(spark, path, key_cols=key_cols, **kw)
-    except ValueError:
+    except ValueError as exc:
+        # r15 ADVICE: retry ONLY the recorded-n_buckets mismatch (the
+        # sink opened an existing table with a different default) — any
+        # other constructor ValueError (key/order mismatch, missing
+        # layout) is real misconfiguration and must propagate, not get
+        # silently retried under the table's recorded layout.
+        if "records n_buckets=" not in str(exc):
+            raise
         kw.pop("n_buckets", None)
         return BucketedTxLogTable(spark, path, **kw)
 
