@@ -175,13 +175,28 @@ def fit_emit_line(
     """
     emit = dict(result)
     emit.pop("host_cpu", None)  # local-artifact context only
-    emit["queries"] = dict(timings)
+    # 2-decimal timings in the EMITTED line only (BENCH_LOCAL.json keeps
+    # 3): the r16 driver run lost `cdc_txn_boundary_audit` — the 60th
+    # driver-tracked query — because slightly longer timing strings
+    # pushed the line over budget and the trim below dropped it. ~1 char
+    # per entry buys the whole tracked block headroom.
+    emit["queries"] = {k: round(v, 2) for k, v in timings.items()}
     if failures:
         # Full exception text is already persisted in BENCH_LOCAL.json;
         # an unbounded traceback here can blow past max_line even after
         # every query entry is dropped, cutting the line mid-JSON.
         emit["failures"] = {k: v[:120] for k, v in failures.items()}
     line = json.dumps(emit, separators=(",", ":"))
+    # The first PROTECTED_PREFIX registry entries are the driver's
+    # round-over-round tracked set; a tracked query missing from the line
+    # is counted "dropped_from_bench" (r16 verdict). Trim untracked
+    # entries first; only eat into the protected prefix if the line
+    # STILL cannot fit (never happened with 267 queries; contract safety).
+    protected = 60
+    while len(line) > max_line and len(emit["queries"]) > protected:
+        emit["queries"].pop(next(reversed(emit["queries"])))
+        emit["queries_omitted"] = len(timings) - len(emit["queries"])
+        line = json.dumps(emit, separators=(",", ":"))
     while len(line) > max_line and emit["queries"]:
         emit["queries"].pop(next(reversed(emit["queries"])))
         emit["queries_omitted"] = len(timings) - len(emit["queries"])

@@ -92,12 +92,13 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
 
 _SHINGLE_CACHE: deque[DataFrame] = deque()
 # distinct persisted frames a full registry pass touches (minhash + ngram
-# + simhash + contamination + the incremental batch/corpus pair); each is
-# ids + hash arrays — MBs at sf0.1. Sized ABOVE the per-pass count: if a
-# pass creates more frames than the cap, the oldest evicts before its
-# second bench pass and both passes run cold (the r8 +3s shingle
-# regression).
-_SHINGLE_CACHE_MAX = 12
+# + simhash + contamination + the incremental batch/corpus pair, plus the
+# per-call candidate id-pair frames the verify width sizing persists);
+# each is ids + hash arrays — MBs at sf0.1. Sized ABOVE the per-pass
+# count: if a pass creates more frames than the cap, the oldest evicts
+# before its second bench pass and both passes run cold (the r8 +3s
+# shingle regression).
+_SHINGLE_CACHE_MAX = 20
 _FRAME_MEMO: dict[tuple, DataFrame] = {}
 
 
@@ -248,6 +249,38 @@ def minhash_lsh_pairs(
     return _verify_jaccard(cand_ids, base.select("_id", "sh_h"), jaccard_threshold)
 
 
+# Per-pair verify cost is an array_intersect over two shingle arrays —
+# wall-milliseconds of CPU per few thousand pairs; one task per this many
+# pairs keeps tasks ~100ms-class without flooding the scheduler.
+_VERIFY_PAIRS_PER_TASK = 2048
+
+
+def _spread_pairs(cand_ids: DataFrame) -> DataFrame:
+    """Candidate-count-proportional fan-out of the verify stage.
+
+    Width must follow COMPUTE, not bytes: the verify stage's cost is
+    array_intersect over two shingle arrays per candidate pair, but AQE
+    coalesces the candidate exchange by its (tiny) id-pair bytes —
+    profiled at sf0.1: 4 post-coalesce tasks, max task 1.19 s while 28
+    cores idle. r16 fixed that with an UNCONDITIONAL
+    ``repartition(defaultParallelism)``; the r16 driver run showed the
+    fixed width costs more than it saves when candidates are few (and a
+    par-capped width under-spreads when candidates are huge). So: persist
+    the id-pair frame (16-byte rows, bounded registry), count it — one
+    cheap job whose work the cached verify pass reuses — and size the
+    keyed repartition from the count, skipping the exchange entirely when
+    the pairs already fit one task's budget. The repartition is keyed
+    (not AQE-coalescible) and moves only id rows, never shingle arrays.
+    """
+    cand_ids = _persist_bounded(cand_ids)
+    n = cand_ids.count()
+    par = cand_ids.sparkSession.sparkContext.defaultParallelism
+    width = min(-(-n // _VERIFY_PAIRS_PER_TASK), par * 8)
+    if width > 1:
+        return cand_ids.repartition(width, "id_a", "id_b")
+    return cand_ids
+
+
 def _verify_jaccard(cand_ids: DataFrame, shingle_df: DataFrame, threshold: float) -> DataFrame:
     """Re-attach (hashed) shingle sets to deduped candidate id pairs and
     exact-verify: |A∩B|/|A∪B| over the full sets — identical to the
@@ -268,16 +301,7 @@ def _verify_jaccard(cand_ids: DataFrame, shingle_df: DataFrame, threshold: float
     timing; controlled re-measurement reversed the verdict."""
     sh_a = shingle_df.select(F.col("_id").alias("id_a"), F.col("sh_h").alias("sh_a"))
     sh_b = shingle_df.select(F.col("_id").alias("id_b"), F.col("sh_h").alias("sh_b"))
-    # Width must follow COMPUTE, not bytes: the verify stage's cost is
-    # array_intersect over two shingle arrays per candidate pair, but
-    # AQE coalesces the candidate exchange by its (tiny) id-pair bytes —
-    # profiled at sf0.1: 4 post-coalesce tasks, max task 1.19 s while 28
-    # cores idle. An explicit keyed repartition (not AQE-coalescible)
-    # spreads the pairs; it moves only 16-byte id rows, never arrays.
-    par = cand_ids.sparkSession.sparkContext.defaultParallelism
-    cand = cand_ids.repartition(par, "id_a", "id_b").join(sh_a, "id_a").join(
-        sh_b, "id_b"
-    )
+    cand = _spread_pairs(cand_ids).join(sh_a, "id_a").join(sh_b, "id_b")
     # |A∪B| = |A| + |B| - |A∩B| — never array_union: building the deduped
     # union ARRAY per candidate pair is pure allocation (the sizes are
     # all we need) and measured 3-4x the whole verify stage at 436k
@@ -646,12 +670,8 @@ def ngram_containment_pairs(
     )
     sh_a = base.select(F.col("_id").alias("id_a"), F.col("sh_h").alias("sh_a"))
     sh_b = base.select(F.col("_id").alias("id_b"), F.col("sh_h").alias("sh_b"))
-    # same compute-not-bytes width rule as _verify_jaccard: spread the
-    # candidate pairs before attaching arrays (id rows only)
-    par = cand_ids.sparkSession.sparkContext.defaultParallelism
-    cand = cand_ids.repartition(par, "id_a", "id_b").join(sh_a, "id_a").join(
-        sh_b, "id_b"
-    )
+    # same candidate-count-proportional width rule as _verify_jaccard
+    cand = _spread_pairs(cand_ids).join(sh_a, "id_a").join(sh_b, "id_b")
     na, nb = F.size("sh_a"), F.size("sh_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     a_small = (na < nb) | ((na == nb) & (F.col("id_a") < F.col("id_b")))

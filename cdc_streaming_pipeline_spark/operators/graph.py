@@ -56,6 +56,12 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
     tests/test_graph_pagerank.py pins both paths: constant plan size on
     the fast path, and result parity + bounded-round usability on the
     fallback."""
+    handles = _classic_handles(df)
+    if handles is None:  # Spark Connect / future-version guard
+        # count-free branch (r16 ADVICE): on the fallback path an eager
+        # localCheckpoint already materializes — callers that discard
+        # the count must not pay a second count() job per round here.
+        return df.localCheckpoint(eager=True)
     return _truncate_lineage_count(df)[0]
 
 

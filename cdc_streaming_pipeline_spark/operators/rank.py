@@ -95,8 +95,13 @@ def with_global_ranks(
     here rank aggregate outputs (sums/counts), non-null by construction.
 
     ``bucket_impl`` picks the per-row bucket-assignment expression; both
-    produce IDENTICAL bucket ids (first-match index over a sorted cutoff
-    array == the strict-compare count; NaN orders largest either way):
+    produce IDENTICAL bucket ids for NON-NULL keys (first-match index
+    over a sorted cutoff array == the strict-compare count; NaN orders
+    largest either way). On a NULL key they DIVERGE — the fold yields a
+    NULL bucket (null propagates through the accumulator) while the
+    chain's ``otherwise`` assigns n_cuts (ascending) or 0 (descending) —
+    which is why the non-null-key requirement above is part of the
+    operator contract, not merely a convention (r16 ADVICE):
 
     - ``"chain"`` — one flat literal CASE WHEN chain per spec: shallow
       CaseWhen node, codegen'd branch-predictable comparisons with early

@@ -23,23 +23,19 @@ _DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
 def _default_local_dir() -> str | None:
     """Scratch dir for shuffle files / spills (``spark.local.dir``).
 
-    Guide §2.1: shuffle wall clock is bounded by the *local disk* serving
-    the shuffle files as much as by the network. On this host the default
-    ``/tmp`` (ext4 on a virtio disk) charges ~200 ms of write latency per
-    map task regardless of size — measured 7.2 s of Shuffle Write Time
-    across 32 tasks writing 600 KB each, over half the wall of every
-    small shuffle round. Pointing ``spark.local.dir`` at memory-backed
-    storage removed it (0.52 s → 0.34 s per aggregate round). On a real
-    cluster this is the standing "fast NVMe for shuffle" deployment rule,
-    not a local trick; parameterise with $SPARK_GRAFT_LOCAL_DIR.
-    """
-    env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
-    if env:
-        return env
-    shm = "/dev/shm"
-    if os.path.isdir(shm) and os.access(shm, os.W_OK):
-        return os.path.join(shm, "spark-graft-local")
-    return None
+    OPT-IN ONLY via $SPARK_GRAFT_LOCAL_DIR (r16 made tmpfs the default
+    whenever /dev/shm was writable — i.e. on every Linux host — and the
+    r16 driver run showed why that was wrong twice over: (a) at scale it
+    is an inversion — spill exists to RELIEVE memory (guide §5), so
+    spilling into RAM-backed tmpfs consumes the same RAM and a
+    half-of-RAM tmpfs cap turns big shuffles into ENOSPC job death; (b)
+    even locally the measured win did not survive ground truth — the
+    32-core driver suite regressed broadly with it on while the 8-core
+    run did not, i.e. tmpfs shuffle under 32-way write concurrency is at
+    best neutral and intermittently pathological. Deployments with a
+    dedicated NVMe scratch array set the env var; the safe default is
+    Spark's own (disk-backed) local dir."""
+    return os.environ.get("SPARK_GRAFT_LOCAL_DIR") or None
 
 
 def get_spark(

@@ -54,6 +54,17 @@ class ConcurrentWriteError(RuntimeError):
     """An overwrite lost the race: its base snapshot is stale."""
 
 
+class LayoutMismatchError(ValueError):
+    """An explicit constructor argument contradicts the layout the
+    table's log records. ``field`` names the mismatched property so
+    callers can scope recovery to exactly one kind of mismatch instead
+    of string-matching the message (r16 ADVICE)."""
+
+    def __init__(self, message: str, field: str):
+        super().__init__(message)
+        self.field = field
+
+
 def posix_put_if_absent(entry_path: str, payload: str) -> bool:
     """Default commit backend: atomic create-if-absent WITH full content.
 
@@ -1795,11 +1806,12 @@ class BucketedTxLogTable(TxLogTable):
                 ("order_col", order_col, meta["order_col"]),
             ):
                 if given is not None and given != rec:
-                    raise ValueError(
+                    raise LayoutMismatchError(
                         f"table at {path} records {name}={rec!r} in its log; "
                         f"got {name}={given!r} — the bucket layout is a table "
                         "property, not a caller choice (use rebucket() to "
-                        "change n_buckets)"
+                        "change n_buckets)",
+                        field=name,
                     )
             key_cols = list(meta["key_cols"])
             n_buckets = int(meta["n_buckets"])
@@ -3128,6 +3140,15 @@ class BucketedTxLogTable(TxLogTable):
         if len(probe) <= _probe_cap:
             touched = {int(r[BUCKET_COL]) for r in probe}
             probe_keys: list | None = list({r[self.key_cols[0]] for r in probe})
+        elif len({r[self.key_cols[0]] for r in probe}) > _probe_cap:
+            # The cap+1 sampled rows ALREADY exceed the distinct-key0 cap
+            # (all-unique keys — the bulk-load shape), so the grouped
+            # retry below is guaranteed to blow its limit too: skip the
+            # whole-batch aggregate it would have wasted (r16 verdict #1
+            # — one full groupBy job saved per bulk merge) and go
+            # straight to the bounded distinct-bucket probe.
+            touched = set(touched_buckets(batch, self.key_cols, self.n_buckets))
+            probe_keys = None
         else:
             # r15 ADVICE: cap the retry on DISTINCT key0 values, not
             # distinct (key0, bucket) pairs — a composite-key batch

@@ -28,17 +28,21 @@ def open_table(spark: SparkSession, path: str, key_cols: list[str], **kw):
     an EXISTING table's recorded layout wins (a stream resumed over a
     table created by an older sink version must not die on a key
     reorder — bucketing is a table property)."""
-    from cdc_streaming_pipeline_spark.sources.txlog import BucketedTxLogTable
+    from cdc_streaming_pipeline_spark.sources.txlog import (
+        BucketedTxLogTable,
+        LayoutMismatchError,
+    )
 
     try:
         return BucketedTxLogTable(spark, path, key_cols=key_cols, **kw)
-    except ValueError as exc:
-        # r15 ADVICE: retry ONLY the recorded-n_buckets mismatch (the
+    except LayoutMismatchError as exc:
+        # r15/r16 ADVICE: retry ONLY the recorded-n_buckets mismatch (the
         # sink opened an existing table with a different default) — any
-        # other constructor ValueError (key/order mismatch, missing
-        # layout) is real misconfiguration and must propagate, not get
-        # silently retried under the table's recorded layout.
-        if "records n_buckets=" not in str(exc):
+        # other constructor error (key/order mismatch, missing layout) is
+        # real misconfiguration and must propagate, not get silently
+        # retried under the table's recorded layout. Typed exception, not
+        # message matching: a reworded error must not flip the handling.
+        if exc.field != "n_buckets":
             raise
         kw.pop("n_buckets", None)
         return BucketedTxLogTable(spark, path, **kw)
