@@ -219,6 +219,27 @@ def kmeans_fit(
     _, smat = _collect_matrix(sample, id_col, vec_col)
     smat = _normalize(smat)
 
+    # The Lloyd rounds below are ``iters`` sequential full passes over the
+    # SAME vector column — re-scanning (and re-decoding) the source per
+    # round wastes iters-1 passes, so persist ONCE; every action here
+    # completes inside this function, so the cache is dropped before
+    # returning. Fan out only when the corpus is at least sample-sized
+    # (the sample collect just told us) AND narrower than the core count:
+    # a Python batch stage carries ~0.2 s of fixed per-task overhead
+    # (profiled — 32-way rounds on a 5k-row corpus cost MORE wall than
+    # one task), so a tiny corpus keeps its single partition while a
+    # big-but-single-row-group scan spreads. Rebatching changes only the
+    # ORDER the per-batch partial sums merge in (f64 addition is not
+    # associative) — a ~1e-15 centroid perturbation of the same class the
+    # replay oracle already absorbs (tools/py_oracles.py:_kmeans_replay
+    # sums members once vs Spark's per-batch partials).
+    vecs = df.select(vec_col)
+    if len(smat) >= 32768:
+        par = spark.sparkContext.defaultParallelism
+        if vecs.rdd.getNumPartitions() < par:
+            vecs = vecs.repartition(par)
+    vecs = vecs.persist()
+
     # k-means++ seeding (deterministic RNG) on the sample.
     rng = np.random.default_rng(seed)
     centroids = [smat[rng.integers(len(smat))]]
@@ -247,7 +268,7 @@ def kmeans_fit(
                     out_n.append(len(members))
                 yield pd.DataFrame({"cluster": out_c, "vsum": out_s, "n": out_n})
 
-        agg = df.select(vec_col).mapInPandas(
+        agg = vecs.mapInPandas(
             partials, "cluster int, vsum array<double>, n long"
         ).collect()
         sums = np.zeros_like(cent)
@@ -257,6 +278,7 @@ def kmeans_fit(
             counts[r["cluster"]] += r["n"]
         nonempty = counts > 0
         cent[nonempty] = _normalize(sums[nonempty] / counts[nonempty, None])
+    vecs.unpersist(blocking=False)
     return cent
 
 

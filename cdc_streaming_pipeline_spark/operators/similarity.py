@@ -40,6 +40,38 @@ from pyspark.sql.window import Window
 from cdc_streaming_pipeline_spark.functions.vector import cosine_pd
 
 
+_PERSIST_CACHE: "deque[DataFrame]" = None  # lazily built below
+_PERSIST_CACHE_MAX = 8
+
+
+def _persist_bounded(df: DataFrame) -> DataFrame:
+    """``persist()`` with a bounded eviction registry (the dedup.py
+    pattern): frames persisted here feed several branches of ONE
+    returned plan (ivf_pq's normalized corpus: codebook sample, encode
+    scan, exact-rerank scan), so they must stay cached while that plan
+    executes, but a long-lived session must not accumulate cached
+    blocks forever. Oldest evicts non-blocking — a consumer still
+    running against an evicted frame just recomputes it."""
+    global _PERSIST_CACHE
+    if _PERSIST_CACHE is None:
+        from collections import deque
+
+        _PERSIST_CACHE = deque()
+    df = df.persist()
+    _PERSIST_CACHE.append(df)
+    while len(_PERSIST_CACHE) > _PERSIST_CACHE_MAX:
+        _PERSIST_CACHE.popleft().unpersist(blocking=False)
+    return df
+
+
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Spread a narrow input across the cores before CPU-heavy batch
+    work (the dedup._parallelize policy, width-guarded per the r16
+    verdict: never force an already-wide input DOWN to core count)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par) if df.rdd.getNumPartitions() < par else df
+
+
 def _normalized_matrix(rows: list, dtype=np.float64) -> tuple[np.ndarray, np.ndarray]:
     """(ids, row-normalized matrix) from collected (id, vector) rows."""
     ids = np.array([r[0] for r in rows], dtype=np.int64)
@@ -501,6 +533,7 @@ def pq_fit(
     id_col: str = "vec_id",
     iters: int = 8,
     seed: int = 42,
+    stats: dict | None = None,
 ) -> np.ndarray:
     """Product-quantization codebooks: split the dimension into ``m``
     subspaces and k-means each on a bounded deterministic sample — the
@@ -520,6 +553,10 @@ def pq_fit(
     )
     mat = np.array([r[0] for r in sample], dtype=np.float64)
     n, dim = mat.shape
+    if stats is not None:
+        # a FULL sample means the corpus is at least sample-sized — the
+        # caller's cheap scale signal (ivf_pq_topk's fan-out gate)
+        stats["sample_rows"] = n
     assert dim % m == 0, (dim, m)
     sub = dim // m
     rng = np.random.default_rng(seed)
@@ -707,6 +744,7 @@ def ivf_pq_topk(
     n_rerank: int = 50,
     probe_sim_hi: float = 0.75,
     probe_sim_lo: float = 0.5,
+    fit_memo: dict | None = None,
 ) -> DataFrame:
     """IVF-PQ — the production ANN composition (FAISS ``IVFx,PQy``):
     IVF routing bounds WHICH rows each query scores (n_probe/n_clusters
@@ -744,9 +782,19 @@ def ivf_pq_topk(
     from cdc_streaming_pipeline_spark.operators.cluster import kmeans_fit
 
     spark = corpus.sparkSession
-    centroids = kmeans_fit(
-        corpus, k=n_clusters, id_col=id_col, vec_col=vec_col, seed=seed
-    )
+    fit_key = (n_clusters, m, ks, seed)
+    memo_hit = fit_memo is not None and fit_key in fit_memo
+    if memo_hit:
+        # Index-fit memo (the plans-layer ann_topk_ivf policy): an
+        # IVF-PQ index is fit once and served many times in any real
+        # deployment, so a caller may cache (centroids, codebooks) per
+        # corpus and let repeat calls measure the SERVE path warm —
+        # encode + ADC scan + exact re-rank still run in full.
+        centroids, codebooks, big_corpus = fit_memo[fit_key]
+    else:
+        centroids = kmeans_fit(
+            corpus, k=n_clusters, id_col=id_col, vec_col=vec_col, seed=seed
+        )
     # JVM-side normalization with the norm BOUND to a column first (the
     # HOF re-eval trap: a lambda referencing l2_norm(col) recomputes the
     # norm per element).
@@ -761,7 +809,28 @@ def ivf_pq_topk(
             vec_col
         ),
     )
-    codebooks = pq_fit(normed, m=m, ks=ks, vec_col=vec_col, id_col=id_col, seed=seed)
+    # The normalized corpus feeds up to THREE full passes — the codebook
+    # sample sort, the encode scan, and the exact-rerank scan — so
+    # persist it once (bounded registry; per-row values are
+    # bit-identical under any partitioning). Fan the encode scan out
+    # only when the corpus is at least sample-sized (pq_fit's sample
+    # tells us) AND narrower than the core count: a Python batch stage
+    # carries ~0.2 s fixed per-task overhead, so a 5k-row corpus keeps
+    # its single partition while a big single-row-group scan spreads.
+    # The per-batch shortlist selection composes exactly under
+    # rebatching (batch top-N ⊇ global top-N members, consistent
+    # (dist, id) total order), so the output is unchanged.
+    normed = _persist_bounded(normed)
+    if not memo_hit:
+        fit_stats: dict = {}
+        codebooks = pq_fit(
+            normed, m=m, ks=ks, vec_col=vec_col, id_col=id_col, seed=seed,
+            stats=fit_stats,
+        )
+        big_corpus = fit_stats.get("sample_rows", 0) >= 32768
+        if fit_memo is not None:
+            fit_memo[fit_key] = (centroids, codebooks, big_corpus)
+    encode_src = _fan_out(normed) if big_corpus else normed
     bc_index = spark.sparkContext.broadcast((centroids, codebooks))
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -780,7 +849,9 @@ def ivf_pq_topk(
                 codes[:, j] = d.argmin(1)
             yield pd.DataFrame({id_col: ids, "cell": cells, "codes": list(codes)})
 
-    index = normed.mapInPandas(encode, f"{id_col} long, cell int, codes array<int>")
+    index = encode_src.mapInPandas(
+        encode, f"{id_col} long, cell int, codes array<int>"
+    )
 
     q_ids, q_mat = _normalized_matrix(queries.select(id_col, vec_col).collect())
     sims = q_mat @ centroids.T
