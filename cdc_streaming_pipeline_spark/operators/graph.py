@@ -152,6 +152,15 @@ def pagerank(
         nodes = deg.select("node")
         n = deg.count()
     e_deg = e.join(deg.withColumnRenamed("node", "_s"), "_s").persist()
+    # Probed and rejected (r17): a keyed repartition of the rank frame
+    # after each round, sized from the edge count, to spread the next
+    # round's edge-sized join work (AQE coalesces the node-sized rank
+    # exchange to ONE partition at sf0.1 — ten 0.2 s single-task round
+    # stages). The fan-out halved the round-stage walls but the extra
+    # per-round exchange + stage added more scheduling than it saved
+    # (interleaved A/B: 3.8-4.8 s → 3.8-5.4 s warm). At real scale the
+    # rank exchange is byte-wide on its own, so the single-partition
+    # round is a small-data artifact, not a scale hazard.
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     teleport = (1.0 - damping) / n
 
@@ -387,9 +396,15 @@ def bfs_hops(
         new, n_new = _truncate_lineage_count(nbrs.join(visited, "node", "left_anti"))
         if n_new == 0:
             break
-        visited = _truncate_lineage(
-            visited.unionByName(new.withColumn("hop", F.lit(hop)))
-        )
+        # The visited frame is referenced ONCE per level (this anti-join)
+        # plus the final return, so its plan grows LINEARLY — one union of
+        # an already-truncated LogicalRDD per level. Materializing it
+        # every level (r16 shape) paid a second job on the loop's serial
+        # dimension for nothing; truncate on the checkpoint cadence
+        # instead (guide §1.2: one job per level, not two).
+        visited = visited.unionByName(new.withColumn("hop", F.lit(hop)))
+        if hop % _CHECKPOINT_EVERY == 0:
+            visited = _truncate_lineage(visited)
         frontier = new
     else:
         raise RuntimeError(f"bfs did not exhaust the graph in {max_hops} levels")
@@ -447,7 +462,7 @@ def sssp(
         .withColumn("dist", F.lit(0.0))
     )
     frontier = dist
-    for _ in range(max_iters):
+    for it in range(max_iters):
         cand = (
             frontier.join(e, frontier["node"] == e["_u"])
             .groupBy(F.col("_v").alias("node"))
@@ -461,13 +476,20 @@ def sssp(
         improved, n_improved = _truncate_lineage_count(improved)
         if n_improved == 0:
             break
-        dist = _truncate_lineage(
-            dist.join(
-                improved.select(F.col("node").alias("_n")),
-                dist["node"] == F.col("_n"),
-                "left_anti",
-            ).unionByName(improved)
-        )
+        dist = dist.join(
+            improved.select(F.col("node").alias("_n")),
+            dist["node"] == F.col("_n"),
+            "left_anti",
+        ).unionByName(improved)
+        # dist is referenced TWICE per round (improvement test + update),
+        # so a lazy chain doubles per round — but over a 2-round window
+        # that is a bounded 4 references to small node-sized truncated
+        # frames, far cheaper than the per-round materialization job the
+        # r16 shape paid on the loop's serial dimension (guide §1.2).
+        # The cadence stays well below the Dataset-chain explosion point
+        # because every truncation resets the plan to a LogicalRDD.
+        if (it + 1) % 2 == 0:
+            dist = _truncate_lineage(dist)
         frontier = improved
     else:
         raise RuntimeError(f"sssp did not converge in {max_iters} rounds")
@@ -506,20 +528,34 @@ def label_propagation(
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     if not directed:
         e = e.unionByName(e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")))
-    e = e.distinct()
-    nodes = (
-        e.select(F.col("_s").alias("node"))
-        .unionByName(e.select(F.col("_d").alias("node")))
-        .distinct()
-    )
+    # persist the mirrored+distinct base: the node set, the self-loop
+    # rows AND the looped edge frame all derive from it — left as
+    # lineage each derivation re-ran the source scan and the distinct
+    # shuffle (profiled at sf0.1: the fact scan appeared 5x per call,
+    # ~1.6 s of the query's 3.7 s)
+    e = e.distinct().persist()
+    if directed:
+        nodes = (
+            e.select(F.col("_s").alias("node"))
+            .unionByName(e.select(F.col("_d").alias("node")))
+            .distinct()
+        )
+    else:
+        # undirected: the mirrored+distinct frame contains every node as
+        # a SOURCE, so the union+distinct pass — a second full shuffle of
+        # the edge frame — is pure waste (the pagerank r16 argument)
+        nodes = e.select(F.col("_s").alias("node")).distinct()
     # self-loops carry the self-vote through the SAME join as neighbor
-    # votes — one reference to `labels` per round, linear plan growth
-    e = e.unionByName(
+    # votes — one reference to `labels` per round, linear plan growth.
+    # The looped frame is persisted too (it feeds every round); it reads
+    # the cached base, so the second copy costs no recompute and the
+    # extra storage is one edge frame (+n loop rows).
+    e_loops = e.unionByName(
         nodes.select(F.col("node").alias("_s"), F.col("node").alias("_d"))
     ).persist()
     labels = nodes.select("node", F.col("node").alias("label"))
     for i in range(iters):
-        votes = e.join(labels.withColumnRenamed("node", "_s"), "_s").select(
+        votes = e_loops.join(labels.withColumnRenamed("node", "_s"), "_s").select(
             F.col("_d").alias("node"), "label"
         )
         counts = votes.groupBy("node", "label").agg(F.count("*").alias("_c"))
@@ -539,5 +575,9 @@ def label_propagation(
         labels = best.select("node", F.col("_m.l").alias("label"))
         if (i + 1) % _CHECKPOINT_EVERY == 0 and i + 1 < iters:
             labels = _truncate_lineage(labels)
+    # the returned plan is lazy: materialize before dropping the caches
+    # it reads (the pagerank fixpoint rule)
+    labels = labels.localCheckpoint(eager=True)
     e.unpersist()
+    e_loops.unpersist()
     return labels
