@@ -98,7 +98,12 @@ def skyline(
     null_any = F.lit(False)
     for c in dcols:
         null_any = null_any | F.col(c).isNull()
-    work = df.select("*", *dims).filter(~null_any)
+    # Three actions consume this frame (the pivot scan, the candidate
+    # count, the returned merge plan) — left as lineage each one re-ran
+    # the caller's join+aggregate input from the source (profiled at
+    # sf0.1: two extra 0.4 s single-task reduce stages per call).
+    # Persist once; dropped after the candidate set is materialized.
+    work = df.select("*", *dims).filter(~null_any).persist()
 
     # Phase 1: the min-sum point is in the skyline; broadcast it and
     # drop everything it strictly dominates — pure JVM, one tiny agg.
@@ -110,6 +115,7 @@ def skyline(
         .collect()
     )
     if not pivot:
+        work.unpersist(blocking=False)
         return df.limit(0)
     pv = pivot[0]
     not_strictly_dominated_by_pivot = ~(
@@ -128,8 +134,16 @@ def skyline(
             if len(b):
                 yield b[_skyline_mask(b[dcols].to_numpy(dtype=np.float64))]
 
-    cand = pruned.mapInPandas(local_kernel, schema=out_schema)
+    # The candidate set feeds the contract count AND the returned merge
+    # plan: persist (bounded registry — the returned plan executes after
+    # this function exits, so an in-function unpersist would drop it),
+    # then release the input cache — the count materializes candidates,
+    # so nothing reads `work` again.
+    from cdc_streaming_pipeline_spark.operators.dedup import _persist_bounded
+
+    cand = _persist_bounded(pruned.mapInPandas(local_kernel, schema=out_schema))
     n_cand = cand.count()
+    work.unpersist(blocking=False)
     if n_cand > max_candidates:
         raise ValueError(
             f"skyline merge would funnel {n_cand} candidates (> "

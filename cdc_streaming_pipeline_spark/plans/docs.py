@@ -799,9 +799,15 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts in one groupBy, per-source set sizes broadcast back onto the
     pair rows. Output is bounded by sources² — tiny at any corpus size."""
     from cdc_streaming_pipeline_spark.functions.textfn import normalize_ws, tokens
+    from cdc_streaming_pipeline_spark.operators.dedup import (
+        _parallelize,
+        _persist_bounded,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    staged = docs.select(
+    # fan out before the CPU-heavy tokenize/shingle expressions (the
+    # dedup._parallelize policy — a small corpus is one scan partition)
+    staged = _parallelize(docs).select(
         "source", tokens(normalize_ws(F.col("text"))).alias("_toks")
     )
     toks = F.col("_toks")
@@ -811,7 +817,12 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.array_join(F.slice(toks, i, 3), " "),
         )
     )
-    src_sh = (
+    # THREE consumers (the sizes aggregate + both self-join sides) — left
+    # as lineage each re-ran the shingling from the scan (profiled at
+    # sf0.1: two 0.79 s single-task shingle stages per call); persist via
+    # the bounded registry (the returned plan executes after this
+    # function exits)
+    src_sh = _persist_bounded(
         staged.select("source", F.explode(shingles).alias("_g")).distinct()
     )
     sizes = src_sh.groupBy("source").agg(F.count("*").alias("n_sh"))
