@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from cdc_streaming_pipeline_spark.session import get_spark
@@ -14,7 +16,7 @@ def spark(tmp_path_factory):
     warehouse = tmp_path_factory.mktemp("warehouse")
     session = get_spark(
         "tests",
-        cpus=4,
+        cpus=int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "4")),
         shuffle_partitions=4,
         extra_conf={
             "spark.sql.warehouse.dir": str(warehouse),

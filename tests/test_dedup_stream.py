@@ -17,6 +17,8 @@ from __future__ import annotations
 import os
 import shutil
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from cdc_streaming_pipeline_spark.sources.txlog import BucketedTxLogTable
@@ -252,6 +254,7 @@ def test_landing_retries_through_lost_commit_race(spark, tmp_path, monkeypatch):
     assert sorted(r["doc_id"] for r in c.read_state().collect()) == [1, 2, 3]
 
 
+@pytest.mark.slowsuite
 def test_minhash_trickle_maintains_all_three_tables(spark, tmp_path):
     """Maintenance must cover corpus AND index AND sigs: a minhash
     trickle stream's per-bucket file count stays bounded on every
@@ -299,6 +302,7 @@ def test_minhash_trickle_maintains_all_three_tables(spark, tmp_path):
         assert folds, f"{p}: trickle never folded — maintenance did not run"
 
 
+@pytest.mark.slowsuite
 def test_long_trickle_bounded_files_and_flat_probe(spark, tmp_path):
     """Maintenance cadence (r14 verdict item 2): over a long trickle the
     per-bucket live file count stays bounded (overgrown buckets fold

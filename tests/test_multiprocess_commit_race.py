@@ -83,6 +83,7 @@ def _buckets_of(spark, keys):
     return {r["id"]: r["_kb"] for r in df.collect()}
 
 
+@pytest.mark.slowsuite
 @pytest.mark.parametrize("backend_kind", ["posix", "sqlite", "mapped"])
 def test_three_processes_race_disjoint_and_overlapping(
     spark, tmp_path, backend_kind
@@ -329,6 +330,7 @@ DELETE_WORKER = textwrap.dedent(
 )
 
 
+@pytest.mark.slowsuite
 @pytest.mark.parametrize("backend_kind", ["posix", "sqlite"])
 def test_merges_race_deletion_vectors_across_processes(
     spark, tmp_path, backend_kind

@@ -73,6 +73,7 @@ def test_ntz_inference_stays_disabled(spark):
     assert ts_type == "timestamp", f"events.ts read as {ts_type}, expected LTZ timestamp"
 
 
+@pytest.mark.slowsuite
 def test_spark_and_oracle_column_names_agree(spark):
     """The driver's value-hash compare sorts columns BY NAME, so a Spark
     result aliased `sum_qty` against an oracle emitting `sum(l_quantity)`

@@ -8,6 +8,8 @@ from __future__ import annotations
 import glob
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from cdc_streaming_pipeline_spark.operators.cdc import latest_state
@@ -322,6 +324,7 @@ def _latest_state_matches_log(spark, src, state_dir, gen):
         assert stream_ids == applied, table
 
 
+@pytest.mark.slowsuite
 def test_state_upsert_restart_resumes_from_checkpoint(spark, tmp_path):
     """Kill the stream AFTER a batch's state upsert but BEFORE its
     checkpoint commit (the at-least-once window), then resume from the
@@ -390,6 +393,7 @@ def test_streaming_scd2_backend_maintains_full_history(spark, tmp_path):
     assert as_set(read_scd2(spark, str(tmp_path / "state" / "scd2"))) == as_set(want)
 
 
+@pytest.mark.slowsuite
 def test_stream_merge_sink_maintenance_bounds_files_over_long_run(spark, tmp_path):
     """r10 verdict #2: bucketed_merge_stream_sink composed merges forever
     without folding salted files back or reclaiming dead ones — an
@@ -500,6 +504,7 @@ def test_stream_merge_sink_maintenance_bounds_files_over_long_run(spark, tmp_pat
     assert {r["id"]: r["status"] for r in t.read_state().collect()} == expect
 
 
+@pytest.mark.slowsuite
 def test_stream_sink_absorbs_dvs_and_maintains_blooms_over_long_run(spark, tmp_path):
     """r12 verdict item 5: a stream-written table must get the same
     point-lookup/delete story as a batch one. Drive 52+ micro-batches

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import random
 
+import pytest
+
 from cdc_streaming_pipeline_spark.sources.txlog import (
     BucketedTxLogTable,
     vacuum,
@@ -95,6 +97,7 @@ def test_lifecycle_random_walk_matches_model(spark, tmp_path):
 SCHEMA_V = "id bigint, amount double, _op string, _lsn string, _deleted string"
 
 
+@pytest.mark.slowsuite
 def test_lifecycle_walk_with_lazy_rebucket_clustering_and_skipping(spark, tmp_path):
     """The round's new lifecycle ops join the walk: LAZY (metadata-only)
     rebucket through the divisor chain 8→16→32, bounded migrate_buckets
@@ -184,6 +187,7 @@ def test_lifecycle_walk_with_lazy_rebucket_clustering_and_skipping(spark, tmp_pa
             check(t)
     check(t)
 
+@pytest.mark.slowsuite
 def test_lifecycle_walk_with_deletion_vectors_and_blooms(spark, tmp_path):
     """Chaos walk #3: merge-on-read DELETEs and bloom-sidecar point
     lookups join the lifecycle mix. delete_where's documented semantic

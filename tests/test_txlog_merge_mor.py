@@ -230,6 +230,7 @@ def test_mor_point_merge_bloom_prunes_scan(spark, tmp_path, monkeypatch):
     assert st[other] == 7777.0 and st[5] == 5555.0 and len(st) == 200
 
 
+@pytest.mark.slowsuite
 def test_mor_stream_sink_bounded(spark, tmp_path):
     """The streaming sink in merge_mode='mor': 20+ micro-batches of
     single-key updates write O(batch) postimage files + vectors, and
