@@ -92,13 +92,33 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
 
 _SHINGLE_CACHE: deque[DataFrame] = deque()
 # distinct persisted frames a full registry pass touches (minhash + ngram
-# + simhash + contamination + the incremental batch/corpus pair, plus the
-# per-call candidate id-pair frames the verify width sizing persists);
-# each is ids + hash arrays — MBs at sf0.1. Sized ABOVE the per-pass
-# count: if a pass creates more frames than the cap, the oldest evicts
-# before its second bench pass and both passes run cold (the r8 +3s
-# shingle regression).
-_SHINGLE_CACHE_MAX = 20
+# + simhash + contamination + the incremental batch/corpus pair); each is
+# ids + hash arrays — MBs at sf0.1. Sized ABOVE the per-pass count: if a
+# pass creates more frames than the cap, the oldest evicts before its
+# second bench pass and both passes run cold (the r8 +3s shingle
+# regression).
+_SHINGLE_CACHE_MAX = 12
+# PER-CALL frames (candidate id pairs, skyline candidates, …) live in
+# their OWN small registry: they only need to survive until the one plan
+# that consumes them executes, and routing them through the shingle
+# registry above evicted the long-lived memo frames mid-bench-pass
+# (measured: doc_contamination 0.68 → 1.55 s when ~20 transient persists
+# per pass churned the shared deque).
+_TRANSIENT_CACHE: deque[DataFrame] = deque()
+_TRANSIENT_CACHE_MAX = 8
+
+
+def _persist_transient(df: DataFrame) -> DataFrame:
+    """Bounded persist for frames consumed by a single returned plan
+    (which executes after the operator function exits, so an in-function
+    unpersist would drop the cache before use)."""
+    df = df.persist()
+    _TRANSIENT_CACHE.append(df)
+    while len(_TRANSIENT_CACHE) > _TRANSIENT_CACHE_MAX:
+        _TRANSIENT_CACHE.popleft().unpersist(blocking=False)
+    return df
+
+
 _FRAME_MEMO: dict[tuple, DataFrame] = {}
 
 
@@ -272,7 +292,7 @@ def _spread_pairs(cand_ids: DataFrame) -> DataFrame:
     the pairs already fit one task's budget. The repartition is keyed
     (not AQE-coalescible) and moves only id rows, never shingle arrays.
     """
-    cand_ids = _persist_bounded(cand_ids)
+    cand_ids = _persist_transient(cand_ids)
     n = cand_ids.count()
     par = cand_ids.sparkSession.sparkContext.defaultParallelism
     width = min(-(-n // _VERIFY_PAIRS_PER_TASK), par * 8)

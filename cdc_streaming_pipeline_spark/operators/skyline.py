@@ -139,9 +139,9 @@ def skyline(
     # this function exits, so an in-function unpersist would drop it),
     # then release the input cache — the count materializes candidates,
     # so nothing reads `work` again.
-    from cdc_streaming_pipeline_spark.operators.dedup import _persist_bounded
+    from cdc_streaming_pipeline_spark.operators.dedup import _persist_transient
 
-    cand = _persist_bounded(pruned.mapInPandas(local_kernel, schema=out_schema))
+    cand = _persist_transient(pruned.mapInPandas(local_kernel, schema=out_schema))
     n_cand = cand.count()
     work.unpersist(blocking=False)
     if n_cand > max_candidates:

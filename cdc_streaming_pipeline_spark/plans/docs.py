@@ -801,7 +801,7 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_streaming_pipeline_spark.functions.textfn import normalize_ws, tokens
     from cdc_streaming_pipeline_spark.operators.dedup import (
         _parallelize,
-        _persist_bounded,
+        _persist_transient,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -822,7 +822,7 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1: two 0.79 s single-task shingle stages per call); persist via
     # the bounded registry (the returned plan executes after this
     # function exits)
-    src_sh = _persist_bounded(
+    src_sh = _persist_transient(
         staged.select("source", F.explode(shingles).alias("_g")).distinct()
     )
     sizes = src_sh.groupBy("source").agg(F.count("*").alias("n_sh"))
